@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession configuration for all entrypoints (Verify, Bench,
+  * tests). Keeping the session knobs in one place guarantees the
+  * correctness dump, the bench, and the specs all see identical
+  * semantics.
+  */
+object Sessions {
+  /** Apply engine-required configs to a builder.
+    *
+    *  - nanosAsLong: the driver's events.parquet carries
+    *    INT64 TIMESTAMP(NANOS), which Spark 4 otherwise refuses
+    *    (PARQUET_TYPE_ILLEGAL). Reading nanos as LongType is also the
+    *    deterministic choice for oracle comparison (no µs truncation).
+    *  - UTC session time zone: oracle (DuckDB) parity.
+    *  - AQE on: runtime shuffle-partition coalescing + skew-join
+    *    handling — the local[32] stand-in for what matters at 100 TB.
+    */
+  def tuned(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.parquet.aggregatePushdown", "true")
+    .config("spark.ui.enabled", "false")
+
+  /** Local session for tests and ad-hoc runs. */
+  def local(cpus: Int = 4): SparkSession = {
+    val s = tuned(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,32 +1,193 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators._
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry pairs a Spark plan (built from the operator modules under
+  * graft.operators) with equivalent ANSI SQL the driver runs in DuckDB on
+  * the same parquet inputs. Column names are aliased identically on both
+  * sides (the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q01_agg")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1-A4 (SURVEY §2.4): grouped aggregation with partial+final hash agg.
-    "q01_agg" -> ((s, dir) => {
-      Tables.load(s, dir, "lineitem")
+    // §2.4 A1-A4: grouped aggregation, partial+final hash agg.
+    "q01_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum("l_quantity").as("sum_qty"),
-          sum("l_extendedprice").as("sum_price"),
-          count(lit(1)).as("n_rows"))
-    })
+          sum(Relational.money(col("l_quantity"))).as("sum_qty"),
+          sum(Relational.money(col("l_extendedprice"))).as("sum_price"),
+          count(lit(1)).as("n_rows"))),
+    // §2.2 P1/P2 + §2.8 F1: pushed filter + concat-key projection.
+    "q02_filter_project" -> ((s, dir) =>
+      Relational.filterProject(t(s, dir, "lineitem"))),
+    // §2.3: broadcast star join.
+    "q03_join_broadcast" -> ((s, dir) =>
+      Relational.regionRollup(t(s, dir, "customer"), t(s, dir, "nation"),
+        t(s, dir, "region"))),
+    // §2.3: large shuffle join.
+    "q04_join_shuffle" -> ((s, dir) =>
+      Relational.orderRevenue(t(s, dir, "orders"), t(s, dir, "lineitem"))),
+    // §2.5: window ranking.
+    "q05_window_latest" -> ((s, dir) =>
+      Relational.latestOrderPerCustomer(t(s, dir, "orders"))),
+    // §2.6: global top-k (TakeOrderedAndProject).
+    "q06_topk" -> ((s, dir) =>
+      Relational.topOrders(t(s, dir, "orders"), 100)),
+    // §2.7: intersect.
+    "q07_intersect" -> ((s, dir) =>
+      Relational.urgentAndLowCustomers(t(s, dir, "orders"))),
+    // §2.7: except.
+    "q08_except" -> ((s, dir) =>
+      Relational.custkeysExceptFinished(t(s, dir, "orders"))),
+    // §2.3: left-semi join.
+    "q09_semi_join" -> ((s, dir) =>
+      Relational.customersWithOrders(t(s, dir, "customer"),
+        t(s, dir, "orders"))),
+    // §2.3: left-anti join.
+    "q10_anti_join" -> ((s, dir) =>
+      Relational.customersWithoutOrders(t(s, dir, "customer"),
+        t(s, dir, "orders"))),
+    // §2.4: rollup grouping sets.
+    "q11_rollup" -> ((s, dir) =>
+      Relational.lineitemRollup(t(s, dir, "lineitem"))),
+    // §2.4: cube grouping sets.
+    "q12_cube" -> ((s, dir) =>
+      Relational.orderCube(t(s, dir, "orders"))),
+    // §2.9 N1-N3: explode fan-out.
+    "q13_explode_words" -> ((s, dir) =>
+      Relational.partNameWords(t(s, dir, "part"))),
+    // §2.1 S2 + §2.8 F8: JSON payload extraction.
+    "q14_json_props" -> ((s, dir) =>
+      Relational.eventPropsAgg(t(s, dir, "events"))),
+    // §2.8 date functions.
+    "q15_monthly" -> ((s, dir) =>
+      Relational.monthlyOrders(t(s, dir, "orders"))),
+    // §2.8 F1-F3 string functions.
+    "q16_strings" -> ((s, dir) =>
+      Relational.partStrings(t(s, dir, "part"))),
+    // §2.8 F4 arithmetic.
+    "q17_math" -> ((s, dir) =>
+      Relational.lineitemMath(t(s, dir, "lineitem"))),
+    // §2.7 U1/U2 + §2.4 A3: union + distinct key space.
+    "q18_union_distinct" -> ((s, dir) =>
+      Relational.accountKeySpace(t(s, dir, "orders"), t(s, dir, "customer"))),
+    // §2.4 A3/A4: exact distinct counts.
+    "q19_distinct_counts" -> ((s, dir) =>
+      Relational.distinctCounts(t(s, dir, "lineitem")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
-      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
-        |sum(l_extendedprice) AS sum_price, count(*) AS n_rows
-        |FROM lineitem GROUP BY 1, 2""".stripMargin
+      """SELECT l_returnflag, l_linestatus,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | 'orders/' || CAST(l_orderkey AS VARCHAR) AS order_ref,
+        | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |      AS DECIMAL(38,4)) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-07-01' AND l_discount > 0.02""".stripMargin,
+    "q03_join_broadcast" ->
+      """SELECT r_name, count(*) AS n_customers,
+        | sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "q04_join_shuffle" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q05_window_latest" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+        | SELECT o_custkey, o_orderkey, o_orderdate,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        | FROM orders) WHERE rn = 1""".stripMargin,
+    "q06_topk" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+        |FROM orders ORDER BY total DESC, o_orderkey ASC LIMIT 100""".stripMargin,
+    "q07_intersect" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |INTERSECT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'""".stripMargin,
+    "q08_except" ->
+      """SELECT DISTINCT o_custkey FROM orders
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+    "q09_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q10_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q11_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q12_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
+    "q13_explode_words" ->
+      """SELECT word, count(*) AS n FROM (
+        | SELECT unnest(str_split(p_name, ' ')) AS word FROM part)
+        |GROUP BY word""".stripMargin,
+    "q14_json_props" ->
+      """SELECT event_type,
+        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_nonnull,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q15_monthly" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        | count(*) AS n_orders,
+        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q16_strings" ->
+      """SELECT p_partkey,
+        | 'parts/' || CAST(p_partkey AS VARCHAR) AS part_ref,
+        | upper(p_brand) AS brand_uc,
+        | regexp_extract(p_type, '(\w+)$', 1) AS type_last,
+        | length(p_name) AS name_len,
+        | substring(p_name, 1, 5) AS name_pfx
+        |FROM part""".stripMargin,
+    "q17_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS gross,
+        | CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+        | CAST(ceil(l_quantity / 2) AS BIGINT) AS half_ceil,
+        | l_orderkey % 7 AS key_mod
+        |FROM lineitem""".stripMargin,
+    "q18_union_distinct" ->
+      """SELECT DISTINCT _key FROM (
+        | SELECT 'accounts/' || CAST(o_custkey AS VARCHAR) AS _key FROM orders
+        | UNION ALL
+        | SELECT 'accounts/' || CAST(c_custkey AS VARCHAR) AS _key FROM customer)""".stripMargin,
+    "q19_distinct_counts" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

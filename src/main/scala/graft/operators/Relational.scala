@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY.md §2.2-§2.8).
+  *
+  * The reference (helium-arango-etl-lite) delegates all declarative query
+  * processing to ArangoDB (its one AQL query is `follower.py:210-214`); this
+  * module is the Spark-native realization of the query capability its data
+  * model exists to serve, plus the standard relational algebra the harness
+  * checks against the DuckDB oracle.
+  *
+  * Design rules (100 TB scale):
+  *   - Money math is done in DECIMAL(18,2): exact, deterministic under
+  *     any partitioning/aggregation order — double sums would be
+  *     partition-order dependent and can't hash-match an oracle.
+  *   - Every function is a pure LogicalPlan builder; no actions, no
+  *     collect. Catalyst handles pushdown/pruning/join strategy.
+  *   - Small bounded dims (region/nation) are broadcast explicitly.
+  */
+object Relational {
+
+  /** Cast a 2-decimal money column (stored double) to exact decimal. */
+  def money(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Filter + projection with concat'd reference keys (P1/P2/F1,
+    * follower.py:148-155). Pushed filters reach the parquet scan.
+    */
+  def filterProject(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1995-07-01").cast("timestamp") &&
+        col("l_discount") > lit(0.02))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        concat(lit("orders/"), col("l_orderkey")).as("order_ref"),
+        (money(col("l_extendedprice")) *
+          (lit(BigDecimal("1.00")) - money(col("l_discount"))))
+          .cast("decimal(38,4)").as("revenue"))
+
+  /** Star join with broadcast dimensions (§2.3): customer⨝nation⨝region.
+    * nation (25 rows) and region (5 rows) are bounded regardless of SF —
+    * broadcast keeps this a single scan-side stage at any scale.
+    */
+  def regionRollup(customer: DataFrame, nation: DataFrame,
+                   region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation),
+        customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region),
+        nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(money(col("c_acctbal"))).as("sum_acctbal"))
+
+  /** Large shuffle join orders⨝lineitem (§2.3). Both sides shuffle on the
+    * join key; AQE coalesces the post-shuffle partitions.
+    */
+  def orderRevenue(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(money(col("l_extendedprice"))).as("sum_price"))
+
+  /** Window ranking (§2.5): latest order per customer,
+    * deterministically tie-broken on o_orderkey.
+    */
+  def latestOrderPerCustomer(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+  }
+
+  /** Global top-k (§2.6): Catalyst plans orderBy+limit as
+    * TakeOrderedAndProject — per-partition top-k then a k-row merge on
+    * the driver; no global sort materializes at any scale.
+    */
+  def topOrders(orders: DataFrame, k: Int): DataFrame =
+    orders
+      .select(col("o_orderkey"), money(col("o_totalprice")).as("total"))
+      .orderBy(col("total").desc, col("o_orderkey").asc)
+      .limit(k)
+
+  /** Set intersection (§2.7): customers who placed both an URGENT and a
+    * LOW-priority order.
+    */
+  def urgentAndLowCustomers(orders: DataFrame): DataFrame =
+    orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey")).distinct()
+      .intersect(
+        orders.filter(col("o_orderpriority") === "5-LOW")
+          .select(col("o_custkey")).distinct())
+
+  /** Set difference (§2.7): customer keys with no finished ('F') order. */
+  def custkeysExceptFinished(orders: DataFrame): DataFrame =
+    orders.select(col("o_custkey")).distinct()
+      .except(orders.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey")).distinct())
+
+  /** Left-semi join (§2.3): customers having at least one order.
+    * EXISTS without materializing the right side's columns.
+    */
+  def customersWithOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Left-anti join (§2.3): customers with no orders — the "dangling
+    * vertex" query shape (SURVEY §7.4: dangling edges are a feature).
+    */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** ROLLUP grouping sets (§2.4): partial+final agg over the hierarchy. */
+  def lineitemRollup(lineitem: DataFrame): DataFrame =
+    lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(money(col("l_quantity"))).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
+  /** CUBE grouping sets (§2.4). */
+  def orderCube(orders: DataFrame): DataFrame =
+    orders
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(money(col("o_totalprice"))).as("sum_total"))
+
+  /** Explode / flatten (N1-N3 analog): one row per word of p_name —
+    * the reference's per-element fan-out (follower.py:163-176) over the
+    * driver tables.
+    */
+  def partNameWords(part: DataFrame): DataFrame =
+    part
+      .select(explode(split(col("p_name"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+
+  /** JSON extraction (S2/F8 analog): parse the events.props JSON payload
+    * — the reference's per-transaction JSON unwrap (client.py:25-36).
+    */
+  def eventPropsAgg(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+        count(col("k")).as("n_nonnull"),
+        max(col("k")).as("max_k"))
+
+  /** Date bucketing: monthly order volumes (engine analytics layer,
+    * SURVEY §2.8 date row).
+    */
+  def monthlyOrders(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(money(col("o_totalprice"))).as("sum_total"))
+
+  /** String function battery (F1-F3: concat, template, regexp_extract). */
+  def partStrings(part: DataFrame): DataFrame =
+    part.select(
+      col("p_partkey"),
+      concat(lit("parts/"), col("p_partkey")).as("part_ref"),
+      upper(col("p_brand")).as("brand_uc"),
+      regexp_extract(col("p_type"), "(\\w+)$", 1).as("type_last"),
+      length(col("p_name")).as("name_len"),
+      substring(col("p_name"), 1, 5).as("name_pfx"))
+
+  /** Arithmetic battery (F4): ns→s style interval math on exact types. */
+  def lineitemMath(lineitem: DataFrame): DataFrame =
+    lineitem.select(
+      col("l_orderkey"), col("l_linenumber"),
+      (money(col("l_extendedprice")) * money(col("l_quantity")))
+        .cast("decimal(38,4)").as("gross"),
+      floor(col("l_quantity")).as("qty_floor"),
+      ceil(col("l_quantity") / lit(2)).as("half_ceil"),
+      (col("l_orderkey") % lit(7)).as("key_mod"))
+
+  /** Distinct union of key spaces (U1/U2/A3, follower.py:147,156,205):
+    * the account-set construction — payer ∪ payee with sink-side
+    * dedup becomes union+distinct.
+    */
+  def accountKeySpace(orders: DataFrame, customer: DataFrame): DataFrame =
+    orders.select(concat(lit("accounts/"), col("o_custkey")).as("_key"))
+      .union(customer.select(
+        concat(lit("accounts/"), col("c_custkey")).as("_key")))
+      .distinct()
+
+  /** Exact distinct counts per group (A3/A4). */
+  def distinctCounts(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+}

@@ -26,10 +26,15 @@ def rows_key(rows):
 
 
 def close(a, b):
+    # Strict: the driver hash-compares, so default to exact equality.
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+        if a == b:
+            return True
+        if math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12):
+            return "tol"  # truthy, but flags a float-tolerance-only match
+        return False
     return str(a) == str(b)
 
 
@@ -69,14 +74,24 @@ def main(sf_dir, out_dir):
             continue
         g, e = sorted_rows(got_rows), sorted_rows(exp_rows)
         bad = None
+        n_tol = 0
         for i, (gr, er) in enumerate(zip(g, e)):
-            if len(gr) != len(er) or not all(close(a, b) for a, b in zip(gr, er)):
+            if len(gr) != len(er):
                 bad = (i, gr, er)
                 break
+            oks = [close(a, b) for a, b in zip(gr, er)]
+            if not all(oks):
+                bad = (i, gr, er)
+                break
+            n_tol += sum(1 for o in oks if o == "tol")
         if bad:
             print(f"✗ {name}: VALUE mismatch at sorted row {bad[0]}:\n"
                   f"    spark={bad[1]}\n    duck ={bad[2]}")
             n_fail += 1
+        elif n_tol:
+            print(f"~ {name}: {len(got_rows)} rows, {n_tol} values match only "
+                  f"within 1e-9 float tolerance — driver hash may still FAIL")
+            n_pass += 1
         else:
             print(f"✓ {name}: {len(got_rows)} rows match")
             n_pass += 1
