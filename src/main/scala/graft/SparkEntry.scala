@@ -84,8 +84,67 @@ object SparkEntry {
       Relational.accountKeySpace(t(s, dir, "orders"), t(s, dir, "customer"))),
     // §2.4 A3/A4: exact distinct counts.
     "q19_distinct_counts" -> ((s, dir) =>
-      Relational.distinctCounts(t(s, dir, "lineitem")))
+      Relational.distinctCounts(t(s, dir, "lineitem"))),
+
+    // --- Graph-ETL parity surface (SURVEY §2.1/§2.9/§2.10) ---
+    // P2/F1/F5: payment-edge construction with content-hash _key.
+    "g01_payment_edges" -> ((s, dir) =>
+      GraphEtl.paymentEdges(t(s, dir, "orders"), t(s, dir, "lineitem"))),
+    // P4/U1/A3: distinct endpoint (vertex) set of the edge collection.
+    "g02_edge_endpoints" -> ((s, dir) =>
+      GraphEtl.edgeEndpoints(
+        GraphEtl.paymentEdges(t(s, dir, "orders"), t(s, dir, "lineitem")))),
+    // §2.3/§7.4(5): dangling-edge audit vs a partial vertex collection.
+    "g03_dangling_edges" -> ((s, dir) => {
+      val vertices = t(s, dir, "supplier")
+        .filter(col("s_suppkey") % 3 =!= 0)
+        .select(concat(lit("suppliers/"), col("s_suppkey")).as("_key"))
+      GraphEtl.danglingEdges(
+        GraphEtl.paymentEdges(t(s, dir, "orders"), t(s, dir, "lineitem")),
+        vertices)
+    }),
+    // P5/S8/T7: retention-window filter on event time. Compared in µs:
+    // DuckDB truncates parquet ns-timestamps to µs on read, so µs is the
+    // finest cross-engine-deterministic granularity.
+    "g04_retention" -> ((s, dir) =>
+      GraphEtl.retentionFilter(
+        t(s, dir, "events").select(col("event_id"),
+          expr("ts div 1000").as("ts"), col("event_type")),
+        7L * 24 * 3600 * 1000000L)),
+    // O5/A4: content-key dedup (insert-ignore semantics, deterministic).
+    "g05_dedup_key" -> ((s, dir) =>
+      GraphEtl.dedupByContentKey(t(s, dir, "events"))),
+    // T1-T3: incremental cursor batch.
+    "g06_cursor_batch" -> ((s, dir) =>
+      GraphEtl.cursorBatch(t(s, dir, "events"), 1000L, 500L)),
+    // §2.3: edge↔vertex resolution with broadcast dimension.
+    "g07_edge_vertex_join" -> ((s, dir) =>
+      GraphEtl.edgesWithVertex(
+        GraphEtl.paymentEdges(t(s, dir, "orders"), t(s, dir, "lineitem")),
+        t(s, dir, "supplier"), t(s, dir, "nation"))),
+    // §2.5: latest edge per vertex pair.
+    "g08_latest_edge" -> ((s, dir) =>
+      GraphEtl.latestEdgePerPair(
+        GraphEtl.paymentEdges(t(s, dir, "orders"), t(s, dir, "lineitem"))))
   )
+
+  /** Shared oracle CTE: the payment-edge collection (mirrors
+    * GraphEtl.paymentEdges; content key = md5 over name-sorted,
+    * '|'-joined fields — _from,_to,block,seq).
+    */
+  private val edgesCte: String =
+    """WITH edges AS (
+      | SELECT 'accounts/' || CAST(o_custkey AS VARCHAR) AS _from,
+      |  'suppliers/' || CAST(l_suppkey AS VARCHAR) AS _to,
+      |  l_orderkey AS block, l_linenumber AS seq,
+      |  CAST(l_extendedprice AS DECIMAL(18,2)) AS amount,
+      |  o_orderdate AS "timestamp",
+      |  md5('accounts/' || CAST(o_custkey AS VARCHAR) || '|' ||
+      |      'suppliers/' || CAST(l_suppkey AS VARCHAR) || '|' ||
+      |      CAST(l_orderkey AS VARCHAR) || '|' ||
+      |      CAST(l_linenumber AS VARCHAR)) AS _key
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      |""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -188,6 +247,48 @@ object SparkEntry {
         | count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps,
         | count(*) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "g01_payment_edges" ->
+      (edgesCte + """SELECT _from, _to, block, seq, amount, "timestamp", _key FROM edges"""),
+    "g02_edge_endpoints" ->
+      (edgesCte +
+        """SELECT DISTINCT _key FROM (
+          | SELECT _from AS _key FROM edges
+          | UNION ALL SELECT _to AS _key FROM edges)""".stripMargin),
+    "g03_dangling_edges" ->
+      (edgesCte +
+        """SELECT _to, count(*) AS n_dangling FROM edges
+          |WHERE NOT EXISTS (
+          | SELECT 1 FROM supplier
+          | WHERE s_suppkey % 3 <> 0
+          |   AND 'suppliers/' || CAST(s_suppkey AS VARCHAR) = _to)
+          |GROUP BY _to""".stripMargin),
+    "g04_retention" ->
+      """SELECT event_id, epoch_us(ts) AS ts, event_type FROM events
+        |WHERE epoch_us(ts) >=
+        | (SELECT max(epoch_us(ts)) FROM events) - 604800000000""".stripMargin,
+    "g05_dedup_key" ->
+      """SELECT md5(event_type || '|' || CAST(user_id % 100 AS VARCHAR)) AS _key,
+        | event_type, user_id % 100 AS user_bucket,
+        | min(event_id) AS first_event_id, count(*) AS n_dups
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    "g06_cursor_batch" ->
+      """SELECT event_type, count(*) AS n,
+        | min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events WHERE event_id > 1000 AND event_id <= 1500
+        |GROUP BY event_type""".stripMargin,
+    "g07_edge_vertex_join" ->
+      (edgesCte +
+        """SELECT n_name, count(*) AS n_edges, sum(amount) AS sum_amount
+          |FROM edges
+          |JOIN supplier ON _to = 'suppliers/' || CAST(s_suppkey AS VARCHAR)
+          |JOIN nation ON s_nationkey = n_nationkey
+          |GROUP BY n_name""".stripMargin),
+    "g08_latest_edge" ->
+      (edgesCte +
+        """SELECT _from, _to, block, seq, amount, "timestamp" FROM (
+          | SELECT *, row_number() OVER (PARTITION BY _from, _to
+          |   ORDER BY "timestamp" DESC, block DESC, seq DESC, amount DESC) AS rn
+          | FROM edges) WHERE rn = 1""".stripMargin)
   )
 }

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Property-graph ETL surface (SURVEY.md §2.1, §2.9, §2.10).
+  *
+  * The reference materializes an adjacency graph: vertex collections keyed
+  * by `_key`, edge collections with `_from`/`_to` foreign keys
+  * (follower.py:81-95,148-150,182-183), idempotent via MD5 content-hash
+  * keys + insert-ignore (follower.py:293-294,205-207). This module
+  * re-expresses those semantics as column algebra over the driver's star
+  * schema: orders⨝lineitem plays the role of the payment stream
+  * (customer --pays--> supplier), `events` plays the block stream for
+  * cursor/retention semantics.
+  *
+  * Scale notes:
+  *   - Content keys are computed map-side (pure projection, codegen'd);
+  *     the dedup is one hash-shuffle on the key — the minimum possible.
+  *   - Idempotent loading at 100 TB = dropDuplicates on the content key
+  *     within the batch + an idempotent sink (partition overwrite); no
+  *     read-before-write.
+  */
+object GraphEtl {
+
+  /** MD5 content-hash key over name-sorted columns — the Spark
+    * realization of get_hash_of_dict (follower.py:293-294). Columns are
+    * sorted by name at construction (same field-order discipline as the
+    * reference's sort_keys=True); '|' -joined string form rather than
+    * JSON so the oracle (DuckDB md5(concat_ws(...))) is byte-identical.
+    */
+  def contentKey(df: DataFrame, cols: Seq[String]): Column =
+    md5(concat_ws("|", cols.sorted.map(c => df(c).cast("string")): _*))
+
+  /** Reference-faithful variant: md5 of the canonical-JSON document
+    * (sorted field names, compact separators). Internal consistency only
+    * — see SURVEY §7.4(2).
+    */
+  def contentKeyJson(cols: Seq[Column]): Column =
+    md5(to_json(struct(cols: _*)))
+
+  /** Payment-edge construction (P2/F1/F5, follower.py:148-158):
+    * one edge per lineitem from the ordering customer to the supplier,
+    * with a content-hash `_key` for idempotent loading.
+    */
+  def paymentEdges(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val joined = lineitem
+      .join(orders, lineitem("l_orderkey") === orders("o_orderkey"))
+      .select(
+        concat(lit("accounts/"), col("o_custkey")).as("_from"),
+        concat(lit("suppliers/"), col("l_suppkey")).as("_to"),
+        col("l_orderkey").as("block"),
+        col("l_linenumber").as("seq"),
+        Relational.money(col("l_extendedprice")).as("amount"),
+        col("o_orderdate").as("timestamp"))
+    joined.withColumn("_key",
+      contentKey(joined, Seq("_from", "_to", "block", "seq")))
+  }
+
+  /** Account/vertex-set construction (P4/U1/A3,
+    * follower.py:147,156,162,173 + insert-ignore dedup): the distinct
+    * endpoint set of an edge collection.
+    */
+  def edgeEndpoints(edges: DataFrame): DataFrame =
+    edges.select(col("_from").as("_key"))
+      .union(edges.select(col("_to").as("_key")))
+      .distinct()
+
+  /** Dangling-edge audit (§2.3, SURVEY §7.4(5)): edges whose `_to`
+    * vertex is absent from the vertex collection. The reference allows
+    * these (vertex emission commented out, follower.py:199,208); this
+    * query makes them observable. Anti join, vertex side broadcast when
+    * small.
+    */
+  def danglingEdges(edges: DataFrame, vertices: DataFrame): DataFrame =
+    edges.join(vertices, edges("_to") === vertices("_key"), "left_anti")
+      .groupBy(col("_to"))
+      .agg(count(lit(1)).as("n_dangling"))
+
+  /** Retention-window filter (P5/S8/T7, follower.py:210-214): keep only
+    * rows within the last `windowNs` of event time. The cutoff is a
+    * runtime aggregate, joined in rather than collected — at scale the
+    * max comes from one map-side-combined agg, and the filter prunes
+    * partitions when the table is time-partitioned.
+    */
+  def retentionFilter(events: DataFrame, windowNs: Long): DataFrame = {
+    val cutoff = events.agg((max(col("ts")) - lit(windowNs)).as("cutoff"))
+    events.join(broadcast(cutoff))
+      .filter(col("ts") >= col("cutoff"))
+      .drop("cutoff")
+  }
+
+  /** Content-key dedup (O5/A4, follower.py:205-207 insert-ignore): the
+    * reference keeps an arbitrary single document per key; for
+    * deterministic output we keep the min event id — same cardinality,
+    * stable choice.
+    */
+  def dedupByContentKey(events: DataFrame): DataFrame = {
+    val keyed = events.select(
+      col("event_id"), col("event_type"),
+      (col("user_id") % 100).as("user_bucket"))
+    keyed
+      .withColumn("_key", contentKey(keyed, Seq("event_type", "user_bucket")))
+      .groupBy(col("_key"), col("event_type"), col("user_bucket"))
+      .agg(min(col("event_id")).as("first_event_id"),
+        count(lit(1)).as("n_dups"))
+  }
+
+  /** Incremental cursor batch (T1-T3, follower.py:55-75): given the
+    * checkpointed cursor, select the next batch of `batchSize` cursor
+    * units. Pure predicate → partition-prunable at scale.
+    */
+  def cursorBatch(events: DataFrame, cursor: Long, batchSize: Long): DataFrame =
+    events
+      .filter(col("event_id") > cursor && col("event_id") <= cursor + batchSize)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+
+  /** Edge↔vertex resolution (§2.3): the implicit join the data model
+    * serves. Vertex dimension broadcast.
+    */
+  def edgesWithVertex(edges: DataFrame, supplier: DataFrame,
+                      nation: DataFrame): DataFrame =
+    edges
+      .join(broadcast(supplier),
+        edges("_to") === concat(lit("suppliers/"), supplier("s_suppkey")))
+      .join(broadcast(nation),
+        supplier("s_nationkey") === nation("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(col("amount")).as("sum_amount"))
+
+  /** Latest edge per vertex pair (§2.5 analytics): window dedup keeping
+    * the most recent edge per (_from,_to).
+    */
+  def latestEdgePerPair(edges: DataFrame): DataFrame = {
+    // (block, seq) is not unique in the driver's datagen, so amount
+    // participates in the ordering to make the winner deterministic.
+    val w = Window.partitionBy(col("_from"), col("_to"))
+      .orderBy(col("timestamp").desc, col("block").desc, col("seq").desc,
+        col("amount").desc)
+    edges
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("_from"), col("_to"), col("block"), col("seq"),
+        col("amount"), col("timestamp"))
+  }
+}
