@@ -25,8 +25,10 @@ object SparkEntry {
       t(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(Relational.money(col("l_quantity"))).as("sum_qty"),
-          sum(Relational.money(col("l_extendedprice"))).as("sum_price"),
+          Relational.moneyOut(sum(Relational.money(col("l_quantity"))))
+            .as("sum_qty"),
+          Relational.moneyOut(sum(Relational.money(col("l_extendedprice"))))
+            .as("sum_price"),
           count(lit(1)).as("n_rows"))),
     // §2.2 P1/P2 + §2.8 F1: pushed filter + concat-key projection.
     "q02_filter_project" -> ((s, dir) =>
@@ -89,7 +91,8 @@ object SparkEntry {
     // --- Graph-ETL parity surface (SURVEY §2.1/§2.9/§2.10) ---
     // P2/F1/F5: payment-edge construction with content-hash _key.
     "g01_payment_edges" -> ((s, dir) =>
-      GraphEtl.paymentEdges(t(s, dir, "orders"), t(s, dir, "lineitem"))),
+      GraphEtl.paymentEdges(t(s, dir, "orders"), t(s, dir, "lineitem"))
+        .withColumn("amount", col("amount").cast("double"))),
     // P4/U1/A3: distinct endpoint (vertex) set of the edge collection.
     "g02_edge_endpoints" -> ((s, dir) =>
       GraphEtl.edgeEndpoints(
@@ -151,8 +154,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q02_filter_project" ->
@@ -160,19 +163,19 @@ object SparkEntry {
         | 'orders/' || CAST(l_orderkey AS VARCHAR) AS order_ref,
         | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |      (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2)))
-        |      AS DECIMAL(38,4)) AS revenue
+        |      AS DOUBLE) AS revenue
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-07-01' AND l_discount > 0.02""".stripMargin,
     "q03_join_broadcast" ->
       """SELECT r_name, count(*) AS n_customers,
-        | sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
     "q04_join_shuffle" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
     "q05_window_latest" ->
@@ -182,7 +185,8 @@ object SparkEntry {
         |    ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
         | FROM orders) WHERE rn = 1""".stripMargin,
     "q06_topk" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS total
+      """SELECT o_orderkey,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total
         |FROM orders ORDER BY total DESC, o_orderkey ASC LIMIT 100""".stripMargin,
     "q07_intersect" ->
       """SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -200,11 +204,12 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q11_rollup" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, count(*) AS n_rows
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n_rows
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
     "q12_cube" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
-        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
     "q13_explode_words" ->
       """SELECT word, count(*) AS n FROM (
@@ -212,14 +217,14 @@ object SparkEntry {
         |GROUP BY word""".stripMargin,
     "q14_json_props" ->
       """SELECT event_type,
-        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_nonnull,
         | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type""".stripMargin,
     "q15_monthly" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
         | count(*) AS n_orders,
-        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_total
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
         |FROM orders GROUP BY 1""".stripMargin,
     "q16_strings" ->
       """SELECT p_partkey,
@@ -232,7 +237,7 @@ object SparkEntry {
     "q17_math" ->
       """SELECT l_orderkey, l_linenumber,
         | CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |      CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)) AS gross,
+        |      CAST(l_quantity AS DECIMAL(18,2)) AS DOUBLE) AS gross,
         | CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
         | CAST(ceil(l_quantity / 2) AS BIGINT) AS half_ceil,
         | l_orderkey % 7 AS key_mod
@@ -249,7 +254,10 @@ object SparkEntry {
         | count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "g01_payment_edges" ->
-      (edgesCte + """SELECT _from, _to, block, seq, amount, "timestamp", _key FROM edges"""),
+      (edgesCte +
+        """SELECT _from, _to, block, seq,
+          | CAST(amount AS DOUBLE) AS amount, "timestamp", _key
+          |FROM edges""".stripMargin),
     "g02_edge_endpoints" ->
       (edgesCte +
         """SELECT DISTINCT _key FROM (
@@ -279,14 +287,16 @@ object SparkEntry {
         |GROUP BY event_type""".stripMargin,
     "g07_edge_vertex_join" ->
       (edgesCte +
-        """SELECT n_name, count(*) AS n_edges, sum(amount) AS sum_amount
+        """SELECT n_name, count(*) AS n_edges,
+          | CAST(sum(amount) AS DOUBLE) AS sum_amount
           |FROM edges
           |JOIN supplier ON _to = 'suppliers/' || CAST(s_suppkey AS VARCHAR)
           |JOIN nation ON s_nationkey = n_nationkey
           |GROUP BY n_name""".stripMargin),
     "g08_latest_edge" ->
       (edgesCte +
-        """SELECT _from, _to, block, seq, amount, "timestamp" FROM (
+        """SELECT _from, _to, block, seq,
+          | CAST(amount AS DOUBLE) AS amount, "timestamp" FROM (
           | SELECT *, row_number() OVER (PARTITION BY _from, _to
           |   ORDER BY "timestamp" DESC, block DESC, seq DESC, amount DESC) AS rn
           | FROM edges) WHERE rn = 1""".stripMargin)

@@ -131,7 +131,7 @@ object GraphEtl {
         supplier("s_nationkey") === nation("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_edges"),
-        sum(col("amount")).as("sum_amount"))
+        Relational.moneyOut(sum(col("amount"))).as("sum_amount"))
 
   /** Latest edge per vertex pair (§2.5 analytics): window dedup keeping
     * the most recent edge per (_from,_to).
@@ -146,6 +146,6 @@ object GraphEtl {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("_from"), col("_to"), col("block"), col("seq"),
-        col("amount"), col("timestamp"))
+        Relational.moneyOut(col("amount")).as("amount"), col("timestamp"))
   }
 }

@@ -3,39 +3,37 @@
 
 Usage: python3 tools/check.py <sfDir> <verifyOutDir>
 
-For each <name> subdir of verifyOutDir (parquet written by graft.Verify),
-runs oracle_sql.json[<name>] in DuckDB against views over the sfDir parquet
-tables, sorts columns by name, sorts rows, and compares values exactly
-(floats to 1e-9 relative). Prints one line per query.
+Canonicalization (empirically pinned against CORRECTNESS_r01.json, see
+ADVICE.md): the driver reads the Spark parquet through a pyarrow/pandas
+path (DECIMAL columns stay `decimal.Decimal` objects) and the DuckDB
+oracle result through DuckDB's pandas conversion (DECIMAL -> float64,
+HUGEINT -> float64), then compares str()-canonicalized cells. That is
+why Decimal('48131.60') vs 48131.6 hash-mismatched 12/27 round-1
+queries whose values were numerically identical. This checker
+reproduces exactly that procedure: pandas.read_parquet for the Spark
+side, duckdb .df() for the oracle side, str() per cell, sorted columns,
+sorted rows, strict equality.
+
+Exit code 1 on any failure, including: a query declared in
+oracle_sql.json with no output dir (a crashed Verify query), and a
+NO-ORACLE query returning 0 rows.
 """
-import json, math, sys
+import glob
+import json
+import os
+import sys
+
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
-    if isinstance(v, float):
-        return ("f", round(v, 9) if math.isfinite(v) else str(v))
-    return (str(type(v).__name__), str(v))
-
-
-def rows_key(rows):
-    return sorted([tuple(norm(v) for v in r) for r in rows])
-
-
-def close(a, b):
-    # Strict: the driver hash-compares, so default to exact equality.
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        if a == b:
-            return True
-        if math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12):
-            return "tol"  # truthy, but flags a float-tolerance-only match
-        return False
-    return str(a) == str(b)
+def canon_rows(df):
+    df = df[sorted(df.columns)]
+    return sorted(tuple(str(v) for v in r)
+                  for r in df.itertuples(index=False))
 
 
 def main(sf_dir, out_dir):
@@ -44,73 +42,50 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    dirs = {d for d in os.listdir(out_dir)
+            if os.path.isdir(os.path.join(out_dir, d))}
+    names = sorted(dirs | set(oracle))
     n_pass = n_fail = 0
-    import os
-    names = sorted(d for d in os.listdir(out_dir)
-                   if os.path.isdir(os.path.join(out_dir, d)))
     for name in names:
-        got = con.sql(
-            f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-        got_cols = sorted(got.columns)
-        got_rows = con.sql(
-            f"SELECT {', '.join(quote(c) for c in got_cols)} "
-            f"FROM '{out_dir}/{name}/*.parquet'").fetchall()
+        files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+        if not files:
+            print(f"✗ {name}: MISSING output (query crashed in Verify?)")
+            n_fail += 1
+            continue
+        got = pd.concat([pd.read_parquet(f) for f in files])
         if name not in oracle:
-            print(f"  {name}: NO-ORACLE rows={len(got_rows)} "
-                  f"({'OK' if len(got_rows) > 0 else 'EMPTY!'})")
+            ok = len(got) > 0
+            print(f"{'✓' if ok else '✗'} {name}: NO-ORACLE rows={len(got)}"
+                  f"{'' if ok else ' EMPTY!'}")
+            n_pass, n_fail = n_pass + ok, n_fail + (not ok)
             continue
-        exp = con.sql(oracle[name])
-        exp_cols = sorted(exp.columns)
-        if exp_cols != got_cols:
-            print(f"✗ {name}: SCHEMA mismatch spark={got_cols} duck={exp_cols}")
+        try:
+            exp = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"✗ {name}: ORACLE SQL error: {e}")
             n_fail += 1
             continue
-        exp_rows = con.sql(
-            f"SELECT {', '.join(quote(c) for c in exp_cols)} FROM "
-            f"({oracle[name]})").fetchall()
-        if len(exp_rows) != len(got_rows):
-            print(f"✗ {name}: ROWS {len(got_rows)} vs oracle {len(exp_rows)}")
+        if sorted(exp.columns) != sorted(got.columns):
+            print(f"✗ {name}: SCHEMA spark={sorted(got.columns)} "
+                  f"duck={sorted(exp.columns)}")
             n_fail += 1
             continue
-        g, e = sorted_rows(got_rows), sorted_rows(exp_rows)
-        bad = None
-        n_tol = 0
-        for i, (gr, er) in enumerate(zip(g, e)):
-            if len(gr) != len(er):
-                bad = (i, gr, er)
-                break
-            oks = [close(a, b) for a, b in zip(gr, er)]
-            if not all(oks):
-                bad = (i, gr, er)
-                break
-            n_tol += sum(1 for o in oks if o == "tol")
-        if bad:
-            print(f"✗ {name}: VALUE mismatch at sorted row {bad[0]}:\n"
-                  f"    spark={bad[1]}\n    duck ={bad[2]}")
+        if len(exp) != len(got):
+            print(f"✗ {name}: ROWS {len(got)} vs oracle {len(exp)}")
             n_fail += 1
-        elif n_tol:
-            print(f"~ {name}: {len(got_rows)} rows, {n_tol} values match only "
-                  f"within 1e-9 float tolerance — driver hash may still FAIL")
-            n_pass += 1
+            continue
+        g, e = canon_rows(got), canon_rows(exp)
+        bad = next((i for i, (gr, er) in enumerate(zip(g, e)) if gr != er),
+                   None)
+        if bad is not None:
+            diff = [(a, b) for a, b in zip(g[bad], e[bad]) if a != b][:3]
+            print(f"✗ {name}: VALUE mismatch at sorted row {bad}: {diff}")
+            n_fail += 1
         else:
-            print(f"✓ {name}: {len(got_rows)} rows match")
+            print(f"✓ {name}: {len(got)} rows match")
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail, {len(names)} total")
     return 1 if n_fail else 0
-
-
-def quote(c):
-    return '"' + c.replace('"', '""') + '"'
-
-
-def sort_key(r):
-    return tuple(
-        (1, float(v)) if isinstance(v, (int, float)) and not isinstance(v, bool)
-        else (0, str(v)) for v in r)
-
-
-def sorted_rows(rows):
-    return sorted(rows, key=sort_key)
 
 
 if __name__ == "__main__":
