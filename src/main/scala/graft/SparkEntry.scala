@@ -128,7 +128,56 @@ object SparkEntry {
     // §2.5: latest edge per vertex pair.
     "g08_latest_edge" -> ((s, dir) =>
       GraphEtl.latestEdgePerPair(
-        GraphEtl.paymentEdges(t(s, dir, "orders"), t(s, dir, "lineitem"))))
+        GraphEtl.paymentEdges(t(s, dir, "orders"), t(s, dir, "lineitem")))),
+
+    // --- LLM-pipeline extension surface (SURVEY §2.12) ---
+    // Exact dedup: content-hash groupBy, one shuffle.
+    "d01_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDedup(t(s, dir, "documents"))),
+    // MinHash signatures: row-local array exprs, zero shuffle.
+    "d02_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignature(t(s, dir, "documents"))),
+    // LSH banding: candidate pairs via band-key self-join.
+    "d03_lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(t(s, dir, "documents")))),
+    // SimHash: sign-of-weighted-bits sketch, row-local.
+    "d04_simhash" -> ((s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"))),
+    // Word-set Jaccard over source-blocked pairs.
+    "d05_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), 0.8)),
+    // Embedding cosine near-dup over label-blocked pairs.
+    "d06_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDups(t(s, dir, "embeddings"), 0.3)),
+    // Brute-force exact cosine top-k (broadcast query set).
+    "s01_knn_brute" -> ((s, dir) =>
+      Similarity.knnBrute(t(s, dir, "embeddings"), 10, 5)),
+    // Sign-bucketed ANN top-k (the scale path).
+    "s02_knn_bucketed" -> ((s, dir) =>
+      Similarity.knnBucketed(t(s, dir, "embeddings"), 10, 3)),
+    // Stopword-profile language ID.
+    "t01_langid" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents"))),
+    // Corpus quality scoring.
+    "t02_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents"))),
+    // Token counting (ws / regex / subword estimate).
+    "t03_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents"))),
+    // Canonical md5 + rolling-hash fingerprints.
+    "t04_fingerprints" -> ((s, dir) =>
+      TextAnalysis.fingerprints(t(s, dir, "documents"))),
+    // Binary payload metadata (multimodal plumbing).
+    "m01_binary_meta" -> ((s, dir) =>
+      Multimodal.binaryMeta(t(s, dir, "documents"))),
+    // Partition-batched decode through the stub MediaDecoder.
+    "m02_decode_stub" -> ((s, dir) =>
+      Multimodal.decodeMeta(t(s, dir, "documents"))),
+    // Tumbling event-time window (batch anchor of the streaming op).
+    "st01_tumbling_window" -> ((s, dir) =>
+      graft.streaming.StreamingOps.tumblingWindowStats(
+        t(s, dir, "events"), "1 hour", exactDistinct = true))
   )
 
   /** Shared oracle CTE: the payment-edge collection (mirrors
@@ -148,6 +197,49 @@ object SparkEntry {
       |      CAST(l_linenumber AS VARCHAR)) AS _key
       | FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
       |""".stripMargin
+
+  // ---- Generated oracle fragments for the §2.12 surface. Each mirrors
+  // the Canon.* primitive exactly (same md5-hex hashing, same explicit
+  // left-fold float summation) so results are bit-identical.
+
+  /** DuckDB: 60-bit hash of a string expression (Canon.hash60). */
+  private def h60(x: String): String =
+    s"('0x' || substr(md5($x),1,15))::BIGINT"
+
+  /** DuckDB: left-fold sum matching Canon.dot / Canon.rollingHash. */
+  private def foldSum(products: String): String =
+    s"list_reduce(list_prepend(0.0, $products), (acc, x) -> acc + x)"
+
+  /** Shared minhash-signature CTE (documents → doc_id, m0..m7):
+    * one md5 per shingle reduced into Z_p, then the Canon affine
+    * universal-hash family per seed — mirrors Dedup.minhashSignature.
+    */
+  private val minhashCte: String = {
+    import graft.functions.Canon.{AffineA, AffineB, MersenneP => P}
+    val sigs = (0 until 8).map(s =>
+      s"  list_min([(h * ${AffineA(s)} + ${AffineB(s)}) % $P FOR h IN hs]) AS m$s")
+      .mkString(",\n")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sh AS (SELECT doc_id,
+       |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+       |   FOR i IN range(1, len(w)-1)] AS sh FROM w),
+       |hb AS (SELECT doc_id, [${h60("x")} % $P FOR x IN sh] AS hs FROM sh),
+       |sig AS (SELECT doc_id,
+       |$sigs
+       | FROM hb)
+       |""".stripMargin
+  }
+
+  /** Shared embedding CTE with norms (vec_id, label, v, nrm). */
+  private val embCte: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, label, v,
+       |  sqrt(${foldSum("[x*x FOR x IN v]")}) AS nrm FROM e)
+       |""".stripMargin
+
+  private val pairDot: String =
+    foldSum("[a.v[i] * b.v[i] FOR i IN range(1, len(a.v)+1)]")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -299,6 +391,147 @@ object SparkEntry {
           | CAST(amount AS DOUBLE) AS amount, "timestamp" FROM (
           | SELECT *, row_number() OVER (PARTITION BY _from, _to
           |   ORDER BY "timestamp" DESC, block DESC, seq DESC, amount DESC) AS rn
-          | FROM edges) WHERE rn = 1""".stripMargin)
+          | FROM edges) WHERE rn = 1""".stripMargin),
+
+    "d01_exact_dedup" ->
+      """SELECT md5(text) AS _key, min(doc_id) AS first_doc_id,
+        | count(*) AS n_dups
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d02_minhash_sig" ->
+      (minhashCte + "SELECT * FROM sig"),
+    "d03_lsh_pairs" -> {
+      val bands = (0 until 4).map(j =>
+        s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
+      minhashCte +
+        s""", banded AS (SELECT doc_id,
+           | unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig)
+           |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |FROM banded a JOIN banded b
+           | ON a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
+    },
+    "d04_simhash" -> {
+      val bits = (0 until 16).map(b =>
+        s"""(CASE WHEN list_sum([CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END
+           |   FOR h IN hs]) > 0 THEN (1::BIGINT << $b) ELSE 0 END)""".stripMargin)
+        .mkString("\n + ")
+      s"""WITH hs AS (SELECT doc_id,
+         |  [${h60("x")} FOR x IN string_split(text, ' ')] AS hs
+         | FROM documents)
+         |SELECT doc_id,
+         |$bits AS simhash
+         |FROM hs""".stripMargin
+    },
+    "d05_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, source,
+        |  list_distinct(string_split(text, ' ')) AS dw FROM documents)
+        |SELECT * FROM (
+        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  len(list_intersect(a.dw, b.dw)) /
+        |  len(list_distinct(a.dw || b.dw)) AS jaccard
+        | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.8""".stripMargin,
+    "d06_embedding_neardup" ->
+      (embCte +
+        s"""SELECT * FROM (
+           | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  $pairDot / (a.nrm * b.nrm) AS cos
+           | FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+           |WHERE cos >= 0.3""".stripMargin),
+    "s01_knn_brute" ->
+      (embCte +
+        s""", q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id < 10),
+           |scored AS (SELECT a.q_id, b.vec_id AS nbr_id,
+           |  $pairDot / (a.nrm * b.nrm) AS sim
+           | FROM (SELECT q_id, v, nrm FROM q) a
+           | CROSS JOIN n b WHERE b.vec_id <> a.q_id)
+           |SELECT q_id, nbr_id, sim, "rank" FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
+           |WHERE "rank" <= 5""".stripMargin),
+    "s02_knn_bucketed" ->
+      (embCte +
+        s""", nb AS (SELECT *,
+           |  (CASE WHEN v[1] > 0 THEN 1 ELSE 0 END) +
+           |  (CASE WHEN v[2] > 0 THEN 2 ELSE 0 END) +
+           |  (CASE WHEN v[3] > 0 THEN 4 ELSE 0 END) +
+           |  (CASE WHEN v[4] > 0 THEN 8 ELSE 0 END) AS bucket FROM n),
+           |q AS (SELECT vec_id AS q_id, v, nrm, bucket FROM nb
+           |  WHERE vec_id < 10),
+           |scored AS (SELECT a.q_id, b.vec_id AS nbr_id,
+           |  $pairDot / (a.nrm * b.nrm) AS sim
+           | FROM (SELECT q_id, v, nrm, bucket FROM q) a
+           | JOIN nb b ON b.bucket = a.bucket AND b.vec_id <> a.q_id)
+           |SELECT q_id, nbr_id, sim, "rank" FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
+           |WHERE "rank" <= 3""".stripMargin),
+    "t01_langid" -> {
+      val profs = graft.operators.TextAnalysis.langProfiles
+      val scores = profs.map { case (lang, stops) =>
+        s" len(list_filter(w, x -> x IN (${stops.map(s => s"'$s'").mkString(", ")}))) / len(w) AS s_$lang"
+      }.mkString(",\n")
+      val langs = profs.map(_._1)
+      val cases = langs.init.zipWithIndex.map { case (lang, i) =>
+        val others = langs.drop(i + 1).map(l => s"s_$l")
+        val maxOthers =
+          if (others.size == 1) others.head
+          else s"greatest(${others.mkString(", ")})"
+        s"WHEN s_$lang >= $maxOthers THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |$scores
+         | FROM w)
+         |SELECT *, CASE $cases ELSE '${langs.last}' END AS lang_pred
+         |FROM s""".stripMargin
+    },
+    "t02_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+        |  FROM documents)
+        |SELECT doc_id, len(text) AS n_chars_calc, len(w) AS n_tokens,
+        | list_sum([len(x) FOR x IN w])::BIGINT / len(w) AS avg_wlen,
+        | len(list_filter(w, x -> x IN ('the', 'a'))) / len(w)
+        |   AS stopword_ratio,
+        | len(list_distinct(w)) / len(w) AS uniq_ratio,
+        | (len(text) - len(regexp_replace(text, '[a-z0-9 ]', '', 'g')))
+        |   / len(text) AS alnum_ratio,
+        | (len(w) BETWEEN 30 AND 1000)
+        |   AND (len(list_distinct(w)) / len(w) >= 0.05) AS quality_ok
+        |FROM t""".stripMargin,
+    "t03_token_counts" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w
+        |  FROM documents)
+        |SELECT doc_id, len(w) AS ws_tokens,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|\S')) AS re_tokens,
+        | list_sum([ceil(len(x) / 4.0)::BIGINT FOR x IN w])::BIGINT
+        |   AS subword_est
+        |FROM t""".stripMargin,
+    "t04_fingerprints" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents),
+         |h AS (SELECT doc_id, w,
+         |  [${h60("x")} % 1000000007 FOR x IN w] AS hs FROM w)
+         |SELECT doc_id, md5(array_to_string(w, ' ')) AS fp_md5,
+         | list_reduce(list_prepend(0::BIGINT, hs),
+         |   (acc, h) -> (acc * 31 + h) % 1000000007) AS fp_roll
+         |FROM h""".stripMargin,
+    "m01_binary_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        | md5(text) AS content_md5,
+        | lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+        |FROM documents""".stripMargin,
+    "m02_decode_stub" ->
+      s"""WITH h AS (SELECT doc_id, octet_length(encode(text)) AS blen,
+         |  ${h60("text")} AS h FROM documents)
+         |SELECT doc_id, blen AS byte_len, 64 + h % 193 AS width,
+         | 64 + (h // 193) % 129 AS height, 1 + blen % 7 AS n_frames
+         |FROM h""".stripMargin,
+    "st01_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        | time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
+        |   AS window_end,
+        | count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin
   )
 }

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Canon
+
+/** Deduplication operator family over the `documents` table
+  * (SURVEY.md §2.12 — the LLM-pipeline extension of the reference's
+  * content-hash insert-ignore dedup, follower.py:293-294,205-207).
+  *
+  * Scale design, per operator:
+  *
+  *   - Exact dedup: key is computed map-side (md5, codegen'd); the only
+  *     shuffle is the hash aggregation on the key. At 100 TB this is
+  *     the minimum-possible plan (one exchange), and AQE coalesces the
+  *     post-shuffle partitions.
+  *   - MinHash signatures are *row-local* array expressions — no
+  *     explode, no shuffle, no state: each doc's signature is computed
+  *     inside whole-stage codegen at scan speed. The classic
+  *     explode-shingles + groupBy(doc,seed) formulation shuffles
+  *     |docs|·|shingles|·|seeds| rows; this one shuffles nothing.
+  *   - LSH banding shuffles only (doc_id, band_key) pairs — 4 rows per
+  *     doc — and joins on the band key. Bucket skew (a hot band) is
+  *     handled by AQE skew-join splitting at runtime.
+  *   - Pairwise verification (Jaccard / cosine) is restricted to
+  *     candidate blocks (same source / same LSH bucket / same label):
+  *     never an unblocked O(n²) cross join.
+  */
+object Dedup {
+
+  /** Exact dedup by full-content md5 key (§2.12 "exact"): one row per
+    * distinct text with its first doc_id and duplicate count —
+    * insert-ignore semantics with a deterministic survivor.
+    */
+  def exactDedup(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("_key"))
+      .agg(min(col("doc_id")).as("first_doc_id"),
+        count(lit(1)).as("n_dups"))
+
+  /** MinHash signature: `nSeeds` minima over word-`k` shingles, one
+    * column per seed (m0..m{n-1}). Entirely row-local — see the scale
+    * note above. Each shingle is md5-hashed ONCE into Z_p; the per-seed
+    * hashes are cheap affine transforms of that base hash (Canon
+    * universal-hash family), so the md5 cost doesn't multiply by the
+    * signature width.
+    */
+  def minhashSignature(documents: DataFrame, nSeeds: Int = 8,
+                       k: Int = 3): DataFrame = {
+    val sh = Canon.shingles(Canon.words(col("text")), k)
+    val based = documents.select(col("doc_id"),
+      transform(sh, x => Canon.hashP(x)).as("hs"))
+    val sigCols = (0 until nSeeds).map { s =>
+      array_min(transform(col("hs"), h => Canon.affine(s, h))).as(s"m$s")
+    }
+    based.select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** LSH banding over an 8-seed signature: 4 bands of 2 rows; the band
+    * key is md5 over (band index, the band's minhashes). Docs sharing
+    * any band key become a candidate pair (doc_a < doc_b, distinct).
+    *
+    * Pair generation is groupBy(band) + in-bucket combination
+    * expansion, NOT a self-join: a self-join would recompute the
+    * signature subplan on both sides and shuffle the corpus twice —
+    * this form shuffles (doc_id, band_key) once and expands pairs
+    * row-locally from each bucket's sorted id array. `maxBucket`
+    * guards the known LSH pathology of a degenerate hot bucket
+    * (oversized buckets are skipped — standard practice; keep it above
+    * any real bucket size when oracle-comparing).
+    */
+  def lshCandidatePairs(sig: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val bandKeys = (0 until 4).map { j =>
+      md5(concat_ws("|", lit(j), col(s"m${2 * j}"), col(s"m${2 * j + 1}")))
+    }
+    val banded = sig.select(col("doc_id"),
+      explode(array(bandKeys: _*)).as("bk"))
+    val buckets = banded
+      .groupBy(col("bk"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")) >= 2 && size(col("docs")) <= maxBucket)
+    // all (i<j) pairs of the sorted bucket: doc_a < doc_b by sortedness
+    val pairs = flatten(transform(
+      sequence(lit(1), size(col("docs")) - 1),
+      i => transform(sequence(lit(0), i - 1),
+        j => struct(element_at(col("docs"), j + 1).as("doc_a"),
+          element_at(col("docs"), i + 1).as("doc_b")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .distinct()
+  }
+
+  /** SimHash (16-bit here; 64 in production — the per-bit expression is
+    * generated, so the width is a constant choice): bit b is the sign
+    * of Σ_tokens (±1 by bit b of the token hash). Row-local, no
+    * shuffle; near-dups then group by simhash value or by
+    * hamming-neighborhood probes.
+    */
+  def simhash(documents: DataFrame, bits: Int = 16): DataFrame = {
+    val hs = transform(Canon.words(col("text")), x => Canon.hash60(x))
+    val sh = (0 until bits).map { b =>
+      when(
+        aggregate(hs, lit(0L), (acc, h) =>
+          acc + when(shiftrightunsigned(h, b).bitwiseAND(lit(1L)) === 1L,
+            lit(1L)).otherwise(lit(-1L))) > 0,
+        shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    documents.select(col("doc_id"), sh.as("simhash"))
+  }
+
+  /** N-gram (word-set) Jaccard verification over source-blocked
+    * candidate pairs: J = |A∩B| / |A∪B| on distinct word sets, kept
+    * when >= `threshold`. In the full pipeline the blocking key is the
+    * LSH band (lshCandidatePairs); `source` blocking keeps this query
+    * independently testable.
+    */
+  def ngramJaccardPairs(documents: DataFrame,
+                        threshold: Double): DataFrame = {
+    val d = documents.select(col("doc_id"), col("source"),
+      array_distinct(Canon.words(col("text"))).as("dw"))
+    d.as("a")
+      .join(d.as("b"),
+        col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.dw"), col("b.dw"))) /
+          size(array_union(col("a.dw"), col("b.dw")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-dup: cosine >= `tau` within label blocks. Norms are
+    * precomputed per row (map-side); the pair join is label-blocked.
+    */
+  def embeddingNearDups(embeddings: DataFrame, tau: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"),
+      Canon.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(Canon.dot(col("v"), col("v"))))
+    e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Canon.cosine(Canon.dot(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (SURVEY.md §2.12): image/audio/video as
+  * opaque `binary` payloads with typed metadata.
+  *
+  * The container has no media libraries, so the *decode* step is a
+  * pluggable `MediaDecoder`; the default `StubDecoder` derives
+  * deterministic fake dimensions from the payload's md5 (making the
+  * whole path oracle-checkable), while the Spark-side plumbing —
+  * binary column, schema, per-partition batch shape — is real. A
+  * production decoder (libjpeg/ffmpeg via JNI or a Python
+  * `mapInPandas` stage) drops into the same seam.
+  *
+  * Scale notes: payloads stay opaque bytes until the decode stage —
+  * parquet stores them as BYTE_ARRAY and column pruning means queries
+  * not touching the payload never read those pages. Decode runs
+  * per-partition (one decoder init per task, amortized over the
+  * batch), the mapPartitions analog of a batched pandas UDF.
+  */
+object Multimodal {
+
+  /** Typed metadata emitted by a decoder for one payload. */
+  final case class MediaMeta(doc_id: Long, byte_len: Long, width: Long,
+                             height: Long, n_frames: Long)
+
+  /** Batch decoder seam: one call per partition, iterator-in/
+    * iterator-out so implementations can batch (exactly the shape a
+    * vectorized/pandas UDF would have).
+    */
+  trait MediaDecoder extends Serializable {
+    def decodeBatch(payloads: Iterator[(Long, Array[Byte])]): Iterator[MediaMeta]
+  }
+
+  /** Deterministic stand-in for the real decoder: "dimensions" are
+    * arithmetic on the payload md5, so the DuckDB oracle can replicate
+    * them exactly. A real implementation replaces only this class.
+    */
+  object StubDecoder extends MediaDecoder {
+    def decodeBatch(payloads: Iterator[(Long, Array[Byte])]): Iterator[MediaMeta] = {
+      // One digest instance per partition — the "decoder init" a real
+      // codec would amortize the same way.
+      val md = MessageDigest.getInstance("MD5")
+      payloads.map { case (id, bytes) =>
+        md.reset()
+        val hex = md.digest(bytes).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.take(15), 16)
+        MediaMeta(id, bytes.length.toLong,
+          64L + h % 193L, 64L + (h / 193L) % 129L,
+          1L + bytes.length.toLong % 7L)
+      }
+    }
+  }
+
+  /** Documents → opaque binary payload column (stand-in for real media
+    * bytes) + cheap byte-level metadata, all column expressions.
+    */
+  def binaryMeta(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("byte_len"),
+        md5(col("payload")).as("content_md5"),
+        lower(hex(expr("substring(payload, 1, 8)"))).as("head_hex"))
+
+  /** Per-partition batched decode of the payload column through a
+    * `MediaDecoder` (default: the deterministic stub).
+    */
+  def decodeMeta(documents: DataFrame,
+                 decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    val payloads: Dataset[(Long, Array[Byte])] = documents
+      .select(col("doc_id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+    payloads
+      .mapPartitions(it => decoder.decodeBatch(it))
+      .toDF()
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Canon
+
+/** Similarity search over the `embeddings` table (SURVEY.md §2.12):
+  * approximate-nearest-neighbor surface with a brute-force exact
+  * baseline and an LSH-bucketed scale path.
+  *
+  * Scale design:
+  *   - The *query set* is the small side: it is broadcast, so the scan
+  *     of the (100 TB) candidate side never shuffles — cosine runs
+  *     map-side inside codegen, and the only exchange is the final
+  *     per-query top-k (k rows per query per partition after the
+  *     window's partial ranking).
+  *   - The bucketed variant joins on a sign-bit sketch key so each
+  *     query only scores its bucket (1/2^bits of the corpus for random
+  *     hyperplanes). Axis-aligned planes keep the bucket key a plain
+  *     column expression; production would hash dots against fixed
+  *     random planes — same plan shape, different key expression.
+  *   - Norms are precomputed per row; all float math is the explicit
+  *     left-fold form from Canon so results are engine-deterministic.
+  */
+object Similarity {
+
+  private def prepared(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"),
+      Canon.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(Canon.dot(col("v"), col("v"))))
+
+  /** Exact top-k cosine neighbors for each query vector (vec_id <
+    * nQueries), self excluded; ties broken on neighbor id.
+    */
+  def knnBrute(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = prepared(embeddings)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        Canon.cosine(Canon.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Sign-bit sketch over the first `bits` components: the bucketed
+    * (ANN) key. With random-hyperplane planes this is SimHash for
+    * vectors; axis-aligned planes keep it oracle-expressible.
+    */
+  def signBucket(embeddings: DataFrame, bits: Int = 4): DataFrame = {
+    val bucket = (0 until bits).map { i =>
+      when(element_at(col("v"), i + 1) > 0.0d, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    prepared(embeddings).withColumn("bucket", bucket)
+  }
+
+  /** ANN top-k: score only candidates in the query's sign bucket.
+    * Recall vs knnBrute is the quality metric (spec-checked); the plan
+    * scores ~1/2^bits of the corpus per query.
+    */
+  def knnBucketed(embeddings: DataFrame, nQueries: Int, k: Int,
+                  bits: Int = 4): DataFrame = {
+    val e = signBucket(embeddings, bits)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), col("bucket").as("qbucket"))
+    val scored = e.join(broadcast(q),
+      col("bucket") === col("qbucket") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        Canon.cosine(Canon.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Canon
+
+/** Text-analysis operator family over `documents` (SURVEY.md §2.12):
+  * language-ID, quality scoring, token counting, fingerprinting.
+  *
+  * Every operator here is a row-local column expression — no UDFs, no
+  * shuffles: at 100 TB these run at parquet-scan speed inside
+  * whole-stage codegen, and compose with the dedup pipeline (e.g.
+  * quality-filter before shingling).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword
+    * language-ID heuristic. Shared with the oracle SQL generator so
+    * both sides score identically.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "de", "et", "un"))
+
+  /** Language-ID: per-language score = fraction of tokens hitting that
+    * language's stopword profile; prediction = argmax with
+    * alphabetical-order tie-break (deterministic). Row-local.
+    */
+  def langId(documents: DataFrame): DataFrame = {
+    val w = Canon.words(col("text"))
+    val scoreCols = langProfiles.map { case (lang, stops) =>
+      (size(filter(w, x => x.isInCollection(stops))) / size(w))
+        .as(s"s_$lang")
+    }
+    val scored = documents.select(col("doc_id") +: scoreCols: _*)
+    // argmax by (score desc, lang asc): a when-chain in profile order,
+    // each lang wins when its score >= all later (and strictly > all
+    // earlier, which the chain order encodes for free).
+    val langs = langProfiles.map(_._1)
+    val pred = langs.init.zipWithIndex.foldRight(lit(langs.last)) {
+      case ((lang, i), rest) =>
+        val others = langs.drop(i + 1).map(l => col(s"s_$l"))
+        val maxOthers =
+          if (others.sizeIs == 1) others.head
+          else greatest(others: _*)
+        when(col(s"s_$lang") >= maxOthers, lit(lang)).otherwise(rest)
+    }
+    scored.withColumn("lang_pred", pred)
+  }
+
+  /** Quality scoring: length, token, uniqueness, stopword and
+    * punctuation signals plus a boolean keep-flag — the standard
+    * pre-training corpus filter shape.
+    */
+  def qualityScore(documents: DataFrame): DataFrame = {
+    val w = Canon.words(col("text"))
+    documents.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_calc"),
+      size(w).as("n_tokens"),
+      (aggregate(w, lit(0L), (acc, x) => acc + length(x)) / size(w))
+        .as("avg_wlen"),
+      (size(filter(w, x => x === "the" || x === "a")) / size(w))
+        .as("stopword_ratio"),
+      (size(array_distinct(w)) / size(w)).as("uniq_ratio"),
+      ((length(col("text")) -
+        length(regexp_replace(col("text"), "[a-z0-9 ]", ""))) /
+        length(col("text"))).as("alnum_ratio"))
+      .withColumn("quality_ok",
+        col("n_tokens") >= 30 && col("n_tokens") <= 1000 &&
+          col("uniq_ratio") >= lit(0.05))
+  }
+
+  /** Token counting: whitespace tokens, regex (BPE-ish pre-tokenizer)
+    * tokens, and a ceil(len/4) subword estimate.
+    */
+  def tokenCounts(documents: DataFrame): DataFrame = {
+    val w = Canon.words(col("text"))
+    documents.select(
+      col("doc_id"),
+      size(w).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|\\S"), lit(0)))
+        .as("re_tokens"),
+      aggregate(w, lit(0L),
+        (acc, x) => acc + ceil(length(x) / lit(4.0d)).cast("long"))
+        .as("subword_est"))
+  }
+
+  /** Document fingerprinting: canonical md5 over the normalized token
+    * stream plus an order-sensitive polynomial rolling hash (two docs
+    * with the same word multiset but different order get the same md5
+    * of sorted tokens only if sorted — here the md5 is order-sensitive
+    * and the rolling hash demonstrates the streaming-hash form).
+    */
+  def fingerprints(documents: DataFrame): DataFrame = {
+    val w = Canon.words(col("text"))
+    val hs = transform(w, x => Canon.hash60(x) % lit(Canon.RollMod))
+    documents.select(
+      col("doc_id"),
+      md5(array_join(w, " ")).as("fp_md5"),
+      Canon.rollingHash(hs).as("fp_roll"))
+  }
+}
