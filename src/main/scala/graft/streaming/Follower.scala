@@ -82,10 +82,11 @@ final class Follower(spark: SparkSession, sourceDir: String,
     if (batch.isEmpty) None
     else {
       val hi = c + batchSize
+      // The batch id lives in the partition PATH only (hive-style);
+      // overwrite of that one directory makes re-runs idempotent.
       transformBatch(batch)
-        .withColumn("batch", lit(hi))
         .write.mode(SaveMode.Overwrite)
-        .parquet(s"$sinkDir/batch=$hi") // idempotent: replaces itself
+        .parquet(s"$sinkDir/batch=$hi")
       writeCheckpoint(hi)               // checkpoint AFTER sink commit
       Some(hi)
     }
@@ -119,7 +120,8 @@ final class Follower(spark: SparkSession, sourceDir: String,
     }
   }
 
-  /** The materialized sink as one DataFrame (for audits/specs). */
-  def sink(): DataFrame = spark.read.option("basePath", sinkDir)
-    .parquet(s"$sinkDir/batch=*")
+  /** The materialized sink as one DataFrame (for audits/specs); the
+    * `batch` column comes from hive-style partition discovery.
+    */
+  def sink(): DataFrame = spark.read.parquet(sinkDir)
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog", "s0"),
+    (1L, "the quick brown fox jumps over the lazy dog", "s0"), // exact dup
+    (2L, "the quick brown fox jumps over the lazy cat", "s0"), // near dup
+    (3L, "completely different words appear in this one here", "s1"),
+    (4L, "completely different words appear in this one here", "s1")
+  ).toDF("doc_id", "text", "source")
+
+  test("exactDedup collapses identical texts, keeps min doc_id") {
+    val out = Dedup.exactDedup(docs)
+      .orderBy("first_doc_id")
+      .select("first_doc_id", "n_dups").as[(Long, Long)].collect()
+    assert(out === Array((0L, 2L), (2L, 1L), (3L, 2L)))
+  }
+
+  test("minhash signatures are equal iff shingle sets are equal") {
+    val sig = Dedup.minhashSignature(docs).orderBy("doc_id").collect()
+    assert(sig(0).toSeq.tail === sig(1).toSeq.tail) // dup: same sig
+    assert(sig(3).toSeq.tail === sig(4).toSeq.tail)
+    assert(sig(0).toSeq.tail !== sig(3).toSeq.tail) // unrelated differ
+  }
+
+  test("lshCandidatePairs surfaces duplicate pairs, ordered a<b") {
+    val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignature(docs))
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // identical docs always collide
+    assert(pairs.contains((3L, 4L)))
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("simhash: identical texts equal, hamming distance small for near-dups") {
+    val sh = Dedup.simhash(docs).orderBy("doc_id").as[(Long, Long)]
+      .collect().map(_._2)
+    assert(sh(0) === sh(1))
+    val hamming = java.lang.Long.bitCount(sh(0) ^ sh(2))
+    assert(hamming <= 6, s"near-dup hamming=$hamming")
+    assert(sh(0) >= 0 && sh(0) < (1L << 16))
+  }
+
+  test("ngramJaccardPairs computes |A∩B|/|A∪B| within source blocks") {
+    val out = Dedup.ngramJaccardPairs(docs, 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((0L, 1L)) === 1.0)
+    assert(out((3L, 4L)) === 1.0)
+    // fox-doc vs cat-doc distinct words: 7 shared of 9 union
+    assert(math.abs(out((0L, 2L)) - 7.0 / 9.0) < 1e-15)
+    // cross-source pair (0,3) must not appear: blocked
+    assert(!out.contains((0L, 3L)))
+  }
+
+  test("embeddingNearDups finds the planted duplicate vector pair") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),  // dup of 0, same label
+      (2L, Array(0.0f, 1.0f, 0.0f), 0),  // orthogonal
+      (3L, Array(1.0f, 0.0f, 0.0f), 1)   // dup of 0, other label: blocked
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingNearDups(emb, 0.99)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2)).toSet === Set((0L, 1L)))
+    assert(out.head._3 === 1.0)
+  }
+}

@@ -1,0 +1,29 @@
+package graft
+
+class EntrySpec extends SparkSpec {
+
+  test("entry (driver smoke) returns rows at sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a query; oracle SQL is single-statement") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert((os -- qs).isEmpty, s"oracles without queries: ${os -- qs}")
+    // a stray semicolon would break the driver's duckdb .sql() call
+    assert(SparkEntry.oracleSql.values.forall(!_.contains(";")))
+  }
+
+  test("every registered query evaluates non-empty at sf0.001") {
+    // Legitimately empty at tiny SF: every customer has an order
+    // (q10), the cursor window starts past the 1000-event table (g06),
+    // and threshold/collision queries may find nothing at 50 docs.
+    val allowedEmpty = Set("q10_anti_join", "g06_cursor_batch",
+      "d03_lsh_pairs", "d05_ngram_jaccard", "d06_embedding_neardup")
+    val empty = SparkEntry.queries.collect {
+      case (name, fn) if !allowedEmpty(name) &&
+        fn(spark, sf0001).isEmpty => name
+    }
+    assert(empty.isEmpty, s"unexpectedly empty: $empty")
+  }
+}

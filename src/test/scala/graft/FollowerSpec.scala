@@ -1,0 +1,52 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.Follower
+
+class FollowerSpec extends SparkSpec {
+
+  private def freshDirs(): (String, String) = {
+    val base = Files.createTempDirectory("follower").toString
+    (s"$base/sink", s"$base/checkpoint.json")
+  }
+
+  // events at sf0.001: 1000 rows, event_id 0..999
+  test("cursor starts at -1, advances per batch, drains to tip") {
+    val (sink, cp) = freshDirs()
+    val f = new Follower(spark, sf0001, sink, cp, batchSize = 400L)
+    assert(f.cursor() === -1L)
+    assert(f.step() === Some(399L))
+    assert(f.cursor() === 399L)
+    f.runToTip()
+    assert(f.step() === None) // at tip: poll, no-op
+    val total = table("events").count()
+    assert(f.sink().count() === total) // every event exactly once
+  }
+
+  test("re-running a batch is idempotent (overwrite, not append)") {
+    val (sink, cp) = freshDirs()
+    val f = new Follower(spark, sf0001, sink, cp, batchSize = 400L)
+    f.step()
+    val first = f.sink().count()
+    // simulate a crash after sink commit but before checkpoint:
+    // reset the checkpoint and reprocess the same batch
+    Files.write(java.nio.file.Paths.get(cp),
+      """{"sync_cursor": -1}""".getBytes)
+    f.step()
+    assert(f.sink().count() === first)
+    assert(f.cursor() === 399L)
+  }
+
+  test("retention drops whole expired batch partitions") {
+    val (sink, cp) = freshDirs()
+    val f = new Follower(spark, sf0001, sink, cp, batchSize = 300L)
+    f.runToTip() // batches 299, 599, 899, 1199
+    val before = f.sink().select("batch").distinct().count()
+    assert(before === 4)
+    val dropped = f.dropExpiredBatches(600L)
+    assert(dropped === Seq(299L, 599L))
+    assert(f.sink().select("batch").distinct().count() === 2)
+    assert(f.sink().filter("batch < 600").count() === 0)
+  }
+}

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq((0L, "hello world"), (1L, "abc"))
+    .toDF("doc_id", "text")
+
+  test("binaryMeta: byte length, md5, head bytes of the payload") {
+    val r = Multimodal.binaryMeta(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("byte_len") === 11)
+    assert(r(1).getAs[String]("content_md5") ===
+      "900150983cd24fb0d6963f7d28e17f72") // md5("abc")
+    assert(r(1).getAs[String]("head_hex") === "616263")
+  }
+
+  test("decodeMeta: stub decoder is deterministic arithmetic on md5") {
+    val r = Multimodal.decodeMeta(docs).orderBy("doc_id").collect()
+    val h = java.lang.Long.parseLong("900150983cd24fb", 16) // md5("abc")
+    val row1 = r(1)
+    assert(row1.getAs[Long]("byte_len") === 3L)
+    assert(row1.getAs[Long]("width") === 64L + h % 193L)
+    assert(row1.getAs[Long]("height") === 64L + (h / 193L) % 129L)
+    assert(row1.getAs[Long]("n_frames") === 1L + 3L % 7L)
+  }
+
+  test("decodeMeta plumbing survives multiple partitions") {
+    val many = spark.range(100)
+      .selectExpr("id AS doc_id", "concat('doc ', id) AS text")
+      .repartition(7)
+    val out = Multimodal.decodeMeta(many)
+    assert(out.count() === 100)
+    assert(out.select("doc_id").distinct().count() === 100)
+  }
+}

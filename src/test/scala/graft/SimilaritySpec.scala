@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val emb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+    (3L, Array(-1.0f, 0.0f, 0.0f, 0.0f), 1),
+    (4L, Array(0.95f, 0.05f, 0.0f, 0.0f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("knnBrute: self excluded, nearest first, ranks contiguous") {
+    val out = Similarity.knnBrute(emb, 1, 4)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(out.map(_._2).take(2) === Array(4L, 1L)) // closest to e0
+    assert(out.map(_._4) === Array(1, 2, 3, 4))
+    assert(out.forall(_._2 != 0L))
+    val sims = out.map(_._3)
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("knnBucketed only scores candidates sharing the sign bucket") {
+    val out = Similarity.knnBucketed(emb, 1, 4)
+      .as[(Long, Long, Double, Int)].collect()
+    // query 0 has bucket 0b0001; vec 3 (negative x) is bucket 0 → excluded
+    assert(!out.map(_._2).contains(3L))
+    assert(out.map(_._2).toSet.subsetOf(Set(1L, 2L, 4L)))
+  }
+
+  test("bucketed results are a sound restriction of brute force") {
+    val real = table("embeddings")
+    val brute = Similarity.knnBrute(real, 5, 1)
+      .select("q_id", "sim").as[(Long, Double)].collect().toMap
+    val bucketed = Similarity.knnBucketed(real, 5, 1)
+      .select("q_id", "sim").as[(Long, Double)].collect().toMap
+    assert(bucketed.nonEmpty)
+    // the bucket restricts the candidate set, so its best sim can
+    // never beat the exact top-1 (and equals it when recall hits)
+    bucketed.foreach { case (q, s) =>
+      assert(s <= brute(q) + 1e-12, s"query $q: bucketed $s > brute")
+    }
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+
+case class Ev(event_id: Long, ts: Long, user_id: Long)
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val hourNs = 3600L * 1000 * 1000 * 1000
+
+  test("tumblingWindowStats: identical plan over batch and stream") {
+    val rows = Seq(
+      Ev(1, 0L, 10), Ev(2, hourNs / 2, 11), Ev(3, hourNs + 1, 10))
+    // batch anchor
+    val batch = StreamingOps
+      .tumblingWindowStats(rows.toDF(), "1 hour", exactDistinct = true)
+      .orderBy("window_start")
+      .select("n_events", "n_users").as[(Long, Long)].collect()
+    assert(batch === Array((2L, 2L), (1L, 1L)))
+
+    // same function over an unbounded source, complete mode
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps
+      .tumblingWindowStats(mem.toDF(), "1 hour", exactDistinct = false)
+      .writeStream.format("memory").queryName("win")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT n_events FROM win ORDER BY window_start")
+        .as[Long].collect()
+      assert(got === Array(2L, 1L))
+    } finally q.stop()
+  }
+
+  test("streamingDedupFirst keeps only the first row per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamingOps.streamingDedupFirst(mem.toDS())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData(("k1", 1L), ("k1", 2L), ("k2", 3L))
+      q.processAllAvailable()
+      mem.addData(("k1", 4L), ("k3", 5L)) // k1 already seen: dropped
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM dedup").as[(String, Long)]
+        .collect().toSet
+      assert(got === Set(("k1", 1L), ("k2", 3L), ("k3", 5L)))
+    } finally q.stop()
+  }
+}

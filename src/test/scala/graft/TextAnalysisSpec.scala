@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("qualityScore computes the documented signals") {
+    val docs = Seq((0L, "the the a b")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityScore(docs).head()
+    assert(r.getAs[Int]("n_chars_calc") === 11)
+    assert(r.getAs[Int]("n_tokens") === 4)
+    assert(r.getAs[Double]("avg_wlen") === 8.0 / 4)   // 3+3+1+1 chars
+    assert(r.getAs[Double]("stopword_ratio") === 3.0 / 4)
+    assert(r.getAs[Double]("uniq_ratio") === 3.0 / 4)
+    assert(r.getAs[Double]("alnum_ratio") === 1.0) // all chars alnum/space
+    assert(!r.getAs[Boolean]("quality_ok")) // < 30 tokens
+  }
+
+  test("tokenCounts: whitespace vs regex vs subword estimate") {
+    val docs = Seq((0L, "alpha beta42 x")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(docs).head()
+    assert(r.getAs[Int]("ws_tokens") === 3)
+    // regex [a-z]+|[0-9]+|\S: alpha, beta, 42, x
+    assert(r.getAs[Int]("re_tokens") === 4)
+    // ceil(5/4)+ceil(6/4)+ceil(1/4) = 2+2+1
+    assert(r.getAs[Long]("subword_est") === 5L)
+  }
+
+  test("fingerprints: md5 stable, rolling hash order-sensitive") {
+    val docs = Seq(
+      (0L, "a b c"), (1L, "a b c"), (2L, "c b a")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.fingerprints(docs).orderBy("doc_id").collect()
+    assert(r(0).getString(1) === r(1).getString(1))
+    assert(r(0).getLong(2) === r(1).getLong(2))
+    assert(r(0).getLong(2) !== r(2).getLong(2)) // order matters
+  }
+
+  test("langId scores every profile and predicts deterministically") {
+    val docs = Seq(
+      (0L, "the cat is on the mat"),   // en stopwords
+      (1L, "el perro y la casa de que") // es stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(docs).orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("lang_pred") === "en")
+    assert(out(1).getAs[String]("lang_pred") === "es")
+    assert(out(0).getAs[Double]("s_en") === 3.0 / 6)
+  }
+}
