@@ -9,9 +9,19 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the JVM/codegen/scheduler and the parquet footers once so
+    // whichever query the Map iterates first doesn't absorb session
+    // startup (~5s) into its measurement.
+    Tables.names.foreach(n =>
+      try Tables.load(spark, sfDir, n).count()
+      catch { case _: Throwable => () })
+    // noop sink: forces FULL evaluation of every output column.
+    // count() would let Catalyst prune the projections away and time
+    // an empty scan for map-only queries.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -220,10 +220,10 @@ object SparkEntry {
       s"  list_min([(h * ${AffineA(s)} + ${AffineB(s)}) % $P FOR h IN hs]) AS m$s")
       .mkString(",\n")
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-       |sh AS (SELECT doc_id,
-       |  [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-       |   FOR i IN range(1, len(w)-1)] AS sh FROM w),
-       |hb AS (SELECT doc_id, [${h60("x")} % $P FOR x IN sh] AS hs FROM sh),
+       |hw AS (SELECT doc_id, [${h60("x")} % $P FOR x IN w] AS hw FROM w),
+       |hb AS (SELECT doc_id,
+       |  [((hw[i]*31 + hw[i+1])*31 + hw[i+2]) % $P
+       |   FOR i IN range(1, len(hw)-1)] AS hs FROM hw),
        |sig AS (SELECT doc_id,
        |$sigs
        | FROM hb)
@@ -422,14 +422,15 @@ object SparkEntry {
          |FROM hs""".stripMargin
     },
     "d05_ngram_jaccard" ->
-      """WITH d AS (SELECT doc_id, source,
-        |  list_distinct(string_split(text, ' ')) AS dw FROM documents)
-        |SELECT * FROM (
-        | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  len(list_intersect(a.dw, b.dw)) /
-        |  len(list_distinct(a.dw || b.dw)) AS jaccard
-        | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.8""".stripMargin,
+      s"""WITH d AS (SELECT doc_id, source,
+         |  list_distinct([${h60("x")} % ${graft.functions.Canon.MersenneP}
+         |    FOR x IN string_split(text, ' ')]) AS dw FROM documents)
+         |SELECT * FROM (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  len(list_intersect(a.dw, b.dw)) /
+         |  len(list_distinct(a.dw || b.dw)) AS jaccard
+         | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |WHERE jaccard >= 0.8""".stripMargin,
     "d06_embedding_neardup" ->
       (embCte +
         s"""SELECT * FROM (

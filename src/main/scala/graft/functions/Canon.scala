@@ -51,6 +51,24 @@ object Canon {
   def affine(seed: Int, h: Column): Column =
     (h * lit(AffineA(seed)) + lit(AffineB(seed))) % lit(MersenneP)
 
+  /** Shingle hashes from per-word hashes: polynomial combine of k
+    * consecutive word hashes, ((h_i·31 + h_{i+1})·31 + …) mod p. One
+    * md5 per WORD (not per shingle), no shingle-string allocation —
+    * the intermediate products stay < 2^42 so the combine is exact in
+    * a 64-bit long in both engines.
+    * DuckDB: [((hw[i]*31 + hw[i+1])*31 + hw[i+2]) % p
+    *          FOR i IN range(1, len(hw)-1)]  (k = 3 shown).
+    */
+  def shingleHashes(wordHashes: Column, k: Int): Column =
+    when(size(wordHashes) >= k,
+      transform(sequence(lit(1), size(wordHashes) - (k - 1)), i => {
+        val poly = (1 until k).foldLeft(element_at(wordHashes, i)) {
+          (acc, j) => acc * lit(31L) + element_at(wordHashes, i + j)
+        }
+        poly % lit(MersenneP)
+      }))
+      .otherwise(array().cast("array<bigint>"))
+
   /** Whitespace tokens of a (pre-normalized, single-spaced) text. */
   def words(text: Column): Column = split(text, " ")
 

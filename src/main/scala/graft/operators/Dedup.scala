@@ -48,9 +48,16 @@ object Dedup {
     */
   def minhashSignature(documents: DataFrame, nSeeds: Int = 8,
                        k: Int = 3): DataFrame = {
-    val sh = Canon.shingles(Canon.words(col("text")), k)
-    val based = documents.select(col("doc_id"),
-      transform(sh, x => Canon.hashP(x)).as("hs"))
+    // Each derived array lives in its OWN projection so downstream
+    // lambdas reference it as an attribute: shingleHashes reads hw 3×
+    // per element, and inlining the md5-array expression there would
+    // recompute the whole word-hash array per reference — Catalyst's
+    // CollapseProject correctly keeps expensive multi-referenced
+    // aliases stacked, but only if we alias them at all.
+    val hw = documents.select(col("doc_id"),
+      transform(Canon.words(col("text")), w => Canon.hashP(w)).as("hw"))
+    val based = hw.select(col("doc_id"),
+      Canon.shingleHashes(col("hw"), k).as("hs"))
     val sigCols = (0 until nSeeds).map { s =>
       array_min(transform(col("hs"), h => Canon.affine(s, h))).as(s"m$s")
     }
@@ -99,15 +106,19 @@ object Dedup {
     * hamming-neighborhood probes.
     */
   def simhash(documents: DataFrame, bits: Int = 16): DataFrame = {
-    val hs = transform(Canon.words(col("text")), x => Canon.hash60(x))
+    // hs gets its own projection: the per-bit folds below reference it
+    // `bits` times, and an inlined md5-array expression would be
+    // recomputed per reference (see minhashSignature).
+    val hashed = documents.select(col("doc_id"),
+      transform(Canon.words(col("text")), x => Canon.hash60(x)).as("hs"))
     val sh = (0 until bits).map { b =>
       when(
-        aggregate(hs, lit(0L), (acc, h) =>
+        aggregate(col("hs"), lit(0L), (acc, h) =>
           acc + when(shiftrightunsigned(h, b).bitwiseAND(lit(1L)) === 1L,
             lit(1L)).otherwise(lit(-1L))) > 0,
         shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    documents.select(col("doc_id"), sh.as("simhash"))
+    hashed.select(col("doc_id"), sh.as("simhash"))
   }
 
   /** N-gram (word-set) Jaccard verification over source-blocked
@@ -118,15 +129,25 @@ object Dedup {
     */
   def ngramJaccardPairs(documents: DataFrame,
                         threshold: Double): DataFrame = {
+    // Set ops run on hashed longs, not strings: |A∩B| over int64
+    // arrays is several times cheaper per pair than variable-length
+    // string comparison, and the Jaccard VALUE is unchanged (md5-based
+    // hashes; a collision would need ~2^30 distinct tokens per doc).
     val d = documents.select(col("doc_id"), col("source"),
-      array_distinct(Canon.words(col("text"))).as("dw"))
+      array_distinct(transform(Canon.words(col("text")),
+        w => Canon.hashP(w))).as("dw"))
+    // One set op per pair: |A∩B| = |A|+|B|-|A∪B|, so only the union is
+    // materialized (the intersect would cost a second hash-set pass).
+    // `u` is aliased in its own projection so it's computed once.
     d.as("a")
       .join(d.as("b"),
         col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.dw"), col("b.dw"))) /
-          size(array_union(col("a.dw"), col("b.dw")))).as("jaccard"))
+        size(col("a.dw")).as("sa"), size(col("b.dw")).as("sb"),
+        size(array_union(col("a.dw"), col("b.dw"))).as("u"))
+      .select(col("doc_a"), col("doc_b"),
+        ((col("sa") + col("sb") - col("u")) / col("u")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Property-graph ETL surface (SURVEY.md §2.1, §2.9, §2.10).
@@ -133,19 +132,27 @@ object GraphEtl {
       .agg(count(lit(1)).as("n_edges"),
         Relational.moneyOut(sum(col("amount"))).as("sum_amount"))
 
-  /** Latest edge per vertex pair (§2.5 analytics): window dedup keeping
-    * the most recent edge per (_from,_to).
+  /** Latest edge per vertex pair (§2.5 analytics): keep the most
+    * recent edge per (_from,_to).
+    *
+    * Implemented as a hash aggregate with `max_by` over the ordering
+    * tuple rather than a row_number window: the window form must SORT
+    * every partition's rows; the aggregate form does partial map-side
+    * combines (one survivor per pair per input partition) and shuffles
+    * at most |pairs| rows — strictly less data and no sort. Both pick
+    * the lexicographic max of (timestamp, block, seq, amount), which
+    * also makes the winner deterministic since (block,seq) is not
+    * unique in the driver's datagen.
     */
-  def latestEdgePerPair(edges: DataFrame): DataFrame = {
-    // (block, seq) is not unique in the driver's datagen, so amount
-    // participates in the ordering to make the winner deterministic.
-    val w = Window.partitionBy(col("_from"), col("_to"))
-      .orderBy(col("timestamp").desc, col("block").desc, col("seq").desc,
-        col("amount").desc)
+  def latestEdgePerPair(edges: DataFrame): DataFrame =
     edges
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("_from"), col("_to"), col("block"), col("seq"),
-        Relational.moneyOut(col("amount")).as("amount"), col("timestamp"))
-  }
+      .groupBy(col("_from"), col("_to"))
+      .agg(max_by(
+        struct(col("block"), col("seq"), col("amount"), col("timestamp")),
+        struct(col("timestamp"), col("block"), col("seq"), col("amount")))
+        .as("e"))
+      .select(col("_from"), col("_to"), col("e.block").as("block"),
+        col("e.seq").as("seq"),
+        Relational.moneyOut(col("e.amount")).as("amount"),
+        col("e.timestamp").as("timestamp"))
 }
