@@ -177,7 +177,30 @@ object SparkEntry {
     // Tumbling event-time window (batch anchor of the streaming op).
     "st01_tumbling_window" -> ((s, dir) =>
       graft.streaming.StreamingOps.tumblingWindowStats(
-        t(s, dir, "events"), "1 hour", exactDistinct = true))
+        t(s, dir, "events"), "1 hour", exactDistinct = true)),
+
+    // --- Reference-domain parity slice (SURVEY §7.2 B/C; NO-ORACLE:
+    // inputs are the in-code Helium JSON fixtures, not the sf tables,
+    // so the driver applies its rows>0 check) ---
+    "h01_payment_v1_edges" -> ((s, _) =>
+      HeliumGraph.paymentV1Edges(
+        graft.sources.HeliumFixtures.txnEnvelopes(s))
+        .dropDuplicates("_key")),
+    "h02_payment_v2_edges" -> ((s, _) =>
+      HeliumGraph.paymentV2Edges(
+        graft.sources.HeliumFixtures.txnEnvelopes(s))),
+    "h03_receipt_edges" -> ((s, _) =>
+      HeliumGraph.receiptEdges(
+        graft.sources.HeliumFixtures.txnEnvelopes(s))),
+    "h04_account_vertices" -> ((s, _) =>
+      HeliumGraph.accountVertices(
+        graft.sources.HeliumFixtures.txnEnvelopes(s))),
+    "h05_gateway_inventory" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.Inventory.processInventory(
+        graft.sources.Inventory.readCsv(s,
+          graft.sources.HeliumFixtures.inventoryCsv.toDS()))
+    })
   )
 
   /** Shared oracle CTE: the payment-edge collection (mirrors

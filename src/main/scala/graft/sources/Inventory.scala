@@ -1,0 +1,88 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Gateway-inventory dimension pipeline (SURVEY.md §2.1 S4, §3.2,
+  * §7.2 C; reference loaders.py:10-47): CSV snapshot → hotspot vertex
+  * collection with `_id`/`_key` and a GeoJSON point derived from the
+  * H3 index.
+  *
+  * The H3 cell→centroid decode (F6) is a pluggable seam: no H3 jar
+  * exists in the offline image and the full icosahedral projection is
+  * out of scope (SURVEY §7.4(1)), so the default is a deterministic
+  * stub mapping the index's 64-bit value into valid lat/lng ranges —
+  * same nullability/fallback contract as the reference (loaders.py:
+  * 13-16: bad/absent index → [0,0]). A real decoder (e.g. the public
+  * h3-java cellToLatLng) drops into `h3ToGeo` unchanged.
+  *
+  * Scale: the dimension is bounded (~1M rows) — always broadcastable;
+  * the snapshot write is a full replace (S6), refresh-triggered by the
+  * cursor lag rule (T6, follower.py:61-62).
+  */
+object Inventory {
+
+  /** Explicit schema — the one inferred-schema input in the reference
+    * (pandas read_csv) gets a declared schema here (SURVEY §2.1 S4).
+    */
+  val csvSchema: StructType = StructType(Seq(
+    StructField("address", StringType, nullable = false),
+    StructField("owner", StringType, nullable = true),
+    StructField("location", StringType, nullable = true), // H3 index
+    StructField("name", StringType, nullable = true)))
+
+  /** Pluggable H3 seam: index string → (lat, lng). */
+  type H3Decoder = String => (Double, Double)
+
+  /** Deterministic stand-in for the real H3 centroid decode: folds the
+    * index into valid coordinate ranges. Null/unparsable → (0,0),
+    * matching the reference's TypeError fallback.
+    */
+  val stubDecoder: H3Decoder = { h3 =>
+    try {
+      val v = java.lang.Long.parseUnsignedLong(h3.trim, 16)
+      val lat = (Math.floorMod(v, 180000L) / 1000.0) - 90.0
+      val lng = (Math.floorMod(v / 180000L, 360000L) / 1000.0) - 180.0
+      (lat, lng)
+    } catch { case _: RuntimeException => (0.0, 0.0) }
+  }
+
+  /** F6 as a column: GeoJSON Point struct {type, coordinates:[lng,lat]}
+    * (loaders.py:16 — longitude first, GeoJSON convention).
+    */
+  def geoColumn(h3Index: Column, decoder: H3Decoder = stubDecoder): Column = {
+    val decode = udf { h3: String =>
+      val (lat, lng) = decoder(if (h3 == null) "" else h3)
+      Seq(lng, lat)
+    }
+    struct(lit("Point").as("type"),
+      decode(h3Index).as("coordinates"))
+  }
+
+  /** loaders.py:24-37: add `_key`/`_id` (F2), derive the geo point
+    * (F6), then drop rows with ANY null source column (P7 — the
+    * reference's dropna runs after the derived columns, so a null H3
+    * index still drops the row even though its geo fell back to 0,0).
+    */
+  def processInventory(csv: DataFrame,
+                       decoder: H3Decoder = stubDecoder): DataFrame =
+    csv
+      .na.drop("any", csvSchema.fieldNames)
+      .select(
+        col("address").as("_key"),
+        concat(lit("hotspots/"), col("address")).as("_id"),
+        col("address"), col("owner"), col("location"), col("name"),
+        geoColumn(col("location"), decoder).as("location_geo"))
+
+  /** Read a CSV snapshot with the declared schema (header skipped). */
+  def readCsv(spark: SparkSession, lines: Dataset[String]): DataFrame =
+    spark.read.schema(csvSchema).option("header", "true").csv(lines)
+
+  /** F3: inventory height from the snapshot filename
+    * (loaders.py:45 — parse("gateway_inventory_{}.csv.gz")).
+    */
+  def heightFromFilename(name: String): Option[Long] =
+    "gateway_inventory_(\\d+)".r.findFirstMatchIn(name)
+      .map(_.group(1).toLong)
+}
