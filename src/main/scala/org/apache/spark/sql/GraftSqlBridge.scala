@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Minimal bridge into the private[sql] Column↔Expression converters —
+  * the standard extension-library pattern for attaching custom
+  * Catalyst expressions (graft.functions.*) to the public Column API.
+  * Nothing else from the private surface is exposed.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

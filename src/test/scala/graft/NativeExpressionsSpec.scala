@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Canon, DotProductDbl}
+
+class NativeExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("RewriteDotProduct: Canon.dot plans execute the native kernel") {
+    // must be a non-local relation — local literal input gets folded
+    // into a LocalRelation before the optimized plan is inspectable
+    val df = table("embeddings")
+      .select(Canon.asDouble(col("embedding")).as("v"))
+      .select(Canon.dot(col("v"), col("v")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan
+    val hasNative = optimized.expressions.exists(_.exists {
+      case _: DotProductDbl => true
+      case _ => false
+    })
+    assert(hasNative, s"rule did not fire:\n$optimized")
+  }
+
+  test("native dot matches the HOF fold bit-for-bit on real embeddings") {
+    // same session runs both: the HOF form (rule disabled via excluded
+    // rules conf is global, so instead compare against a driver-side
+    // fold over collected arrays — the definitional left fold)
+    val rows = table("embeddings")
+      .select(Canon.asDouble(col("embedding")).as("v"))
+      .select(Canon.dot(col("v"), col("v")).as("d"), col("v"))
+      .as[(Double, Seq[Double])].collect()
+    rows.foreach { case (d, v) =>
+      val expect = v.foldLeft(0.0)((acc, x) => acc + x * x)
+      assert(d === expect) // exact, not approximate
+    }
+  }
+
+  test("native dot null semantics mirror zip_with padding") {
+    val df = Seq(
+      (Seq(1.0, 2.0), Seq(3.0)),      // unequal length → null
+      (Seq(1.0, 2.0), Seq(3.0, 4.0))  // equal → 11.0
+    ).toDF("a", "b").select(Canon.dot(col("a"), col("b")).as("d"))
+    val got = df.select(col("d")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(got.toSeq === Seq(None, Some(11.0)))
+  }
+
+  test("sortedIntersectCount: two-pointer merge over sorted arrays") {
+    val df = Seq(
+      (Seq(1L, 3L, 5L, 7L), Seq(3L, 4L, 5L, 9L)), // {3,5}
+      (Seq.empty[Long], Seq(1L, 2L)),              // 0
+      (Seq(2L, 4L), Seq(2L, 4L))                   // 2
+    ).toDF("a", "b")
+      .select(Canon.sortedIntersectCount(col("a"), col("b")).as("c"))
+    assert(df.as[Int].collect().toSeq === Seq(2, 0, 2))
+  }
+
+  test("jaccard via native intersect equals the array_intersect formula") {
+    val docs = table("documents").limit(50)
+    val native = graft.operators.Dedup.ngramJaccardPairs(docs, 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val d = docs.select(col("doc_id"), col("source"),
+      array_distinct(transform(Canon.words(col("text")),
+        w => Canon.hashP(w))).as("dw"))
+    val reference = d.as("a")
+      .join(d.as("b"), col("a.source") === col("b.source") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        (size(array_intersect(col("a.dw"), col("b.dw"))) /
+          size(array_union(col("a.dw"), col("b.dw")))).as("j"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(native.keySet === reference.keySet)
+    native.foreach { case (k, v) => assert(v === reference(k), s"pair $k") }
+  }
+}
