@@ -16,6 +16,14 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** S9 (follower.py:77-95 DDL analog): register every table in the
+    * session catalog so the surface is queryable via spark.sql. Edge
+    * vs vertex collections are a column convention (_from/_to), not a
+    * physical difference — no special DDL needed.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+
   /** Dimension tables small enough to broadcast at any scale factor.
     * region/nation are bounded (5/25 rows) regardless of SF; at 100 TB
     * they remain broadcast-joinable by construction.

@@ -125,3 +125,15 @@ final class Follower(spark: SparkSession, sourceDir: String,
     */
   def sink(): DataFrame = spark.read.parquet(sinkDir)
 }
+
+object Follower {
+  /** T6 (follower.py:61-62): refresh the dimension snapshot when the
+    * sync cursor leads the inventory snapshot by more than `lag`.
+    * A None inventory height means the bootstrap never ran — treated
+    * as "always refresh" rather than reproducing the reference's
+    * uncaught TypeError (SURVEY §2.10 known quirk).
+    */
+  def shouldRefreshInventory(syncHeight: Long, inventoryHeight: Option[Long],
+                             lag: Long = 500L): Boolean =
+    inventoryHeight.forall(h => syncHeight - h > lag)
+}

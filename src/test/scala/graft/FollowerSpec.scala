@@ -38,6 +38,13 @@ class FollowerSpec extends SparkSpec {
     assert(f.cursor() === 399L)
   }
 
+  test("T6: inventory refresh triggers on cursor lag; missing bootstrap refreshes") {
+    import graft.streaming.Follower.shouldRefreshInventory
+    assert(!shouldRefreshInventory(1000L, Some(800L)))  // lag 200 <= 500
+    assert(shouldRefreshInventory(1501L, Some(1000L)))  // lag 501 > 500
+    assert(shouldRefreshInventory(0L, None))            // no bootstrap
+  }
+
   test("retention drops whole expired batch partitions") {
     val (sink, cp) = freshDirs()
     val f = new Follower(spark, sf0001, sink, cp, batchSize = 300L)
