@@ -87,6 +87,10 @@ object SparkEntry {
     // §2.4 A3/A4: exact distinct counts.
     "q19_distinct_counts" -> ((s, dir) =>
       Relational.distinctCounts(t(s, dir, "lineitem"))),
+    // §2.4: HLL++ sketch distinct (NO-ORACLE: engine-specific
+    // estimates; accuracy spec-asserted vs exact).
+    "q20_approx_distinct" -> ((s, dir) =>
+      Relational.approxDistinctCounts(t(s, dir, "lineitem"))),
 
     // --- Graph-ETL parity surface (SURVEY §2.1/§2.9/§2.10) ---
     // P2/F1/F5: payment-edge construction with content-hash _key.

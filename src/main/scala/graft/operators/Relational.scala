@@ -217,4 +217,15 @@ object Relational {
       .agg(countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"),
         count(lit(1)).as("n_rows"))
+
+  /** Sketch-based distinct (HLL++): the 100 TB form of A3 — exact
+    * distinct shuffles every distinct key; the sketch shuffles a
+    * fixed-size buffer per group per partition. NO-ORACLE (estimates
+    * are engine-specific); accuracy vs exact is spec-asserted.
+    */
+  def approxDistinctCounts(lineitem: DataFrame, rsd: Double = 0.02): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), rsd).as("n_parts_approx"),
+        count(lit(1)).as("n_rows"))
 }

@@ -19,28 +19,24 @@ object Probe {
       val n = f
       println(f"PROBE $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
-    val orders = Tables.load(spark, "/root/testdata/sf0.1", "orders")
-    val lineitem = Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
-    orders.count(); lineitem.count()
-    def noop(df: org.apache.spark.sql.DataFrame): Long = {
-      df.write.format("noop").mode("overwrite").save(); 0L
+    // Plan-hygiene sweep: dump simple-mode plans for every registered
+    // query and flag common scale red flags.
+    val sf = "/root/testdata/sf0.01"
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        val flags = Seq(
+          "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          "no-pushed-filter" -> (plan.contains("PushedFilters: []") &&
+            plan.contains("Filter (")),
+          "sort-agg" -> plan.contains("SortAggregate")
+        ).collect { case (f, true) => f }
+        println(s"PLAN $name: ${if (flags.isEmpty) "clean" else flags.mkString(",")}")
+      } catch { case e: Throwable =>
+        println(s"PLAN $name: ERROR ${e.getMessage.take(80)}")
+      }
     }
-    val g08 = graft.operators.GraphEtl.latestEdgePerPair(
-      graft.operators.GraphEtl.paymentEdges(orders, lineitem))
-    time("g08_warm")(noop(g08))
-    time("g08_maxby")(noop(g08))
-    val edges = graft.operators.GraphEtl.paymentEdges(orders, lineitem)
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("_from"), col("_to"))
-      .orderBy(col("timestamp").desc, col("block").desc, col("seq").desc,
-        col("amount").desc)
-    val winVer = edges.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("_from"), col("_to"), col("block"), col("seq"),
-        col("amount").cast("double").as("amount"), col("timestamp"))
-    time("g08_window")(noop(winVer))
-    time("g08_window2")(noop(winVer))
     spark.stop()
   }
 }

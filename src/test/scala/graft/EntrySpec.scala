@@ -14,6 +14,21 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.oracleSql.values.forall(!_.contains(";")))
   }
 
+  test("approx distinct is within 5% of exact per group") {
+    val exact = graft.operators.Relational
+      .distinctCounts(table("lineitem"))
+      .select("l_returnflag", "n_parts")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.operators.Relational
+      .approxDistinctCounts(table("lineitem"))
+      .select("l_returnflag", "n_parts_approx")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val a = approx(k).toDouble
+      assert(math.abs(a - n) / n <= 0.05, s"group $k: approx $a vs $n")
+    }
+  }
+
   test("every registered query evaluates non-empty at sf0.001") {
     // Legitimately empty at tiny SF: every customer has an order
     // (q10), the cursor window starts past the 1000-event table (g06),
