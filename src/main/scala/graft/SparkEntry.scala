@@ -182,6 +182,10 @@ object SparkEntry {
     "st01_tumbling_window" -> ((s, dir) =>
       graft.streaming.StreamingOps.tumblingWindowStats(
         t(s, dir, "events"), "1 hour", exactDistinct = true)),
+    // Event-time gap sessionization (gaps-and-islands form).
+    "st02_sessionize" -> ((s, dir) =>
+      graft.streaming.StreamingOps.sessionize(
+        t(s, dir, "events"), 30L * 60 * 1000000)),
 
     // --- Reference-domain parity slice (SURVEY §7.2 B/C; NO-ORACLE:
     // inputs are the in-code Helium JSON fixtures, not the sf tables,
@@ -560,6 +564,20 @@ object SparkEntry {
         | time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'
         |   AS window_end,
         | count(*) AS n_events, count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "st02_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |    OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END
+        |    AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id)),
+        |g AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f)
+        |SELECT user_id, session_id, min(ts_us) AS session_start,
+        | max(ts_us) AS session_end, count(*) AS n_events
+        |FROM g GROUP BY user_id, session_id""".stripMargin
   )
 }

@@ -55,6 +55,33 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("n_events"))
 
+  /** Sessionization (event-time gap sessions) in batch form:
+    * gaps-and-islands — a new session starts when the per-user gap
+    * exceeds `gapUs`; the session id is the running count of starts.
+    * Deterministic under timestamp ties (a zero gap can never open a
+    * session, and min/max/count are order-invariant), so it oracle-
+    * compares exactly. The streaming-native equivalent is
+    * `session_window` / flatMapGroupsWithState; this formulation runs
+    * on any engine and at any scale (one shuffle on user_id).
+    */
+  def sessionize(events: DataFrame, gapUs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events
+      .select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("new_session",
+        when(lag(col("ts_us"), 1).over(w).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(w))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts_us")).as("session_start"),
+        max(col("ts_us")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Streaming insert-ignore (T5): stateful first-occurrence-wins dedup
     * by content key — the reference's `onDuplicate="ignore"` bulk sink
     * (follower.py:205-207) re-expressed as flatMapGroupsWithState.
