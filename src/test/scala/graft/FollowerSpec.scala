@@ -22,6 +22,11 @@ class FollowerSpec extends SparkSpec {
     assert(f.step() === None) // at tip: poll, no-op
     val total = table("events").count()
     assert(f.sink().count() === total) // every event exactly once
+    // SURVEY §5 item 4: a full second run is a no-op end to end
+    val cursorBefore = f.cursor()
+    f.runToTip()
+    assert(f.cursor() === cursorBefore)
+    assert(f.sink().count() === total)
   }
 
   test("re-running a batch is idempotent (overwrite, not append)") {
