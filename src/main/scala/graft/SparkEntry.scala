@@ -154,6 +154,13 @@ object SparkEntry {
     // Embedding cosine near-dup over label-blocked pairs.
     "d06_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), 0.3)),
+    // Incremental batch-vs-corpus dedup (exact membership + LSH probe).
+    "d07_dedup_vs_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dedupAgainstCorpus(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0))
+    }),
     // Brute-force exact cosine top-k (broadcast query set).
     "s01_knn_brute" -> ((s, dir) =>
       Similarity.knnBrute(t(s, dir, "embeddings"), 10, 5)),
@@ -462,6 +469,25 @@ object SparkEntry {
          |  len(list_distinct(a.dw || b.dw)) AS jaccard
          | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.8""".stripMargin,
+    "d07_dedup_vs_corpus" -> {
+      val bands = (0 until 4).map(j =>
+        s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
+      minhashCte +
+        s""", banded AS (SELECT doc_id,
+           |  unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig),
+           |near AS (SELECT doc_id, count(*) AS n_near FROM (
+           |  SELECT DISTINCT a.doc_id, c.doc_id AS corpus_doc
+           |  FROM banded a JOIN banded c ON a.bk = c.bk
+           |  WHERE a.doc_id % 5 = 0 AND c.doc_id % 5 <> 0)
+           | GROUP BY doc_id)
+           |SELECT d.doc_id,
+           | EXISTS (SELECT 1 FROM documents c
+           |   WHERE c.doc_id % 5 <> 0 AND md5(c.text) = md5(d.text))
+           |   AS exact_dup,
+           | CAST(coalesce(n.n_near, 0) AS BIGINT) AS n_near
+           |FROM documents d LEFT JOIN near n ON d.doc_id = n.doc_id
+           |WHERE d.doc_id % 5 = 0""".stripMargin
+    },
     "d06_embedding_neardup" ->
       (embCte +
         s"""SELECT * FROM (

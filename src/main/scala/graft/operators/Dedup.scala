@@ -152,6 +152,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental dedup of a new batch AGAINST an existing corpus — the
+    * ingest-time shape (reference analog: insert-ignore against the
+    * already-loaded collection, follower.py:205-207). Per batch doc:
+    * `exact_dup` = content hash already in the corpus (left-semi
+    * membership), `n_near` = number of corpus docs sharing at least
+    * one LSH band (candidate near-dups to verify downstream).
+    *
+    * Scale: the corpus side reduces to (band_key, doc) pairs — 4 rows
+    * per corpus doc; the join is band-key equi (shuffle or broadcast
+    * per AQE), never batch×corpus.
+    */
+  def dedupAgainstCorpus(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    def banded(sig: DataFrame): DataFrame = {
+      val bandKeys = (0 until 4).map { j =>
+        md5(concat_ws("|", lit(j), col(s"m${2 * j}"), col(s"m${2 * j + 1}")))
+      }
+      sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+    }
+    val batchKeys = batch.select(col("doc_id"), md5(col("text")).as("k"))
+    val corpusKeys = corpus.select(md5(col("text")).as("k"))
+    val exact = batchKeys.join(corpusKeys, Seq("k"), "left_semi")
+      .select(col("doc_id")).withColumn("exact_dup", lit(true))
+    val near = banded(minhashSignature(batch)).as("b")
+      .join(banded(minhashSignature(corpus))
+        .withColumnRenamed("doc_id", "corpus_doc").as("c"),
+        col("b.bk") === col("c.bk"))
+      .select(col("b.doc_id").as("doc_id"), col("corpus_doc"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_near"))
+    batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("exact_dup"), lit(false)).as("exact_dup"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"))
+  }
+
   /** Embedding near-dup: cosine >= `tau` within label blocks. Norms are
     * precomputed per row (map-side); the pair join is label-blocked.
     */

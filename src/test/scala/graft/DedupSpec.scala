@@ -57,6 +57,19 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((0L, 3L)))
   }
 
+  test("dedupAgainstCorpus: exact membership + LSH candidate counts") {
+    val corpus = docs.filter("doc_id IN (0, 3)")
+    val batch = docs.filter("doc_id IN (1, 2, 4)")
+    val out = Dedup.dedupAgainstCorpus(batch, corpus)
+      .orderBy("doc_id").as[(Long, Boolean, Long)].collect()
+    // doc1 = exact dup of corpus doc0; doc4 = exact dup of corpus doc3;
+    // doc2 is a near-dup of doc0 only
+    assert(out.map(r => (r._1, r._2)).toSeq ===
+      Seq((1L, true), (2L, false), (4L, true)))
+    assert(out(0)._3 >= 1L) // identical doc always shares bands
+    assert(out(2)._3 >= 1L)
+  }
+
   test("embeddingNearDups finds the planted duplicate vector pair") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),
