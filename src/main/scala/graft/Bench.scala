@@ -19,6 +19,7 @@ object Bench {
     // count() would let Catalyst prune the projections away and time
     // an empty scan for map-only queries.
     val results = SparkEntry.queries.map { case (name, fn) =>
+      System.gc() // isolate queries from each other's garbage
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

@@ -19,24 +19,14 @@ object Probe {
       val n = f
       println(f"PROBE $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
-    // Plan-hygiene sweep: dump simple-mode plans for every registered
-    // query and flag common scale red flags.
-    val sf = "/root/testdata/sf0.01"
-    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try {
-        val plan = fn(spark, sf).queryExecution.executedPlan.toString
-        val flags = Seq(
-          "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
-          "CartesianProduct" -> plan.contains("CartesianProduct"),
-          "no-pushed-filter" -> (plan.contains("PushedFilters: []") &&
-            plan.contains("Filter (")),
-          "sort-agg" -> plan.contains("SortAggregate")
-        ).collect { case (f, true) => f }
-        println(s"PLAN $name: ${if (flags.isEmpty) "clean" else flags.mkString(",")}")
-      } catch { case e: Throwable =>
-        println(s"PLAN $name: ERROR ${e.getMessage.take(80)}")
-      }
+    def noop(df: org.apache.spark.sql.DataFrame): Long = {
+      df.write.format("noop").mode("overwrite").save(); 0L
     }
+    val sf01 = "/root/testdata/sf0.1"
+    val d05 = graft.SparkEntry.queries("d05_ngram_jaccard")
+    time("d05_a")(noop(d05(spark, sf01)))
+    time("d05_b")(noop(d05(spark, sf01)))
+    time("d05_c")(noop(d05(spark, sf01)))
     spark.stop()
   }
 }
