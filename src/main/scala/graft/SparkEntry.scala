@@ -91,6 +91,14 @@ object SparkEntry {
     // estimates; accuracy spec-asserted vs exact).
     "q20_approx_distinct" -> ((s, dir) =>
       Relational.approxDistinctCounts(t(s, dir, "lineitem"))),
+    // TPC-H Q3 shape: 3-way join + filtered agg + top-k.
+    "q21_shipping_priority" -> ((s, dir) =>
+      Relational.shippingPriority(t(s, dir, "customer"),
+        t(s, dir, "orders"), t(s, dir, "lineitem"))),
+    // TPC-H Q10 shape: returned-revenue per customer, broadcast dim.
+    "q22_returned_items" -> ((s, dir) =>
+      Relational.returnedItemReport(t(s, dir, "customer"),
+        t(s, dir, "orders"), t(s, dir, "lineitem"), t(s, dir, "nation"))),
 
     // --- Graph-ETL parity surface (SURVEY §2.1/§2.9/§2.10) ---
     // P2/F1/F5: payment-edge construction with content-hash _key.
@@ -383,6 +391,31 @@ object SparkEntry {
         | count(DISTINCT l_suppkey) AS n_supps,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q21_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |   AS DOUBLE) AS revenue,
+        | count(*) AS n_lines
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+    "q22_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |   (CAST('1.00' AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |   AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
     "g01_payment_edges" ->
       (edgesCte +
         """SELECT _from, _to, block, seq,

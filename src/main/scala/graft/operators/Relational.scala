@@ -218,6 +218,43 @@ object Relational {
         countDistinct(col("l_suppkey")).as("n_supps"),
         count(lit(1)).as("n_rows"))
 
+  /** Shipping-priority shape (TPC-H Q3 analog): 3-table join, filter
+    * on both fact sides, aggregate, top-k by revenue. The classic
+    * "join order + pushdown + TakeOrdered" pipeline.
+    */
+  def shippingPriority(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, k: Int = 20): DataFrame =
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"))
+      .join(lineitem, orders("o_orderkey") === lineitem("l_orderkey"))
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(moneyOut(sum(money(col("l_extendedprice")) *
+        (lit(BigDecimal("1.00")) - money(col("l_discount")))))
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(k)
+
+  /** Returned-item report shape (TPC-H Q10 analog): who returned the
+    * most revenue — fact⨝fact⨝dim with broadcast nation, grouped on
+    * the customer, top-k.
+    */
+  def returnedItemReport(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, nation: DataFrame,
+                         k: Int = 20): DataFrame =
+    lineitem.filter(col("l_returnflag") === "R")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(moneyOut(sum(money(col("l_extendedprice")) *
+        (lit(BigDecimal("1.00")) - money(col("l_discount")))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(k)
+
   /** Sketch-based distinct (HLL++): the 100 TB form of A3 — exact
     * distinct shuffles every distinct key; the sketch shuffles a
     * fixed-size buffer per group per partition. NO-ORACLE (estimates

@@ -61,6 +61,24 @@ class StreamingOpsSpec extends SparkSpec {
     assert(counts.get() === 1000L) // all events, deduped keys unique
   }
 
+  test("native session_window agrees with gaps-and-islands sessionize") {
+    import org.apache.spark.sql.functions._
+    val ev = table("events")
+    val gi = StreamingOps.sessionize(ev, 30L * 60 * 1000000)
+    val sw = ev
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(expr("ts div 1000")).as("t"))
+      .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    assert(sw.count() === gi.count())
+    val giStarts = gi.select(col("user_id"), col("session_start"))
+      .as[(Long, Long)].collect().toSet
+    val swStarts = sw.select(col("user_id"),
+      expr("unix_micros(session_window.start)"))
+      .as[(Long, Long)].collect().toSet
+    assert(swStarts === giStarts)
+  }
+
   test("streamingDedupFirst keeps only the first row per key") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
