@@ -162,6 +162,10 @@ object SparkEntry {
     // Embedding cosine near-dup over label-blocked pairs.
     "d06_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), 0.3)),
+    // Duplicate clusters: connected components over LSH candidates.
+    "d08_dup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(t(s, dir, "documents"))))),
     // Incremental batch-vs-corpus dedup (exact membership + LSH probe).
     "d07_dedup_vs_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -502,6 +506,25 @@ object SparkEntry {
          |  len(list_distinct(a.dw || b.dw)) AS jaccard
          | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.8""".stripMargin,
+    "d08_dup_clusters" -> {
+      val bands = (0 until 4).map(j =>
+        s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
+      minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+        s""", banded AS (SELECT doc_id,
+           |  unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig),
+           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b
+           |  ON a.bk = b.bk AND a.doc_id < b.doc_id),
+           |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+           |  UNION SELECT doc_b, doc_a FROM pairs),
+           |nodes AS (SELECT DISTINCT a AS n FROM sym),
+           |reach(node, lab) AS (
+           |  SELECT n, n FROM nodes
+           |  UNION
+           |  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node)
+           |SELECT node AS doc_id, min(lab) AS cluster_rep
+           |FROM reach GROUP BY node""".stripMargin
+    },
     "d07_dedup_vs_corpus" -> {
       val bands = (0 until 4).map(j =>
         s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")

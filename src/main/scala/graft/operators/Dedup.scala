@@ -152,6 +152,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Duplicate-cluster formation: connected components over the
+    * candidate-pair graph, labeling every involved doc with the
+    * minimum doc_id of its component (the canonical survivor). This
+    * is the final step of near-dup dedup — candidates (LSH) →
+    * verification (Jaccard/cosine) → transitive closure → keep one
+    * per cluster.
+    *
+    * Iterative min-label propagation with a driver-side fixpoint
+    * check: each round joins labels across edges and keeps the min.
+    * Rounds needed = graph diameter; duplicate clusters are shallow
+    * (pairs/triangles), so this converges in 2-3 rounds. At billions
+    * of edges you'd switch to the large-star/small-star algorithm
+    * (O(log n) rounds) on the same join-aggregate primitives; the
+    * fixpoint loop shape is identical. Each round's shuffle is one
+    * hash join on node id + one aggregate.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val sym = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    var labels = sym.select(col("a").as("node")).distinct()
+      .withColumn("lab", col("node"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaEdges = sym
+        .join(labels, sym("a") === labels("node"))
+        .select(col("b").as("node"), col("lab"))
+      val next = labels.select(col("node"), col("lab")).union(viaEdges)
+        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint() // truncate the growing iterative lineage
+      converged = next.join(labels.withColumnRenamed("lab", "old"), "node")
+        .filter(col("lab") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lab").as("cluster_rep"))
+  }
+
   /** Incremental dedup of a new batch AGAINST an existing corpus — the
     * ingest-time shape (reference analog: insert-ignore against the
     * already-loaded collection, follower.py:205-207). Per batch doc:

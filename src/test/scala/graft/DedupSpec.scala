@@ -57,6 +57,13 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((0L, 3L)))
   }
 
+  test("dupClusters: transitive closure labels components by min doc_id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(pairs).orderBy("doc_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
+  }
+
   test("dedupAgainstCorpus: exact membership + LSH candidate counts") {
     val corpus = docs.filter("doc_id IN (0, 3)")
     val batch = docs.filter("doc_id IN (1, 2, 4)")
