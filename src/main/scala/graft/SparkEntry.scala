@@ -179,6 +179,10 @@ object SparkEntry {
     // Sign-bucketed ANN top-k (the scale path).
     "s02_knn_bucketed" -> ((s, dir) =>
       Similarity.knnBucketed(t(s, dir, "embeddings"), 10, 3)),
+    // IVF ANN (k-means coarse quantizer + nProbe cell search);
+    // NO-ORACLE: centroids are init-dependent, recall spec-asserted.
+    "s03_knn_ivf" -> ((s, dir) =>
+      Similarity.knnIvf(t(s, dir, "embeddings"), 10, 3)),
     // Stopword-profile language ID.
     "t01_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"))),

@@ -60,6 +60,63 @@ object Similarity {
     prepared(embeddings).withColumn("bucket", bucket)
   }
 
+  /** IVF index: k-means coarse quantizer over the corpus (MLlib),
+    * assignments materialized as a plain `cell` column. Search probes
+    * the `nProbe` nearest centroids per query and scores only those
+    * cells — the inverted-file ANN structure, expressed as a Spark
+    * join: centroids are tiny driver-side state, assignment is a
+    * map-side transform, and the probe is a cell-key equi-join.
+    * NO-ORACLE (k-means centroids are init/partitioning dependent);
+    * recall vs the brute baseline is spec-asserted.
+    */
+  def ivfIndex(embeddings: DataFrame, nCells: Int, seed: Long = 42L)
+      : (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = prepared(embeddings)
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(e)
+    (model.transform(e).drop("features"),
+      model.clusterCenters.map(_.toArray))
+  }
+
+  /** IVF search: per query, score only vectors in the `nProbe`
+    * closest cells.
+    */
+  def knnIvf(embeddings: DataFrame, nQueries: Int, k: Int,
+             nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (indexed, centers) = ivfIndex(embeddings, nCells)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    // nearest-nProbe cells per query vector, computed from the tiny
+    // centroid table (driver-side constants broadcast as a literal DF)
+    val centersDf = centers.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "cv")
+    val q = indexed.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val probes = q.join(broadcast(centersDf))
+      .select(col("q_id"), col("qv"), col("qnrm"), col("cell"),
+        Canon.dot(col("qv"), col("cv")).as("cdot"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cdot").desc,
+          col("cell").asc)))
+      .filter(col("rk") <= nProbe)
+      .select(col("q_id"), col("qv"), col("qnrm"), col("cell"))
+    val scored = indexed.join(broadcast(probes),
+      indexed("cell") === probes("cell") &&
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        Canon.cosine(Canon.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** ANN top-k: score only candidates in the query's sign bucket.
     * Recall vs knnBrute is the quality metric (spec-checked); the plan
     * scores ~1/2^bits of the corpus per query.

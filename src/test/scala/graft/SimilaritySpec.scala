@@ -32,6 +32,21 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_._2).toSet.subsetOf(Set(1L, 2L, 4L)))
   }
 
+  test("IVF search: sound restriction of brute force, reasonable recall") {
+    val real = table("embeddings")
+    val brute = Similarity.knnBrute(real, 10, 1)
+      .select("q_id", "sim").as[(Long, Double)].collect().toMap
+    val ivf = Similarity.knnIvf(real, 10, 1, nCells = 8, nProbe = 4)
+      .select("q_id", "sim").as[(Long, Double)].collect().toMap
+    assert(ivf.nonEmpty)
+    ivf.foreach { case (q, s) =>
+      assert(s <= brute(q) + 1e-12, s"query $q: ivf beat exact")
+    }
+    // probing half the cells should recover the exact top-1 often
+    val hits = ivf.count { case (q, s) => math.abs(s - brute(q)) < 1e-12 }
+    assert(hits >= 3, s"IVF top-1 recall too low: $hits/10")
+  }
+
   test("bucketed results are a sound restriction of brute force") {
     val real = table("embeddings")
     val brute = Similarity.knnBrute(real, 5, 1)
