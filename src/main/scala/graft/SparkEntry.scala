@@ -162,6 +162,9 @@ object SparkEntry {
     // Embedding cosine near-dup over label-blocked pairs.
     "d06_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), 0.3)),
+    // Capstone: the §2.12 operators composed end to end.
+    "p01_corpus_pipeline" -> ((s, dir) =>
+      Pipeline.corpusPipeline(t(s, dir, "documents"))),
     // Duplicate clusters: connected components over LSH candidates.
     "d08_dup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(Dedup.lshCandidatePairs(
@@ -510,6 +513,48 @@ object SparkEntry {
          |  len(list_distinct(a.dw || b.dw)) AS jaccard
          | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.8""".stripMargin,
+    "p01_corpus_pipeline" -> {
+      import graft.functions.Canon.{AffineA, AffineB, MersenneP => P}
+      val sigs = (0 until 8).map(s =>
+        s"  list_min([(h * ${AffineA(s)} + ${AffineB(s)}) % $P FOR h IN hs]) AS m$s")
+        .mkString(",\n")
+      val bands = (0 until 4).map(j =>
+        s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
+      s"""WITH RECURSIVE w0 AS (SELECT doc_id, text, lang,
+         |  string_split(text, ' ') AS w FROM documents),
+         |q AS (SELECT doc_id, text, lang, w, len(w) AS n_tokens
+         |  FROM w0 WHERE len(w) >= 30),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         |surv AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+         |hw AS (SELECT doc_id, [${h60("x")} % $P FOR x IN w] AS hw
+         |  FROM surv),
+         |hb AS (SELECT doc_id,
+         |  [((hw[i]*31 + hw[i+1])*31 + hw[i+2]) % $P
+         |   FOR i IN range(1, len(hw)-1)] AS hs FROM hw),
+         |sig AS (SELECT doc_id,
+         |$sigs
+         | FROM hb),
+         |banded AS (SELECT doc_id,
+         |  unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |  ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM sym),
+         |reach(node, lab) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node),
+         |clusters AS (SELECT node AS doc_id, min(lab) AS rep
+         |  FROM reach GROUP BY node),
+         |dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> rep),
+         |fin AS (SELECT * FROM surv
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+         |SELECT lang, count(*) AS n_docs,
+         | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM fin GROUP BY lang""".stripMargin
+    },
     "d08_dup_clusters" -> {
       val bands = (0 until 4).map(j =>
         s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Canon
+
+/** End-to-end corpus curation (the §2.12 operators COMPOSED — the
+  * actual shape of a pre-training data pipeline):
+  *
+  *   quality filter → exact dedup (keep min doc_id) → MinHash-LSH
+  *   candidate pairs → connected-component clusters → keep each
+  *   cluster's canonical survivor → per-language corpus summary.
+  *
+  * Every stage is one of the individually-oracle-checked operators;
+  * this query checks their composition end to end. Scale shape: two
+  * aggregate shuffles (dedup key, final summary) + the LSH band join
+  * + the tiny fixpoint loop on the candidate graph — no stage is
+  * O(n²) in the corpus.
+  */
+object Pipeline {
+
+  def corpusPipeline(documents: DataFrame,
+                     minTokens: Int = 30): DataFrame = {
+    val q = documents
+      .withColumn("n_tokens", size(Canon.words(col("text"))))
+      .filter(col("n_tokens") >= minTokens)
+    // exact dedup: survivors are the min doc_id per content key
+    val keep = q.groupBy(md5(col("text")).as("k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val surv = q.join(keep, Seq("doc_id"), "left_semi")
+    // near-dup clusters over the survivors; drop non-canonical members
+    val clusters = Dedup.dupClusters(
+      Dedup.lshCandidatePairs(Dedup.minhashSignature(surv)))
+    val dropIds = clusters.filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id"))
+    val fin = surv.join(dropIds, Seq("doc_id"), "left_anti")
+    fin.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"))
+  }
+}
