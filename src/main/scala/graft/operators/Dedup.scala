@@ -169,8 +169,12 @@ object Dedup {
     * hash join on node id + one aggregate.
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // Materialize the edge set once: its lineage typically includes
+    // the full candidate-generation plan (minhash + banding), which
+    // would otherwise re-execute in EVERY fixpoint iteration.
     val sym = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .localCheckpoint()
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("lab", col("node"))
     var converged = false
