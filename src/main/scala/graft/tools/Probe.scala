@@ -22,11 +22,34 @@ object Probe {
     def noop(df: org.apache.spark.sql.DataFrame): Long = {
       df.write.format("noop").mode("overwrite").save(); 0L
     }
-    val sf01 = "/root/testdata/sf0.1"
-    val d05 = graft.SparkEntry.queries("d05_ngram_jaccard")
-    time("d05_a")(noop(d05(spark, sf01)))
-    time("d05_b")(noop(d05(spark, sf01)))
-    time("d05_c")(noop(d05(spark, sf01)))
+    // Usage:
+    //   runMain graft.tools.Probe plans   — red-flag sweep of all plans
+    //   runMain graft.tools.Probe <name>  — time one query 3× (noop)
+    val sf01 = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    args.headOption match {
+      case Some("plans") | None =>
+        graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach {
+          case (name, fn) =>
+            try {
+              val plan = fn(spark, sf01).queryExecution.executedPlan.toString
+              val flags = Seq(
+                "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
+                "CartesianProduct" -> plan.contains("CartesianProduct"),
+                "no-pushed-filter" -> (plan.contains("PushedFilters: []") &&
+                  plan.contains("Filter (")),
+                "sort-agg" -> plan.contains("SortAggregate")
+              ).collect { case (f, true) => f }
+              println(s"PLAN $name: " +
+                (if (flags.isEmpty) "clean" else flags.mkString(",")))
+            } catch { case e: Throwable =>
+              println(s"PLAN $name: ERROR ${e.getMessage.take(80)}")
+            }
+        }
+      case Some(name) =>
+        val fn = graft.SparkEntry.queries(name)
+        (1 to 3).foreach(i => time(s"${name}_$i")(noop(fn(spark, sf01))))
+    }
     spark.stop()
   }
 }
