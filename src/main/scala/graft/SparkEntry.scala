@@ -204,6 +204,10 @@ object SparkEntry {
     // Partition-batched decode through the stub MediaDecoder.
     "m02_decode_stub" -> ((s, dir) =>
       Multimodal.decodeMeta(t(s, dir, "documents"))),
+    // Frame sampling: one row per every 2nd frame of each payload.
+    "m03_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.decodeMeta(t(s, dir, "documents")))),
     // Tumbling event-time window (batch anchor of the streaming op).
     "st01_tumbling_window" -> ((s, dir) =>
       graft.streaming.StreamingOps.tumblingWindowStats(
@@ -690,6 +694,15 @@ object SparkEntry {
          |SELECT doc_id, blen AS byte_len, 64 + h % 193 AS width,
          | 64 + (h // 193) % 129 AS height, 1 + blen % 7 AS n_frames
          |FROM h""".stripMargin,
+    "m03_frame_sample" ->
+      s"""WITH h AS (SELECT doc_id, octet_length(encode(text)) AS blen,
+         |  ${h60("text")} AS h FROM documents),
+         |meta AS (SELECT doc_id, 64 + h % 193 AS width,
+         |  64 + (h // 193) % 129 AS height, 1 + blen % 7 AS n_frames
+         | FROM h)
+         |SELECT doc_id, width, height,
+         | unnest(range(0, n_frames, 2)) AS frame_idx
+         |FROM meta""".stripMargin,
     "st01_tumbling_window" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
         | time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour'

@@ -68,6 +68,17 @@ object Multimodal {
         md5(col("payload")).as("content_md5"),
         lower(hex(expr("substring(payload, 1, 8)"))).as("head_hex"))
 
+  /** Frame sampling for "video" payloads: one row per every
+    * `step`-th frame of the decoded metadata — the explode-per-frame
+    * fan-out a frame-level feature extractor consumes. Row-local
+    * generate; at scale the downstream extractor runs per-partition
+    * like decodeMeta.
+    */
+  def sampleFrames(decoded: DataFrame, step: Int = 2): DataFrame =
+    decoded.select(col("doc_id"), col("width"), col("height"),
+      explode(sequence(lit(0L), col("n_frames") - 1, lit(step.toLong)))
+        .as("frame_idx"))
+
   /** Per-partition batched decode of the payload column through a
     * `MediaDecoder` (default: the deterministic stub).
     */

@@ -61,6 +61,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(counts.get() === 1000L) // all events, deduped keys unique
   }
 
+  test("watermark drops late data in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps
+      .tumblingWindowStream(mem.toDF(), "1 hour", lateness = "1 hour")
+      .writeStream.format("memory").queryName("late")
+      .outputMode("append").start()
+    try {
+      // watermark advances to 3h - 1h = 2h: windows [0,1h) and [1,2h)
+      // finalize and emit
+      mem.addData(Ev(1, 0L, 10), Ev(2, hourNs / 2, 11),
+        Ev(3, hourNs + 1, 10), Ev(4, 3 * hourNs, 12))
+      q.processAllAvailable()
+      // a late event inside the already-finalized first window: dropped
+      mem.addData(Ev(5, hourNs / 4, 13))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT n_events FROM late ORDER BY window_start")
+        .as[Long].collect()
+      assert(got.toSeq === Seq(2L, 1L)) // late event never counted
+    } finally q.stop()
+  }
+
   test("native session_window agrees with gaps-and-islands sessionize") {
     import org.apache.spark.sql.functions._
     val ev = table("events")
