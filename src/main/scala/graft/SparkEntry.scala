@@ -156,6 +156,9 @@ object SparkEntry {
     // SimHash: sign-of-weighted-bits sketch, row-local.
     "d04_simhash" -> ((s, dir) =>
       Dedup.simhash(t(s, dir, "documents"))),
+    // SimHash near-dups: byte-banded candidates + exact hamming verify.
+    "d09_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDups(t(s, dir, "documents"))),
     // Word-set Jaccard over source-blocked pairs.
     "d05_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), 0.8)),
@@ -198,6 +201,9 @@ object SparkEntry {
     // Canonical md5 + rolling-hash fingerprints.
     "t04_fingerprints" -> ((s, dir) =>
       TextAnalysis.fingerprints(t(s, dir, "documents"))),
+    // Token-count histogram (log2 buckets).
+    "t05_token_histogram" -> ((s, dir) =>
+      TextAnalysis.tokenHistogram(t(s, dir, "documents"))),
     // Binary payload metadata (multimodal plumbing).
     "m01_binary_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(t(s, dir, "documents"))),
@@ -507,6 +513,34 @@ object SparkEntry {
          |$bits AS simhash
          |FROM hs""".stripMargin
     },
+    "d09_simhash_pairs" -> {
+      val bits = (0 until 16).map(b =>
+        s"""(CASE WHEN list_sum([CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END
+           |   FOR h IN hs]) > 0 THEN (1::BIGINT << $b) ELSE 0 END)""".stripMargin)
+        .mkString("\n + ")
+      s"""WITH hs AS (SELECT doc_id,
+         |  [${h60("x")} FOR x IN string_split(text, ' ')] AS hs
+         | FROM documents),
+         |sh AS (SELECT doc_id,
+         |$bits AS simhash
+         |FROM hs),
+         |banded AS (SELECT doc_id, simhash,
+         |  unnest(['hi:' || (simhash >> 8)::VARCHAR,
+         |          'lo:' || (simhash & 255)::VARCHAR]) AS bk FROM sh)
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM banded a JOIN banded b
+         | ON a.bk = b.bk AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+    },
+    "t05_token_histogram" ->
+      """WITH t AS (SELECT len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents)
+        |SELECT CAST(floor(log2(n_tokens)) AS BIGINT) AS bucket,
+        | count(*) AS n_docs, min(n_tokens) AS min_tokens,
+        | max(n_tokens) AS max_tokens,
+        | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM t GROUP BY 1""".stripMargin,
     "d05_ngram_jaccard" ->
       s"""WITH d AS (SELECT doc_id, source,
          |  list_distinct([${h60("x")} % ${graft.functions.Canon.MersenneP}

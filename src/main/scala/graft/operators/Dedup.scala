@@ -121,6 +121,30 @@ object Dedup {
     hashed.select(col("doc_id"), sh.as("simhash"))
   }
 
+  /** SimHash near-dup pairs: candidates blocked on either byte of the
+    * 16-bit sketch (pigeonhole: hamming ≤ 1 always collides on one
+    * byte; higher distances probabilistically — the standard banded
+    * trade-off, documented recall < 1), then verified EXACTLY with
+    * bit_count(xor) ≤ `maxHamming`. At 64 bits production uses 4-5
+    * bands the same way; the plan shape (band explode → equi-join →
+    * cheap exact verify) is identical.
+    */
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(documents)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      explode(array(
+        concat(lit("hi:"), shiftrightunsigned(col("simhash"), 8)),
+        concat(lit("lo:"), col("simhash").bitwiseAND(lit(255L))))).as("bk"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** N-gram (word-set) Jaccard verification over source-blocked
     * candidate pairs: J = |A∩B| / |A∪B| on distinct word sets, kept
     * when >= `threshold`. In the full pipeline the blocking key is the

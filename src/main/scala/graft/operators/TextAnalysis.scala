@@ -89,6 +89,22 @@ object TextAnalysis {
         .as("subword_est"))
   }
 
+  /** Token-count histogram (training-budget accounting): docs bucketed
+    * by floor(log2(n_tokens)) with per-bucket stats — the corpus-size
+    * view a data-mixing plan reads. Exact integer math, so it oracle-
+    * compares (percentile sketches would not).
+    */
+  def tokenHistogram(documents: DataFrame): DataFrame =
+    documents
+      .select(size(Canon.words(col("text"))).as("n_tokens"))
+      .withColumn("bucket",
+        floor(log2(col("n_tokens"))).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(col("n_tokens")).cast("long").as("sum_tokens"))
+
   /** Document fingerprinting: canonical md5 over the normalized token
     * stream plus an order-sensitive polynomial rolling hash (two docs
     * with the same word multiset but different order get the same md5
