@@ -130,7 +130,9 @@ object Dedup {
     * cheap exact verify) is identical.
     */
   def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(documents)
+    // materialize the sketch once — the banded self-join would
+    // otherwise evaluate the 16 per-bit folds on BOTH sides
+    val sh = simhash(documents).localCheckpoint()
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array(
         concat(lit("hi:"), shiftrightunsigned(col("simhash"), 8)),
