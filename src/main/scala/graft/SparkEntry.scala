@@ -496,7 +496,7 @@ object SparkEntry {
         s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
       minhashCte +
         s""", banded AS (SELECT doc_id,
-           | unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig)
+           | unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig WHERE m0 IS NOT NULL)
            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |FROM banded a JOIN banded b
            | ON a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
@@ -573,7 +573,7 @@ object SparkEntry {
          |$sigs
          | FROM hb),
          |banded AS (SELECT doc_id,
-         |  unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig),
+         |  unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig WHERE m0 IS NOT NULL),
          |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM banded a JOIN banded b
          |  ON a.bk = b.bk AND a.doc_id < b.doc_id),
@@ -598,7 +598,7 @@ object SparkEntry {
         s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
       minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
         s""", banded AS (SELECT doc_id,
-           |  unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig),
+           |  unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig WHERE m0 IS NOT NULL),
            |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM banded a JOIN banded b
            |  ON a.bk = b.bk AND a.doc_id < b.doc_id),
@@ -617,7 +617,7 @@ object SparkEntry {
         s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
       minhashCte +
         s""", banded AS (SELECT doc_id,
-           |  unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig),
+           |  unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig WHERE m0 IS NOT NULL),
            |near AS (SELECT doc_id, count(*) AS n_near FROM (
            |  SELECT DISTINCT a.doc_id, c.doc_id AS corpus_doc
            |  FROM banded a JOIN banded c ON a.bk = c.bk

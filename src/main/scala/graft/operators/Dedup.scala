@@ -81,8 +81,11 @@ object Dedup {
     val bandKeys = (0 until 4).map { j =>
       md5(concat_ws("|", lit(j), col(s"m${2 * j}"), col(s"m${2 * j + 1}")))
     }
-    val banded = sig.select(col("doc_id"),
-      explode(array(bandKeys: _*)).as("bk"))
+    // Docs shorter than the shingle width have an all-null signature;
+    // concat_ws skips nulls, so without this guard every such doc
+    // would share one degenerate band key and pair with all others.
+    val banded = sig.filter(col("m0").isNotNull)
+      .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
     val buckets = banded
       .groupBy(col("bk"))
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
@@ -236,7 +239,8 @@ object Dedup {
       val bandKeys = (0 until 4).map { j =>
         md5(concat_ws("|", lit(j), col(s"m${2 * j}"), col(s"m${2 * j + 1}")))
       }
-      sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      sig.filter(col("m0").isNotNull) // see lshCandidatePairs guard
+        .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
     }
     val batchKeys = batch.select(col("doc_id"), md5(col("text")).as("k"))
     val corpusKeys = corpus.select(md5(col("text")).as("k"))

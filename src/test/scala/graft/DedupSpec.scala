@@ -36,6 +36,17 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  test("docs shorter than the shingle width never become LSH candidates") {
+    val short = Seq(
+      (10L, "one two", "s0"), (11L, "three four", "s0"), // < 3 words
+      (12L, "a b c d e f", "s0"), (13L, "a b c d e f", "s0")
+    ).toDF("doc_id", "text", "source")
+    val pairs = Dedup.lshCandidatePairs(Dedup.minhashSignature(short))
+      .as[(Long, Long)].collect().toSet
+    // the two short docs must NOT pair via the degenerate null band
+    assert(pairs === Set((12L, 13L)))
+  }
+
   test("simhash: identical texts equal, hamming distance small for near-dups") {
     val sh = Dedup.simhash(docs).orderBy("doc_id").as[(Long, Long)]
       .collect().map(_._2)
