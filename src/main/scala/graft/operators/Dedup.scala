@@ -29,6 +29,16 @@ import graft.functions.Canon
   */
 object Dedup {
 
+  /** The band keys an all-null signature produces (concat_ws SKIPS
+    * null elements, separator included only between retained ones →
+    * md5 of just the band index): constants used to drop short-doc
+    * degenerate bands post-explode.
+    */
+  private val degenerateBandKeys: Seq[String] = (0 until 4).map { j =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** Exact dedup by full-content md5 key (§2.12 "exact"): one row per
     * distinct text with its first doc_id and duplicate count —
     * insert-ignore semantics with a deterministic survivor.
@@ -82,10 +92,16 @@ object Dedup {
       md5(concat_ws("|", lit(j), col(s"m${2 * j}"), col(s"m${2 * j + 1}")))
     }
     // Docs shorter than the shingle width have an all-null signature;
-    // concat_ws skips nulls, so without this guard every such doc
-    // would share one degenerate band key and pair with all others.
-    val banded = sig.filter(col("m0").isNotNull)
+    // concat_ws skips nulls, so without a guard every such doc would
+    // share one degenerate band key and pair with all others. The
+    // guard filters the four CONSTANT degenerate keys on the exploded
+    // bk attribute — NOT `m0 IS NOT NULL` on sig: predicate pushdown
+    // would substitute m0's defining expression below the projection
+    // and re-inline the md5 array per reference (measured 25× on the
+    // whole LSH family).
+    val banded = sig
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      .filter(!col("bk").isin(degenerateBandKeys: _*))
     val buckets = banded
       .groupBy(col("bk"))
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
@@ -239,8 +255,8 @@ object Dedup {
       val bandKeys = (0 until 4).map { j =>
         md5(concat_ws("|", lit(j), col(s"m${2 * j}"), col(s"m${2 * j + 1}")))
       }
-      sig.filter(col("m0").isNotNull) // see lshCandidatePairs guard
-        .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+      sig.select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
+        .filter(!col("bk").isin(degenerateBandKeys: _*))
     }
     val batchKeys = batch.select(col("doc_id"), md5(col("text")).as("k"))
     val corpusKeys = corpus.select(md5(col("text")).as("k"))
