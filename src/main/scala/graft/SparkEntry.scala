@@ -308,6 +308,22 @@ object SparkEntry {
   private val pairDot: String =
     foldSum("[a.v[i] * b.v[i] FOR i IN range(1, len(a.v)+1)]")
 
+  /** DuckDB: the 64-bit simhash as generated per-bit folds — the
+    * definitional cross-check of the native SimHashBits kernel.
+    * Bit-63's power-of-two is Long.MinValue, spelled without a bare
+    * out-of-range literal (never set in practice: hash60 < 2^60).
+    */
+  private val simhash64Sql: String = {
+    def bitLit(b: Int): String = {
+      val v = 1L << b
+      if (v > 0) s"$v" else "(-9223372036854775807 - 1)"
+    }
+    (0 until 64).map(b =>
+      s"""(CASE WHEN list_sum([CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END
+         |   FOR h IN hs]) > 0 THEN ${bitLit(b)} ELSE 0 END)""".stripMargin)
+      .mkString("\n + ")
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
@@ -501,32 +517,24 @@ object SparkEntry {
            |FROM banded a JOIN banded b
            | ON a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
     },
-    "d04_simhash" -> {
-      val bits = (0 until 16).map(b =>
-        s"""(CASE WHEN list_sum([CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END
-           |   FOR h IN hs]) > 0 THEN (1::BIGINT << $b) ELSE 0 END)""".stripMargin)
-        .mkString("\n + ")
+    "d04_simhash" ->
       s"""WITH hs AS (SELECT doc_id,
          |  [${h60("x")} FOR x IN string_split(text, ' ')] AS hs
          | FROM documents)
          |SELECT doc_id,
-         |$bits AS simhash
-         |FROM hs""".stripMargin
-    },
+         |$simhash64Sql AS simhash
+         |FROM hs""".stripMargin,
     "d09_simhash_pairs" -> {
-      val bits = (0 until 16).map(b =>
-        s"""(CASE WHEN list_sum([CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END
-           |   FOR h IN hs]) > 0 THEN (1::BIGINT << $b) ELSE 0 END)""".stripMargin)
-        .mkString("\n + ")
+      val bands = (0 until 4).map(i =>
+        s"'b$i:' || ((simhash >> ${16 * i}) & 65535)::VARCHAR")
       s"""WITH hs AS (SELECT doc_id,
          |  [${h60("x")} FOR x IN string_split(text, ' ')] AS hs
          | FROM documents),
          |sh AS (SELECT doc_id,
-         |$bits AS simhash
+         |$simhash64Sql AS simhash
          |FROM hs),
          |banded AS (SELECT doc_id, simhash,
-         |  unnest(['hi:' || (simhash >> 8)::VARCHAR,
-         |          'lo:' || (simhash & 255)::VARCHAR]) AS bk FROM sh)
+         |  unnest([${bands.mkString(",\n   ")}]) AS bk FROM sh)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM banded a JOIN banded b

@@ -112,6 +112,12 @@ object Canon {
         org.apache.spark.sql.GraftSqlBridge.expression(a),
         org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
+  /** SimHash of a token-hash array in one native traversal. */
+  def simhashBits(hashes: Column, bits: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.SimHashBits(
+        org.apache.spark.sql.GraftSqlBridge.expression(hashes), bits))
+
   /** Float32 embedding column widened to array<double> (exact). */
   def asDouble(emb: Column): Column = emb.cast("array<double>")
 

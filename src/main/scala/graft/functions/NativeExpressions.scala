@@ -86,6 +86,78 @@ case class DotProductDbl(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** SimHash over an array<long> of token hashes: bit b of the result
+  * is the sign of Σ_tokens (±1 by bit b of the token hash). One
+  * traversal with `bits` counters — the HOF formulation needs `bits`
+  * separate interpreted folds over the array. Semantics identical to
+  * the generated per-bit `aggregate(...)` chain for non-null element
+  * arrays (elements are md5-derived, never null); a null ARRAY yields
+  * null.
+  */
+case class SimHashBits(child: Expression, bits: Int)
+  extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val cnt = new Array[Int](bits)
+    var i = 0
+    while (i < n) {
+      val h = xs.getLong(i)
+      var b = 0
+      while (b < bits) {
+        cnt(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) {
+      if (cnt(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val b = ctx.freshName("b"); val h = ctx.freshName("h")
+      val cnt = ctx.freshName("cnt"); val out = ctx.freshName("out")
+      s"""
+         |final int $n = $a.numElements();
+         |final int[] $cnt = new int[$bits];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    $cnt[$b] += ((($h >>> $b) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $b = 0; $b < $bits; $b++) {
+         |  if ($cnt[$b] > 0) $out |= (1L << $b);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SimHashBits = copy(child = newChild)
+}
+
 /** Intersection cardinality of two SORTED array<long> columns (e.g.
   * sort_array(array_distinct(...)) token-hash sets): a two-pointer
   * merge — O(n+m) with zero allocation, vs array_intersect's per-call

@@ -118,44 +118,37 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash (16-bit here; 64 in production — the per-bit expression is
-    * generated, so the width is a constant choice): bit b is the sign
-    * of Σ_tokens (±1 by bit b of the token hash). Row-local, no
-    * shuffle; near-dups then group by simhash value or by
-    * hamming-neighborhood probes.
+  /** SimHash (64-bit): bit b is the sign of Σ_tokens (±1 by bit b of
+    * the token hash). Row-local, no shuffle. Computed by the native
+    * SimHashBits kernel — one traversal of the hash array with 64
+    * counters; the equivalent built-in formulation is 64 separate
+    * interpreted `aggregate` folds (HOFs are CodegenFallback), which
+    * the oracle uses to cross-check the exact same definition.
     */
-  def simhash(documents: DataFrame, bits: Int = 16): DataFrame = {
-    // hs gets its own projection: the per-bit folds below reference it
-    // `bits` times, and an inlined md5-array expression would be
-    // recomputed per reference (see minhashSignature).
+  def simhash(documents: DataFrame, bits: Int = 64): DataFrame = {
     val hashed = documents.select(col("doc_id"),
       transform(Canon.words(col("text")), x => Canon.hash60(x)).as("hs"))
-    val sh = (0 until bits).map { b =>
-      when(
-        aggregate(col("hs"), lit(0L), (acc, h) =>
-          acc + when(shiftrightunsigned(h, b).bitwiseAND(lit(1L)) === 1L,
-            lit(1L)).otherwise(lit(-1L))) > 0,
-        shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    hashed.select(col("doc_id"), sh.as("simhash"))
+    hashed.select(col("doc_id"),
+      Canon.simhashBits(col("hs"), bits).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: candidates blocked on either byte of the
-    * 16-bit sketch (pigeonhole: hamming ≤ 1 always collides on one
-    * byte; higher distances probabilistically — the standard banded
-    * trade-off, documented recall < 1), then verified EXACTLY with
-    * bit_count(xor) ≤ `maxHamming`. At 64 bits production uses 4-5
-    * bands the same way; the plan shape (band explode → equi-join →
-    * cheap exact verify) is identical.
+  /** SimHash near-dup pairs: candidates blocked on the four 16-bit
+    * chunks of the 64-bit sketch — by pigeonhole, any pair with
+    * hamming ≤ 3 matches EXACTLY on at least one chunk (4 bands, 3
+    * flipped bits), so recall at the default threshold is 1.0 — then
+    * verified exactly with bit_count(xor) ≤ `maxHamming`.
     */
   def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
     // materialize the sketch once — the banded self-join would
-    // otherwise evaluate the 16 per-bit folds on BOTH sides
+    // otherwise evaluate the sketch on BOTH sides
     val sh = simhash(documents).localCheckpoint()
+    val bandCols = (0 until 4).map { i =>
+      concat(lit(s"b$i:"),
+        shiftrightunsigned(col("simhash"), 16 * i)
+          .bitwiseAND(lit(0xFFFFL)))
+    }
     val banded = sh.select(col("doc_id"), col("simhash"),
-      explode(array(
-        concat(lit("hi:"), shiftrightunsigned(col("simhash"), 8)),
-        concat(lit("lo:"), col("simhash").bitwiseAND(lit(255L))))).as("bk"))
+      explode(array(bandCols: _*)).as("bk"))
     banded.as("a")
       .join(banded.as("b"),
         col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))

@@ -51,9 +51,12 @@ class DedupSpec extends SparkSpec {
     val sh = Dedup.simhash(docs).orderBy("doc_id").as[(Long, Long)]
       .collect().map(_._2)
     assert(sh(0) === sh(1))
-    val hamming = java.lang.Long.bitCount(sh(0) ^ sh(2))
-    assert(hamming <= 6, s"near-dup hamming=$hamming")
-    assert(sh(0) >= 0 && sh(0) < (1L << 16))
+    val near = java.lang.Long.bitCount(sh(0) ^ sh(2))
+    val far = java.lang.Long.bitCount(sh(0) ^ sh(3))
+    assert(near <= 24, s"near-dup hamming=$near of 64")
+    assert(near < far, s"near ($near) should beat unrelated ($far)")
+    // hash60 < 2^60, so bits 60-63 are never set
+    assert(sh.forall(v => v >= 0 && v < (1L << 60)))
   }
 
   test("ngramJaccardPairs computes |A∩B|/|A∪B| within source blocks") {
