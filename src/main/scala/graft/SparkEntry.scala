@@ -99,6 +99,9 @@ object SparkEntry {
     "q22_returned_items" -> ((s, dir) =>
       Relational.returnedItemReport(t(s, dir, "customer"),
         t(s, dir, "orders"), t(s, dir, "lineitem"), t(s, dir, "nation"))),
+    // Correlated-subquery shape, decorrelated, exact-decimal compare.
+    "q23_above_nation_avg" -> ((s, dir) =>
+      Relational.aboveNationAverage(t(s, dir, "customer"))),
 
     // --- Graph-ETL parity surface (SURVEY §2.1/§2.9/§2.10) ---
     // P2/F1/F5: payment-edge construction with content-hash _key.
@@ -140,6 +143,10 @@ object SparkEntry {
     // §2.5: latest edge per vertex pair.
     "g08_latest_edge" -> ((s, dir) =>
       GraphEtl.latestEdgePerPair(
+        GraphEtl.paymentEdges(t(s, dir, "orders"), t(s, dir, "lineitem")))),
+    // Graph summary: degree distribution of the edge collection.
+    "g09_degree_dist" -> ((s, dir) =>
+      GraphEtl.degreeDistribution(
         GraphEtl.paymentEdges(t(s, dir, "orders"), t(s, dir, "lineitem")))),
 
     // --- LLM-pipeline extension surface (SURVEY §2.12) ---
@@ -204,6 +211,9 @@ object SparkEntry {
     // Token-count histogram (log2 buckets).
     "t05_token_histogram" -> ((s, dir) =>
       TextAnalysis.tokenHistogram(t(s, dir, "documents"))),
+    // Vocabulary frequency + deterministic Zipf rank.
+    "t06_vocabulary" -> ((s, dir) =>
+      TextAnalysis.vocabulary(t(s, dir, "documents"))),
     // Binary payload metadata (multimodal plumbing).
     "m01_binary_meta" -> ((s, dir) =>
       Multimodal.binaryMeta(t(s, dir, "documents"))),
@@ -601,6 +611,29 @@ object SparkEntry {
          | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM fin GROUP BY lang""".stripMargin
     },
+    "q23_above_nation_avg" ->
+      """SELECT c_custkey, c_name, c_nationkey
+        |FROM customer
+        |JOIN (SELECT c_nationkey AS nk,
+        |   sum(CAST(c_acctbal AS DECIMAL(18,2))) AS total,
+        |   count(*) AS n
+        |  FROM customer GROUP BY 1) ON c_nationkey = nk
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > total""".stripMargin,
+    "g09_degree_dist" ->
+      (edgesCte +
+        """SELECT 'out' AS direction, degree, count(*) AS n_vertices
+          |FROM (SELECT _from, count(*) AS degree FROM edges GROUP BY 1)
+          |GROUP BY degree
+          |UNION ALL
+          |SELECT 'in' AS direction, degree, count(*) AS n_vertices
+          |FROM (SELECT _to, count(*) AS degree FROM edges GROUP BY 1)
+          |GROUP BY degree""".stripMargin),
+    "t06_vocabulary" ->
+      """SELECT word, count(*) AS n,
+        | row_number() OVER (ORDER BY count(*) DESC, word ASC) AS "rank"
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |  FROM documents)
+        |GROUP BY word""".stripMargin,
     "d08_dup_clusters" -> {
       val bands = (0 until 4).map(j =>
         s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")

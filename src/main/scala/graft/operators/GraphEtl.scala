@@ -132,6 +132,21 @@ object GraphEtl {
       .agg(count(lit(1)).as("n_edges"),
         Relational.moneyOut(sum(col("amount"))).as("sum_amount"))
 
+  /** Degree distribution of the edge collection (graph summary over
+    * the materialized adjacency, §2.4 extension): per direction, how
+    * many vertices have each degree. Two aggregations per direction —
+    * both map-side combinable.
+    */
+  def degreeDistribution(edges: DataFrame): DataFrame = {
+    def side(endpoint: String, direction: String): DataFrame =
+      edges.groupBy(col(endpoint)).agg(count(lit(1)).as("degree"))
+        .groupBy(col("degree"))
+        .agg(count(lit(1)).as("n_vertices"))
+        .select(lit(direction).as("direction"), col("degree"),
+          col("n_vertices"))
+    side("_from", "out").union(side("_to", "in"))
+  }
+
   /** Latest edge per vertex pair (§2.5 analytics): keep the most
     * recent edge per (_from,_to).
     *

@@ -255,6 +255,22 @@ object Relational {
       .orderBy(col("revenue").desc, col("c_custkey").asc)
       .limit(k)
 
+  /** Correlated-subquery shape ("customers above their nation's
+    * average balance") in its decorrelated join form — exactly what
+    * Catalyst rewrites the subquery into. The comparison is
+    * rearranged to `bal · n > Σ bal` so it stays in exact decimal
+    * arithmetic (an AVG of doubles would be partition-order
+    * dependent and could never hash-match an oracle).
+    */
+  def aboveNationAverage(customer: DataFrame): DataFrame = {
+    val perNation = customer.groupBy(col("c_nationkey").as("nk"))
+      .agg(sum(money(col("c_acctbal"))).as("total"),
+        count(lit(1)).as("n"))
+    customer.join(broadcast(perNation), col("c_nationkey") === col("nk"))
+      .filter(money(col("c_acctbal")) * col("n") > col("total"))
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+  }
+
   /** Sketch-based distinct (HLL++): the 100 TB form of A3 — exact
     * distinct shuffles every distinct key; the sketch shuffles a
     * fixed-size buffer per group per partition. NO-ORACLE (estimates

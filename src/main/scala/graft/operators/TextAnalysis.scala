@@ -105,6 +105,20 @@ object TextAnalysis {
         max(col("n_tokens")).as("max_tokens"),
         sum(col("n_tokens")).cast("long").as("sum_tokens"))
 
+  /** Vocabulary frequency table with deterministic rank (count desc,
+    * word asc) — the Zipf view used for tokenizer/vocab decisions.
+    * One explode + one aggregate; the rank window is over the tiny
+    * aggregated vocabulary, not the corpus.
+    */
+  def vocabulary(documents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("word").asc)
+    documents
+      .select(explode(Canon.words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("rank", row_number().over(w))
+  }
+
   /** Document fingerprinting: canonical md5 over the normalized token
     * stream plus an order-sensitive polynomial rolling hash (two docs
     * with the same word multiset but different order get the same md5
