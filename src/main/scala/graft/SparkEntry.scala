@@ -175,6 +175,9 @@ object SparkEntry {
     // Capstone: the §2.12 operators composed end to end.
     "p01_corpus_pipeline" -> ((s, dir) =>
       Pipeline.corpusPipeline(t(s, dir, "documents"))),
+    // Reproducible content-hash train/val/test split.
+    "p02_hash_split" -> ((s, dir) =>
+      Pipeline.hashSplit(t(s, dir, "documents"))),
     // Duplicate clusters: connected components over LSH candidates.
     "d08_dup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(Dedup.lshCandidatePairs(
@@ -611,6 +614,14 @@ object SparkEntry {
          | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM fin GROUP BY lang""".stripMargin
     },
+    "p02_hash_split" ->
+      s"""WITH b AS (SELECT lang,
+         |  ${h60("md5(text)")} % 100 AS bucket FROM documents)
+         |SELECT lang,
+         | CASE WHEN bucket < 96 THEN 'train'
+         |      WHEN bucket < 98 THEN 'val' ELSE 'test' END AS split,
+         | count(*) AS n_docs
+         |FROM b GROUP BY 1, 2""".stripMargin,
     "q23_above_nation_avg" ->
       """SELECT c_custkey, c_name, c_nationkey
         |FROM customer

@@ -20,6 +20,23 @@ import graft.functions.Canon
   */
 object Pipeline {
 
+  /** Reproducible train/val/test assignment by CONTENT HASH — not
+    * rand(): the same document lands in the same split on any
+    * cluster, any partitioning, any rerun (and survives re-ingestion,
+    * since the key is content-derived). 96/2/2 via hash mod 100.
+    * Returns per-(lang, split) counts — the mixture table a training
+    * job consumes.
+    */
+  def hashSplit(documents: DataFrame): DataFrame = {
+    val bucket = Canon.hash60(md5(col("text"))) % 100
+    documents
+      .withColumn("split",
+        when(bucket < 96, "train").when(bucket < 98, "val")
+          .otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   def corpusPipeline(documents: DataFrame,
                      minTokens: Int = 30): DataFrame = {
     val q = documents
