@@ -43,6 +43,30 @@ class FollowerSpec extends SparkSpec {
     assert(f.cursor() === 399L)
   }
 
+  test("T4: bounded retry succeeds late, then skips on exhaustion") {
+    import graft.sources.RetryPolicy.withRetries
+    var slept = 0L
+    val sleeper = (ms: Long) => slept += ms
+    // succeeds on the 3rd attempt (2 retries)
+    var calls = 0
+    val (got, tries) = withRetries(maxRetries = 50, sleepMs = 10, sleeper) {
+      () => { calls += 1; if (calls >= 3) Some("block") else None }
+    }
+    assert(got === Some("block") && tries === 3 && slept === 20L)
+    // exhausts and skips (reference: cursor advances anyway)
+    val (none, used) = withRetries(maxRetries = 5, sleepMs = 10, sleeper) {
+      () => None
+    }
+    assert(none.isEmpty && used === 6)
+  }
+
+  test("fixture TxnSource serves cursor ranges through the seam") {
+    val src = new graft.sources.FixtureTxnSource
+    val batch = src.fetchRange(spark, 99L, 101L).get
+    assert(batch.count() === 5) // blocks 100-101 of the fixtures
+    assert(src.fetchRange(spark, 102L, 200L).get.count() === 0)
+  }
+
   test("T6: inventory refresh triggers on cursor lag; missing bootstrap refreshes") {
     import graft.streaming.Follower.shouldRefreshInventory
     assert(!shouldRefreshInventory(1000L, Some(800L)))  // lag 200 <= 500
