@@ -15,6 +15,11 @@ run / fork := true
 // Bench's one-line JSON from stdout, and sbt's default logger prefixes
 // every line with "[info] " (BENCH_r01.json recorded parsed:null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ...and suppress sbt's "[success] Total time: ..." epilogue: it lands
+// AFTER Bench's JSON line in the captured stdout tail and clipped the
+// JSON out of the harness's bounded window (BENCH_r02 parsed:null).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -252,11 +252,21 @@ object SparkEntry {
     "h04_account_vertices" -> ((s, _) =>
       HeliumGraph.accountVertices(
         graft.sources.HeliumFixtures.txnEnvelopes(s))),
+    // Driver-facing wiring flattens the GeoJSON point to scalar lng/lat
+    // doubles: the driver's NO-ORACLE canonicalization sorts cells via
+    // pandas, which cannot order struct (dict) values (ADVICE r2). The
+    // struct-typed `location_geo` stays in the library API
+    // (Inventory.processInventory) unchanged.
     "h05_gateway_inventory" -> ((s, _) => {
       import s.implicits._
       graft.sources.Inventory.processInventory(
         graft.sources.Inventory.readCsv(s,
           graft.sources.HeliumFixtures.inventoryCsv.toDS()))
+        .withColumn("location_lng",
+          element_at(col("location_geo.coordinates"), 1))
+        .withColumn("location_lat",
+          element_at(col("location_geo.coordinates"), 2))
+        .drop("location_geo")
     })
   )
 
@@ -320,6 +330,19 @@ object SparkEntry {
 
   private val pairDot: String =
     foldSum("[a.v[i] * b.v[i] FOR i IN range(1, len(a.v)+1)]")
+
+  /** Oracle mirror of Dedup.lshCandidatePairs' maxBucket=1000 guard
+    * (ADVICE r2): buckets larger than the cap are skipped ENTIRELY on
+    * the Spark side, so the oracle must drop them too or the two sides
+    * diverge the moment a hot band exceeds the cap at larger SF.
+    * Windowed-count subquery rather than QUALIFY for ANSI portability.
+    * (count(*) per bk == distinct docs per bucket: the band index is
+    * folded into the key, so one doc contributes ≤1 row per bk.)
+    */
+  private val cappedCte: String =
+    """capped AS (SELECT doc_id, bk FROM (
+      |  SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS bsz
+      |  FROM banded) WHERE bsz <= 1000)""".stripMargin
 
   /** DuckDB: the 64-bit simhash as generated per-bit folds — the
     * definitional cross-check of the native SimHashBits kernel.
@@ -525,9 +548,10 @@ object SparkEntry {
         s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
       minhashCte +
         s""", banded AS (SELECT doc_id,
-           | unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig WHERE m0 IS NOT NULL)
+           | unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig WHERE m0 IS NOT NULL),
+           |$cappedCte
            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |FROM banded a JOIN banded b
+           |FROM capped a JOIN capped b
            | ON a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
     },
     "d04_simhash" ->
@@ -595,8 +619,9 @@ object SparkEntry {
          | FROM hb),
          |banded AS (SELECT doc_id,
          |  unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig WHERE m0 IS NOT NULL),
+         |$cappedCte,
          |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM banded a JOIN banded b
+         |  FROM capped a JOIN capped b
          |  ON a.bk = b.bk AND a.doc_id < b.doc_id),
          |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
          |  UNION SELECT doc_b, doc_a FROM pairs),
@@ -651,8 +676,9 @@ object SparkEntry {
       minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
         s""", banded AS (SELECT doc_id,
            |  unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig WHERE m0 IS NOT NULL),
+           |$cappedCte,
            |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM banded a JOIN banded b
+           |  FROM capped a JOIN capped b
            |  ON a.bk = b.bk AND a.doc_id < b.doc_id),
            |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
            |  UNION SELECT doc_b, doc_a FROM pairs),

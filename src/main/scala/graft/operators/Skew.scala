@@ -16,10 +16,13 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Two-stage salted sum+count per key. Identical results to
-    * `df.groupBy(keys).agg(sum, count)` for any data; worth the second
-    * (tiny) shuffle only when a key is hot enough to dominate a
-    * reducer.
+  /** Two-stage salted sum+count per key. For exactly-mergeable value
+    * types (integral, decimal) the result is identical to
+    * `df.groupBy(keys).agg(sum, count)`; for float/double the two-stage
+    * sum changes IEEE accumulation order, so results can differ in the
+    * last ulp — cast the value column to decimal first when downstream
+    * does exact (hash) comparison. Worth the second (tiny) shuffle only
+    * when a key is hot enough to dominate a reducer.
     */
   def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
                      buckets: Int = 32): DataFrame = {

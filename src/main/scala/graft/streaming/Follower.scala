@@ -74,14 +74,27 @@ final class Follower(spark: SparkSession, sourceDir: String,
   /** T1/T3: process the next batch if any rows remain beyond the
     * cursor. Returns the new cursor, or None at the tip (caller polls,
     * follower.py:74-75).
+    *
+    * A sparse/gappy cursor column may leave whole windows empty while
+    * events still exist beyond them; empty aligned windows are skipped
+    * in one jump to the window containing the next event (ADVICE r2 —
+    * the earlier isEmpty probe stranded the cursor before the tip).
+    * The min-probe costs the same one scan the isEmpty probe did, and
+    * at scale it's answered from parquet min/max stats under the
+    * pushed cursor predicate.
     */
   def step(): Option[Long] = {
-    val c = cursor()
-    val batch = source()
-      .filter(col("event_id") > c && col("event_id") <= c + batchSize)
-    if (batch.isEmpty) None
+    val c0 = cursor()
+    val nxt = source().filter(col("event_id") > c0)
+      .agg(min(col("event_id"))).head()
+    if (nxt.isNullAt(0)) None           // truly at the tip
     else {
+      // window start aligned to the checkpoint grid, jumped forward
+      // past any fully-empty windows so (c, c+batchSize] is non-empty
+      val c = c0 + ((nxt.getLong(0) - c0 - 1) / batchSize) * batchSize
       val hi = c + batchSize
+      val batch = source()
+        .filter(col("event_id") > c && col("event_id") <= hi)
       // The batch id lives in the partition PATH only (hive-style);
       // overwrite of that one directory makes re-runs idempotent.
       transformBatch(batch)

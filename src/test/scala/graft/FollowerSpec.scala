@@ -67,6 +67,21 @@ class FollowerSpec extends SparkSpec {
     assert(src.fetchRange(spark, 102L, 200L).get.count() === 0)
   }
 
+  test("sparse cursor: empty windows are skipped, not stranding the follower") {
+    // source with a gap: event_id 0..99 and 800..999 (700 missing ids)
+    val base = Files.createTempDirectory("gappy").toString
+    table("events")
+      .filter("event_id < 100 OR event_id >= 800")
+      .write.parquet(s"$base/events.parquet")
+    val f = new Follower(spark, base, s"$base/sink", s"$base/cp.json",
+      batchSize = 100L)
+    assert(f.step() === Some(99L))   // (−1, 99]: the head range
+    assert(f.step() === Some(899L))  // jumps the 7 empty windows in one step
+    assert(f.step() === Some(999L))
+    assert(f.step() === None)
+    assert(f.sink().count() === 300) // every surviving event exactly once
+  }
+
   test("T6: inventory refresh triggers on cursor lag; missing bootstrap refreshes") {
     import graft.streaming.Follower.shouldRefreshInventory
     assert(!shouldRefreshInventory(1000L, Some(800L)))  // lag 200 <= 500
