@@ -102,6 +102,41 @@ object SparkEntry {
     // Correlated-subquery shape, decorrelated, exact-decimal compare.
     "q23_above_nation_avg" -> ((s, dir) =>
       Relational.aboveNationAverage(t(s, dir, "customer"))),
+    // §2.5: lag/lead offsets + date interval.
+    "q24_lag_lead" -> ((s, dir) =>
+      Relational.orderGaps(t(s, dir, "orders"))),
+    // §2.5: running-total frame (ROWS UNBOUNDED PRECEDING), exact decimal.
+    "q25_running_sum" -> ((s, dir) =>
+      Relational.runningOrderTotal(t(s, dir, "orders"))),
+    // §2.4: explicit GROUPING SETS + grouping_id.
+    "q26_grouping_sets" -> ((s, dir) =>
+      Relational.lineitemGroupingSets(t(s, dir, "lineitem"))),
+    // §2.4: pivot with declared value domain (one conditional agg pass).
+    "q27_pivot" -> ((s, dir) =>
+      Relational.lineitemPivot(t(s, dir, "lineitem"))),
+    // §2.4: order-insensitive string aggregation.
+    "q28_sorted_concat" -> ((s, dir) =>
+      Relational.priorityStatusConcat(t(s, dir, "orders"))),
+    // §2.4: exact interpolated median per group.
+    "q29_median" -> ((s, dir) =>
+      Relational.quantityMedian(t(s, dir, "lineitem"))),
+    // §2.8: three-valued-logic aggregation battery.
+    "q30_null_semantics" -> ((s, dir) =>
+      Relational.nullSemantics(t(s, dir, "orders"))),
+    // §2.3 extension: as-of (latest-before) temporal join.
+    "a01_asof_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"))
+      AsOf.asofJoin(e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"))
+    }),
+    // §2.3 extension: banded range join (1h look-back count).
+    "a02_range_join" -> ((s, dir) => {
+      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"))
+      AsOf.rangeCountJoin(e.filter(col("event_type") === "purchase"),
+        e.filter(col("event_type") === "click"), 3600000000L)
+    }),
 
     // --- Graph-ETL parity surface (SURVEY §2.1/§2.9/§2.10) ---
     // P2/F1/F5: payment-edge construction with content-hash _key.
@@ -235,6 +270,19 @@ object SparkEntry {
     "st02_sessionize" -> ((s, dir) =>
       graft.streaming.StreamingOps.sessionize(
         t(s, dir, "events"), 30L * 60 * 1000000)),
+    // Sliding event-time windows (1h window, 30m slide).
+    "st03_sliding_window" -> ((s, dir) =>
+      graft.streaming.StreamingOps.slidingWindowStats(
+        t(s, dir, "events"), "1 hour", "30 minutes")),
+    // Deterministic content-hash stratified sampling.
+    "p03_stratified_sample" -> ((s, dir) =>
+      Pipeline.stratifiedSample(t(s, dir, "documents"))),
+    // Document-frequency / IDF corpus statistics.
+    "t07_docfreq" -> ((s, dir) =>
+      TextAnalysis.docFreq(t(s, dir, "documents"))),
+    // ViT-style patch-grid fan-out over decoded frames.
+    "m04_patchify" -> ((s, dir) =>
+      Multimodal.patchify(Multimodal.decodeMeta(t(s, dir, "documents")))),
 
     // --- Reference-domain parity slice (SURVEY §7.2 B/C; NO-ORACLE:
     // inputs are the in-code Helium JSON fixtures, not the sf tables,

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators the reference lacks entirely (SURVEY.md
+  * §2.3: "No theta/range/as-of joins exist in the reference") — the
+  * two shapes every event-stream analytics layer needs.
+  *
+  * Both are expressed so the only shuffle is on the blocking key
+  * (user), never a cross product:
+  *
+  *   - As-of: the classic distributed formulation — union both sides,
+  *     one partition-sort per user, carry the last right-side row
+  *     forward with last_value(ignoreNulls). Equivalent to a merge
+  *     as-of join; cost = one shuffle + per-partition sort, same as
+  *     any single window function.
+  *   - Range: banded (bucketized) form — the probe side joins only
+  *     against the fixed number of time buckets its window can span,
+  *     then the exact range predicate filters in-bucket. Join fan-out
+  *     is bounded by (window / bucket + 1) per row, independent of
+  *     data volume; a raw non-equi range join would be a
+  *     BroadcastNestedLoop at any scale.
+  */
+object AsOf {
+
+  /** For each `left` event, the most recent `right` event of the same
+    * user strictly before it in (ts_us, event_id) order. Inputs are
+    * event subsets carrying (event_id, user_id, ts_us). Output: every
+    * left row + asof_event_id/asof_ts_us of the matched right row
+    * (NULL when no right row precedes it).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.select(col("event_id"), col("user_id"), col("ts_us"),
+      lit(1).as("_side"))
+    val r = right.select(col("event_id"), col("user_id"), col("ts_us"),
+      lit(0).as("_side"))
+    // Global order (ts_us, event_id) is total (ids unique), so "right
+    // rows preceding this left row" is exactly the frame content; the
+    // right row's own columns are NULL on left rows and vice versa.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("_r_id", when(col("_side") === 0, col("event_id")))
+      .withColumn("_r_ts", when(col("_side") === 0, col("ts_us")))
+      .withColumn("asof_event_id",
+        last(col("_r_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts_us",
+        last(col("_r_ts"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_event_id"), col("asof_ts_us"),
+        (col("ts_us") - col("asof_ts_us")).as("asof_gap_us"))
+  }
+
+  /** Range-count join: for each `probe` event, how many `build` events
+    * of the same user fall in the half-open window
+    * [probe.ts_us − windowUs, probe.ts_us). Banded: both sides key on
+    * (user, time bucket of width windowUs); each probe row checks its
+    * own bucket and the previous one — the only two a windowUs-wide
+    * look-back can intersect.
+    */
+  def rangeCountJoin(probe: DataFrame, build: DataFrame,
+                     windowUs: Long): DataFrame = {
+    val b = build.select(col("user_id"),
+      col("ts_us").as("b_ts"),
+      floor(col("ts_us") / windowUs).as("bucket"))
+    val p = probe.select(col("event_id"), col("user_id"), col("ts_us"),
+      explode(array(floor(col("ts_us") / windowUs),
+        floor(col("ts_us") / windowUs) - 1)).as("bucket"))
+    val matched = p.join(b, Seq("user_id", "bucket"))
+      .filter(col("b_ts") >= col("ts_us") - windowUs &&
+        col("b_ts") < col("ts_us"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_in_window"))
+    probe.select(col("event_id"), col("user_id"), col("ts_us"))
+      .join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        coalesce(col("n_in_window"), lit(0L)).as("n_in_window"))
+  }
+}

@@ -79,6 +79,31 @@ object Multimodal {
       explode(sequence(lit(0L), col("n_frames") - 1, lit(step.toLong)))
         .as("frame_idx"))
 
+  /** Patch-grid fan-out (ViT-style preprocessing): one row per
+    * `patch`×`patch` tile of each decoded frame-0 image, with the
+    * tile's pixel origin. Two nested row-local generates — the fan-out
+    * is bounded by (width/patch)·(height/patch) per doc, and the
+    * downstream feature extractor consumes it per-partition exactly
+    * like decodeMeta. Tiles that don't fully fit are dropped (floor),
+    * the common ViT convention.
+    */
+  def patchify(decoded: DataFrame, patch: Int = 32): DataFrame = {
+    // Integer tile counts; the pre-filter also keeps sequence() away
+    // from a negative upper bound (where it would generate a
+    // DESCENDING range, not an empty one).
+    def tiles(c: org.apache.spark.sql.Column) =
+      floor(c / patch).cast("long")
+    decoded
+      .filter(col("width") >= patch && col("height") >= patch)
+      .select(col("doc_id"), col("width"), col("height"),
+        explode(sequence(lit(0L), tiles(col("width")) - 1)).as("patch_x"))
+      .select(col("doc_id"), col("height"), col("patch_x"),
+        explode(sequence(lit(0L), tiles(col("height")) - 1)).as("patch_y"))
+      .select(col("doc_id"), col("patch_x"), col("patch_y"),
+        (col("patch_x") * patch).as("x0"),
+        (col("patch_y") * patch).as("y0"))
+  }
+
   /** Per-partition batched decode of the payload column through a
     * `MediaDecoder` (default: the deterministic stub).
     */

@@ -37,6 +37,25 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"))
   }
 
+  /** Deterministic stratified sampling: per-language keep rates
+    * applied by CONTENT-HASH bucket (same invariances as hashSplit —
+    * partition-independent, rerun-stable, survives re-ingestion).
+    * The standard data-mixture move: downweight the dominant language
+    * without a rand() in sight. `rates` maps lang → percent kept;
+    * unlisted languages keep everything. Row-local filter, no shuffle.
+    */
+  def stratifiedSample(documents: DataFrame,
+                       rates: Map[String, Int] = Map("en" -> 50))
+      : DataFrame = {
+    val bucket = Canon.hash60(md5(concat(lit("sample|"), col("text")))) % 100
+    val keepPct = rates.foldLeft(lit(100)) { case (acc, (lang, pct)) =>
+      when(col("lang") === lang, lit(pct)).otherwise(acc)
+    }
+    documents
+      .filter(bucket < keepPct)
+      .select(col("doc_id"), col("lang"))
+  }
+
   def corpusPipeline(documents: DataFrame,
                      minTokens: Int = 30): DataFrame = {
     val q = documents

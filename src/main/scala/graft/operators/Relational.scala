@@ -281,4 +281,109 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), rsd).as("n_parts_approx"),
         count(lit(1)).as("n_rows"))
+
+  /** lag/lead offsets (§2.5): previous/next order per customer plus the
+    * inter-order gap in days. One shuffle on the partition key; the
+    * per-partition sort is the whole cost at any scale.
+    */
+  def orderGaps(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders.select(
+      col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"),
+      lead(col("o_orderkey"), 1).over(w).as("next_orderkey"),
+      datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+        .cast("long").as("gap_days"))
+  }
+
+  /** Running-total window frame (§2.5, ROWS UNBOUNDED PRECEDING):
+    * cumulative spend per customer in order sequence. The accumulation
+    * runs in exact DECIMAL so the running value is identical under any
+    * physical row delivery; only the output casts to double.
+    */
+  def runningOrderTotal(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      row_number().over(w).as("order_seq"),
+      moneyOut(sum(money(col("o_totalprice")))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .as("running_total"))
+  }
+
+  /** Explicit GROUPING SETS (§2.4) — the general form of rollup/cube,
+    * with grouping_id() disambiguating the all-rows stratum from a
+    * genuine NULL group. Same partial+final hash agg as a plain
+    * groupBy, expanded once map-side.
+    */
+  def lineitemGroupingSets(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        moneyOut(sum(money(col("l_quantity")))).as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+
+  /** PIVOT (§2.4): per-returnflag quantity matrix over the (closed,
+    * known) linestatus domain. The value list is EXPLICIT — at scale an
+    * implicit pivot first runs a distinct-values job and caps at
+    * spark.sql.pivotMaxValues; a declared domain is one pass and a
+    * deterministic schema. Compiles to one conditional aggregate, same
+    * as the oracle's CASE form.
+    */
+  def lineitemPivot(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(moneyOut(sum(money(col("l_quantity")))))
+      .withColumnRenamed("F", "qty_f")
+      .withColumnRenamed("O", "qty_o")
+
+  /** Ordered string aggregation: the sorted-distinct concat per group.
+    * collect_set + sort_array keeps the result independent of row
+    * delivery order (a bare string_agg would not hash-match across
+    * engines/partitionings).
+    */
+  def priorityStatusConcat(orders: DataFrame): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(concat_ws(",", sort_array(collect_set(col("o_orderstatus"))))
+        .as("statuses"),
+        count(lit(1)).as("n_orders"))
+
+  /** Exact median (interpolated percentile 0.5) per group. Exact
+    * percentiles materialize the group's values (Spark buffers them per
+    * group) — the honest tool at moderate group cardinality; at
+    * unbounded cardinality switch to approx_percentile (sketch,
+    * mergeable). f=0.5 interpolation ((a+b)/2) is IEEE-exact for the
+    * integral quantities here, so it oracle-compares bitwise.
+    */
+  def quantityMedian(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(median(col("l_quantity")).as("qty_median"),
+        min(col("l_quantity")).cast("long").as("qty_min"),
+        max(col("l_quantity")).cast("long").as("qty_max"))
+
+  /** NULL-semantics battery (§2.8): three-valued logic under
+    * aggregation. The driver tables carry no natural NULLs, so the
+    * battery derives them (nullif) and checks the count(col) /
+    * count(*) / count(DISTINCT col) / null-group contracts that any
+    * engine swap must preserve.
+    */
+  def nullSemantics(orders: DataFrame): DataFrame = {
+    val s = nullif(col("o_orderstatus"), lit("P"))
+    orders
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(s).as("n_nonnull"),
+        countDistinct(s).as("n_distinct_nonnull"),
+        count(when(s.isNull, 1)).as("n_nulled"),
+        max(coalesce(s, lit("(none)"))).as("max_coalesced"),
+        min(s).as("min_nonnull")) // min/max skip NULLs by contract
+  }
 }

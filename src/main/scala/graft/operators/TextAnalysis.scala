@@ -119,6 +119,30 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
   }
 
+  /** Document-frequency table: per term, how many documents contain it
+    * (df), total occurrences (tf), and how many languages it appears
+    * in — the corpus statistics behind IDF weighting and stopword
+    * discovery. The df path dedups words WITHIN each doc first
+    * (array_distinct, row-local) so the explode carries each
+    * (doc, term) once; `minDf` prunes the hapax tail, which at corpus
+    * scale is the overwhelming majority of the vocabulary.
+    */
+  def docFreq(documents: DataFrame, minDf: Long = 3L): DataFrame = {
+    // Two corpus-sized explodes reduce FIRST, then join vocabulary-
+    // sized aggregates — never a per-(doc,term) join.
+    val docStats = documents
+      .select(col("lang"),
+        explode(array_distinct(Canon.words(col("text")))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"), countDistinct(col("lang")).as("n_langs"))
+      .filter(col("df") >= minDf)
+    val termFreq = documents
+      .select(explode(Canon.words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("tf"))
+    docStats.join(termFreq, Seq("word"))
+      .select(col("word"), col("df"), col("tf"), col("n_langs"))
+  }
+
   /** Document fingerprinting: canonical md5 over the normalized token
     * stream plus an order-sensitive polynomial rolling hash (two docs
     * with the same word multiset but different order get the same md5

@@ -43,6 +43,23 @@ object StreamingOps {
         col("n_events"), col("n_users"))
   }
 
+  /** Sliding-window stats: each event lands in duration/slide
+    * overlapping windows (window() expands them row-locally — a
+    * generate, not a self-join), then one aggregate on the window
+    * struct. State per open window is one count — the streaming form
+    * adds a watermark exactly like tumblingWindowStream.
+    */
+  def slidingWindowStats(events: DataFrame, duration: String,
+                         slide: String): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("event_time"), duration, slide))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_events"), col("n_users"))
+
   /** Watermarked streaming variant: late data beyond `lateness` is
     * dropped and window state is reclaimed — the unbounded-state guard
     * any 100 TB/day stream needs.
