@@ -882,6 +882,133 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM f)
         |SELECT user_id, session_id, min(ts_us) AS session_start,
         | max(ts_us) AS session_end, count(*) AS n_events
-        |FROM g GROUP BY user_id, session_id""".stripMargin
+        |FROM g GROUP BY user_id, session_id""".stripMargin,
+    "q24_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | lag(o_orderkey, 1) OVER w AS prev_orderkey,
+        | lead(o_orderkey, 1) OVER w AS next_orderkey,
+        | CAST(date_diff('day', CAST(lag(o_orderdate, 1) OVER w AS DATE),
+        |   CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q25_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | row_number() OVER w AS order_seq,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q26_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""".stripMargin,
+    "q27_pivot" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CASE WHEN l_linestatus = 'F'
+        |   THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+        | CAST(sum(CASE WHEN l_linestatus = 'O'
+        |   THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q28_sorted_concat" ->
+      """SELECT o_orderpriority,
+        | array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',')
+        |   AS statuses,
+        | count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q29_median" ->
+      """SELECT l_returnflag, median(l_quantity) AS qty_median,
+        | CAST(min(l_quantity) AS BIGINT) AS qty_min,
+        | CAST(max(l_quantity) AS BIGINT) AS qty_max
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q30_null_semantics" ->
+      """WITH t AS (SELECT o_orderpriority, nullif(o_orderstatus, 'P') AS s
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_rows,
+        | count(s) AS n_nonnull,
+        | count(DISTINCT s) AS n_distinct_nonnull,
+        | count(CASE WHEN s IS NULL THEN 1 END) AS n_nulled,
+        | max(coalesce(s, '(none)')) AS max_coalesced,
+        | min(s) AS min_nonnull
+        |FROM t GROUP BY o_orderpriority""".stripMargin,
+    // Mirrors AsOf.asofJoin's union+last_value(IGNORE NULLS) form with
+    // the identical (ts_us, _side DESC, event_id) tie order, so the
+    // strictly-before semantics match row for row.
+    "a01_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  event_type FROM events),
+        |u AS (
+        | SELECT event_id, user_id, ts_us, 1 AS _side FROM e
+        |  WHERE event_type = 'click'
+        | UNION ALL
+        | SELECT event_id, user_id, ts_us, 0 AS _side FROM e
+        |  WHERE event_type = 'purchase'),
+        |f AS (SELECT *,
+        |  last_value(CASE WHEN _side = 0 THEN event_id END IGNORE NULLS)
+        |    OVER w AS asof_event_id,
+        |  last_value(CASE WHEN _side = 0 THEN ts_us END IGNORE NULLS)
+        |    OVER w AS asof_ts_us
+        | FROM u WINDOW w AS (PARTITION BY user_id
+        |   ORDER BY ts_us, _side DESC, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, ts_us, asof_event_id, asof_ts_us,
+        | ts_us - asof_ts_us AS asof_gap_us
+        |FROM f WHERE _side = 1""".stripMargin,
+    "a02_range_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  event_type FROM events),
+        |p AS (SELECT event_id, user_id, ts_us FROM e
+        |  WHERE event_type = 'purchase'),
+        |b AS (SELECT user_id, ts_us AS b_ts FROM e
+        |  WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.ts_us,
+        | CAST(count(b.b_ts) AS BIGINT) AS n_in_window
+        |FROM p LEFT JOIN b ON b.user_id = p.user_id
+        | AND b.b_ts >= p.ts_us - 3600000000 AND b.b_ts < p.ts_us
+        |GROUP BY p.event_id, p.user_id, p.ts_us""".stripMargin,
+    // Epoch-aligned sliding windows: with duration = 2×slide every
+    // event lands in exactly the two windows starting at
+    // floor(t/slide)·slide and one slide earlier — the same window
+    // set Spark's window(event_time, duration, slide) generates.
+    "st03_sliding_window" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+        |w AS (SELECT user_id,
+        |  unnest([(t // 1800000000) * 1800000000,
+        |          (t // 1800000000) * 1800000000 - 1800000000]) AS ws
+        | FROM e)
+        |SELECT make_timestamp(ws) AS window_start,
+        | make_timestamp(ws + 3600000000) AS window_end,
+        | count(*) AS n_events, count(DISTINCT user_id) AS n_users
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    "p03_stratified_sample" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+         |  ${h60("md5('sample|' || text)")} % 100 AS bucket
+         | FROM documents)
+         |SELECT doc_id, lang FROM b
+         |WHERE bucket < (CASE WHEN lang = 'en' THEN 50 ELSE 100 END)""".stripMargin,
+    "t07_docfreq" ->
+      """WITH dw AS (SELECT lang,
+        |  unnest(list_distinct(string_split(text, ' '))) AS word
+        | FROM documents),
+        |ds AS (SELECT word, count(*) AS df,
+        |  count(DISTINCT lang) AS n_langs
+        | FROM dw GROUP BY word HAVING count(*) >= 3),
+        |tf AS (SELECT word, count(*) AS tf FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        | GROUP BY word)
+        |SELECT ds.word, df, tf, n_langs FROM ds JOIN tf USING (word)""".stripMargin,
+    "m04_patchify" ->
+      s"""WITH h AS (SELECT doc_id, ${h60("text")} AS h FROM documents),
+         |meta AS (SELECT doc_id, 64 + h % 193 AS width,
+         |  64 + (h // 193) % 129 AS height FROM h),
+         |px AS (SELECT doc_id, height,
+         |  unnest(range(0, width // 32)) AS patch_x FROM meta),
+         |py AS (SELECT doc_id, patch_x,
+         |  unnest(range(0, height // 32)) AS patch_y FROM px)
+         |SELECT doc_id, patch_x, patch_y,
+         | patch_x * 32 AS x0, patch_y * 32 AS y0 FROM py""".stripMargin
   )
 }

@@ -26,21 +26,31 @@ import org.apache.spark.sql.functions._
 object AsOf {
 
   /** For each `left` event, the most recent `right` event of the same
-    * user strictly before it in (ts_us, event_id) order. Inputs are
-    * event subsets carrying (event_id, user_id, ts_us). Output: every
-    * left row + asof_event_id/asof_ts_us of the matched right row
-    * (NULL when no right row precedes it).
+    * user STRICTLY before it in event time. Inputs are event subsets
+    * carrying (event_id, user_id, ts_us). Output: every left row +
+    * asof_event_id/asof_ts_us of the matched right row (NULL when no
+    * right row precedes it).
+    *
+    * Tie semantics: a right row at the exact same ts_us as a left row
+    * is NOT a match (strictly-before). The union sort orders
+    * (ts_us, _side desc, event_id) — left rows sort before right rows
+    * at an equal timestamp, so the frame below never contains them.
+    * This keeps the result deterministic even when the two inputs have
+    * independent event-id spaces; the only requirement is that ids are
+    * unique WITHIN each input (rows of one side never tie with each
+    * other). Among multiple right rows at the same (user, ts_us), the
+    * largest event_id wins (last in frame order).
     */
   def asofJoin(left: DataFrame, right: DataFrame): DataFrame = {
     val l = left.select(col("event_id"), col("user_id"), col("ts_us"),
       lit(1).as("_side"))
     val r = right.select(col("event_id"), col("user_id"), col("ts_us"),
       lit(0).as("_side"))
-    // Global order (ts_us, event_id) is total (ids unique), so "right
-    // rows preceding this left row" is exactly the frame content; the
-    // right row's own columns are NULL on left rows and vice versa.
+    // "Right rows strictly preceding this left row" is exactly the
+    // frame content; the right row's own columns are NULL on left rows
+    // and vice versa.
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts_us"), col("event_id"))
+      .orderBy(col("ts_us"), col("_side").desc, col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r)
       .withColumn("_r_id", when(col("_side") === 0, col("event_id")))
@@ -64,12 +74,16 @@ object AsOf {
     */
   def rangeCountJoin(probe: DataFrame, build: DataFrame,
                      windowUs: Long): DataFrame = {
+    // Bucket via exact integral division (`div`), not floor(a/b):
+    // IEEE double division can round a large ts into the wrong bucket
+    // and silently drop an in-window match (ADVICE r3). ts_us is
+    // non-negative here so `div` == floor division.
+    val bucket = expr(s"ts_us div ${windowUs}L")
     val b = build.select(col("user_id"),
       col("ts_us").as("b_ts"),
-      floor(col("ts_us") / windowUs).as("bucket"))
+      bucket.as("bucket"))
     val p = probe.select(col("event_id"), col("user_id"), col("ts_us"),
-      explode(array(floor(col("ts_us") / windowUs),
-        floor(col("ts_us") / windowUs) - 1)).as("bucket"))
+      explode(array(bucket, bucket - 1)).as("bucket"))
     val matched = p.join(b, Seq("user_id", "bucket"))
       .filter(col("b_ts") >= col("ts_us") - windowUs &&
         col("b_ts") < col("ts_us"))
