@@ -69,17 +69,30 @@ object Similarity {
     * NO-ORACLE (k-means centroids are init/partitioning dependent);
     * recall vs the brute baseline is spec-asserted.
     */
-  def ivfIndex(embeddings: DataFrame, nCells: Int, seed: Long = 42L)
-      : (DataFrame, Array[Array[Double]]) = {
+  def ivfIndex(embeddings: DataFrame, nCells: Int, seed: Long = 42L,
+               trainPct: Int = 100): (DataFrame, Array[Array[Double]]) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = prepared(embeddings)
       .withColumn("features", array_to_vector(col("v")))
-    // A coarse quantizer doesn't need tight convergence: 8 Lloyd
+    // The quantizer trains on a deterministic content-hash sample
+    // (`trainPct`% of rows) — the standard IVF practice: centroid
+    // quality saturates at a modest training set, so at corpus scale
+    // training must NOT scan 100 TB per Lloyd iteration. Random init
+    // instead of kmeans||: the parallel init's extra full-data passes
+    // buy nothing for a coarse quantizer, and a fixed seed keeps the
+    // index deterministic. Assignment still covers every row.
+    val train =
+      if (trainPct >= 100) e
+      else e.filter(
+        Canon.hash60(md5(concat(lit("ivf|"), col("vec_id")))) % 100
+          < trainPct)
+    // A coarse quantizer doesn't need tight convergence: 6 Lloyd
     // iterations give stable-enough cells at a fraction of the cost.
-    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(8)
+    val model = new KMeans().setK(nCells).setSeed(seed).setMaxIter(6)
+      .setInitMode("random")
       .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(e)
+      .fit(train)
     (model.transform(e).drop("features"),
       model.clusterCenters.map(_.toArray))
   }
