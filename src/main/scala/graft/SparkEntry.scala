@@ -619,10 +619,13 @@ object SparkEntry {
          |$simhash64Sql AS simhash
          |FROM hs),
          |banded AS (SELECT doc_id, simhash,
-         |  unnest([${bands.mkString(",\n   ")}]) AS bk FROM sh)
+         |  unnest([${bands.mkString(",\n   ")}]) AS bk FROM sh),
+         |capped AS (SELECT doc_id, simhash, bk FROM (
+         |  SELECT doc_id, simhash, bk, count(*) OVER (PARTITION BY bk) AS bsz
+         |  FROM banded) WHERE bsz <= 1000)
          |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          | CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |FROM banded a JOIN banded b
+         |FROM capped a JOIN capped b
          | ON a.bk = b.bk AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
     },
@@ -634,10 +637,15 @@ object SparkEntry {
         | max(n_tokens) AS max_tokens,
         | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM t GROUP BY 1""".stripMargin,
+    // `small` mirrors ngramJaccardPairs' maxBlock=10000 guard: blocks
+    // larger than the cap are skipped entirely on the Spark side.
     "d05_ngram_jaccard" ->
-      s"""WITH d AS (SELECT doc_id, source,
+      s"""WITH d0 AS (SELECT doc_id, source,
          |  list_distinct([${h60("x")} % ${graft.functions.Canon.MersenneP}
-         |    FOR x IN string_split(text, ' ')]) AS dw FROM documents)
+         |    FOR x IN string_split(text, ' ')]) AS dw FROM documents),
+         |small AS (SELECT source FROM documents
+         |  GROUP BY source HAVING count(*) <= 10000),
+         |d AS (SELECT d0.* FROM d0 JOIN small USING (source))
          |SELECT * FROM (
          | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |  len(list_intersect(a.dw, b.dw)) /

@@ -137,11 +137,20 @@ object Dedup {
     * hamming ≤ 3 matches EXACTLY on at least one chunk (4 bands, 3
     * flipped bits), so recall at the default threshold is 1.0 — then
     * verified exactly with bit_count(xor) ≤ `maxHamming`.
+    *
+    * Same groupBy-band + in-bucket expansion shape as
+    * lshCandidatePairs, with the same `maxBucket` hot-bucket guard: a
+    * degenerate corpus slice (empty/short docs collapse to identical
+    * sketches, or a common chunk value like 0) would otherwise make
+    * one band O(n²). Oversized buckets are skipped entirely — mirrored
+    * in the d09 oracle so both sides drop them identically. As a
+    * bonus the sketch subplan is evaluated once (one shuffle of
+    * (doc_id, simhash, bk)), where the previous banded self-join
+    * computed it on both sides.
     */
-  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
-    // materialize the sketch once — the banded self-join would
-    // otherwise evaluate the sketch on BOTH sides
-    val sh = simhash(documents).localCheckpoint()
+  def simhashNearDups(documents: DataFrame, maxHamming: Int = 3,
+                      maxBucket: Int = 1000): DataFrame = {
+    val sh = simhash(documents)
     val bandCols = (0 until 4).map { i =>
       concat(lit(s"b$i:"),
         shiftrightunsigned(col("simhash"), 16 * i)
@@ -149,11 +158,21 @@ object Dedup {
     }
     val banded = sh.select(col("doc_id"), col("simhash"),
       explode(array(bandCols: _*)).as("bk"))
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    val buckets = banded
+      .groupBy(col("bk"))
+      .agg(sort_array(collect_set(struct(col("doc_id"), col("simhash"))))
+        .as("docs"))
+      .filter(size(col("docs")) >= 2 && size(col("docs")) <= maxBucket)
+    // all (i<j) pairs of the doc_id-sorted bucket: doc_a < doc_b
+    val pairs = flatten(transform(
+      sequence(lit(1), size(col("docs")) - 1),
+      i => transform(sequence(lit(0), i - 1),
+        j => struct(element_at(col("docs"), j + 1).as("a"),
+          element_at(col("docs"), i + 1).as("b")))))
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.a.doc_id").as("doc_a"), col("p.b.doc_id").as("doc_b"),
+        bit_count(col("p.a.simhash").bitwiseXOR(col("p.b.simhash")))
           .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
@@ -165,8 +184,8 @@ object Dedup {
     * LSH band (lshCandidatePairs); `source` blocking keeps this query
     * independently testable.
     */
-  def ngramJaccardPairs(documents: DataFrame,
-                        threshold: Double): DataFrame = {
+  def ngramJaccardPairs(documents: DataFrame, threshold: Double,
+                        maxBlock: Int = 10000): DataFrame = {
     // Set ops run on hashed longs, not strings: |A∩B| over int64
     // arrays is several times cheaper per pair than variable-length
     // string comparison, and the Jaccard VALUE is unchanged (md5-based
@@ -175,9 +194,22 @@ object Dedup {
     // |A∩B| is then a zero-allocation two-pointer merge (native
     // SortedIntersectCountL kernel) instead of array_intersect's
     // per-call hash set, and |A∪B| = |A|+|B|-|A∩B| is arithmetic.
-    val d = documents.select(col("doc_id"), col("source"),
+    //
+    // `maxBlock` guards the quadratic-per-block cost: a block larger
+    // than the cap is skipped entirely (its pairs belong to a tighter
+    // blocking key — LSH bands — not to an n²/2 scan). The block-size
+    // side is one tiny aggregate (|distinct sources| rows), broadcast
+    // back onto the block column; the d05 oracle mirrors the cap.
+    val raw = documents.select(col("doc_id"), col("source"),
       sort_array(array_distinct(transform(Canon.words(col("text")),
         w => Canon.hashP(w)))).as("dw"))
+    // sized from `documents`, not `raw`: column pruning reduces this
+    // branch to a source-column-only scan (no token hashing)
+    val blockSizes = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") <= maxBlock)
+      .select(col("source"))
+    val d = raw.join(broadcast(blockSizes), Seq("source"), "left_semi")
     d.as("a")
       .join(d.as("b"),
         col("a.source") === col("b.source") &&

@@ -107,16 +107,44 @@ object TextAnalysis {
 
   /** Vocabulary frequency table with deterministic rank (count desc,
     * word asc) — the Zipf view used for tokenizer/vocab decisions.
-    * One explode + one aggregate; the rank window is over the tiny
-    * aggregated vocabulary, not the corpus.
+    *
+    * The global rank is TWO-STAGE, never a partition-less window: a
+    * web-corpus vocabulary is 10⁸+ terms, and `Window.orderBy(...)`
+    * with no partition key moves the whole table onto a single task.
+    * Instead: range-repartition by the rank order (so partition i
+    * holds a contiguous rank range), rank within each partition, and
+    * offset by the sizes of earlier partitions (a P²-row triangular
+    * self-join over the tiny per-partition counts — no window, no
+    * single-partition sort anywhere). Rank ties are impossible: `word`
+    * is unique after the aggregate, so (n desc, word asc) is a total
+    * order and the result is deterministic for ANY range-boundary
+    * placement.
     */
-  def vocabulary(documents: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("word").asc)
-    documents
+  def vocabulary(documents: DataFrame, rankPartitions: Int = 32): DataFrame = {
+    // Materialized BEFORE the range partitioning: the range sampler
+    // evaluates its child once for boundary sampling and again for the
+    // real pass — without this the corpus explode+aggregate runs
+    // twice. The materialization is vocabulary-sized, never
+    // corpus-sized.
+    val v = documents
       .select(explode(Canon.words(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      .withColumn("rank", row_number().over(w))
+      .localCheckpoint()
+    val parted = v
+      .repartitionByRange(rankPartitions, col("n").desc, col("word").asc)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid"))
+      .orderBy(col("n").desc, col("word").asc)
+    val local = parted.withColumn("_r", row_number().over(wLocal))
+    val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(coalesce(sum(col("b._cnt")), lit(0L)).as("_off"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      .select(col("word"), col("n"),
+        (col("_off") + col("_r")).cast("int").as("rank"))
   }
 
   /** Document-frequency table: per term, how many documents contain it

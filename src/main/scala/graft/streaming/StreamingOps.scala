@@ -27,20 +27,34 @@ object StreamingOps {
     * per-window user count (batch / complete-mode only — exact
     * distinct is not incrementally maintainable; streaming append mode
     * uses approx_count_distinct instead).
+    *
+    * The exact path is TWO-STAGE — pre-aggregate per (window, user),
+    * then count the survivors per window — instead of
+    * count(*) + countDistinct in one agg: Catalyst plans that pair via
+    * an Expand that doubles every input row before the shuffle,
+    * whereas here the map-side partial combine reduces stage one to
+    * ≤|windows × active users| rows and stage two is a per-window
+    * rollup of those.
     */
   def tumblingWindowStats(events: DataFrame, duration: String,
                           exactDistinct: Boolean): DataFrame = {
     val withTime = events.withColumn("event_time",
       timestamp_micros(expr("ts div 1000")))
-    val userCount =
-      if (exactDistinct) countDistinct(col("user_id")).as("n_users")
-      else approx_count_distinct(col("user_id")).as("n_users")
-    withTime
-      .groupBy(window(col("event_time"), duration))
-      .agg(count(lit(1)).as("n_events"), userCount)
-      .select(col("window.start").as("window_start"),
-        col("window.end").as("window_end"),
-        col("n_events"), col("n_users"))
+    val stats =
+      if (exactDistinct)
+        withTime
+          .groupBy(window(col("event_time"), duration), col("user_id"))
+          .agg(count(lit(1)).as("_n"))
+          .groupBy(col("window"))
+          .agg(sum(col("_n")).as("n_events"), count(lit(1)).as("n_users"))
+      else
+        withTime
+          .groupBy(window(col("event_time"), duration))
+          .agg(count(lit(1)).as("n_events"),
+            approx_count_distinct(col("user_id")).as("n_users"))
+    stats.select(col("window.start").as("window_start"),
+      col("window.end").as("window_end"),
+      col("n_events"), col("n_users"))
   }
 
   /** Sliding-window stats: each event lands in duration/slide
@@ -53,9 +67,11 @@ object StreamingOps {
                          slide: String): DataFrame =
     events
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
-      .groupBy(window(col("event_time"), duration, slide))
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"))
+      // same two-stage exact-distinct shape as tumblingWindowStats
+      .groupBy(window(col("event_time"), duration, slide), col("user_id"))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col("window"))
+      .agg(sum(col("_n")).as("n_events"), count(lit(1)).as("n_users"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("n_events"), col("n_users"))

@@ -71,6 +71,33 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((0L, 3L)))
   }
 
+  test("simhashNearDups pairs identical docs and verifies hamming") {
+    val out = Dedup.simhashNearDups(docs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out.contains((0L, 1L, 0L))) // identical → hamming 0
+    assert(out.contains((3L, 4L, 0L)))
+    assert(out.forall { case (a, b, h) => a < b && h <= 3 })
+  }
+
+  test("simhashNearDups maxBucket caps a degenerate hot band") {
+    // 50 identical docs collapse to ONE sketch → every band is a hot
+    // bucket of 50; an uncapped join would emit 50·49/2 pairs per band
+    val degen = (0L until 50L).map(i => (i, "same text every time", "s0"))
+      .toDF("doc_id", "text", "source")
+    val capped = Dedup.simhashNearDups(degen, maxBucket = 10)
+    assert(capped.isEmpty, "buckets over the cap must be skipped")
+    val uncapped = Dedup.simhashNearDups(degen, maxBucket = 1000)
+    assert(uncapped.count() === 50L * 49 / 2)
+  }
+
+  test("ngramJaccardPairs maxBlock skips oversized source blocks") {
+    // block s0 has 3 docs (over a cap of 2) → contributes no pairs;
+    // block s1 stays under the cap and still pairs
+    val out = Dedup.ngramJaccardPairs(docs, 0.0, maxBlock = 2)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(out === Set((3L, 4L)))
+  }
+
   test("dupClusters: transitive closure labels components by min doc_id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
     val out = Dedup.dupClusters(pairs).orderBy("doc_id")

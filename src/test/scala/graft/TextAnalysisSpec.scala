@@ -38,6 +38,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(0).getLong(2) !== r(2).getLong(2)) // order matters
   }
 
+  test("vocabulary: two-stage global rank equals the definitional order") {
+    val docs = Seq(
+      (0L, "b b b a a c"), (1L, "a d c b"), (2L, "e a b")
+    ).toDF("doc_id", "text")
+    // force several range partitions so the offset stage is exercised
+    val out = TextAnalysis.vocabulary(docs, rankPartitions = 3)
+      .orderBy("rank").as[(String, Long, Int)].collect().toSeq
+    // counts: b=5 a=4 c=2 d=1 e=1 → rank by (n desc, word asc)
+    assert(out === Seq(("b", 5L, 1), ("a", 4L, 2), ("c", 2L, 3),
+      ("d", 1L, 4), ("e", 1L, 5)))
+  }
+
   test("langId scores every profile and predicts deterministically") {
     val docs = Seq(
       (0L, "the cat is on the mat"),   // en stopwords
