@@ -284,9 +284,12 @@ object SparkEntry {
     "m04_patchify" -> ((s, dir) =>
       Multimodal.patchify(Multimodal.decodeMeta(t(s, dir, "documents")))),
 
-    // --- Reference-domain parity slice (SURVEY §7.2 B/C; NO-ORACLE:
-    // inputs are the in-code Helium JSON fixtures, not the sf tables,
-    // so the driver applies its rows>0 check) ---
+    // --- Reference-domain parity slice (SURVEY §7.2 B/C). Inputs are
+    // the in-code Helium JSON fixtures, not the sf tables; the oracles
+    // are SELF-CONTAINED DuckDB SQL that inline the same fixture rows
+    // as VALUES (HeliumFixtures.envelopeValuesSql) and re-derive the
+    // reference transforms (follower.py:145-202) with JSON functions,
+    // so the parity core gets the same hash gate as everything else. ---
     "h01_payment_v1_edges" -> ((s, _) =>
       HeliumGraph.paymentV1Edges(
         graft.sources.HeliumFixtures.txnEnvelopes(s))
@@ -294,9 +297,15 @@ object SparkEntry {
     "h02_payment_v2_edges" -> ((s, _) =>
       HeliumGraph.paymentV2Edges(
         graft.sources.HeliumFixtures.txnEnvelopes(s))),
+    // is_valid (nullable boolean) goes to the driver as a string: the
+    // driver's canonicalization reads a NULL DuckDB BOOLEAN as NaN but
+    // a NULL Spark parquet boolean as None — VARCHAR agrees on both
+    // sides ('true'/'false'/None). Library API (receiptEdges) keeps
+    // BooleanType.
     "h03_receipt_edges" -> ((s, _) =>
       HeliumGraph.receiptEdges(
-        graft.sources.HeliumFixtures.txnEnvelopes(s))),
+        graft.sources.HeliumFixtures.txnEnvelopes(s))
+        .withColumn("is_valid", col("is_valid").cast("string"))),
     "h04_account_vertices" -> ((s, _) =>
       HeliumGraph.accountVertices(
         graft.sources.HeliumFixtures.txnEnvelopes(s))),
@@ -1017,6 +1026,92 @@ object SparkEntry {
          |py AS (SELECT doc_id, patch_x,
          |  unnest(range(0, height // 32)) AS patch_y FROM px)
          |SELECT doc_id, patch_x, patch_y,
-         | patch_x * 32 AS x0, patch_y * 32 AS y0 FROM py""".stripMargin
+         | patch_x * 32 AS x0, patch_y * 32 AS y0 FROM py""".stripMargin,
+
+    // --- Self-contained parity-slice oracles: fixture rows inlined as
+    // VALUES (one source of truth: HeliumFixtures), transforms
+    // re-derived per follower.py:145-202. The content-key md5 mirrors
+    // docKey byte-for-byte: Spark to_json emits compact JSON with the
+    // struct fields already name-sorted, so the oracle concatenates
+    // the identical string. ---
+    "h01_payment_v1_edges" ->
+      s"""WITH ${graft.sources.HeliumFixtures.envelopeValuesSql},
+         |t AS (SELECT block, block_time,
+         |  json_extract_string(payload,'$$.hash') AS hash,
+         |  CAST(json_extract(payload,'$$.amount') AS BIGINT) AS amount,
+         |  json_extract_string(payload,'$$.payer') AS payer,
+         |  json_extract_string(payload,'$$.payee') AS payee
+         | FROM env WHERE type = 'payment_v1')
+         |SELECT DISTINCT
+         | md5('{"_from":"accounts/' || payer || '","_to":"accounts/' || payee ||
+         |     '","amount":' || amount || ',"block":' || block ||
+         |     ',"hash":"' || hash || '","timestamp":' || block_time || '}') AS _key,
+         | 'accounts/' || payer AS _from, 'accounts/' || payee AS _to,
+         | hash, amount, block, block_time AS "timestamp"
+         |FROM t""".stripMargin,
+    "h02_payment_v2_edges" ->
+      s"""WITH ${graft.sources.HeliumFixtures.envelopeValuesSql},
+         |t AS (SELECT block, block_time,
+         |  json_extract_string(payload,'$$.hash') AS hash,
+         |  json_extract_string(payload,'$$.payer') AS payer,
+         |  unnest(json_transform(payload,
+         |    '{"payments":[{"amount":"BIGINT","payee":"VARCHAR"}]}').payments) AS p
+         | FROM env WHERE type = 'payment_v2')
+         |SELECT
+         | md5('{"_from":"accounts/' || payer || '","_to":"accounts/' || p.payee ||
+         |     '","amount":' || p.amount || ',"block":' || block ||
+         |     ',"hash":"' || hash || '","timestamp":' || block_time || '}') AS _key,
+         | 'accounts/' || payer AS _from, 'accounts/' || p.payee AS _to,
+         | hash, p.amount AS amount, block, block_time AS "timestamp"
+         |FROM t""".stripMargin,
+    "h03_receipt_edges" ->
+      s"""WITH ${graft.sources.HeliumFixtures.envelopeValuesSql},
+         |p0 AS (SELECT block, hash,
+         |  json_transform(payload, '{"path":[{"challengee":"VARCHAR",
+         |    "receipt":{"timestamp":"BIGINT","tx_power":"BIGINT"},
+         |    "witnesses":[{"datarate":"VARCHAR","frequency":"DOUBLE",
+         |      "gateway":"VARCHAR","is_valid":"BOOLEAN","signal":"BIGINT",
+         |      "snr":"DOUBLE","timestamp":"BIGINT"}]}]}').path[1] AS p0
+         | FROM env WHERE type IN ('poc_receipts_v1', 'poc_receipts_v2')),
+         |w AS (SELECT block, hash, p0.challengee AS challengee,
+         |  p0.receipt AS receipt, unnest(p0.witnesses) AS w
+         | FROM p0)
+         |SELECT
+         | md5('{"_from":"hotspots/' || challengee || '","_to":"hotspots/' || w.gateway ||
+         |     '","block":' || block || ',"hash":"' || hash ||
+         |     '","timestamp":' || w."timestamp" || '}') AS _key,
+         | 'hotspots/' || challengee AS _from, 'hotspots/' || w.gateway AS _to,
+         | w.frequency AS frequency, w.datarate AS datarate,
+         | CAST(w.is_valid AS VARCHAR) AS is_valid,
+         | w.signal AS signal, w.snr AS snr, w."timestamp" AS "timestamp",
+         | hash, block, receipt.tx_power AS tx_power,
+         | (w."timestamp" - receipt."timestamp") / 1e9 AS processing_time_s
+         |FROM w""".stripMargin,
+    "h04_account_vertices" ->
+      s"""WITH ${graft.sources.HeliumFixtures.envelopeValuesSql},
+         |v1 AS (SELECT json_extract_string(payload,'$$.payer') AS a,
+         |   json_extract_string(payload,'$$.payee') AS b
+         |  FROM env WHERE type = 'payment_v1'),
+         |v2 AS (SELECT json_extract_string(payload,'$$.payer') AS payer,
+         |   payload FROM env WHERE type = 'payment_v2'),
+         |v2p AS (SELECT unnest(json_transform(payload,
+         |   '{"payments":[{"payee":"VARCHAR"}]}').payments).payee AS a
+         |  FROM v2)
+         |SELECT DISTINCT _key FROM (
+         | SELECT a AS _key FROM v1 UNION ALL SELECT b FROM v1
+         | UNION ALL SELECT payer FROM v2 UNION ALL SELECT a FROM v2p)""".stripMargin,
+    // Stub H3 decode (Inventory.stubDecoder) re-derived exactly:
+    // v = the index as a 60-bit hex value; lat/lng via the same
+    // floor-div/mod folds (v >= 0, so % == floorMod and // == Java /).
+    "h05_gateway_inventory" ->
+      s"""WITH ${graft.sources.HeliumFixtures.inventoryValuesSql},
+         |d AS (SELECT *, ('0x' || location)::BIGINT AS v FROM inv
+         | WHERE address IS NOT NULL AND owner IS NOT NULL
+         |   AND location IS NOT NULL AND name IS NOT NULL)
+         |SELECT address AS _key, 'hotspots/' || address AS _id,
+         | address, owner, location, name,
+         | ((v // 180000) % 360000) / 1000.0 - 180.0 AS location_lng,
+         | (v % 180000) / 1000.0 - 90.0 AS location_lat
+         |FROM d""".stripMargin
   )
 }

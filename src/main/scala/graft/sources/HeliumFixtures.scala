@@ -73,6 +73,29 @@ object HeliumFixtures {
     rows.toDF("block", "block_time", "hash", "type", "payload")
   }
 
+  /** The same envelope rows as a DuckDB VALUES body — the h01-h04
+    * oracles are SELF-CONTAINED SQL (the driver's DuckDB session only
+    * registers the sf tables), so the fixture is inlined from the one
+    * source of truth above; the oracle re-derives the reference
+    * transforms (follower.py:145-202) with DuckDB JSON functions.
+    */
+  def envelopeValuesSql: String =
+    "env(block, block_time, hash, type, payload) AS (VALUES\n  " +
+      rows.map { case (b, t, h, tp, pl) =>
+        s"($b, $t, '$h', '$tp', '${pl.replace("'", "''")}')"
+      }.mkString(",\n  ") + ")"
+
+  /** Inventory CSV rows (header dropped) as a DuckDB VALUES body;
+    * empty CSV fields become NULL, matching the Spark CSV reader.
+    */
+  def inventoryValuesSql: String =
+    "inv(address, owner, location, name) AS (VALUES\n  " +
+      inventoryCsv.tail.map { line =>
+        line.split(",", -1).map { f =>
+          if (f.isEmpty) "NULL" else s"'${f.replace("'", "''")}'"
+        }.mkString("(", ", ", ")")
+      }.mkString(",\n  ") + ")"
+
   /** Block headers with their transaction listings (N3 input). */
   def blocks(spark: SparkSession): DataFrame = {
     import spark.implicits._
