@@ -1,6 +1,6 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Sink boundary (SURVEY.md §2.1 S5-S7, §2.8 F8): the engine-internal
@@ -35,4 +35,39 @@ object GraphSink {
   /** S6: full dimension snapshot replace. */
   def replaceSnapshot(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** The ArangoDB bulk-import request path the reference's sink hits
+    * (follower.py:205-207 via pyArango importBulk): one POST per
+    * document batch, insert-ignore expressed as the onDuplicate query
+    * parameter — the store skips any document whose `_key` already
+    * exists, which with content-hash keys is exactly the engine's
+    * idempotency contract (T5).
+    */
+  def importBulkPath(database: String, collection: String,
+                     onDuplicate: String = "ignore"): String =
+    s"/_db/$database/_api/import?collection=$collection" +
+      s"&type=list&onDuplicate=$onDuplicate"
+
+  /** importBulk JSON-array bodies, one per ≤`batchSize` documents,
+    * built EXECUTOR-side (each task groups its own partition's rows —
+    * nothing funnels through the driver; an HTTP sink posts per
+    * partition). Byte shape per document matches the reference's
+    * dicts: fields in projection order with `_key` LAST (the reference
+    * appends the key after hashing, follower.py:157-158,200-201) and
+    * null fields absent (to_json default — the conditionally-absent
+    * tx_power/processing_time_s semantics, follower.py:194-198).
+    * Documented deviation: compact JSON separators, where Python's
+    * json.dumps default inserts spaces — same fields, same order, same
+    * absence rules.
+    */
+  def importBulkBodies(df: DataFrame, batchSize: Int = 1000): Dataset[String] = {
+    import df.sparkSession.implicits._
+    val ordered =
+      if (df.columns.contains("_key"))
+        df.select((df.columns.filterNot(_ == "_key") :+ "_key")
+          .map(col).toIndexedSeq: _*)
+      else df
+    toDocuments(ordered).select(col("doc")).as[String]
+      .mapPartitions(_.grouped(batchSize).map(_.mkString("[", ",", "]")))
+  }
 }

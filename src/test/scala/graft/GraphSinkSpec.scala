@@ -29,6 +29,30 @@ class GraphSinkSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 2)
   }
 
+  test("importBulk: request path + golden byte-shape of the body") {
+    assert(GraphSink.importBulkPath("helium", "payments") ===
+      "/_db/helium/_api/import?collection=payments&type=list&onDuplicate=ignore")
+    // golden fixture: field order preserved with _key moved LAST
+    // (reference appends the key after hashing) and nulls absent
+    val df = Seq(
+      ("k1", "accounts/a", "accounts/b", Some(5L)),
+      ("k2", "accounts/c", "accounts/d", None: Option[Long])
+    ).toDF("_key", "_from", "_to", "amount")
+      .repartition(1).sortWithinPartitions("_key")
+    val bodies = GraphSink.importBulkBodies(df).collect()
+    assert(bodies === Array(
+      """[{"_from":"accounts/a","_to":"accounts/b","amount":5,"_key":"k1"},""" +
+        """{"_from":"accounts/c","_to":"accounts/d","_key":"k2"}]"""))
+  }
+
+  test("importBulk: bodies batch per batchSize executor-side") {
+    val df = (0 until 7).map(i => (s"k$i", i.toLong))
+      .toDF("_key", "v").repartition(1).sortWithinPartitions("_key")
+    val bodies = GraphSink.importBulkBodies(df, batchSize = 3).collect()
+    assert(bodies.length === 3) // 3 + 3 + 1
+    assert(bodies.map(b => b.count(_ == '{')).toSeq === Seq(3, 3, 1))
+  }
+
   test("S6: snapshot replace overwrites, not appends") {
     val out = Files.createTempDirectory("sink").toString + "/dim"
     val inv = graft.sources.Inventory.processInventory(
