@@ -109,6 +109,24 @@ object HeliumFixtures {
         "transform(transactions, t -> named_struct('hash', t._1, 'type', t._2)) AS transactions")
   }
 
+  /** Raw per-height block JSON exactly as a node's block_get returns
+    * it (client.py:25-36 result subtree) — backs the stub JSON-RPC
+    * server in JsonRpcSpec.
+    */
+  def blockJsonByHeight: Map[Long, String] =
+    rows.groupBy(_._1).map { case (height, txns) =>
+      val listing = txns.map(t => s"""{"hash":"${t._3}","type":"${t._4}"}""")
+        .distinct.mkString(",")
+      height ->
+        (s"""{"hash":"bh$height","height":$height,""" +
+          s""""prev_hash":"bh${height - 1}","time":${txns.head._2},""" +
+          s""""transactions":[$listing]}""")
+    }
+
+  /** Raw txn payload JSON by hash (transaction_get result subtree). */
+  def payloadByHash: Map[String, String] =
+    rows.map(t => t._3 -> t._5).toMap
+
   /** Gateway-inventory CSV lines (S4 fixture; loaders.py:24-37 shape —
     * header + rows, with one all-null-location row that P7 drops).
     */

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.operators.HeliumGraph
+import graft.sources.TxnSource
+
+/** The reference's complete follower loop over the block/txn ingest
+  * seam (follower.py:44-75 end to end): fetch a cursor batch from any
+  * TxnSource (fixture or live JSON-RPC — graft.sources.RpcTxnSource),
+  * run the parity transforms, and commit the three collections the
+  * reference materializes (payments + poc_receipts edges, accounts
+  * vertices; follower.py:205-207) idempotently, checkpointing strictly
+  * AFTER the sink commit (follower.py:73 ordering).
+  *
+  * Same idempotency scheme as the generic Follower (T5): content-hash
+  * keys + in-batch dedup + overwrite-by-batch-partition — re-running a
+  * batch replaces its own partition rather than appending duplicates.
+  * The account collection has no batch affinity in the reference (the
+  * same address appears in many blocks and the store's insert-ignore
+  * collapses it); here each batch's partition holds the addresses it
+  * saw, and the distinct set is the union view — the same collapse,
+  * deferred to read (A3).
+  */
+final class HeliumFollower(spark: SparkSession, source: TxnSource,
+                           sinkDir: String, checkpointPath: String,
+                           batchSize: Long) {
+
+  def cursor(): Long = {
+    val p = Paths.get(checkpointPath)
+    if (Files.exists(p))
+      "\"sync_cursor\"\\s*:\\s*(-?\\d+)".r
+        .findFirstMatchIn(
+          new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+        .map(_.group(1).toLong)
+        .getOrElse(sys.error(s"bad checkpoint: $checkpointPath"))
+    else -1L
+  }
+
+  private def writeCheckpoint(c: Long): Unit = {
+    val tmp = Paths.get(checkpointPath + ".tmp")
+    Files.write(tmp,
+      s"""{"sync_cursor": $c}""".getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(checkpointPath),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** One cursor batch: fetch (c, c+batchSize] capped at `tip`, commit
+    * all three collections, advance the checkpoint. None at the tip or
+    * when the source has nothing for the range (caller polls, T3).
+    */
+  def step(tip: Long): Option[Long] = {
+    val c = cursor()
+    if (c >= tip) None
+    else {
+      val hi = math.min(c + batchSize, tip)
+      source.fetchRange(spark, c, hi) match {
+        case None => None
+        case Some(env) =>
+          val payments = HeliumGraph.paymentV1Edges(env)
+            .unionByName(HeliumGraph.paymentV2Edges(env))
+            .dropDuplicates("_key")
+          val receipts = HeliumGraph.receiptEdges(env)
+            .dropDuplicates("_key")
+          val accounts = HeliumGraph.accountVertices(env)
+          write(payments, "payments", hi)
+          write(receipts, "poc_receipts", hi)
+          write(accounts, "accounts", hi)
+          writeCheckpoint(hi) // checkpoint AFTER sink commit
+          Some(hi)
+      }
+    }
+  }
+
+  private def write(df: DataFrame, collection: String, hi: Long): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .parquet(s"$sinkDir/$collection/batch=$hi")
+
+  /** Backfill to the tip (follower.py's catch-up phase). */
+  def runToTip(tip: Long, maxBatches: Int = Int.MaxValue): Long = {
+    var n = 0
+    while (n < maxBatches && step(tip).isDefined) n += 1
+    cursor()
+  }
+
+  /** A materialized collection (batch column from partition discovery). */
+  def collection(name: String): DataFrame =
+    spark.read.parquet(s"$sinkDir/$name")
+}

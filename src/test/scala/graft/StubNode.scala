@@ -1,0 +1,60 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+import graft.sources.HeliumFixtures
+
+/** In-process stub blockchain node speaking the reference's JSON-RPC
+  * protocol (client.py:55-82: result unwrap, error −100 for missing
+  * blocks/txns), serving the Helium fixtures over real HTTP. `flaky`
+  * seeds per-hash failure budgets: transaction_get for those hashes
+  * answers −100 that many times before succeeding — the reference's
+  * "couldn't find transaction...retrying" path (follower.py:58-69).
+  */
+object StubNode {
+  def withServer[A](flaky: Map[String, Int] = Map.empty)(
+      f: String => A): A = {
+    val mapper = new ObjectMapper
+    val flakyRemaining = new java.util.concurrent.ConcurrentHashMap[String, Integer]
+    flaky.foreach { case (k, v) => flakyRemaining.put(k, v) }
+
+    def handle(ex: HttpExchange): Unit = {
+      val req = mapper.readTree(new String(
+        ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      val id = req.get("id").asLong()
+      val result: Either[Int, String] = req.get("method").asText() match {
+        case "block_height" =>
+          Right(HeliumFixtures.blockJsonByHeight.keys.max.toString)
+        case "block_get" =>
+          val h = req.get("params").get("height").asLong()
+          HeliumFixtures.blockJsonByHeight.get(h).toRight(-100)
+        case "transaction_get" =>
+          val hash = req.get("params").get("hash").asText()
+          val left = flakyRemaining.getOrDefault(hash, 0)
+          if (left > 0) { flakyRemaining.put(hash, left - 1); Left(-100) }
+          else HeliumFixtures.payloadByHash.get(hash).toRight(-100)
+        case _ => Left(-32601)
+      }
+      val body = result match {
+        case Right(r) => s"""{"jsonrpc":"2.0","id":$id,"result":$r}"""
+        case Left(code) =>
+          s"""{"jsonrpc":"2.0","id":$id,"error":{"code":$code,"message":"nope"}}"""
+      }
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.getResponseHeaders.add("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    }
+
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", handle _)
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/")
+    finally server.stop(0)
+  }
+}
