@@ -314,6 +314,15 @@ object SparkEntry {
     // pandas, which cannot order struct (dict) values (ADVICE r2). The
     // struct-typed `location_geo` stays in the library API
     // (Inventory.processInventory) unchanged.
+    // Geo rollup by H3 parent cell (exact index bit algebra — no
+    // centroid decode involved; functions/H3Cell.scala).
+    "h06_hotspot_density" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.Inventory.hotspotDensityByParent(
+        graft.sources.Inventory.processInventory(
+          graft.sources.Inventory.readCsv(s,
+            graft.sources.HeliumFixtures.inventoryCsv.toDS())), 5)
+    }),
     "h05_gateway_inventory" -> ((s, _) => {
       import s.implicits._
       graft.sources.Inventory.processInventory(
@@ -1112,6 +1121,19 @@ object SparkEntry {
          | address, owner, location, name,
          | ((v // 180000) % 360000) / 1000.0 - 180.0 AS location_lng,
          | (v % 180000) / 1000.0 - 90.0 AS location_lat
-         |FROM d""".stripMargin
+         |FROM d""".stripMargin,
+    // H3Cell.parent mirrored as literal bit arithmetic: clear the res
+    // nibble, set res 5, fill digits 6..15 with 7s.
+    "h06_hotspot_density" ->
+      s"""WITH ${graft.sources.HeliumFixtures.inventoryValuesSql},
+         |d AS (SELECT *, ('0x' || location)::BIGINT AS v FROM inv
+         | WHERE address IS NOT NULL AND owner IS NOT NULL
+         |   AND location IS NOT NULL AND name IS NOT NULL),
+         |p AS (SELECT lower(to_hex((v & ${~(0xFL << 52)})
+         |    | ${5L << 52} | ${(1L << 30) - 1})) AS parent_cell,
+         |  owner FROM d)
+         |SELECT parent_cell, count(*) AS n_hotspots,
+         | count(DISTINCT owner) AS n_owners
+         |FROM p GROUP BY 1""".stripMargin
   )
 }

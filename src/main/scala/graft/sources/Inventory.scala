@@ -85,4 +85,16 @@ object Inventory {
   def heightFromFilename(name: String): Option[Long] =
     "gateway_inventory_(\\d+)".r.findFirstMatchIn(name)
       .map(_.group(1).toLong)
+
+  /** Geo rollup by coarser H3 parent cell: hotspot density per
+    * `parentRes` cell. THE scale-relevant geo operation — bucketing /
+    * rolling up billions of points needs only the exact parent-cell
+    * bit truncation (graft.functions.H3Cell), never a centroid
+    * decode; one hash aggregate on the truncated cell, no UDF.
+    */
+  def hotspotDensityByParent(inv: DataFrame, parentRes: Int): DataFrame =
+    inv.groupBy(graft.functions.H3Cell.parentHex(col("location"), parentRes)
+        .as("parent_cell"))
+      .agg(count(lit(1)).as("n_hotspots"),
+        countDistinct(col("owner")).as("n_owners"))
 }
