@@ -123,6 +123,18 @@ object SparkEntry {
     // §2.8: three-valued-logic aggregation battery.
     "q30_null_semantics" -> ((s, dir) =>
       Relational.nullSemantics(t(s, dir, "orders"))),
+    // §2.3: FULL OUTER join of two partial aggregates.
+    "q31_full_outer" -> ((s, dir) =>
+      Relational.urgentVsLowCounts(t(s, dir, "orders"))),
+    // §2.5: dense_rank / percent_rank / cume_dist / ntile.
+    "q32_rank_fns" -> ((s, dir) =>
+      Relational.spendDistribution(t(s, dir, "orders"))),
+    // §2.5: value-based RANGE frame (30-day trailing sum).
+    "q33_range_frame" -> ((s, dir) =>
+      Relational.trailingSpend30d(t(s, dir, "orders"))),
+    // §2.5: first/nth/last value over the full partition frame.
+    "q34_bookends" -> ((s, dir) =>
+      Relational.orderBookends(t(s, dir, "orders"))),
     // §2.3 extension: as-of (latest-before) temporal join.
     "a01_asof_join" -> ((s, dir) => {
       val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
@@ -280,6 +292,16 @@ object SparkEntry {
     // Document-frequency / IDF corpus statistics.
     "t07_docfreq" -> ((s, dir) =>
       TextAnalysis.docFreq(t(s, dir, "documents"))),
+    // Repetition / boilerplate signals (Gopher/C4-style rules).
+    "t08_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionSignals(t(s, dir, "documents"))),
+    // Test-set decontamination: batch vs benchmark shingle overlap.
+    "d10_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0))
+    }),
     // ViT-style patch-grid fan-out over decoded frames.
     "m04_patchify" -> ((s, dir) =>
       Multimodal.patchify(Multimodal.decodeMeta(t(s, dir, "documents")))),
@@ -960,6 +982,43 @@ object SparkEntry {
         | max(coalesce(s, '(none)')) AS max_coalesced,
         | min(s) AS min_nonnull
         |FROM t GROUP BY o_orderpriority""".stripMargin,
+    "q31_full_outer" ->
+      """WITH u AS (SELECT o_custkey, count(*) AS n_urgent FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |l AS (SELECT o_custkey, count(*) AS n_low FROM orders
+        |  WHERE o_orderpriority = '5-LOW' GROUP BY 1)
+        |SELECT coalesce(u.o_custkey, l.o_custkey) AS o_custkey,
+        | coalesce(n_urgent, 0) AS n_urgent, coalesce(n_low, 0) AS n_low
+        |FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey""".stripMargin,
+    "q32_rank_fns" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(dense_rank() OVER w AS BIGINT) AS spend_rank,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey)""".stripMargin,
+    "q33_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        | date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |   AS order_day,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY o_custkey
+        |   ORDER BY date_diff('day', DATE '1990-01-01',
+        |     CAST(o_orderdate AS DATE))
+        |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   AS spend_30d
+        |FROM orders""".stripMargin,
+    "q34_bookends" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_orderkey) OVER w AS first_orderkey,
+        | nth_value(o_orderkey, 2) OVER w AS second_orderkey,
+        | last_value(o_orderkey) OVER w AS last_orderkey
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     // Mirrors AsOf.asofJoin's union+last_value(IGNORE NULLS) form with
     // the identical (ts_us, _side DESC, event_id) tie order, so the
     // strictly-before semantics match row for row.
@@ -1015,6 +1074,42 @@ object SparkEntry {
          | FROM documents)
          |SELECT doc_id, lang FROM b
          |WHERE bucket < (CASE WHEN lang = 'en' THEN 50 ELSE 100 END)""".stripMargin,
+    "t08_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |bg AS (SELECT doc_id,
+        |  unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+        | FROM w),
+        |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
+        |SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+        | count(*) AS n_distinct_bigrams,
+        | (sum(c) - count(*)) / sum(c) AS dup_bigram_frac,
+        | max(c) / sum(c) AS top_bigram_frac
+        |FROM c GROUP BY doc_id""".stripMargin,
+    "d10_decontaminate" -> {
+      import graft.functions.Canon.{MersenneP => P}
+      // k=5 shingle polynomial, mirroring Canon.shingleHashes
+      val poly = (1 until 5).foldLeft("hw[i]") {
+        (acc, j) => s"($acc*31 + hw[i+$j])"
+      } + s" % $P"
+      s"""WITH w AS (SELECT doc_id,
+         |  [${h60("x")} % $P FOR x IN string_split(text, ' ')] AS hw
+         | FROM documents),
+         |s AS (SELECT doc_id,
+         |  list_distinct([$poly FOR i IN range(1, len(hw)-3)]) AS sh
+         | FROM w),
+         |b AS (SELECT doc_id, unnest(sh) AS sh FROM s
+         |  WHERE doc_id % 7 <> 0),
+         |bench AS (SELECT DISTINCT unnest(sh) AS sh FROM s
+         |  WHERE doc_id % 7 = 0),
+         |hits AS (SELECT doc_id, count(*) AS n FROM (
+         |  SELECT b.doc_id, b.sh FROM b JOIN bench USING (sh))
+         | GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n, 0)::BIGINT AS n_shared_shingles,
+         | coalesce(n, 0) > 0 AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+         |LEFT JOIN hits USING (doc_id)""".stripMargin
+    },
     "t07_docfreq" ->
       """WITH dw AS (SELECT lang,
         |  unnest(list_distinct(string_split(text, ' '))) AS word

@@ -303,6 +303,36 @@ object Dedup {
         coalesce(col("n_near"), lit(0L)).as("n_near"))
   }
 
+  /** Test-set DECONTAMINATION: flag batch documents sharing any word
+    * `k`-shingle with a benchmark/eval set — the standard guard
+    * against evaluation leakage in a training corpus. Per batch doc:
+    * how many of its distinct shingles appear anywhere in the
+    * benchmark, and the boolean contamination flag.
+    *
+    * Scale: the benchmark side reduces to its distinct shingle-hash
+    * SET (benchmark-sized — tiny next to the corpus, broadcastable by
+    * AQE); the batch side streams (doc, shingle) pairs into one
+    * equi-join + count. Never doc×doc, never batch×benchmark.
+    */
+  def decontaminate(batch: DataFrame, benchmark: DataFrame,
+                    k: Int = 5): DataFrame = {
+    def shingled(d: DataFrame): DataFrame = {
+      val hw = d.select(col("doc_id"),
+        transform(Canon.words(col("text")), w => Canon.hashP(w)).as("hw"))
+      hw.select(col("doc_id"),
+        explode(array_distinct(Canon.shingleHashes(col("hw"), k))).as("sh"))
+    }
+    val hits = shingled(batch)
+      .join(shingled(benchmark).select(col("sh")).distinct(), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+    batch.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"),
+        (coalesce(col("n_shared_shingles"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Embedding near-dup: cosine >= `tau` within label blocks. Norms are
     * precomputed per row (map-side); the pair join is label-blocked.
     */

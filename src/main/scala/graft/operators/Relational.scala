@@ -386,4 +386,70 @@ object Relational {
         max(coalesce(s, lit("(none)"))).as("max_coalesced"),
         min(s).as("min_nonnull")) // min/max skip NULLs by contract
   }
+
+  /** FULL OUTER join (§2.3): per-customer URGENT vs LOW order counts,
+    * where each side covers a different customer subset — both
+    * null-extension directions exercised. Aggregate-then-join: the
+    * join inputs are group-sized, not row-sized, and the outer join
+    * shuffles only the aggregates.
+    */
+  def urgentVsLowCounts(orders: DataFrame): DataFrame = {
+    def side(p: String, as: String) =
+      orders.filter(col("o_orderpriority") === p)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as(as))
+    side("1-URGENT", "n_urgent")
+      .join(side("5-LOW", "n_low"), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+        coalesce(col("n_low"), lit(0L)).as("n_low"))
+  }
+
+  /** Distribution window functions (§2.5): dense_rank / percent_rank /
+    * cume_dist / ntile over a per-customer spend ordering. The order
+    * key (total, o_orderkey) is unique, so every function is
+    * deterministic and the rational outputs ((rank−1)/(n−1), k/n) are
+    * IEEE-exact in both engines.
+    */
+  def spendDistribution(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(money(col("o_totalprice")), col("o_orderkey"))
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      dense_rank().over(w).cast("long").as("spend_rank"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      ntile(4).over(w).cast("long").as("quartile"))
+  }
+
+  /** RANGE frame over event time (§2.5): per-customer spend in the 30
+    * days up to and including each order — a value-based frame, where
+    * ROWS frames count neighbors. Ordered on epoch days (numeric) so
+    * the frame bound is exact integer arithmetic in both engines.
+    */
+  def trailingSpend30d(orders: DataFrame): DataFrame = {
+    val day = datediff(col("o_orderdate"), lit("1990-01-01").cast("date"))
+      .cast("long")
+    val w = Window.partitionBy(col("o_custkey")).orderBy(day)
+      .rangeBetween(-30, Window.currentRow)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"), day.as("order_day"),
+      moneyOut(sum(money(col("o_totalprice"))).over(w))
+        .as("spend_30d"))
+  }
+
+  /** Positional value window functions (§2.5): first / second / last
+    * order key per customer over the full partition frame. nth_value
+    * and an explicit unbounded-following frame — the remaining frame
+    * shapes the battery hadn't pinned.
+    */
+  def orderBookends(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      first(col("o_orderkey")).over(w).as("first_orderkey"),
+      nth_value(col("o_orderkey"), 2).over(w).as("second_orderkey"),
+      last(col("o_orderkey")).over(w).as("last_orderkey"))
+  }
 }

@@ -171,6 +171,30 @@ object TextAnalysis {
       .select(col("word"), col("df"), col("tf"), col("n_langs"))
   }
 
+  /** Repetition / boilerplate signals (the Gopher-/C4-style quality
+    * rules the length+stopword battery doesn't cover): per document,
+    * the duplicate word-bigram fraction and the most-frequent-bigram
+    * fraction — high values mark templated/boilerplate text. Corpus
+    * explode → (doc, bigram) counts → per-doc rollup: two hash
+    * aggregates with map-side partial combine, no window, no per-doc
+    * state. Docs shorter than 2 words have no bigrams and drop out
+    * (consistently on both engines).
+    */
+  def repetitionSignals(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"),
+        explode(Canon.shingles(Canon.words(col("text")), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).as("_top"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
+        ((col("n_bigrams") - col("n_distinct_bigrams")) / col("n_bigrams"))
+          .as("dup_bigram_frac"),
+        (col("_top") / col("n_bigrams")).as("top_bigram_frac"))
+
   /** Document fingerprinting: canonical md5 over the normalized token
     * stream plus an order-sensitive polynomial rolling hash (two docs
     * with the same word multiset but different order get the same md5

@@ -118,6 +118,23 @@ class DedupSpec extends SparkSpec {
     assert(out(2)._3 >= 1L)
   }
 
+  test("decontaminate flags batch docs sharing a 5-shingle with the benchmark") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta", "b")
+    ).toDF("doc_id", "text", "source")
+    val batch = Seq(
+      // shares the 5-shingle "beta gamma delta epsilon zeta"
+      (1L, "x beta gamma delta epsilon zeta y", "s"),
+      (2L, "totally unrelated words in this document here", "s"),
+      (3L, "al be ga", "s") // < 5 words: no shingles at all
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.decontaminate(batch, bench)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out.map(r => (r._1, r._3)) ===
+      Seq((1L, true), (2L, false), (3L, false)))
+    assert(out.head._2 >= 1L)
+  }
+
   test("embeddingNearDups finds the planted duplicate vector pair") {
     val emb = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f), 0),

@@ -38,6 +38,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r(0).getLong(2) !== r(2).getLong(2)) // order matters
   }
 
+  test("repetitionSignals: duplicate- and top-bigram fractions") {
+    val docs = Seq(
+      (0L, "a b a b a b"),   // bigrams: ab ba ab ba ab → 5, 2 distinct
+      (1L, "v w x y z")      // 4 bigrams, all distinct
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(out(0) === ((0L, 5L, 2L, 3.0 / 5, 3.0 / 5)))
+    assert(out(1) === ((1L, 4L, 4L, 0.0, 1.0 / 4)))
+  }
+
   test("vocabulary: two-stage global rank equals the definitional order") {
     val docs = Seq(
       (0L, "b b b a a c"), (1L, "a d c b"), (2L, "e a b")
