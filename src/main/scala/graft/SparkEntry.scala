@@ -1074,18 +1074,24 @@ object SparkEntry {
          | FROM documents)
          |SELECT doc_id, lang FROM b
          |WHERE bucket < (CASE WHEN lang = 'en' THEN 50 ELSE 100 END)""".stripMargin,
+    // Mirrors repetitionSignals' hashed bigrams (k=2 shingle
+    // polynomial over word hashes) in the oracle's definitional
+    // explode+group form; the Spark side computes the same counts
+    // row-locally (array_distinct + max-run of the sorted array).
     "t08_repetition" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
-        |  FROM documents),
-        |bg AS (SELECT doc_id,
-        |  unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
-        | FROM w),
-        |c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2)
-        |SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
-        | count(*) AS n_distinct_bigrams,
-        | (sum(c) - count(*)) / sum(c) AS dup_bigram_frac,
-        | max(c) / sum(c) AS top_bigram_frac
-        |FROM c GROUP BY doc_id""".stripMargin,
+      s"""WITH w AS (SELECT doc_id,
+         |  [${h60("x")} % ${graft.functions.Canon.MersenneP}
+         |   FOR x IN string_split(text, ' ')] AS hw FROM documents),
+         |hb AS (SELECT doc_id,
+         |  [(hw[i]*31 + hw[i+1]) % ${graft.functions.Canon.MersenneP}
+         |   FOR i IN range(1, len(hw))] AS hs FROM w),
+         |c AS (SELECT doc_id, h, count(*) AS c FROM (
+         |  SELECT doc_id, unnest(hs) AS h FROM hb) GROUP BY 1, 2)
+         |SELECT doc_id, sum(c)::BIGINT AS n_bigrams,
+         | count(*) AS n_distinct_bigrams,
+         | (sum(c) - count(*)) / sum(c) AS dup_bigram_frac,
+         | max(c) / sum(c) AS top_bigram_frac
+         |FROM c GROUP BY doc_id""".stripMargin,
     "d10_decontaminate" -> {
       import graft.functions.Canon.{MersenneP => P}
       // k=5 shingle polynomial, mirroring Canon.shingleHashes

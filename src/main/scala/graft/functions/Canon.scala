@@ -112,6 +112,12 @@ object Canon {
         org.apache.spark.sql.GraftSqlBridge.expression(a),
         org.apache.spark.sql.GraftSqlBridge.expression(b)))
 
+  /** Modal frequency of a sorted array<long> in one native pass. */
+  def maxRunLength(sorted: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.MaxRunLengthL(
+        org.apache.spark.sql.GraftSqlBridge.expression(sorted)))
+
   /** SimHash of a token-hash array in one native traversal. */
   def simhashBits(hashes: Column, bits: Int): Column =
     org.apache.spark.sql.GraftSqlBridge.column(

@@ -218,3 +218,58 @@ case class SortedIntersectCountL(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SortedIntersectCountL =
     copy(left = newLeft, right = newRight)
 }
+
+/** Longest run of equal adjacent values in a SORTED array<long> — the
+  * modal frequency of the multiset (top-bigram count in the
+  * repetition-signal operator) in one pass without materializing a
+  * per-value count map. 0 for an empty array; elements are assumed
+  * non-null (hash-derived); a null ARRAY yields null.
+  */
+case class MaxRunLengthL(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<bigint>, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_max_run"
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    var best = 0L; var run = 0L; var i = 0
+    var prev = 0L
+    while (i < n) {
+      val v = xs.getLong(i)
+      run = if (i > 0 && v == prev) run + 1 else 1L
+      if (run > best) best = run
+      prev = v
+      i += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val best = ctx.freshName("best"); val run = ctx.freshName("run")
+      val prev = ctx.freshName("prev"); val v = ctx.freshName("v")
+      s"""
+         |final int $n = $a.numElements();
+         |long $best = 0L; long $run = 0L; long $prev = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $v = $a.getLong($i);
+         |  $run = ($i > 0 && $v == $prev) ? $run + 1L : 1L;
+         |  if ($run > $best) $best = $run;
+         |  $prev = $v;
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MaxRunLengthL = copy(child = newChild)
+}

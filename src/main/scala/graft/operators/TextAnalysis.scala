@@ -174,26 +174,39 @@ object TextAnalysis {
   /** Repetition / boilerplate signals (the Gopher-/C4-style quality
     * rules the length+stopword battery doesn't cover): per document,
     * the duplicate word-bigram fraction and the most-frequent-bigram
-    * fraction — high values mark templated/boilerplate text. Corpus
-    * explode → (doc, bigram) counts → per-doc rollup: two hash
-    * aggregates with map-side partial combine, no window, no per-doc
-    * state. Docs shorter than 2 words have no bigrams and drop out
-    * (consistently on both engines).
+    * fraction — high values mark templated/boilerplate text.
+    *
+    * Entirely ROW-LOCAL: bigrams are the k=2 shingle polynomial over
+    * the word hashes (one md5 per word, no bigram strings), the
+    * distinct count is an array op, and the modal count is the max
+    * run of the sorted hash array (native MaxRunLengthL kernel). The
+    * first formulation — corpus explode → groupBy(doc, bigram) —
+    * shuffled every bigram string twice; this one shuffles nothing.
+    * Docs shorter than 2 words have no bigrams and drop out
+    * (consistently with the oracle).
     */
-  def repetitionSignals(documents: DataFrame): DataFrame =
-    documents
+  def repetitionSignals(documents: DataFrame): DataFrame = {
+    // The no-bigram filter runs on the BASE text column before any
+    // derived array exists: a filter on `hs` itself would be pushed
+    // below the projection by substituting its defining expression
+    // (SURVEY §8.5 pathology #2), re-computing the whole shingle
+    // array once per downstream reference.
+    val hw = documents
+      .filter(size(Canon.words(col("text"))) >= 2)
       .select(col("doc_id"),
-        explode(Canon.shingles(Canon.words(col("text")), 2)).as("bg"))
-      .groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bigrams"),
-        count(lit(1)).as("n_distinct_bigrams"),
-        max(col("c")).as("_top"))
+        transform(Canon.words(col("text")), w => Canon.hashP(w)).as("hw"))
+    val hs = hw.select(col("doc_id"),
+      Canon.shingleHashes(col("hw"), 2).as("hs"))
+    hs.select(col("doc_id"),
+        size(col("hs")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("hs"))).cast("long")
+          .as("n_distinct_bigrams"),
+        Canon.maxRunLength(sort_array(col("hs"))).as("_top"))
       .select(col("doc_id"), col("n_bigrams"), col("n_distinct_bigrams"),
         ((col("n_bigrams") - col("n_distinct_bigrams")) / col("n_bigrams"))
           .as("dup_bigram_frac"),
         (col("_top") / col("n_bigrams")).as("top_bigram_frac"))
+  }
 
   /** Document fingerprinting: canonical md5 over the normalized token
     * stream plus an order-sensitive polynomial rolling hash (two docs
