@@ -250,15 +250,23 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      // One join + one aggregate per round, with the convergence
+      // signal FUSED into the same aggregate: the old label rides
+      // along as `_old` (present exactly once per node, from the
+      // labels branch of the union), so "changed" is a filter on the
+      // materialized result — no second join job per iteration.
       val viaEdges = sym
         .join(labels, sym("a") === labels("node"))
-        .select(col("b").as("node"), col("lab"))
-      val next = labels.select(col("node"), col("lab")).union(viaEdges)
-        .groupBy(col("node")).agg(min(col("lab")).as("lab"))
+        .select(col("b").as("node"), col("lab"),
+          lit(null).cast("long").as("_old"))
+      val next = labels
+        .select(col("node"), col("lab"), col("lab").as("_old"))
+        .union(viaEdges)
+        .groupBy(col("node"))
+        .agg(min(col("lab")).as("lab"), max(col("_old")).as("_old"))
         .localCheckpoint() // truncate the growing iterative lineage
-      converged = next.join(labels.withColumnRenamed("lab", "old"), "node")
-        .filter(col("lab") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("lab") =!= col("_old")).isEmpty
+      labels = next.select(col("node"), col("lab"))
       i += 1
     }
     labels.select(col("node").as("doc_id"), col("lab").as("cluster_rep"))
