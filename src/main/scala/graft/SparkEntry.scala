@@ -195,6 +195,10 @@ object SparkEntry {
     "g09_degree_dist" -> ((s, dir) =>
       GraphEtl.degreeDistribution(
         GraphEtl.paymentEdges(t(s, dir, "orders"), t(s, dir, "lineitem")))),
+    // Fixed-point PageRank (3 iterations, oracle-exact integers).
+    "g10_pagerank" -> ((s, dir) =>
+      GraphEtl.pageRankFixedPoint(
+        GraphEtl.paymentEdges(t(s, dir, "orders"), t(s, dir, "lineitem")))),
 
     // --- LLM-pipeline extension surface (SURVEY §2.12) ---
     // Exact dedup: content-hash groupBy, one shuffle.
@@ -760,6 +764,28 @@ object SparkEntry {
           |SELECT 'in' AS direction, degree, count(*) AS n_vertices
           |FROM (SELECT _to, count(*) AS degree FROM edges GROUP BY 1)
           |GROUP BY degree""".stripMargin),
+    // pageRankFixedPoint unrolled: identical integer arithmetic
+    // (rank // outdeg contributions, damped fixed-point update) per
+    // iteration, so the distributed result verifies bit-for-bit.
+    "g10_pagerank" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""r$i AS (SELECT v.v,
+           | CAST(150000 + (850000 * coalesce(c.s, 0)) // 1000000
+           |   AS BIGINT) AS rank
+           | FROM v LEFT JOIN (
+           |  SELECT dst, sum(rank // outdeg) AS s FROM ed
+           |  JOIN r${i - 1} ON ed.src = r${i - 1}.v GROUP BY dst) c
+           | ON v.v = c.dst)""".stripMargin
+      }.mkString(",\n")
+      edgesCte +
+        s""", e AS (SELECT DISTINCT _from AS src, _to AS dst FROM edges),
+           |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+           |ed AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+           |v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+           |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS rank FROM v),
+           |$rounds
+           |SELECT v AS vertex, rank FROM r3""".stripMargin
+    },
     "t06_vocabulary" ->
       """SELECT word, count(*) AS n,
         | row_number() OVER (ORDER BY count(*) DESC, word ASC) AS "rank"

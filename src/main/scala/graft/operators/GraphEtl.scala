@@ -170,4 +170,41 @@ object GraphEtl {
         col("e.seq").as("seq"),
         Relational.moneyOut(col("e.amount")).as("amount"),
         col("e.timestamp").as("timestamp"))
+
+  /** PageRank over the materialized adjacency — in FIXED-POINT integer
+    * arithmetic (ranks scaled by 10⁶, damping 0.85 as 850000/10⁶):
+    * floating-point rank sums are partition-order dependent and could
+    * never hash-match an oracle; integer contributions (`rank div
+    * outdeg`) and integer sums are exact under ANY partitioning, so a
+    * distributed PageRank verifies bit-for-bit. Each iteration is one
+    * equi-join (ranks⨝edges on src) + one aggregate (sum per dst) —
+    * the standard scale shape; edges and the degree join are
+    * materialized once, not per iteration. Dangling mass is dropped
+    * (vertices with no out-edges redistribute nothing — the common
+    * simplification; totals are not conserved and that is fine for
+    * ranking). The 850000·sum product bounds the per-vertex inbound
+    * mass at ~2^43 before overflow — ample headroom at any real
+    * in-degree with this scale constant.
+    */
+  def pageRankFixedPoint(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges.select(col("_from").as("src"), col("_to").as("dst"))
+      .distinct()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(outDeg, "src").localCheckpoint()
+    val vertices = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct().localCheckpoint()
+    var ranks = vertices.withColumn("rank", lit(1000000L))
+    (1 to iters).foreach { _ =>
+      val inbound = eDeg.join(ranks, eDeg("src") === ranks("v"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = vertices
+        .join(inbound, vertices("v") === inbound("dst"), "left")
+        .select(col("v"),
+          (lit(150000L) + expr("(850000 * coalesce(s, 0L)) div 1000000"))
+            .as("rank"))
+        .localCheckpoint() // truncate the per-iteration lineage
+    }
+    ranks.select(col("v").as("vertex"), col("rank"))
+  }
 }

@@ -1,0 +1,31 @@
+package graft
+
+import graft.operators.GraphEtl
+
+class GraphEtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRankFixedPoint: hand-computed 3-vertex fixture, 3 iterations") {
+    // 1→2, 2→1, 1→3; outdeg(1)=2, outdeg(2)=1; vertex 3 is dangling
+    val edges = Seq(("1", "2"), ("2", "1"), ("1", "3"))
+      .toDF("_from", "_to")
+    val out = GraphEtl.pageRankFixedPoint(edges, iters = 3)
+      .as[(String, Long)].collect().toMap
+    // iter1: r(1)=150000+850000·(10⁶ div 1)·10⁻⁶=1000000;
+    //        r(2)=r(3)=150000+850000·(10⁶ div 2) div 10⁶=575000
+    // iter2: r(1)=150000+(850000·575000) div 10⁶=638750;
+    //        r(2)=r(3)=150000+(850000·500000) div 10⁶=575000
+    // iter3: r(1)=150000+488750=638750;
+    //        r(2)=r(3)=150000+(850000·(638750 div 2)) div 10⁶=421468
+    assert(out === Map("1" -> 638750L, "2" -> 421468L, "3" -> 421468L))
+  }
+
+  test("pageRankFixedPoint is deterministic across partitionings") {
+    val e = GraphEtl.paymentEdges(table("orders"), table("lineitem"))
+    val a = GraphEtl.pageRankFixedPoint(e, iters = 2)
+      .as[(String, Long)].collect().toMap
+    val b = GraphEtl.pageRankFixedPoint(e.repartition(17), iters = 2)
+      .as[(String, Long)].collect().toMap
+    assert(a === b)
+  }
+}
