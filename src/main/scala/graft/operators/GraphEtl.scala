@@ -187,14 +187,17 @@ object GraphEtl {
     * in-degree with this scale constant.
     */
   def pageRankFixedPoint(edges: DataFrame, iters: Int = 3): DataFrame = {
+    // Materialize the dedup'd edge list FIRST: outdeg, the degree
+    // join, and both vertex branches all re-read it — without this the
+    // upstream edge-construction plan executes once per consumer.
     val e = edges.select(col("_from").as("src"), col("_to").as("dst"))
-      .distinct()
+      .distinct().localCheckpoint()
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(outDeg, "src").localCheckpoint()
+    val eDeg = e.join(outDeg, "src")
     val vertices = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("v"))).distinct()
     var ranks = vertices.withColumn("rank", lit(1000000L))
-    (1 to iters).foreach { _ =>
+    (1 to iters).foreach { i =>
       val inbound = eDeg.join(ranks, eDeg("src") === ranks("v"))
         .select(col("dst"), expr("rank div outdeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("s"))
@@ -203,7 +206,11 @@ object GraphEtl {
         .select(col("v"),
           (lit(150000L) + expr("(850000 * coalesce(s, 0L)) div 1000000"))
             .as("rank"))
-        .localCheckpoint() // truncate the per-iteration lineage
+      // lineage guard for deep runs only: a shallow run stays ONE
+      // lazy plan over the cached edge list (every eager checkpoint
+      // is a scheduled job — at 3 iterations the job overhead was
+      // 3× the actual compute)
+      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("v").as("vertex"), col("rank"))
   }

@@ -28,4 +28,21 @@ class GraphEtlSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(a === b)
   }
+
+  test("pageRankFixedPoint deep run (exercises the lineage guard)") {
+    val edges = Seq(("1", "2"), ("2", "1"), ("1", "3"))
+      .toDF("_from", "_to")
+    // 7 iterations crosses the every-5th checkpoint; values must agree
+    // with the checkpoint-free recurrence computed directly
+    def step(r: Map[String, Long]): Map[String, Long] = Map(
+      "1" -> (150000L + 850000L * (r("2") / 1) / 1000000L),
+      "2" -> (150000L + 850000L * (r("1") / 2) / 1000000L),
+      "3" -> (150000L + 850000L * (r("1") / 2) / 1000000L))
+    val expected = (1 to 7).foldLeft(
+      Map("1" -> 1000000L, "2" -> 1000000L, "3" -> 1000000L))(
+      (r, _) => step(r))
+    val out = GraphEtl.pageRankFixedPoint(edges, iters = 7)
+      .as[(String, Long)].collect().toMap
+    assert(out === expected)
+  }
 }
