@@ -293,6 +293,10 @@ object SparkEntry {
     // Deterministic content-hash stratified sampling.
     "p03_stratified_sample" -> ((s, dir) =>
       Pipeline.stratifiedSample(t(s, dir, "documents"))),
+    // Token-budget mixture sampling (per-language token targets).
+    "p04_token_budget" -> ((s, dir) =>
+      Pipeline.tokenBudgetSample(t(s, dir, "documents"),
+        Map("en" -> 5000L, "de" -> 1500L))),
     // Document-frequency / IDF corpus statistics.
     "t07_docfreq" -> ((s, dir) =>
       TextAnalysis.docFreq(t(s, dir, "documents"))),
@@ -1100,6 +1104,17 @@ object SparkEntry {
          | FROM documents)
          |SELECT doc_id, lang FROM b
          |WHERE bucket < (CASE WHEN lang = 'en' THEN 50 ELSE 100 END)""".stripMargin,
+    "p04_token_budget" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |  ${h60("md5(text)")} AS ord FROM documents),
+         |w AS (SELECT *, coalesce(sum(n_tokens) OVER (
+         |   PARTITION BY lang ORDER BY ord, doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |  AS tokens_before FROM d)
+         |SELECT doc_id, lang, n_tokens FROM w
+         |WHERE tokens_before < (CASE WHEN lang = 'en' THEN 5000
+         |  WHEN lang = 'de' THEN 1500 ELSE 9223372036854775807 END)""".stripMargin,
     // Mirrors repetitionSignals' hashed bigrams (k=2 shingle
     // polynomial over word hashes) in the oracle's definitional
     // explode+group form; the Spark side computes the same counts

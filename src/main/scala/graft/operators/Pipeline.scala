@@ -56,6 +56,42 @@ object Pipeline {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Token-BUDGET mixture sampling: per language, keep documents — in
+    * deterministic content-hash order — until the language's token
+    * budget is reached (the first doc to cross the line is kept, so
+    * every budget is met, not undershot). This is the data-mixing
+    * primitive when targets are token counts rather than rates:
+    * "english: 1M tokens, code: 250k tokens".
+    *
+    * Determinism: the scan order is (hash60(md5(text)), doc_id) —
+    * content-derived, so the selection is identical on any cluster,
+    * any partitioning, any rerun. Scale: one window partitioned BY
+    * LANGUAGE computes the running token sum — a per-partition sort,
+    * never a global one; languages are the natural mixture partitions
+    * and each sorts independently. `budgets` maps lang → token budget;
+    * unlisted languages are kept whole.
+    */
+  def tokenBudgetSample(documents: DataFrame,
+                        budgets: Map[String, Long]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val budget = budgets.foldLeft(lit(Long.MaxValue)) {
+      case (acc, (lang, b)) =>
+        when(col("lang") === lang, lit(b)).otherwise(acc)
+    }
+    documents
+      .select(col("doc_id"), col("lang"),
+        size(Canon.words(col("text"))).cast("long").as("n_tokens"),
+        Canon.hash60(md5(col("text"))).as("ord"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("tokens_before") < budget)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+  }
+
   def corpusPipeline(documents: DataFrame,
                      minTokens: Int = 30): DataFrame = {
     val q = documents
