@@ -193,9 +193,9 @@ object GraphEtl {
     val e = edges.select(col("_from").as("src"), col("_to").as("dst"))
       .distinct().localCheckpoint()
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(outDeg, "src")
+    val eDeg = e.join(outDeg, "src").localCheckpoint()
     val vertices = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct()
+      .union(e.select(col("dst").as("v"))).distinct().localCheckpoint()
     var ranks = vertices.withColumn("rank", lit(1000000L))
     (1 to iters).foreach { i =>
       val inbound = eDeg.join(ranks, eDeg("src") === ranks("v"))
@@ -206,11 +206,12 @@ object GraphEtl {
         .select(col("v"),
           (lit(150000L) + expr("(850000 * coalesce(s, 0L)) div 1000000"))
             .as("rank"))
-      // lineage guard for deep runs only: a shallow run stays ONE
-      // lazy plan over the cached edge list (every eager checkpoint
-      // is a scheduled job — at 3 iterations the job overhead was
-      // 3× the actual compute)
-      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
+      // checkpoint between iterations (not after the last): keeps
+      // every compiled plan one-iteration shallow — the fused
+      // 3-iteration plan generated enough code that one-shot janino
+      // compilation cost 3× the actual compute — and truncates the
+      // iterative lineage for deep runs
+      if (i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.select(col("v").as("vertex"), col("rank"))
   }
