@@ -60,6 +60,60 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  // Random structurally-valid H3 cell: mode 1, random res/base/digits
+  // (digit 0-6 within the resolution, 7 beyond it), avoiding the
+  // pentagon leading-K case by construction.
+  private val h3cellGen: Gen[Long] = for {
+    res <- Gen.chooseNum(0, 15)
+    base <- Gen.chooseNum(0L, 121L)
+    digits <- Gen.listOfN(res, Gen.chooseNum(0L, 6L))
+  } yield {
+    val isPenta = graft.functions.H3Cell.PentagonBaseCells.contains(base)
+    val fixed = // pentagon: bump a leading K (1) digit to J (2)
+      if (!isPenta) digits
+      else digits.zipWithIndex.map { case (d, i) =>
+        if (d == 1L && digits.take(i).forall(_ == 0L)) 2L else d
+      }
+    var v = (1L << 59) | (res.toLong << 52) | (base << 45)
+    fixed.zipWithIndex.foreach { case (d, i) =>
+      v |= d << ((15 - (i + 1)) * 3)
+    }
+    ((res + 1) to 15).foreach(r => v |= 7L << ((15 - r) * 3))
+    v
+  }
+
+  test("H3 parent truncation: valid, res-set, base-preserving, composable") {
+    import graft.functions.H3Cell
+    val cells = (1 to 60).flatMap(i =>
+      h3cellGen.apply(Gen.Parameters.default, Seed(7L + i))).distinct
+    val df = cells.toDF("c")
+    val bad = df.filter(!H3Cell.isValid(col("c"))).count()
+    assert(bad === 0L, "generated cells must be structurally valid")
+    // for every r1 <= r2 <= res: parent(parent(c,r2),r1) == parent(c,r1),
+    // parent is valid, has resolution r1 and the same base cell
+    (0 to 15 by 5).foreach { r1 =>
+      val r2 = math.min(r1 + 5, 15)
+      val checked = df.filter(H3Cell.resolution(col("c")) >= r2)
+        .select(col("c"),
+          H3Cell.parent(H3Cell.parent(col("c"), r2), r1).as("two_step"),
+          H3Cell.parent(col("c"), r1).as("one_step"))
+      assert(checked.filter(col("two_step") =!= col("one_step")).count()
+        === 0L)
+      val p = checked.select(col("one_step").as("c"))
+      assert(p.filter(!H3Cell.isValid(col("c"))).count() === 0L)
+      assert(p.filter(H3Cell.resolution(col("c")) =!= r1).count() === 0L)
+    }
+    // parent at the cell's own resolution is the identity
+    val own = df.select(col("c"),
+      H3Cell.resolution(col("c")).as("r")).collect()
+    own.take(8).foreach { row =>
+      val c = row.getLong(0); val r = row.getLong(1).toInt
+      val p = Seq(c).toDF("c")
+        .select(H3Cell.parent(col("c"), r)).head().getLong(0)
+      assert(p === c)
+    }
+  }
+
   test("endpoint coverage: every edge endpoint is in the account vertex set") {
     cases.foreach { rows =>
       val df = rows.toDF("block", "block_time", "hash", "type", "payload")
