@@ -250,6 +250,9 @@ object SparkEntry {
     // NO-ORACLE: centroids are init-dependent, recall spec-asserted.
     "s03_knn_ivf" -> ((s, dir) =>
       Similarity.knnIvf(t(s, dir, "embeddings"), 10, 3)),
+    // Int8 symmetric quantization (per-vector max-abs scale).
+    "s04_quantize_int8" -> ((s, dir) =>
+      Similarity.quantizeInt8(t(s, dir, "embeddings"))),
     // Stopword-profile language ID.
     "t01_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"))),
@@ -870,6 +873,17 @@ object SparkEntry {
            | SELECT *, row_number() OVER (PARTITION BY q_id
            |   ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
            |WHERE "rank" <= 3""".stripMargin),
+    "s04_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |  list_reduce(list_prepend(0.0, [abs(x) FOR x IN v]),
+        |    (a, b) -> greatest(a, b)) AS scale FROM e)
+        |SELECT vec_id, scale,
+        | array_to_string([CASE WHEN scale = 0 THEN 0
+        |   ELSE floor(x * 127.0 / scale + 0.5)::BIGINT END FOR x IN v],
+        |   ',') AS q_csv
+        |FROM s""".stripMargin,
     "t01_langid" -> {
       val profs = graft.operators.TextAnalysis.langProfiles
       val scores = profs.map { case (lang, stops) =>

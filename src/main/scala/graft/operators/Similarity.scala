@@ -152,4 +152,30 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Int8 symmetric quantization — the 4× memory lever that lets an
+    * ANN index hold 4× the vectors per executor: per-vector scale =
+    * max |component| (an order-independent fold, so deterministic
+    * under any partitioning), each component → floor(x·127/scale+0.5)
+    * ∈ [−127, 127]. Entirely row-local; reconstruction error is
+    * bounded by scale/254 per component (spec-asserted). The
+    * quantized vector rides as a CSV string at the gate boundary
+    * (the driver canonicalizes arrays engine-differently; the values
+    * are exact integers either way). All-zero vectors quantize to
+    * zeros with scale 0.
+    */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val base = embeddings.select(col("vec_id"),
+      Canon.asDouble(col("embedding")).as("v"))
+    val scaled = base.select(col("vec_id"), col("v"),
+      aggregate(col("v"), lit(0.0d), (acc, x) => greatest(acc, abs(x)))
+        .as("scale"))
+    scaled.select(
+      col("vec_id"), col("scale"),
+      array_join(
+        transform(col("v"), x =>
+          when(col("scale") === 0.0d, lit(0L))
+            .otherwise(floor(x * lit(127.0d) / col("scale") + lit(0.5d))
+              .cast("long"))), ",").as("q_csv"))
+  }
 }

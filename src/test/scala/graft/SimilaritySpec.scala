@@ -47,6 +47,27 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 3, s"IVF top-1 recall too low: $hits/10")
   }
 
+  test("quantizeInt8: bounded reconstruction error, zero-vector safe") {
+    val emb = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f), 0),
+      (1L, Array(0.0f, 0.0f, 0.0f), 0) // all-zero: scale 0, no NaN
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.quantizeInt8(emb)
+      .orderBy("vec_id")
+      .select("vec_id", "scale", "q_csv")
+      .as[(Long, Double, String)].collect()
+    assert(out(1) === ((1L, 0.0, "0,0,0")))
+    val (_, scale, csv) = out(0)
+    assert(scale === 1.0)
+    val q = csv.split(",").map(_.toLong)
+    assert(q.toSeq === Seq(64L, -127L, 32L)) // floor(x·127+0.5)
+    // dequantized error ≤ half a quantization step per component
+    val orig = Seq(0.5, -1.0, 0.25)
+    q.zip(orig).foreach { case (qi, x) =>
+      assert(math.abs(qi * scale / 127.0 - x) <= scale / 254.0 + 1e-12)
+    }
+  }
+
   test("bucketed results are a sound restriction of brute force") {
     val real = table("embeddings")
     val brute = Similarity.knnBrute(real, 5, 1)
