@@ -246,10 +246,11 @@ object SparkEntry {
     // Sign-bucketed ANN top-k (the scale path).
     "s02_knn_bucketed" -> ((s, dir) =>
       Similarity.knnBucketed(t(s, dir, "embeddings"), 10, 3)),
-    // IVF ANN (k-means coarse quantizer + nProbe cell search);
-    // NO-ORACLE: centroids are init-dependent, recall spec-asserted.
+    // IVF ANN with the deterministic content-hash coarse quantizer —
+    // hash-gated end to end (the MLlib k-means path keeps its recall
+    // spec in SimilaritySpec behind the same search shape).
     "s03_knn_ivf" -> ((s, dir) =>
-      Similarity.knnIvf(t(s, dir, "embeddings"), 10, 3)),
+      Similarity.knnIvfDeterministic(t(s, dir, "embeddings"), 10, 3)),
     // Int8 symmetric quantization (per-vector max-abs scale).
     "s04_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings"))),
@@ -293,6 +294,14 @@ object SparkEntry {
     "st03_sliding_window" -> ((s, dir) =>
       graft.streaming.StreamingOps.slidingWindowStats(
         t(s, dir, "events"), "1 hour", "30 minutes")),
+    // Stream-stream interval join, batch anchor (unified-API contract:
+    // same plan as the watermarked streaming run in StreamingOpsSpec).
+    "st04_interval_join" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.streaming.StreamingOps.intervalJoinStream(
+        e.filter(col("event_type") === "purchase"),
+        e.filter(col("event_type") === "click"), 3600L, 0L)
+    }),
     // Deterministic content-hash stratified sampling.
     "p03_stratified_sample" -> ((s, dir) =>
       Pipeline.stratifiedSample(t(s, dir, "documents"))),
@@ -838,12 +847,18 @@ object SparkEntry {
            |FROM documents d LEFT JOIN near n ON d.doc_id = n.doc_id
            |WHERE d.doc_id % 5 = 0""".stripMargin
     },
+    // Mirrors embeddingNearDups' maxBlock=10000 hot-label guard: labels
+    // larger than the cap are skipped entirely on the Spark side, so the
+    // oracle drops them too (same pattern as the d05/d09 cap mirrors).
     "d06_embedding_neardup" ->
       (embCte +
-        s"""SELECT * FROM (
+        s""", keep AS (SELECT label FROM embeddings
+           |  GROUP BY label HAVING count(*) <= 10000)
+           |SELECT * FROM (
            | SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            |  $pairDot / (a.nrm * b.nrm) AS cos
-           | FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+           | FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+           | WHERE a.label IN (SELECT label FROM keep))
            |WHERE cos >= 0.3""".stripMargin),
     "s01_knn_brute" ->
       (embCte +
@@ -873,6 +888,40 @@ object SparkEntry {
            | SELECT *, row_number() OVER (PARTITION BY q_id
            |   ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
            |WHERE "rank" <= 3""".stripMargin),
+    // Mirrors knnIvfDeterministic exactly: hash-seeded centroids
+    // (rank by h60('ivfseed|'||vec_id), 16 cells), argmax-cosine cell
+    // assignment with lowest-cell tie-break, 4 probed cells per query,
+    // k=3 final top-k. Same left-fold dot as the Spark side.
+    "s03_knn_ivf" -> {
+      val centSim =
+        foldSum("[a.v[i] * c.cv[i] FOR i IN range(1, len(a.v)+1)]") +
+          " / (a.nrm * c.cnrm)"
+      embCte +
+        s""", h AS (SELECT vec_id, v, nrm,
+           |  ${h60("'ivfseed|' || vec_id")} AS hh FROM n),
+           |c AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1
+           |    AS cell, v AS cv, nrm AS cnrm
+           |  FROM h ORDER BY hh, vec_id LIMIT 16),
+           |asg AS (SELECT vec_id, v, nrm, cell FROM (
+           |  SELECT a.vec_id, a.v, a.nrm, c.cell,
+           |   row_number() OVER (PARTITION BY a.vec_id
+           |     ORDER BY $centSim DESC, c.cell) AS rk
+           |  FROM n a CROSS JOIN c) WHERE rk = 1),
+           |probes AS (SELECT q_id, qv, qnrm, cell FROM (
+           |  SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qnrm, c.cell,
+           |   row_number() OVER (PARTITION BY a.vec_id
+           |     ORDER BY $centSim DESC, c.cell) AS rk
+           |  FROM n a CROSS JOIN c WHERE a.vec_id < 10) WHERE rk <= 4),
+           |scored AS (SELECT p.q_id, b.vec_id AS nbr_id,
+           |  ${foldSum("[p.qv[i] * b.v[i] FOR i IN range(1, len(p.qv)+1)]")}
+           |   / (p.qnrm * b.nrm) AS sim
+           | FROM probes p JOIN asg b ON b.cell = p.cell
+           |   AND b.vec_id <> p.q_id)
+           |SELECT q_id, nbr_id, sim, "rank" FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
+           |WHERE "rank" <= 3""".stripMargin
+    },
     "s04_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |  FROM embeddings),
@@ -1112,6 +1161,20 @@ object SparkEntry {
         | make_timestamp(ws + 3600000000) AS window_end,
         | count(*) AS n_events, count(DISTINCT user_id) AS n_users
         |FROM w GROUP BY 1, 2""".stripMargin,
+    // Inner interval join: purchase probes × same-user clicks in the
+    // preceding hour. Watermarks are no-ops in batch, so the oracle is
+    // the plain range-predicate join.
+    "st04_interval_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+        |  event_type FROM events),
+        |p AS (SELECT event_id AS probe_id, user_id, t AS pt FROM e
+        |  WHERE event_type = 'purchase'),
+        |b AS (SELECT event_id AS build_id, user_id AS b_user, t AS bt
+        |  FROM e WHERE event_type = 'click')
+        |SELECT probe_id, p.user_id, make_timestamp(pt) AS probe_time,
+        | build_id, make_timestamp(bt) AS build_time
+        |FROM p JOIN b ON b.b_user = p.user_id
+        | AND bt >= pt - 3600000000 AND bt < pt""".stripMargin,
     "p03_stratified_sample" ->
       s"""WITH b AS (SELECT doc_id, lang,
          |  ${h60("md5('sample|' || text)")} % 100 AS bucket

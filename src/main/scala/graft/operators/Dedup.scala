@@ -343,10 +343,25 @@ object Dedup {
 
   /** Embedding near-dup: cosine >= `tau` within label blocks. Norms are
     * precomputed per row (map-side); the pair join is label-blocked.
+    *
+    * `maxBlock` guards the quadratic-per-block cost, exactly as in
+    * ngramJaccardPairs: at corpus scale one hot label can hold half the
+    * table, and an uncapped label block is O(n²·d). Blocks over the cap
+    * are skipped entirely (their pairs belong to a tighter blocking key —
+    * an LSH / IVF bucket over the vectors, see Similarity — not to an
+    * n²/2 scan). The size side is a tiny per-label aggregate broadcast
+    * back as a semi-join; the d06 oracle mirrors the cap.
     */
-  def embeddingNearDups(embeddings: DataFrame, tau: Double): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("label"),
-      Canon.asDouble(col("embedding")).as("v"))
+  def embeddingNearDups(embeddings: DataFrame, tau: Double,
+                        maxBlock: Int = 10000): DataFrame = {
+    val blockSizes = embeddings.groupBy(col("label"))
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") <= maxBlock)
+      .select(col("label"))
+    val e = embeddings
+      .join(broadcast(blockSizes), Seq("label"), "left_semi")
+      .select(col("vec_id"), col("label"),
+        Canon.asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(Canon.dot(col("v"), col("v"))))
     e.as("a")
       .join(e.as("b"),

@@ -65,29 +65,64 @@ object Pipeline {
     *
     * Determinism: the scan order is (hash60(md5(text)), doc_id) —
     * content-derived, so the selection is identical on any cluster,
-    * any partitioning, any rerun. Scale: one window partitioned BY
-    * LANGUAGE computes the running token sum — a per-partition sort,
-    * never a global one; languages are the natural mixture partitions
-    * and each sorts independently. `budgets` maps lang → token budget;
+    * any partitioning, any rerun. `budgets` maps lang → token budget;
     * unlisted languages are kept whole.
+    *
+    * Scale: the running sum is TWO-STAGE, never a per-language window —
+    * language cardinality is tiny, so `Window.partitionBy(lang)` puts
+    * the dominant language (at web scale, half the corpus) on ONE task:
+    * the same single-partition-sort pathology the t06 vocabulary rank
+    * eliminated. Instead (t06's template, TextAnalysis.vocabulary):
+    * range-repartition by the scan order (lang, ord, doc_id) so each
+    * partition holds a contiguous slice of each language's order; sum
+    * locally per (partition, lang); offset by the earlier partitions'
+    * per-language sums (a triangular join over the tiny (pid, lang)
+    * aggregate, broadcast back). No single-task sort anywhere; the
+    * local window's (_pid, lang) groups are partition-sized by
+    * construction.
     */
   def tokenBudgetSample(documents: DataFrame,
-                        budgets: Map[String, Long]): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang"))
-      .orderBy(col("ord"), col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        -1)
+                        budgets: Map[String, Long],
+                        numPartitions: Int = 32): DataFrame = {
     val budget = budgets.foldLeft(lit(Long.MaxValue)) {
       case (acc, (lang, b)) =>
         when(col("lang") === lang, lit(b)).otherwise(acc)
     }
-    documents
+    // Materialized BEFORE the range partitioning: the range sampler
+    // evaluates its child for boundary sampling and again for the real
+    // pass — without this the corpus text scan (words + md5) runs
+    // twice. The materialization is the narrow 4-column projection,
+    // a small fraction of the text it derives from.
+    val base = documents
       .select(col("doc_id"), col("lang"),
         size(Canon.words(col("text"))).cast("long").as("n_tokens"),
         Canon.hash60(md5(col("text"))).as("ord"))
-      .withColumn("tokens_before",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .localCheckpoint()
+    val parted = base
+      .repartitionByRange(numPartitions,
+        col("lang").asc, col("ord").asc, col("doc_id").asc)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid"), col("lang"))
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val local = parted.withColumn("_loc",
+      coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
+    // Per-(partition, lang) totals → prefix offsets for each slice.
+    // Derived from `local` so the exchange subtree is shared with the
+    // probe side (ReuseExchange keeps _pid assignment consistent and
+    // the shuffle single-execution).
+    val sums = local.groupBy(col("_pid"), col("lang"))
+      .agg(sum(col("n_tokens")).as("_psum"))
+    val offsets = sums.as("a")
+      .join(sums.as("b"),
+        col("a.lang") === col("b.lang") && col("b._pid") < col("a._pid"),
+        "left")
+      .groupBy(col("a._pid").as("_pid"), col("a.lang").as("lang"))
+      .agg(coalesce(sum(col("b._psum")), lit(0L)).as("_off"))
+    local.join(broadcast(offsets), Seq("_pid", "lang"))
+      .withColumn("tokens_before", col("_off") + col("_loc"))
       .filter(col("tokens_before") < budget)
       .select(col("doc_id"), col("lang"), col("n_tokens"))
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -123,6 +123,80 @@ object Similarity {
     val scored = indexed.join(broadcast(probes),
       indexed("cell") === probes("cell") &&
         col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        Canon.cosine(Canon.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF with a DETERMINISTIC coarse quantizer: the centroids are the
+    * embeddings of the `nCells` corpus vectors ranking lowest by a
+    * content hash — random-SAMPLE seeding without Lloyd refinement
+    * (standard coarse-quantizer practice: the cells only need a
+    * representative spread, and skipping Lloyd removes the
+    * init/partitioning dependence that makes k-means engine-specific).
+    * Unlike knnIvf this whole search path is hash-gate checkable
+    * against the DuckDB oracle (s03).
+    *
+    * Scale shape: the centroid set is nCells rows → collected into ONE
+    * broadcast array row; assignment and probe selection are row-local
+    * argmax/top-n folds over that array inside the corpus scan — zero
+    * corpus shuffle before the final per-query top-k, the same
+    * map-side shape as ivfIndex's transform. orderBy().limit(nCells)
+    * plans as TakeOrdered (per-partition heaps + driver merge), never
+    * a global sort.
+    */
+  def knnIvfDeterministic(embeddings: DataFrame, nQueries: Int, k: Int,
+                          nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = prepared(embeddings)
+    val seeds = e
+      .withColumn("_h",
+        Canon.hash60(concat(lit("ivfseed|"), col("vec_id"))))
+      .orderBy(col("_h").asc, col("vec_id").asc)
+      .limit(nCells)
+    // cell id = seed rank, assigned as the POSITION in the sorted
+    // collected array (sort_array on the (hh, vec_id)-led struct is the
+    // same total order) — no partition-less window anywhere, even a
+    // 16-row one.
+    val centArr = seeds
+      .agg(sort_array(collect_list(struct(col("_h"), col("vec_id"),
+        col("v").as("cv"), col("nrm").as("cnrm")))).as("raw"))
+      .select(transform(col("raw"), (c, i) =>
+        struct(i.as("cell"), c.getField("cv").as("cv"),
+          c.getField("cnrm").as("cnrm"))).as("cents"))
+    def centSim(v: Column, nrm: Column, c: Column): Column =
+      Canon.cosine(Canon.dot(v, c.getField("cv")), nrm, c.getField("cnrm"))
+    // row-local argmax over the sorted centroid array; strict > keeps
+    // the LOWEST cell on an exact tie (oracle: ORDER BY csim DESC, cell)
+    def bestCell(v: Column, nrm: Column, cents: Column): Column =
+      aggregate(cents,
+        struct(lit(-1e300).as("s"), lit(-1).as("cell")),
+        (acc, c) => {
+          val s = centSim(v, nrm, c)
+          when(s > acc.getField("s"),
+            struct(s.as("s"), c.getField("cell").as("cell")))
+            .otherwise(acc)
+        }).getField("cell")
+    // row-local top-nProbe cells: sort (−sim, cell) asc, take the head
+    def probeCells(v: Column, nrm: Column, cents: Column): Column =
+      slice(transform(
+        array_sort(transform(cents, c =>
+          struct((-centSim(v, nrm, c)).as("negs"),
+            c.getField("cell").as("cell")))),
+        p => p.getField("cell")), 1, nProbe)
+    val indexed = e.join(broadcast(centArr))
+      .withColumn("cell", bestCell(col("v"), col("nrm"), col("cents")))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .join(broadcast(centArr))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"),
+        explode(probeCells(col("v"), col("nrm"), col("cents"))).as("qcell"))
+    val scored = indexed.join(broadcast(probes),
+      col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("nbr_id"),
         Canon.cosine(Canon.dot(col("qv"), col("v")),
           col("qnrm"), col("nrm")).as("sim"))

@@ -147,4 +147,18 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => (r._1, r._2)).toSet === Set((0L, 1L)))
     assert(out.head._3 === 1.0)
   }
+
+  test("embeddingNearDups maxBlock skips a hot label block") {
+    // label 0 holds 40 identical vectors (an uncapped block would emit
+    // 40·39/2 pairs); label 1 stays under the cap and still pairs
+    val hot = (0L until 40L).map(i => (i, Array(1.0f, 0.0f), 0))
+    val cool = Seq((100L, Array(0.0f, 1.0f), 1), (101L, Array(0.0f, 1.0f), 1))
+    val emb = (hot ++ cool).toDF("vec_id", "embedding", "label")
+    val capped = Dedup.embeddingNearDups(emb, 0.99, maxBlock = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(capped.map(r => (r._1, r._2)).toSet === Set((100L, 101L)),
+      "hot-label pairs must be skipped, cool-label pairs kept")
+    val uncapped = Dedup.embeddingNearDups(emb, 0.99, maxBlock = 1000)
+    assert(uncapped.count() === 40L * 39 / 2 + 1)
+  }
 }

@@ -47,6 +47,25 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 3, s"IVF top-1 recall too low: $hits/10")
   }
 
+  test("knnIvfDeterministic: sound restriction, partition-independent") {
+    val real = table("embeddings")
+    val brute = Similarity.knnBrute(real, 10, 1)
+      .select("q_id", "sim").as[(Long, Double)].collect().toMap
+    val det = Similarity.knnIvfDeterministic(real, 10, 1)
+      .select("q_id", "nbr_id", "sim").as[(Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(det.nonEmpty)
+    det.foreach { case (q, _, s) =>
+      assert(s <= brute(q) + 1e-12, s"query $q: ivf beat exact")
+    }
+    // the hash-seeded quantizer must give IDENTICAL results under any
+    // input partitioning — that's the whole point of the oracle gate
+    val again = Similarity.knnIvfDeterministic(real.repartition(13), 10, 1)
+      .select("q_id", "nbr_id", "sim").as[(Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    assert(det.toSeq === again.toSeq)
+  }
+
   test("quantizeInt8: bounded reconstruction error, zero-vector safe") {
     val emb = Seq(
       (0L, Array(0.5f, -1.0f, 0.25f), 0),
