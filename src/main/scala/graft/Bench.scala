@@ -26,20 +26,47 @@ object Bench {
       catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    // Millisecond precision keeps the line SHORT: the harness captures a
-    // bounded stdout tail, and full-precision doubles for 60+ queries
-    // pushed the JSON's head out of the window (BENCH_r02 parsed:null).
-    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
-      .mkString("{", ",", "}")
+    // The harness records only the last 2000 chars of stdout (measured:
+    // BENCH_r05's `tail` is exactly 2000 and the 2169-char full-precision
+    // line lost its head → parsed:null). The stdout line must therefore
+    // fit the window WHOLE. Cascade from millisecond precision down to
+    // whatever fits a 1990-char budget: fewer decimals (trailing zeros
+    // stripped — "0.5" not "0.500"), then the sf dir shortened to its
+    // basename, then (last resort, never yet needed) the query keys cut
+    // to their unique id prefix ("g10_pagerank" → "g10"). The FULL
+    // 3-decimal, full-name line always goes to BENCH_LOCAL.json.
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json =
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Belt and braces for the harness parse: also persist to a file
-    // (BENCH_LOCAL.json or args(0)) in case the stdout tail is clipped.
+    def fmt(v: Double, dp: Int, strip: Boolean): String = {
+      val s = s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
+      if (!strip) s
+      else {
+        val t = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+        if (t.isEmpty || t == "-") "0" else t
+      }
+    }
+    def line(dp: Int, strip: Boolean, sf: String,
+             key: String => String): String = {
+      val qs = results.map { case (k, v) =>
+        "\"" + key(k) + "\":" + fmt(v, dp, strip)
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total, 3, strip = false)},""" +
+        s""""unit":"sec","queries":$qs,"sf":"$sf"}"""
+    }
+    val sfShort = Paths.get(sfDir).getFileName.toString
+    val full = line(3, strip = false, sfDir, identity)
+    val candidates = Iterator(
+      full,
+      line(2, strip = true, sfDir, identity),
+      line(1, strip = true, sfDir, identity),
+      line(1, strip = true, sfShort, identity),
+      line(3, strip = false, sfShort, _.takeWhile(_ != '_')),
+      line(1, strip = true, sfShort, _.takeWhile(_ != '_')))
+    val json = candidates.find(_.length <= 1990).getOrElse(full)
+    // Belt and braces for the harness parse: also persist the FULL line
+    // to a file (BENCH_LOCAL.json or args(0)).
     val outPath = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
-    try Files.writeString(Paths.get(outPath), json + "\n")
+    try Files.writeString(Paths.get(outPath), full + "\n")
     catch { case _: Throwable => () }
     spark.stop()
     // Printed AFTER spark.stop() (and with build.sbt's showSuccess off)

@@ -70,4 +70,32 @@ object GraphSink {
     toDocuments(ordered).select(col("doc")).as[String]
       .mapPartitions(_.grouped(batchSize).map(_.mkString("[", ",", "]")))
   }
+
+  /** Where an HTTP bulk import lands: node base URL + database (the
+    * transport is injectable through the same seam as JsonRpcClient so
+    * specs post to an in-process stub over real HTTP).
+    */
+  final case class ImportTarget(baseUrl: String, database: String,
+                                batchSize: Int = 1000,
+                                post: (String, String) => String =
+                                  graft.sources.JsonRpcClient.httpPost)
+
+  /** S5 over the wire: POST the importBulk bodies straight from the
+    * executors — `foreachPartition`, one HTTP request per ≤batchSize
+    * documents, nothing funneled through the driver (the reference
+    * does the same single-process POST in follower.py:205-207; here it
+    * fans out, and the store's onDuplicate=ignore keeps the fan-out
+    * race-free because every document carries its content-hash _key).
+    */
+  def importBulkPost(df: DataFrame, target: ImportTarget,
+                     collection: String,
+                     onDuplicate: String = "ignore"): Unit = {
+    val url = target.baseUrl.stripSuffix("/") +
+      importBulkPath(target.database, collection, onDuplicate)
+    val post = target.post
+    importBulkBodies(df, target.batchSize)
+      .foreachPartition { it: Iterator[String] =>
+        it.foreach(body => post(url, body))
+      }
+  }
 }

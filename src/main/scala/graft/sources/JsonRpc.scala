@@ -101,6 +101,8 @@ final class RpcTxnSource(client: JsonRpcClient, maxRetries: Int = 50,
 
   def fetchRange(spark: SparkSession, fromExclusive: Long,
                  toInclusive: Long): Option[DataFrame] = {
+    // Serial tail-follow path (one cursor, like the reference's own
+    // loop). Large backfills go through RpcTxnSource.fetchRangeBulk.
     val rows = Seq.newBuilder[Row]
     var sawBlock = false
     var h = fromExclusive + 1
@@ -128,5 +130,57 @@ final class RpcTxnSource(client: JsonRpcClient, maxRetries: Int = 50,
     else Some(spark.createDataFrame(
       java.util.Arrays.asList(rows.result(): _*),
       HeliumSchemas.txnEnvelope))
+  }
+}
+
+object RpcTxnSource {
+  /** EXECUTOR-side bulk backfill — the scale path the driver-side
+    * fetchRange deliberately doesn't take (its serial loop mirrors the
+    * reference's own cursor, follower.py:55-75, and is fine per batch;
+    * a 1M-block backfill through it would be driver-bound). The height
+    * range becomes `numPartitions` slices of a range DataFrame; each
+    * partition constructs its OWN client via `mkClient` (the client
+    * holds an ObjectMapper and a transport — per-partition construction
+    * instead of closure capture keeps the lambda serializable and
+    * gives each task an isolated connection) and streams its heights
+    * through the same block→txn→payload expansion and T4
+    * retry-then-skip policy as the serial path. Output: the same
+    * txn-envelope schema; heights the node doesn't have yet simply
+    * produce no rows (a backfill runs below the tip by construction).
+    *
+    * At 1000 executors this is embarrassingly parallel — the node side
+    * is the bottleneck, which is where it belongs; `numPartitions`
+    * is the knob that caps the fan-out the node sees.
+    */
+  def fetchRangeBulk(spark: SparkSession, mkClient: () => JsonRpcClient,
+                     fromExclusive: Long, toInclusive: Long,
+                     numPartitions: Int, maxRetries: Int = 50,
+                     sleepMs: Long = 10000L,
+                     sleep: Long => Unit = Thread.sleep): DataFrame = {
+    val heights = spark.range(fromExclusive + 1, toInclusive + 1, 1L,
+      numPartitions)
+    val rows = heights.rdd.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val client = mkClient()
+        val mapper = new ObjectMapper
+        it.flatMap { h =>
+          client.blockGet(h).iterator.flatMap { blockJson =>
+            val block = mapper.readTree(blockJson)
+            val height = block.get("height").asLong()
+            val time = block.get("time").asLong()
+            val txns = block.get("transactions")
+            (0 until txns.size()).iterator.flatMap { i =>
+              val hash = txns.get(i).get("hash").asText()
+              val tpe = txns.get(i).get("type").asText()
+              val (payload, _) = RetryPolicy.withRetries(maxRetries,
+                sleepMs, sleep)(() => client.transactionGet(hash))
+              payload.map(p => Row(height, time, hash, tpe, p)).iterator
+            }
+          }
+        }
+      }
+    }
+    spark.createDataFrame(rows, HeliumSchemas.txnEnvelope)
   }
 }

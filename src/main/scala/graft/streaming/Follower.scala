@@ -115,12 +115,26 @@ final class Follower(spark: SparkSession, sourceDir: String,
   /** T7: retention as partition drop — delete sink batches whose upper
     * bound is below the cutoff. Metadata-only, no data rewrite.
     */
-  def dropExpiredBatches(cutoffBatch: Long): Seq[Long] = {
-    val dir = Paths.get(sinkDir)
-    if (!Files.exists(dir)) Seq.empty
+  def dropExpiredBatches(cutoffBatch: Long): Seq[Long] =
+    Follower.dropExpiredBatches(sinkDir, cutoffBatch)
+
+  /** The materialized sink as one DataFrame (for audits/specs); the
+    * `batch` column comes from hive-style partition discovery.
+    */
+  def sink(): DataFrame = spark.read.parquet(sinkDir)
+}
+
+object Follower {
+  /** T7 partition drop on any batch=N-partitioned directory (shared by
+    * the generic follower's sink and HeliumFollower's per-collection
+    * retention). Metadata-only: directories are removed whole.
+    */
+  def dropExpiredBatches(dir: String, cutoffBatch: Long): Seq[Long] = {
+    val root = Paths.get(dir)
+    if (!Files.exists(root)) Seq.empty
     else {
       import scala.jdk.CollectionConverters._
-      val expired = Files.list(dir).iterator().asScala
+      val expired = Files.list(root).iterator().asScala
         .filter(p => p.getFileName.toString.startsWith("batch="))
         .map(p => (p, p.getFileName.toString.stripPrefix("batch=").toLong))
         .filter(_._2 < cutoffBatch)
@@ -133,13 +147,6 @@ final class Follower(spark: SparkSession, sourceDir: String,
     }
   }
 
-  /** The materialized sink as one DataFrame (for audits/specs); the
-    * `batch` column comes from hive-style partition discovery.
-    */
-  def sink(): DataFrame = spark.read.parquet(sinkDir)
-}
-
-object Follower {
   /** T6 (follower.py:61-62): refresh the dimension snapshot when the
     * sync cursor leads the inventory snapshot by more than `lag`.
     * A None inventory height means the bootstrap never ran — treated

@@ -6,6 +6,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 import graft.operators.HeliumGraph
+import graft.sinks.GraphSink
 import graft.sources.TxnSource
 
 /** The reference's complete follower loop over the block/txn ingest
@@ -24,10 +25,30 @@ import graft.sources.TxnSource
   * collapses it); here each batch's partition holds the addresses it
   * saw, and the distinct set is the union view — the same collapse,
   * deferred to read (A3).
+  *
+  * Optional domain wiring, all off by default so the core loop stays
+  * test-small:
+  *   - `importTarget`: ArangoDB-wire sink — each collection's batch is
+  *     ALSO posted as importBulk bodies over HTTP (the reference's
+  *     actual write verb, follower.py:205-207), executor-side.
+  *   - `receiptRetentionBlocks`: the reference's delete_old_receipts
+  *     (follower.py:210-214) as a poc_receipts partition drop (T7) —
+  *     batches entirely below cursor−retention are removed after each
+  *     commit.
+  *   - `inventoryHeight`/`onInventoryRefresh`: the T6 refresh trigger
+  *     (follower.py:61-62) — fires when the cursor leads the inventory
+  *     snapshot by more than `inventoryLag`.
   */
 final class HeliumFollower(spark: SparkSession, source: TxnSource,
                            sinkDir: String, checkpointPath: String,
-                           batchSize: Long) {
+                           batchSize: Long,
+                           importTarget: Option[GraphSink.ImportTarget] =
+                             None,
+                           receiptRetentionBlocks: Option[Long] = None,
+                           inventoryHeight: () => Option[Long] =
+                             () => None,
+                           onInventoryRefresh: () => Unit = () => (),
+                           inventoryLag: Long = 500L) {
 
   def cursor(): Long = {
     val p = Paths.get(checkpointPath)
@@ -71,14 +92,32 @@ final class HeliumFollower(spark: SparkSession, source: TxnSource,
           write(receipts, "poc_receipts", hi)
           write(accounts, "accounts", hi)
           writeCheckpoint(hi) // checkpoint AFTER sink commit
+          // reference loop housekeeping, post-commit: receipt
+          // retention (follower.py:210-214) and the inventory-lag
+          // refresh trigger (follower.py:61-62)
+          receiptRetentionBlocks.foreach { keep =>
+            Follower.dropExpiredBatches(s"$sinkDir/poc_receipts",
+              hi - keep)
+          }
+          if (Follower.shouldRefreshInventory(hi, inventoryHeight(),
+            inventoryLag)) onInventoryRefresh()
           Some(hi)
       }
     }
   }
 
-  private def write(df: DataFrame, collection: String, hi: Long): Unit =
+  private def write(df: DataFrame, collection: String, hi: Long): Unit = {
     df.write.mode(SaveMode.Overwrite)
       .parquet(s"$sinkDir/$collection/batch=$hi")
+    // the wire verb reads back the committed partition (one cheap
+    // re-scan of batch-sized parquet) so the POSTed documents are
+    // byte-derived from exactly what the store of record holds
+    importTarget.foreach { t =>
+      GraphSink.importBulkPost(
+        spark.read.parquet(s"$sinkDir/$collection/batch=$hi"),
+        t, collection)
+    }
+  }
 
   /** Backfill to the tip (follower.py's catch-up phase). */
   def runToTip(tip: Long, maxBatches: Int = Int.MaxValue): Long = {

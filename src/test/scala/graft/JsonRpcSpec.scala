@@ -59,6 +59,37 @@ class JsonRpcSpec extends SparkSpec {
     }
   }
 
+  test("fetchRangeBulk fans the backfill out across partitions") {
+    StubNode.withServer() { endpoint =>
+      val clients = spark.sparkContext.longAccumulator("clients")
+      val calls = spark.sparkContext.longAccumulator("rpc_calls")
+      val mk = () => {
+        clients.add(1)
+        new JsonRpcClient(endpoint, (e, b) => {
+          calls.add(1); JsonRpcClient.httpPost(e, b)
+        })
+      }
+      val bulk = RpcTxnSource.fetchRangeBulk(spark, mk, 99L, 102L,
+        numPartitions = 3, maxRetries = 2, sleepMs = 0, sleep = _ => ())
+      val serial = new RpcTxnSource(new JsonRpcClient(endpoint),
+        maxRetries = 2, sleepMs = 0, sleep = _ => ())
+        .fetchRange(spark, 99L, 102L).get
+      // identical envelope set to the serial path (ONE action on bulk,
+      // so the accumulators below count a single execution)
+      def metaSet(d: org.apache.spark.sql.DataFrame) =
+        d.select("block", "block_time", "hash", "type")
+          .collect().map(_.toSeq).toSet
+      val bulkMeta = metaSet(bulk)
+      assert(bulkMeta === metaSet(serial))
+      assert(bulkMeta.size === 6)
+      // one client per non-empty height slice (3 heights → 3 slices),
+      // and every slice actually issued RPCs from its own task
+      assert(clients.value === 3L)
+      // 3 block_gets + 6 transaction_gets, spread across the slices
+      assert(calls.value === 9L)
+    }
+  }
+
   test("T4: a not-yet-indexed txn is retried, then skipped on exhaustion") {
     // tx2 succeeds on the 3rd try; tx3 exhausts its retries → skipped
     StubNode.withServer(flaky = Map("tx2" -> 2, "tx3" -> 99)) { endpoint =>

@@ -17,14 +17,35 @@ import graft.sources.HeliumFixtures
   */
 object StubNode {
   def withServer[A](flaky: Map[String, Int] = Map.empty)(
-      f: String => A): A = {
+      f: String => A): A =
+    withServerImports(flaky) { (endpoint, _) => f(endpoint) }
+
+  /** Variant that also records ArangoDB-style bulk-import POSTs
+    * (path incl. query string, raw body bytes) so specs can assert the
+    * exact wire shape the sink produced.
+    */
+  def withServerImports[A](flaky: Map[String, Int] = Map.empty)(
+      f: (String, java.util.Queue[(String, String)]) => A): A = {
     val mapper = new ObjectMapper
     val flakyRemaining = new java.util.concurrent.ConcurrentHashMap[String, Integer]
     flaky.foreach { case (k, v) => flakyRemaining.put(k, v) }
+    val imports = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]
 
     def handle(ex: HttpExchange): Unit = {
-      val req = mapper.readTree(new String(
-        ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8))
+      val raw = new String(
+        ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      if (ex.getRequestURI.getPath.startsWith("/_db/")) {
+        // ArangoDB _api/import analog: record and acknowledge
+        imports.add((ex.getRequestURI.toString, raw))
+        val ack = """{"error":false,"created":0}"""
+          .getBytes(StandardCharsets.UTF_8)
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(201, ack.length)
+        ex.getResponseBody.write(ack)
+        ex.close()
+        return
+      }
+      val req = mapper.readTree(raw)
       val id = req.get("id").asLong()
       val result: Either[Int, String] = req.get("method").asText() match {
         case "block_height" =>
@@ -54,7 +75,7 @@ object StubNode {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", handle _)
     server.start()
-    try f(s"http://127.0.0.1:${server.getAddress.getPort}/")
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/", imports)
     finally server.stop(0)
   }
 }
