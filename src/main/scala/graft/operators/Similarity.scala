@@ -167,34 +167,40 @@ object Similarity {
       .select(transform(col("raw"), (c, i) =>
         struct(i.as("cell"), c.getField("cv").as("cv"),
           c.getField("cnrm").as("cnrm"))).as("cents"))
-    def centSim(v: Column, nrm: Column, c: Column): Column =
-      Canon.cosine(Canon.dot(v, c.getField("cv")), nrm, c.getField("cnrm"))
-    // row-local argmax over the sorted centroid array; strict > keeps
-    // the LOWEST cell on an exact tie (oracle: ORDER BY csim DESC, cell)
-    def bestCell(v: Column, nrm: Column, cents: Column): Column =
-      aggregate(cents,
-        struct(lit(-1e300).as("s"), lit(-1).as("cell")),
-        (acc, c) => {
-          val s = centSim(v, nrm, c)
-          when(s > acc.getField("s"),
-            struct(s.as("s"), c.getField("cell").as("cell")))
-            .otherwise(acc)
-        }).getField("cell")
+      // ONE row; materialized so the seed TakeOrdered + collect runs
+      // once, not once per broadcast consumer (indexed + probes)
+      .localCheckpoint()
+    // The 16 centroid cosines are computed ONCE per row into an array
+    // (sims[i] = cosine to cell i; cents is cell-sorted) — argmax and
+    // top-nProbe then read the precomputed attribute. The naive form
+    // re-instantiated the dot-fold subtree per centroid per consumer
+    // (32 copies in one tree) and paid ~3× in analysis + interpreted
+    // eval. Aliased in its own projection so Catalyst keeps the
+    // multi-referenced array materialized (same trick as
+    // Dedup.minhashSignature).
+    def simsCol: Column = transform(col("cents"), c =>
+      Canon.cosine(Canon.dot(col("v"), c.getField("cv")),
+        col("nrm"), c.getField("cnrm")))
+    // argmax = FIRST index holding the max → lowest cell on an exact
+    // tie (oracle: ORDER BY csim DESC, cell); array_position is 1-based
+    def bestCell(sims: Column): Column =
+      (array_position(sims, array_max(sims)) - 1).cast("int")
     // row-local top-nProbe cells: sort (−sim, cell) asc, take the head
-    def probeCells(v: Column, nrm: Column, cents: Column): Column =
+    def probeCells(sims: Column): Column =
       slice(transform(
-        array_sort(transform(cents, c =>
-          struct((-centSim(v, nrm, c)).as("negs"),
-            c.getField("cell").as("cell")))),
+        array_sort(transform(sims, (s, i) =>
+          struct((-s).as("negs"), i.as("cell")))),
         p => p.getField("cell")), 1, nProbe)
     val indexed = e.join(broadcast(centArr))
-      .withColumn("cell", bestCell(col("v"), col("nrm"), col("cents")))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .select(col("vec_id"), col("v"), col("nrm"), simsCol.as("sims"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        bestCell(col("sims")).as("cell"))
     val probes = e.filter(col("vec_id") < nQueries)
       .join(broadcast(centArr))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"),
-        explode(probeCells(col("v"), col("nrm"), col("cents"))).as("qcell"))
+        col("nrm").as("qnrm"), simsCol.as("sims"))
+      .select(col("q_id"), col("qv"), col("qnrm"),
+        explode(probeCells(col("sims"))).as("qcell"))
     val scored = indexed.join(broadcast(probes),
       col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("nbr_id"),

@@ -79,6 +79,45 @@ object Inventory {
   def readCsv(spark: SparkSession, lines: Dataset[String]): DataFrame =
     spark.read.schema(csvSchema).option("header", "true").csv(lines)
 
+  /** Default GET transport: JDK HttpClient (the GET twin of
+    * JsonRpcClient.httpPost, same injectable seam).
+    */
+  def httpGet(url: String): String = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(url)).GET().build()
+    client.send(req,
+      java.net.http.HttpResponse.BodyHandlers.ofString()).body()
+  }
+
+  /** The LIVE inventory path (loaders.py:22-26): GET the index JSON,
+    * follow its `gateway_inventory` URL to the latest snapshot CSV,
+    * return the parsed lines plus the inventory height recovered from
+    * the snapshot filename (F3, loaders.py:45).
+    *
+    * Driver-side single fetch by design, like the reference: the
+    * dimension snapshot is bounded (~1M rows) and arrives as ONE file
+    * behind a URL — there is nothing to fan out. Relative snapshot
+    * URLs resolve against the index URL. Deviation (documented): the
+    * reference downloads a .csv.gz through pandas; the seam here hands
+    * back text lines, so transport-level gzip is the `get` function's
+    * concern.
+    */
+  def fetchLatest(spark: SparkSession, indexUrl: String,
+                  get: String => String = httpGet)
+      : (Dataset[String], Option[Long]) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+    val node = mapper.readTree(get(indexUrl)).get("gateway_inventory")
+    require(node != null, s"no gateway_inventory entry at $indexUrl")
+    val csvUrl = node.asText()
+    val resolved = java.net.URI.create(indexUrl).resolve(csvUrl).toString
+    val height = heightFromFilename(resolved.split("/").last)
+    import spark.implicits._
+    val lines = get(resolved).split("\r?\n").toIndexedSeq
+      .filter(_.nonEmpty).toDS()
+    (lines, height)
+  }
+
   /** F3: inventory height from the snapshot filename
     * (loaders.py:45 — parse("gateway_inventory_{}.csv.gz")).
     */

@@ -47,4 +47,16 @@ class InventorySpec extends SparkSpec {
       === Some(1234567L))
     assert(Inventory.heightFromFilename("bogus.csv") === None)
   }
+
+  test("live fetch: index JSON → snapshot CSV → same vertices + height") {
+    StubNode.withServer() { endpoint =>
+      val (lines, height) = Inventory.fetchLatest(spark,
+        s"${endpoint}inventories/latest.json")
+      assert(height === Some(1234567L))
+      val live = Inventory.processInventory(
+        Inventory.readCsv(spark, lines))
+      assert(live.collect().map(_.toSeq).toSet ===
+        inv.collect().map(_.toSeq).toSet)
+    }
+  }
 }

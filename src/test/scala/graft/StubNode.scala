@@ -34,6 +34,22 @@ object StubNode {
     def handle(ex: HttpExchange): Unit = {
       val raw = new String(
         ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      if (ex.getRequestMethod == "GET") {
+        // inventory index + snapshot endpoints (loaders.py:22-26 shape)
+        val path = ex.getRequestURI.getPath
+        val (code, body) =
+          if (path.endsWith("/inventories/latest.json"))
+            (200,
+              s"""{"gateway_inventory":"${HeliumFixtures.inventoryCsvName}"}""")
+          else if (path.endsWith(HeliumFixtures.inventoryCsvName))
+            (200, HeliumFixtures.inventoryCsv.mkString("\n"))
+          else (404, """{"error":"not found"}""")
+        val bytes = body.getBytes(StandardCharsets.UTF_8)
+        ex.sendResponseHeaders(code, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+        return
+      }
       if (ex.getRequestURI.getPath.startsWith("/_db/")) {
         // ArangoDB _api/import analog: record and acknowledge
         imports.add((ex.getRequestURI.toString, raw))
