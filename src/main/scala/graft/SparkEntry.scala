@@ -254,6 +254,12 @@ object SparkEntry {
     // Int8 symmetric quantization (per-vector max-abs scale).
     "s04_quantize_int8" -> ((s, dir) =>
       Similarity.quantizeInt8(t(s, dir, "embeddings"))),
+    // Product-quantization codes (hash-seeded codebook, row-local).
+    "s05_pq_codes" -> ((s, dir) =>
+      Similarity.pqCodes(t(s, dir, "embeddings"))),
+    // PQ-ADC approximate top-k via per-query lookup tables.
+    "s06_pq_adc" -> ((s, dir) =>
+      Similarity.knnPqAdc(t(s, dir, "embeddings"), 10, 3)),
     // Stopword-profile language ID.
     "t01_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"))),
@@ -922,6 +928,70 @@ object SparkEntry {
            |   ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
            |WHERE "rank" <= 3""".stripMargin
     },
+    // Mirrors pqCodes: hash-seeded codebook (h60('pqseed|'||vec_id),
+    // 16 entries), per-subspace squared-L2 argmin with lowest-code
+    // tie-break; 8 subspaces of width 8 over dim-64 vectors.
+    "s05_pq_codes" ->
+      (embCte +
+        s""", hb AS (SELECT vec_id, v, ${h60("'pqseed|' || vec_id")} AS hh
+           |  FROM n),
+           |cb AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1
+           |    AS code, v AS cv
+           |  FROM hb ORDER BY hh, vec_id LIMIT 16),
+           |sub AS (SELECT a.vec_id, t.s, cb.code,
+           |   list_slice(a.v, t.s*8+1, t.s*8+8) AS va,
+           |   list_slice(cb.cv, t.s*8+1, t.s*8+8) AS vb
+           |  FROM n a CROSS JOIN generate_series(0, 7) t(s)
+           |  CROSS JOIN cb),
+           |dist AS (SELECT vec_id, s, code,
+           |   list_reduce(list_prepend(0.0,
+           |     [(va[i]-vb[i])*(va[i]-vb[i])
+           |      FOR i IN range(1, len(va)+1)]),
+           |     (acc, x) -> acc + x) AS d
+           |  FROM sub)
+           |SELECT vec_id, s, code FROM (
+           | SELECT vec_id, s, code, row_number() OVER (
+           |   PARTITION BY vec_id, s ORDER BY d, code) AS rk FROM dist)
+           |WHERE rk = 1""".stripMargin),
+    // Mirrors knnPqAdc: same codebook/codes as s05; per query a
+    // (subspace, code) dot-product table; approximate dot = LEFT FOLD
+    // over the s-ASCENDING lookups (list(... ORDER BY s) + list_reduce
+    // = the Spark side's fixed summation order), then top-3.
+    "s06_pq_adc" ->
+      (embCte +
+        s""", hb AS (SELECT vec_id, v, ${h60("'pqseed|' || vec_id")} AS hh
+           |  FROM n),
+           |cb AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1
+           |    AS code, v AS cv
+           |  FROM hb ORDER BY hh, vec_id LIMIT 16),
+           |sub AS (SELECT a.vec_id, t.s, cb.code,
+           |   list_slice(a.v, t.s*8+1, t.s*8+8) AS va,
+           |   list_slice(cb.cv, t.s*8+1, t.s*8+8) AS vb
+           |  FROM n a CROSS JOIN generate_series(0, 7) t(s)
+           |  CROSS JOIN cb),
+           |codes AS (SELECT vec_id, s, code FROM (
+           |  SELECT vec_id, s, code, row_number() OVER (
+           |    PARTITION BY vec_id, s ORDER BY
+           |    list_reduce(list_prepend(0.0,
+           |      [(va[i]-vb[i])*(va[i]-vb[i])
+           |       FOR i IN range(1, len(va)+1)]),
+           |      (acc, x) -> acc + x), code) AS rk FROM sub)
+           |  WHERE rk = 1),
+           |qt AS (SELECT vec_id AS q_id, s, code,
+           |   list_reduce(list_prepend(0.0,
+           |     [va[i]*vb[i] FOR i IN range(1, len(va)+1)]),
+           |     (acc, x) -> acc + x) AS pdot
+           |  FROM sub WHERE vec_id < 10),
+           |scored AS (SELECT qt.q_id, c.vec_id AS nbr_id,
+           |   list_reduce(list_prepend(0.0, list(qt.pdot ORDER BY qt.s)),
+           |     (acc, x) -> acc + x) AS approx_dot
+           |  FROM codes c JOIN qt ON qt.s = c.s AND qt.code = c.code
+           |  WHERE c.vec_id <> qt.q_id
+           |  GROUP BY qt.q_id, c.vec_id)
+           |SELECT q_id, nbr_id, approx_dot, "rank" FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY approx_dot DESC, nbr_id) AS "rank" FROM scored)
+           |WHERE "rank" <= 3""".stripMargin),
     "s04_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |  FROM embeddings),

@@ -233,6 +233,116 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Product-quantization codes (the 32× memory lever of the ANN
+    * stack: dim-64 float vectors → m=8 one-byte codes): the vector is
+    * split into `m` contiguous subspaces and each subvector is encoded
+    * as the id of its nearest codebook entry (squared L2, lowest code
+    * on a tie). The codebook reuses the deterministic hash-seeded
+    * sampling of knnIvfDeterministic (`pqseed|` stream) — 16 sampled
+    * vectors, their s-th subvectors forming subspace s's codebook — so
+    * encoding is reproducible on any cluster and the whole path is
+    * oracle-checkable (s05).
+    *
+    * Scale shape: the codebook is ONE broadcast row; encoding is a
+    * row-local transform (m × nCodes × subDim fused folds inside the
+    * corpus scan, no shuffle). Output exploded as (vec_id, s, code)
+    * for the gate; a production sink would pack the m codes to bytes.
+    */
+  def pqCodes(embeddings: DataFrame, m: Int = 8,
+              nCodes: Int = 16, dim: Int = 64): DataFrame = {
+    val e = prepared(embeddings)
+    val cbArr = pqCodebook(e, nCodes)
+    val sub = dim / m
+    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
+      val dists = transform(col("cb"), c =>
+        ssd(slice(col("v"), s * sub + 1, lit(sub)),
+          slice(c.getField("cv"), s * sub + 1, lit(sub))))
+      struct(s.as("s"),
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+          .as("code"))
+    })
+    e.join(broadcast(cbArr))
+      .select(col("vec_id"), explode(codes).as("sc"))
+      .select(col("vec_id"), col("sc.s").as("s"), col("sc.code").as("code"))
+  }
+
+  /** PQ-ADC top-k (asymmetric distance computation): each query
+    * precomputes its dot-product table against every codebook entry of
+    * every subspace; a corpus vector's approximate dot is then the
+    * SUM of m table lookups selected by its codes — never a full
+    * d-dimensional multiply per pair.
+    *
+    * Scale shape: the query table (nQueries × m × nCodes doubles) is
+    * one broadcast row; codes and the approximate score are computed
+    * row-locally inside the corpus scan (the s-ascending lookup fold is
+    * the deterministic summation order the oracle mirrors with an
+    * ordered-list fold); the only shuffle is the final per-query
+    * top-k window. Quality vs the exact baseline is spec-asserted,
+    * exactness is NOT claimed — ADC is an approximation by design.
+    */
+  def knnPqAdc(embeddings: DataFrame, nQueries: Int, k: Int,
+               m: Int = 8, nCodes: Int = 16, dim: Int = 64): DataFrame = {
+    val e = prepared(embeddings)
+    val cbArr = pqCodebook(e, nCodes)
+    val sub = dim / m
+    // per query: parts[s][j] = dot(q_sub_s, codebook[s][j])
+    val parts = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(col("cb"), c =>
+        Canon.dot(slice(col("v"), s * sub + 1, lit(sub)),
+          slice(c.getField("cv"), s * sub + 1, lit(sub)))))
+    val qt = e.filter(col("vec_id") < nQueries)
+      .join(broadcast(cbArr))
+      .select(col("vec_id").as("q_id"), parts.as("parts"))
+      .agg(sort_array(collect_list(struct(col("q_id"), col("parts"))))
+        .as("qt"))
+      .localCheckpoint() // one row; see knnIvfDeterministic
+    val codesCol = transform(sequence(lit(0), lit(m - 1)), s => {
+      val dists = transform(col("cb"), c =>
+        ssd(slice(col("v"), s * sub + 1, lit(sub)),
+          slice(c.getField("cv"), s * sub + 1, lit(sub))))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+    // approx dot = left fold over s ASCENDING of parts[s][code_s] —
+    // a fixed summation order, so the result is bit-deterministic
+    val approx = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d),
+      (acc, s) => acc +
+        element_at(element_at(col("q.parts"), s + 1),
+          element_at(col("codes"), s + 1) + 1))
+    val scored = e.join(broadcast(cbArr))
+      .select(col("vec_id"), col("v"), codesCol.as("codes"))
+      .join(broadcast(qt))
+      .select(col("vec_id"), col("codes"), explode(col("qt")).as("q"))
+      .filter(col("vec_id") =!= col("q.q_id"))
+      .select(col("q.q_id").as("q_id"), col("vec_id").as("nbr_id"),
+        approx.as("approx_dot"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dot").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Squared L2 between two equal-length slices, as the explicit left
+    * fold the oracle mirrors (list_reduce over the squared diffs).
+    */
+  private def ssd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** Hash-seeded PQ codebook: the `nCodes` vectors ranking lowest by
+    * the `pqseed|` content hash, cell-sorted into one broadcast row —
+    * the same deterministic sampling as knnIvfDeterministic's
+    * quantizer, on an independent hash stream.
+    */
+  private def pqCodebook(e: DataFrame, nCodes: Int): DataFrame =
+    e.withColumn("_h", Canon.hash60(concat(lit("pqseed|"), col("vec_id"))))
+      .orderBy(col("_h").asc, col("vec_id").asc)
+      .limit(nCodes)
+      .agg(sort_array(collect_list(struct(col("_h"), col("vec_id"),
+        col("v").as("cv")))).as("raw"))
+      .select(transform(col("raw"), (c, i) =>
+        struct(i.as("code"), c.getField("cv").as("cv"))).as("cb"))
+      .localCheckpoint()
+
   /** Int8 symmetric quantization — the 4× memory lever that lets an
     * ANN index hold 4× the vectors per executor: per-vector scale =
     * max |component| (an order-independent fold, so deterministic

@@ -66,6 +66,70 @@ class SimilaritySpec extends SparkSpec {
     assert(det.toSeq === again.toSeq)
   }
 
+  // the codebook rank a vec_id gets: rank of hash60("pqseed|id")
+  private def pqRank(ids: Seq[Long]): Map[Long, Int] = {
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"pqseed|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    ids.sortBy(id => (h(id), id)).zipWithIndex.toMap
+  }
+
+  // 4 vectors whose subvectors are distinct in both halves, so each
+  // encodes to its own codebook entry (squared-L2 0, no ties)
+  private val pqEmb = (0 until 4).map { i =>
+    (i.toLong, Array.tabulate(8)(j =>
+      if (j == 0) (i + 1).toFloat
+      else if (j == 7) (i + 1) * 2f else 0f), 0)
+  }.toDF("vec_id", "embedding", "label")
+
+  test("pqCodes: every vector encodes to its own codebook entry") {
+    val rank = pqRank(0L until 4L)
+    val codes = Similarity.pqCodes(pqEmb, m = 2, nCodes = 16, dim = 8)
+      .as[(Long, Int, Int)].collect()
+    assert(codes.length === 8) // 4 vectors × 2 subspaces
+    codes.foreach { case (id, s, code) =>
+      assert(code === rank(id), s"vec $id subspace $s")
+    }
+  }
+
+  test("knnPqAdc: exact reconstruction when the corpus is its own codebook") {
+    // every vector is a codeword → ADC's approximate dot is the exact
+    // dot, so the ranking equals brute-force dot ranking
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      for (i <- a.indices) acc += a(i).toDouble * b(i).toDouble
+      acc
+    }
+    val vecs = (0 until 4).map { i =>
+      Array.tabulate(8)(j =>
+        if (j == 0) (i + 1).toFloat else if (j == 7) (i + 1) * 2f else 0f)
+    }
+    val out = Similarity.knnPqAdc(pqEmb, nQueries = 2, k = 3,
+      m = 2, nCodes = 16, dim = 8)
+      .select("q_id", "nbr_id", "approx_dot")
+      .as[(Long, Long, Double)].collect()
+    out.foreach { case (q, n, approx) =>
+      assert(math.abs(approx - dot(vecs(q.toInt), vecs(n.toInt))) < 1e-12,
+        s"ADC($q,$n) should be the exact dot")
+    }
+  }
+
+  test("knnPqAdc on real embeddings: shape + partition independence") {
+    val real = table("embeddings")
+    val a = Similarity.knnPqAdc(real, 10, 3)
+      .select("q_id", "nbr_id", "approx_dot", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(a.length === 30)
+    assert(a.groupBy(_._1).forall(_._2.map(_._4).sorted.sameElements(1 to 3)))
+    val b = Similarity.knnPqAdc(real.repartition(13), 10, 3)
+      .select("q_id", "nbr_id", "approx_dot", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("quantizeInt8: bounded reconstruction error, zero-vector safe") {
     val emb = Seq(
       (0L, Array(0.5f, -1.0f, 0.25f), 0),
