@@ -118,6 +118,15 @@ object Canon {
       graft.functions.MaxRunLengthL(
         org.apache.spark.sql.GraftSqlBridge.expression(sorted)))
 
+  /** PQ codes of a vector against a FLAT codebook in one native pass
+    * (see PqEncodeI for the exact parity contract with the HOF form).
+    */
+  def pqEncode(v: Column, cbFlat: Column, m: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.PqEncodeI(
+        org.apache.spark.sql.GraftSqlBridge.expression(v),
+        org.apache.spark.sql.GraftSqlBridge.expression(cbFlat), m))
+
   /** SimHash of a token-hash array in one native traversal. */
   def simhashBits(hashes: Column, bits: Int): Column =
     org.apache.spark.sql.GraftSqlBridge.column(

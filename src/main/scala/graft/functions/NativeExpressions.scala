@@ -219,6 +219,112 @@ case class SortedIntersectCountL(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Product-quantization encoder: `v` (array<double>, dim d) against a
+  * FLATTENED codebook `cb` (array<double>, nCodes × d — entry j is
+  * cb[j·d .. (j+1)·d)) → the `m` per-subspace nearest-entry ids
+  * (squared L2, subspace s spans dims [s·d/m, (s+1)·d/m)).
+  *
+  * Parity with the declarative form is exact: the distance is the same
+  * left-to-right `(x−y)²` accumulation the HOF fold performs, and the
+  * argmin keeps the FIRST (lowest-id) entry on a tie via strict `<` —
+  * the `array_position(dists, array_min(dists))` tie rule. This is the
+  * PQ hot loop (m·nCodes·subDim FMAs per corpus row at encode time),
+  * which as nested HOFs runs interpreted with per-element boxing;
+  * here it stays inside whole-stage codegen. Null/indivisible shapes
+  * (d % m ≠ 0, codebook not a multiple of d) yield null.
+  */
+case class PqEncodeI(left: Expression, right: Expression, m: Int)
+  extends BinaryExpression {
+
+  require(m >= 1, s"m must be positive, got $m")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<double>), got ($l, $r)")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_pq_encode"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cb = b.asInstanceOf[ArrayData]
+    val d = v.numElements()
+    if (d == 0 || d % m != 0) return null
+    val flat = cb.numElements()
+    if (flat == 0 || flat % d != 0) return null
+    val nCodes = flat / d
+    val sub = d / m
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = Double.PositiveInfinity
+      var bestJ = 0
+      var j = 0
+      while (j < nCodes) {
+        var acc = 0.0
+        var i = 0
+        while (i < sub) {
+          val diff = v.getDouble(s * sub + i) - cb.getDouble(j * d + s * sub + i)
+          acc += diff * diff
+          i += 1
+        }
+        if (acc < best) { best = acc; bestJ = j }
+        j += 1
+      }
+      codes(s) = bestJ
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val d = ctx.freshName("d"); val flat = ctx.freshName("flat")
+      val nCodes = ctx.freshName("nCodes"); val sub = ctx.freshName("sub")
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val best = ctx.freshName("best"); val bestJ = ctx.freshName("bestJ")
+      val acc = ctx.freshName("acc"); val diff = ctx.freshName("diff")
+      s"""
+         |final int $d = $a.numElements();
+         |final int $flat = $b.numElements();
+         |if ($d == 0 || $d % $m != 0 || $flat == 0 || $flat % $d != 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  final int $nCodes = $flat / $d;
+         |  final int $sub = $d / $m;
+         |  final int[] $codes = new int[$m];
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    double $best = Double.POSITIVE_INFINITY;
+         |    int $bestJ = 0;
+         |    for (int $j = 0; $j < $nCodes; $j++) {
+         |      double $acc = 0.0;
+         |      for (int $i = 0; $i < $sub; $i++) {
+         |        final double $diff = $a.getDouble($s * $sub + $i)
+         |          - $b.getDouble($j * $d + $s * $sub + $i);
+         |        $acc += $diff * $diff;
+         |      }
+         |      if ($acc < $best) { $best = $acc; $bestJ = $j; }
+         |    }
+         |    $codes[$s] = $bestJ;
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeI =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Longest run of equal adjacent values in a SORTED array<long> — the
   * modal frequency of the multiset (top-bigram count in the
   * repetition-signal operator) in one pass without materializing a

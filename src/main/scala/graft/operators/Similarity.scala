@@ -243,27 +243,21 @@ object Similarity {
     * encoding is reproducible on any cluster and the whole path is
     * oracle-checkable (s05).
     *
-    * Scale shape: the codebook is ONE broadcast row; encoding is a
-    * row-local transform (m × nCodes × subDim fused folds inside the
-    * corpus scan, no shuffle). Output exploded as (vec_id, s, code)
-    * for the gate; a production sink would pack the m codes to bytes.
+    * Scale shape: the codebook is ONE broadcast row; encoding is the
+    * native codegen'd PqEncodeI kernel (m × nCodes × subDim FMAs fused
+    * inside the corpus scan, no shuffle, no interpreted lambdas — the
+    * HOF-parity contract lives on the expression). Output exploded as
+    * (vec_id, s, code) for the gate; a production sink would pack the
+    * m codes to bytes.
     */
   def pqCodes(embeddings: DataFrame, m: Int = 8,
               nCodes: Int = 16, dim: Int = 64): DataFrame = {
     val e = prepared(embeddings)
     val cbArr = pqCodebook(e, nCodes)
-    val sub = dim / m
-    val codes = transform(sequence(lit(0), lit(m - 1)), s => {
-      val dists = transform(col("cb"), c =>
-        ssd(slice(col("v"), s * sub + 1, lit(sub)),
-          slice(c.getField("cv"), s * sub + 1, lit(sub))))
-      struct(s.as("s"),
-        (array_position(dists, array_min(dists)) - 1).cast("int")
-          .as("code"))
-    })
     e.join(broadcast(cbArr))
-      .select(col("vec_id"), explode(codes).as("sc"))
-      .select(col("vec_id"), col("sc.s").as("s"), col("sc.code").as("code"))
+      .select(col("vec_id"),
+        posexplode(Canon.pqEncode(col("v"), col("cbflat"), m)))
+      .select(col("vec_id"), col("pos").as("s"), col("col").as("code"))
   }
 
   /** PQ-ADC top-k (asymmetric distance computation): each query
@@ -296,12 +290,7 @@ object Similarity {
       .agg(sort_array(collect_list(struct(col("q_id"), col("parts"))))
         .as("qt"))
       .localCheckpoint() // one row; see knnIvfDeterministic
-    val codesCol = transform(sequence(lit(0), lit(m - 1)), s => {
-      val dists = transform(col("cb"), c =>
-        ssd(slice(col("v"), s * sub + 1, lit(sub)),
-          slice(c.getField("cv"), s * sub + 1, lit(sub))))
-      (array_position(dists, array_min(dists)) - 1).cast("int")
-    })
+    val codesCol = Canon.pqEncode(col("v"), col("cbflat"), m)
     // approx dot = left fold over s ASCENDING of parts[s][code_s] —
     // a fixed summation order, so the result is bit-deterministic
     val approx = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d),
@@ -321,13 +310,6 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Squared L2 between two equal-length slices, as the explicit left
-    * fold the oracle mirrors (list_reduce over the squared diffs).
-    */
-  private def ssd(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0d), (acc, x) => acc + x)
-
   /** Hash-seeded PQ codebook: the `nCodes` vectors ranking lowest by
     * the `pqseed|` content hash, cell-sorted into one broadcast row —
     * the same deterministic sampling as knnIvfDeterministic's
@@ -341,6 +323,9 @@ object Similarity {
         col("v").as("cv")))).as("raw"))
       .select(transform(col("raw"), (c, i) =>
         struct(i.as("code"), c.getField("cv").as("cv"))).as("cb"))
+      // the flat nCodes×d layout the native encoder consumes
+      .withColumn("cbflat",
+        flatten(transform(col("cb"), c => c.getField("cv"))))
       .localCheckpoint()
 
   /** Int8 symmetric quantization — the 4× memory lever that lets an

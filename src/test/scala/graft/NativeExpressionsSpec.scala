@@ -54,6 +54,41 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(df.as[Int].collect().toSeq === Seq(2, 0, 2))
   }
 
+  test("native pqEncode matches the declarative HOF argmin on real vectors") {
+    val m = 8
+    val sub = 64 / m
+    val e = table("embeddings").limit(200)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // hash-seeded 16-entry codebook, flat layout, exactly as pqCodebook
+    val cbArr = e
+      .withColumn("_h", Canon.hash60(concat(lit("pqseed|"), col("vec_id"))))
+      .orderBy(col("_h").asc, col("vec_id").asc).limit(16)
+      .agg(sort_array(collect_list(struct(col("_h"), col("vec_id"),
+        col("v").as("cv")))).as("raw"))
+      .select(transform(col("raw"), (c, i) => c.getField("cv")).as("cbs"))
+      .withColumn("cbflat", flatten(col("cbs")))
+    val joined = e.join(broadcast(cbArr))
+    val native = joined
+      .select(col("vec_id"), Canon.pqEncode(col("v"), col("cbflat"), m)
+        .as("codes"))
+    // declarative reference: per-subspace squared-L2 argmin via HOFs
+    def ssd(a: org.apache.spark.sql.Column,
+            b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0d), (acc, x) => acc + x)
+    val hof = joined.select(col("vec_id"),
+      transform(sequence(lit(0), lit(m - 1)), s => {
+        val dists = transform(col("cbs"), c =>
+          ssd(slice(col("v"), s * sub + 1, lit(sub)),
+            slice(c, s * sub + 1, lit(sub))))
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      }).as("codes"))
+    val a = native.as[(Long, Seq[Int])].collect().sortBy(_._1)
+    val b = hof.as[(Long, Seq[Int])].collect().sortBy(_._1)
+    assert(a.length === 200)
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("jaccard via native intersect equals the array_intersect formula") {
     val docs = table("documents").limit(50)
     val native = graft.operators.Dedup.ngramJaccardPairs(docs, 0.0)
