@@ -45,22 +45,28 @@ object Bench {
       }
     }
     def line(dp: Int, strip: Boolean, sf: String,
-             key: String => String): String = {
+             key: String => String, marker: String = ""): String = {
       val qs = results.map { case (k, v) =>
         "\"" + key(k) + "\":" + fmt(v, dp, strip)
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 3, strip = false)},""" +
-        s""""unit":"sec","queries":$qs,"sf":"$sf"}"""
+        s""""unit":"sec"$marker,"queries":$qs,"sf":"$sf"}"""
     }
     val sfShort = Paths.get(sfDir).getFileName.toString
+    // The id-prefix tiers shorten "g10_pagerank" → "g10": the prefix
+    // before the first underscore is each query's unique id (it matches
+    // the full names in CORRECTNESS/BENCH_LOCAL artifacts 1:1), and the
+    // "keys" marker says so in-band.
+    val idKey = (k: String) => k.takeWhile(_ != '_')
+    val idMark = ""","keys":"id-prefix""""
     val full = line(3, strip = false, sfDir, identity)
     val candidates = Iterator(
       full,
       line(2, strip = true, sfDir, identity),
       line(1, strip = true, sfDir, identity),
       line(1, strip = true, sfShort, identity),
-      line(3, strip = false, sfShort, _.takeWhile(_ != '_')),
-      line(1, strip = true, sfShort, _.takeWhile(_ != '_')))
+      line(3, strip = false, sfShort, idKey, idMark),
+      line(1, strip = true, sfShort, idKey, idMark))
     val json = candidates.find(_.length <= 1990).getOrElse(full)
     // Belt and braces for the harness parse: also persist the FULL line
     // to a file (BENCH_LOCAL.json or args(0)).
