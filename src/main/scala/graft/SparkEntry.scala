@@ -233,6 +233,11 @@ object SparkEntry {
     "d08_dup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(Dedup.lshCandidatePairs(
         Dedup.minhashSignature(t(s, dir, "documents"))))),
+    // Same clusters via pointer-jumping (O(log n) rounds) — the
+    // billion-edge path; identical output, same oracle as d08.
+    "d11_dup_clusters_fast" -> ((s, dir) =>
+      Dedup.dupClustersShortcut(Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(t(s, dir, "documents"))))),
     // Incremental batch-vs-corpus dedup (exact membership + LSH probe).
     "d07_dedup_vs_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -321,6 +326,9 @@ object SparkEntry {
     // Repetition / boilerplate signals (Gopher/C4-style rules).
     "t08_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionSignals(t(s, dir, "documents"))),
+    // Per-document top-3 TF-IDF keyword extraction.
+    "t09_tfidf_terms" -> ((s, dir) =>
+      TextAnalysis.topTfidfTerms(t(s, dir, "documents"))),
     // Test-set decontamination: batch vs benchmark shingle overlap.
     "d10_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -457,6 +465,32 @@ object SparkEntry {
     """capped AS (SELECT doc_id, bk FROM (
       |  SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS bsz
       |  FROM banded) WHERE bsz <= 1000)""".stripMargin
+
+  /** Component-min connected components over the LSH candidate pairs
+    * as a recursive CTE — shared by d08 (fixpoint propagation) and d11
+    * (pointer jumping): both Spark forms converge to the identical
+    * labeling, so one oracle covers both.
+    */
+  private lazy val dupClustersOracleSql: String = {
+    val bands = (0 until 4).map(j =>
+      s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
+    minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", banded AS (SELECT doc_id,
+         |  unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig WHERE m0 IS NOT NULL),
+         |$cappedCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM capped a JOIN capped b
+         |  ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM sym),
+         |reach(node, lab) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node)
+         |SELECT node AS doc_id, min(lab) AS cluster_rep
+         |FROM reach GROUP BY node""".stripMargin
+  }
 
   /** DuckDB: the 64-bit simhash as generated per-bit folds — the
     * definitional cross-check of the native SimHashBits kernel.
@@ -814,26 +848,10 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(text, ' ')) AS word
         |  FROM documents)
         |GROUP BY word""".stripMargin,
-    "d08_dup_clusters" -> {
-      val bands = (0 until 4).map(j =>
-        s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
-      minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
-        s""", banded AS (SELECT doc_id,
-           |  unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig WHERE m0 IS NOT NULL),
-           |$cappedCte,
-           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM capped a JOIN capped b
-           |  ON a.bk = b.bk AND a.doc_id < b.doc_id),
-           |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-           |  UNION SELECT doc_b, doc_a FROM pairs),
-           |nodes AS (SELECT DISTINCT a AS n FROM sym),
-           |reach(node, lab) AS (
-           |  SELECT n, n FROM nodes
-           |  UNION
-           |  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node)
-           |SELECT node AS doc_id, min(lab) AS cluster_rep
-           |FROM reach GROUP BY node""".stripMargin
-    },
+    "d08_dup_clusters" -> dupClustersOracleSql,
+    // dupClustersShortcut converges to the SAME component-min labels,
+    // so the d08 recursive-CTE oracle applies verbatim.
+    "d11_dup_clusters_fast" -> dupClustersOracleSql,
     "d07_dedup_vs_corpus" -> {
       val bands = (0 until 4).map(j =>
         s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
@@ -1262,6 +1280,24 @@ object SparkEntry {
          |SELECT doc_id, lang, n_tokens FROM w
          |WHERE tokens_before < (CASE WHEN lang = 'en' THEN 5000
          |  WHEN lang = 'de' THEN 1500 ELSE 9223372036854775807 END)""".stripMargin,
+    // Rational idf (N+1)/(df+1) — same ranking as the log form, but
+    // bit-deterministic across engines (no libm ln in the score).
+    "t09_tfidf_terms" ->
+      """WITH tf AS (SELECT doc_id, x.word, count(*) AS tf
+        |  FROM documents, unnest(string_split(text, ' ')) x(word)
+        |  GROUP BY doc_id, x.word),
+        |df AS (SELECT word, count(*) AS df FROM (
+        |   SELECT DISTINCT doc_id, x.word
+        |   FROM documents, unnest(string_split(text, ' ')) x(word))
+        |  GROUP BY word HAVING count(*) >= 3),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.word,
+        |   tf.tf * (n.n_docs + 1.0) / (df.df + 1.0) AS tfidf
+        |  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n)
+        |SELECT doc_id, word, tfidf, "rank" FROM (
+        | SELECT *, row_number() OVER (PARTITION BY doc_id
+        |   ORDER BY tfidf DESC, word) AS "rank" FROM scored)
+        |WHERE "rank" <= 3""".stripMargin,
     // Mirrors repetitionSignals' hashed bigrams (k=2 shingle
     // polynomial over word hashes) in the oracle's definitional
     // explode+group form; the Spark side computes the same counts

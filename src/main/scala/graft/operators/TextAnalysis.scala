@@ -171,6 +171,45 @@ object TextAnalysis {
       .select(col("word"), col("df"), col("tf"), col("n_langs"))
   }
 
+  /** Top-`k` TF-IDF terms per document — keyword extraction, the
+    * per-document view the corpus-level docFreq statistics exist to
+    * power. The idf is the RATIONAL form (N+1)/(df+1) rather than its
+    * logarithm: ln is the one libm call whose low bits differ across
+    * engines (Java intrinsic vs C libm — neither correctly rounded),
+    * and the log is monotone in the rational form, so the RANKING is
+    * identical and the score stays bit-deterministic for the oracle.
+    *
+    * Scale shape: tf is one (doc, word) hash aggregate of the corpus
+    * explode; df is the vocabulary-sized aggregate joined back ON WORD
+    * (vocabulary ≫ broadcast threshold at corpus scale — a shuffle
+    * join keyed on the word, with AQE free to broadcast when small);
+    * the top-k window partitions BY DOCUMENT, so no skew and no
+    * single-task sort anywhere. `minDf` prunes hapax noise before the
+    * join, exactly as docFreq does.
+    */
+  def topTfidfTerms(documents: DataFrame, k: Int = 3,
+                    minDf: Long = 3L): DataFrame = {
+    val n = documents.select(count(lit(1)).as("n_docs"))
+    val tf = documents
+      .select(col("doc_id"), explode(Canon.words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = documents
+      .select(explode(array_distinct(Canon.words(col("text")))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val scored = tf.join(df, Seq("word"))
+      .join(broadcast(n))
+      .select(col("doc_id"), col("word"),
+        (col("tf") * (col("n_docs") + lit(1.0d)) / (col("df") + lit(1.0d)))
+          .as("tfidf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Repetition / boilerplate signals (the Gopher-/C4-style quality
     * rules the length+stopword battery doesn't cover): per document,
     * the duplicate word-bigram fraction and the most-frequent-bigram

@@ -105,6 +105,26 @@ class DedupSpec extends SparkSpec {
     assert(out === Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L)))
   }
 
+  test("dupClustersShortcut: pointer jumping collapses a long chain fast") {
+    // path graph 0-1-2-…-39: plain propagation needs ~40 rounds (the
+    // default maxIters=20 would NOT converge); shortcutting must label
+    // the whole chain 0 within its default budget
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClustersShortcut(chain)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.length === 40)
+    assert(out.forall(_._2 === 0L), "every chain node labels to the min")
+    // equivalence with the plain fixpoint (given enough rounds) on a
+    // mixed shape: two components + a triangle
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (7L, 9L), (9L, 8L))
+      .toDF("doc_a", "doc_b")
+    val fast = Dedup.dupClustersShortcut(pairs)
+      .as[(Long, Long)].collect().toSet
+    val slow = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toSet
+    assert(fast === slow)
+  }
+
   test("dedupAgainstCorpus: exact membership + LSH candidate counts") {
     val corpus = docs.filter("doc_id IN (0, 3)")
     val batch = docs.filter("doc_id IN (1, 2, 4)")

@@ -61,6 +61,25 @@ class TextAnalysisSpec extends SparkSpec {
       ("d", 1L, 4), ("e", 1L, 5)))
   }
 
+  test("topTfidfTerms ranks distinguishing words above common ones") {
+    // "zebra" appears 2× in doc 0 only; "the" is in every doc — the
+    // distinctive term must outrank the ubiquitous one
+    val docs = Seq(
+      (0L, "the zebra and the zebra again"),
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog ate the bone"),
+      (3L, "the bird saw the worm")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topTfidfTerms(docs, k = 3, minDf = 1L)
+      .filter(col("doc_id") === 0L)
+      .orderBy("rank")
+      .select("word", "tfidf", "rank").as[(String, Double, Int)].collect()
+    // zebra: tf=2,df=1 → 2·5/2 = 5; again/and: tf=1,df=1 → 2.5 (word
+    // tie-break: "again" < "and"); the: tf=2,df=4 → 2·5/5 = 2
+    assert(out.map(_._1).toSeq === Seq("zebra", "again", "and"))
+    assert(out.map(_._2).toSeq === Seq(5.0, 2.5, 2.5))
+  }
+
   test("langId scores every profile and predicts deterministically") {
     val docs = Seq(
       (0L, "the cat is on the mat"),   // en stopwords
