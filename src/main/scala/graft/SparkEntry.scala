@@ -336,6 +336,13 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0))
     }),
+    // Decontaminate-then-split composition (clean mixture table).
+    "p05_clean_split" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Pipeline.decontaminatedSplit(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0))
+    }),
     // ViT-style patch-grid fan-out over decoded frames.
     "m04_patchify" -> ((s, dir) =>
       Multimodal.patchify(Multimodal.decodeMeta(t(s, dir, "documents")))),
@@ -1339,6 +1346,36 @@ object SparkEntry {
          | coalesce(n, 0) > 0 AS contaminated
          |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
          |LEFT JOIN hits USING (doc_id)""".stripMargin
+    },
+    // d10's contamination chain, then p02's split over the survivors.
+    "p05_clean_split" -> {
+      import graft.functions.Canon.{MersenneP => P}
+      val poly = (1 until 5).foldLeft("hw[i]") {
+        (acc, j) => s"($acc*31 + hw[i+$j])"
+      } + s" % $P"
+      s"""WITH w AS (SELECT doc_id,
+         |  [${h60("x")} % $P FOR x IN string_split(text, ' ')] AS hw
+         | FROM documents),
+         |s AS (SELECT doc_id,
+         |  list_distinct([$poly FOR i IN range(1, len(hw)-3)]) AS sh
+         | FROM w),
+         |b AS (SELECT doc_id, unnest(sh) AS sh FROM s
+         |  WHERE doc_id % 7 <> 0),
+         |bench AS (SELECT DISTINCT unnest(sh) AS sh FROM s
+         |  WHERE doc_id % 7 = 0),
+         |hits AS (SELECT doc_id, count(*) AS n FROM (
+         |  SELECT b.doc_id, b.sh FROM b JOIN bench USING (sh))
+         | GROUP BY doc_id),
+         |clean AS (SELECT d.doc_id
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+         |  LEFT JOIN hits USING (doc_id) WHERE coalesce(n, 0) = 0),
+         |sp AS (SELECT d.lang, ${h60("md5(d.text)")} % 100 AS bucket
+         |  FROM documents d JOIN clean USING (doc_id))
+         |SELECT lang,
+         | CASE WHEN bucket < 96 THEN 'train'
+         |      WHEN bucket < 98 THEN 'val' ELSE 'test' END AS split,
+         | count(*) AS n_docs
+         |FROM sp GROUP BY 1, 2""".stripMargin
     },
     "t07_docfreq" ->
       """WITH dw AS (SELECT lang,

@@ -127,6 +127,22 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("n_tokens"))
   }
 
+  /** Contamination-aware mixture table: the hashSplit counts computed
+    * AFTER removing every document that shares a word-5-shingle with
+    * the benchmark — the composition a real pre-training pipeline runs
+    * before fixing its data mixture (decontaminate, THEN split, so
+    * leaked eval data never lands in any split). Scale: decontaminate
+    * reduces the benchmark to a broadcastable shingle set; the removal
+    * is a doc_id anti-join; the split is one aggregate — nothing
+    * quadratic anywhere.
+    */
+  def decontaminatedSplit(batch: DataFrame,
+                          benchmark: DataFrame): DataFrame = {
+    val contaminated = Dedup.decontaminate(batch, benchmark)
+      .filter(col("contaminated")).select(col("doc_id"))
+    hashSplit(batch.join(contaminated, Seq("doc_id"), "left_anti"))
+  }
+
   def corpusPipeline(documents: DataFrame,
                      minTokens: Int = 30): DataFrame = {
     val q = documents

@@ -5,6 +5,22 @@ import graft.operators.Pipeline
 class PipelineSpec extends SparkSpec {
   import spark.implicits._
 
+  test("decontaminatedSplit drops contaminated docs before splitting") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta", "b", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val batch = Seq(
+      // shares the 5-shingle "alpha beta gamma delta epsilon"
+      (1L, "alpha beta gamma delta epsilon different tail", "s", "en"),
+      (2L, "totally unrelated words in this document here", "s", "en"),
+      (3L, "other clean text entirely unlike the benchmark", "s", "de")
+    ).toDF("doc_id", "text", "source", "lang")
+    val out = Pipeline.decontaminatedSplit(batch, bench)
+      .groupBy("lang").sum("n_docs")
+      .as[(String, Long)].collect().toMap
+    // doc 1 is contaminated and must not be counted in any split
+    assert(out === Map("en" -> 1L, "de" -> 1L))
+  }
+
   test("tokenBudgetSample keeps hash-ordered docs until the budget is met") {
     val docs = Seq(
       (0L, "a b c d e", "en"),      // 5 tokens
