@@ -199,6 +199,11 @@ object SparkEntry {
     "g10_pagerank" -> ((s, dir) =>
       GraphEtl.pageRankFixedPoint(
         GraphEtl.paymentEdges(t(s, dir, "orders"), t(s, dir, "lineitem")))),
+    // Per-vertex triangle counts over the co-supplier projection
+    // (degree-ordered wedge join — O(m^1.5) not O(Σdeg²)).
+    "g11_triangles" -> ((s, dir) =>
+      GraphEtl.triangleCounts(
+        GraphEtl.coSupplierEdges(t(s, dir, "lineitem")))),
 
     // --- LLM-pipeline extension surface (SURVEY §2.12) ---
     // Exact dedup: content-hash groupBy, one shuffle.
@@ -346,6 +351,9 @@ object SparkEntry {
     // ViT-style patch-grid fan-out over decoded frames.
     "m04_patchify" -> ((s, dir) =>
       Multimodal.patchify(Multimodal.decodeMeta(t(s, dir, "documents")))),
+    // Concat-and-chunk sequence packing (content-hash shards + order).
+    "p06_pack_sequences" -> ((s, dir) =>
+      Pipeline.packSequences(t(s, dir, "documents"))),
 
     // --- Reference-domain parity slice (SURVEY §7.2 B/C). Inputs are
     // the in-code Helium JSON fixtures, not the sf tables; the oracles
@@ -849,6 +857,25 @@ object SparkEntry {
            |$rounds
            |SELECT v AS vertex, rank FROM r3""".stripMargin
     },
+    // triangleCounts mirror: the oracle closes triangles in plain id
+    // order (a<b<c 3-way self-join) — the triangle SET is orientation-
+    // independent, so it equals the Spark side's degree-ordered wedge
+    // join; both caps (maxPerOrder=100 via HAVING, minSupport=5) are
+    // mirrored exactly.
+    "g11_triangles" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+        |  FROM lineitem),
+        |ok AS (SELECT o FROM os GROUP BY o HAVING count(*) <= 100),
+        |osk AS (SELECT os.o, os.s FROM os JOIN ok USING (o)),
+        |e AS (SELECT x.s AS a, y.s AS b FROM osk x JOIN osk y
+        |  ON x.o = y.o AND x.s < y.s
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT vertex, count(*) AS n_triangles
+        |FROM (SELECT unnest([u, v, w]) AS vertex FROM tri)
+        |GROUP BY vertex""".stripMargin,
     "t06_vocabulary" ->
       """SELECT word, count(*) AS n,
         | row_number() OVER (ORDER BY count(*) DESC, word ASC) AS "rank"
@@ -1377,6 +1404,26 @@ object SparkEntry {
          | count(*) AS n_docs
          |FROM sp GROUP BY 1, 2""".stripMargin
     },
+    // packSequences mirror: same content-hash shard/order keys, same
+    // window running sum (cast to BIGINT — DuckDB integer sum() yields
+    // HUGEINT, which the driver canonicalizes as float), same integer
+    // chunk arithmetic.
+    "p06_pack_sequences" ->
+      s"""WITH b AS (SELECT doc_id,
+         |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+         |  ${h60("md5('pack|' || text)")} % 64 AS shard,
+         |  ${h60("md5(text)")} AS ord FROM documents),
+         |c AS (SELECT doc_id, shard, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY shard
+         |    ORDER BY ord, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0)::BIGINT AS tok_start FROM b)
+         |SELECT doc_id, shard, n_tokens,
+         | tok_start // 2048 AS seq_id,
+         | tok_start % 2048 AS tok_offset,
+         | (tok_start + n_tokens - 1) // 2048 - tok_start // 2048 + 1
+         |   AS n_seqs_spanned
+         |FROM c""".stripMargin,
     "t07_docfreq" ->
       """WITH dw AS (SELECT lang,
         |  unnest(list_distinct(string_split(text, ' '))) AS word

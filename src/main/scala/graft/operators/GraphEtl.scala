@@ -186,6 +186,84 @@ object GraphEtl {
     * mass at ~2^43 before overflow — ample headroom at any real
     * in-degree with this scale constant.
     */
+  /** Co-occurrence projection of the order→supplier bipartite relation:
+    * an undirected edge (a, b), a < b, between suppliers that fulfil at
+    * least `minSupport` common orders. This is the graph-construction
+    * half of triangle counting (the reference's data model is exactly
+    * such a projection — accounts linked through shared transactions).
+    *
+    * Scale shape: the pair expansion is a self-equi-join on the order
+    * key, so per-order fan-out is C(k,2) for k = distinct suppliers of
+    * that order — bounded (≤7 in TPC-H-shaped data) but guarded anyway:
+    * orders with more than `maxPerOrder` suppliers are dropped BEFORE
+    * the pair join (the same hot-block discipline as Dedup's maxBucket
+    * caps), so one degenerate mega-order can never go quadratic. The
+    * support filter is a map-side-combinable count aggregate.
+    */
+  def coSupplierEdges(lineitem: DataFrame, minSupport: Int = 5,
+                      maxPerOrder: Int = 100): DataFrame = {
+    val os = lineitem
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
+      .distinct()
+    val small = os.groupBy(col("o"))
+      .agg(count(lit(1)).as("k"))
+      .filter(col("k") <= maxPerOrder)
+      .select(col("o"))
+    val osOk = os.join(small, Seq("o"), "left_semi")
+    osOk.as("x")
+      .join(osOk.as("y"),
+        col("x.o") === col("y.o") && col("x.s") < col("y.s"))
+      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= minSupport)
+      .select(col("a"), col("b"))
+  }
+
+  /** Per-vertex triangle counts over an undirected simple graph given
+    * as canonical (a < b) edge pairs — the clustering-coefficient /
+    * community-density primitive.
+    *
+    * Degree-ordered wedge join (the MapReduce-classic formulation):
+    * each edge is oriented from its lower-(degree, id) endpoint to the
+    * higher, wedges are built only around the LOW vertex, and a wedge
+    * (v, w) closes iff the oriented edge v→w exists. Orientation bounds
+    * per-vertex wedge fan-out by the graph's arboricity — total wedge
+    * rows are O(m^1.5) regardless of degree skew, where the naive
+    * neighbor join is O(Σ deg²) and one celebrity vertex goes
+    * quadratic. Three hash shuffles total (degree agg, wedge join,
+    * closing join); the count-per-vertex is map-side combinable.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct()
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // Orient by (degree, id): rk is the total-order key, unique per
+    // vertex because the id is its tiebreak.
+    val withRk = e
+      .join(deg.select(col("v").as("a"), struct(col("deg"), col("v")).as("rka")), "a")
+      .join(deg.select(col("v").as("b"), struct(col("deg"), col("v")).as("rkb")), "b")
+    val oriented = withRk.select(
+      when(col("rka") < col("rkb"), col("a")).otherwise(col("b")).as("src"),
+      when(col("rka") < col("rkb"), col("b")).otherwise(col("a")).as("dst"),
+      when(col("rka") < col("rkb"), col("rkb")).otherwise(col("rka")).as("rkd"))
+    // Wedges around the low vertex, ordered so (v, w) matches the
+    // closing edge's own orientation; materialized once — both sides
+    // of the wedge self-join and the closing probe reuse it.
+    val o = oriented.localCheckpoint()
+    val wedges = o.as("e1")
+      .join(o.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.rkd") < col("e2.rkd"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"),
+        col("e2.dst").as("w"))
+    val triangles = wedges
+      .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"),
+        "left_semi")
+    triangles
+      .select(explode(array(col("u"), col("v"), col("w"))).as("vertex"))
+      .groupBy(col("vertex"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   def pageRankFixedPoint(edges: DataFrame, iters: Int = 3): DataFrame = {
     // Materialize the dedup'd edge list FIRST: outdeg, the degree
     // join, and both vertex branches all re-read it — without this the

@@ -127,6 +127,49 @@ object Pipeline {
       .select(col("doc_id"), col("lang"), col("n_tokens"))
   }
 
+  /** Sequence PACKING (concat-and-chunk): assign every document a
+    * position in a fixed-`seqLen`-token training sequence — the
+    * standard GPT-style pretraining layout where documents are
+    * concatenated in a deterministic order and the stream is chunked
+    * every `seqLen` tokens. Output per doc: its shard, the sequence it
+    * STARTS in, its token offset within that sequence, and how many
+    * sequences it spans — everything a sequence-builder needs to
+    * materialize examples.
+    *
+    * Determinism: shard and order are content-derived
+    * (hash60(md5('pack|'||text)) % shards, then (hash60(md5(text)),
+    * doc_id) within shard) — identical layout on any cluster, any
+    * partitioning, any rerun.
+    *
+    * Scale: packing is inherently sequential WITHIN a stream, so the
+    * parallel unit is the shard: the running sum is a per-shard window
+    * and each shard is one task's sort. Unlike p04's per-LANGUAGE
+    * window (cardinality fixed and tiny — a scale bug), `numShards` is
+    * a free parameter sized to the cluster (64 here; 10⁵ at 100 TB),
+    * so shard size is corpus/numShards by construction and no task
+    * ever sees more than one shard's slice.
+    */
+  def packSequences(documents: DataFrame, seqLen: Long = 2048L,
+                    numShards: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    documents
+      .select(col("doc_id"),
+        size(Canon.words(col("text"))).cast("long").as("n_tokens"),
+        (Canon.hash60(md5(concat(lit("pack|"), col("text")))) % numShards)
+          .as("shard"),
+        Canon.hash60(md5(col("text"))).as("ord"))
+      .withColumn("tok_start", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        expr(s"tok_start div ${seqLen}L").as("seq_id"),
+        (col("tok_start") % seqLen).as("tok_offset"),
+        (expr(s"(tok_start + n_tokens - 1) div ${seqLen}L")
+          - expr(s"tok_start div ${seqLen}L") + 1L).as("n_seqs_spanned"))
+  }
+
   /** Contamination-aware mixture table: the hashSplit counts computed
     * AFTER removing every document that shares a word-5-shingle with
     * the benchmark — the composition a real pre-training pipeline runs

@@ -29,6 +29,40 @@ class GraphEtlSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("triangleCounts: one triangle + pendant, and a K4") {
+    // {1,2,3} closes; 4 hangs off 3. K4 on {5,6,7,8}: 4 triangles,
+    // every vertex in exactly 3.
+    val edges = (Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)) ++
+      Seq(5L, 6L, 7L, 8L).combinations(2).map(p => (p(0), p(1))))
+      .toDF("a", "b")
+    val out = GraphEtl.triangleCounts(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 3L, 6L -> 3L, 7L -> 3L, 8L -> 3L))
+  }
+
+  test("triangleCounts is partitioning-independent") {
+    val e = GraphEtl.coSupplierEdges(table("lineitem"), minSupport = 2)
+    val a = GraphEtl.triangleCounts(e).as[(Long, Long)].collect().toMap
+    val b = GraphEtl.triangleCounts(e.repartition(17))
+      .as[(Long, Long)].collect().toMap
+    assert(a === b && a.nonEmpty)
+  }
+
+  test("coSupplierEdges: support threshold and hot-order cap bind") {
+    val li = Seq(
+      // order 1: suppliers 1,2,3 (pairs 12,13,23 once)
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      // orders 2-3: suppliers 1,2 again (pair 12 reaches support 3)
+      (2L, 1L), (2L, 2L), (3L, 1L), (3L, 2L),
+      // order 4 exceeds the per-order cap → contributes nothing
+      (4L, 1L), (4L, 2L), (4L, 3L), (4L, 4L))
+      .toDF("l_orderkey", "l_suppkey")
+    val out = GraphEtl.coSupplierEdges(li, minSupport = 3, maxPerOrder = 3)
+      .as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L)))
+  }
+
   test("pageRankFixedPoint deep run (exercises the lineage guard)") {
     val edges = Seq(("1", "2"), ("2", "1"), ("1", "3"))
       .toDF("_from", "_to")
