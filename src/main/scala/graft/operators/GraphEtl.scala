@@ -234,7 +234,12 @@ object GraphEtl {
     * closing join); the count-per-vertex is map-side combinable.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b")).distinct()
+    // Materialize the canonical edge list FIRST: the degree aggregate
+    // reads it twice (both union branches) and the rank join a third
+    // time — without this the whole upstream edge construction (for
+    // g11, the co-supplier pair join) executes 3×. Same discipline as
+    // pageRankFixedPoint's edge materialization.
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     // Orient by (degree, id): rk is the total-order key, unique per
