@@ -243,6 +243,12 @@ object SparkEntry {
     "d11_dup_clusters_fast" -> ((s, dir) =>
       Dedup.dupClustersShortcut(Dedup.lshCandidatePairs(
         Dedup.minhashSignature(t(s, dir, "documents"))))),
+    // Cluster → canonical-doc selection (the post-dedup keep list).
+    "d12_canonical_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.canonicalDocs(docs, Dedup.dupClusters(
+        Dedup.lshCandidatePairs(Dedup.minhashSignature(docs))))
+    }),
     // Incremental batch-vs-corpus dedup (exact membership + LSH probe).
     "d07_dedup_vs_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -354,6 +360,18 @@ object SparkEntry {
     // Concat-and-chunk sequence packing (content-hash shards + order).
     "p06_pack_sequences" -> ((s, dir) =>
       Pipeline.packSequences(t(s, dir, "documents"))),
+    // √-temperature multilingual mix via hash-threshold sampling.
+    "p07_temperature_sample" -> ((s, dir) =>
+      Pipeline.temperatureSample(t(s, dir, "documents"))),
+    // Exact per-label centroid embeddings (fixed-point component sums).
+    "s07_label_centroids" -> ((s, dir) =>
+      Similarity.labelCentroids(t(s, dir, "embeddings"))),
+    // Corpus-common shingle fraction (duplicated-n-gram boilerplate).
+    "t10_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplateFrac(t(s, dir, "documents"))),
+    // PCM analysis-window fan-out (the audio patchify).
+    "m05_audio_windows" -> ((s, dir) =>
+      Multimodal.audioWindows(t(s, dir, "documents"))),
 
     // --- Reference-domain parity slice (SURVEY §7.2 B/C). Inputs are
     // the in-code Helium JSON fixtures, not the sf tables; the oracles
@@ -486,7 +504,7 @@ object SparkEntry {
     * (pointer jumping): both Spark forms converge to the identical
     * labeling, so one oracle covers both.
     */
-  private lazy val dupClustersOracleSql: String = {
+  private lazy val dupClustersCte: String = {
     val bands = (0 until 4).map(j =>
       s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
     minhashCte.replaceFirst("WITH ", "WITH RECURSIVE ") +
@@ -502,10 +520,13 @@ object SparkEntry {
          |reach(node, lab) AS (
          |  SELECT n, n FROM nodes
          |  UNION
-         |  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node)
-         |SELECT node AS doc_id, min(lab) AS cluster_rep
-         |FROM reach GROUP BY node""".stripMargin
+         |  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node),
+         |clus AS (SELECT node AS doc_id, min(lab) AS cluster_rep
+         |  FROM reach GROUP BY node)""".stripMargin
   }
+
+  private lazy val dupClustersOracleSql: String =
+    dupClustersCte + "\nSELECT doc_id, cluster_rep FROM clus"
 
   /** DuckDB: the 64-bit simhash as generated per-bit folds — the
     * definitional cross-check of the native SimHashBits kernel.

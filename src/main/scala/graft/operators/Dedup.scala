@@ -424,4 +424,30 @@ object Dedup {
           col("a.nrm"), col("b.nrm")).as("cos"))
       .filter(col("cos") >= tau)
   }
+
+  /** Canonical-document selection: for each duplicate cluster, the one
+    * doc to KEEP — the standard post-dedup step that turns cluster
+    * labels into a deletion list. Canonical = most tokens, then
+    * smallest doc_id (a total order, so the choice is deterministic
+    * under any partitioning).
+    *
+    * One join (cluster labels × token counts — both cluster-membership
+    * sized, far smaller than the corpus) and one aggregate. The argmax
+    * is a single max(struct(n_tokens, -doc_id)) — map-side combinable,
+    * never a per-cluster sort or window.
+    */
+  def canonicalDocs(documents: DataFrame, clusters: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      size(Canon.words(col("text"))).cast("long").as("n_tokens"))
+    clusters.join(toks, Seq("doc_id"))
+      .groupBy(col("cluster_rep"))
+      .agg(
+        max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id"))).as("best"),
+        count(lit(1)).as("n_docs"))
+      .select(col("cluster_rep"),
+        (-col("best.neg_id")).as("canonical_doc_id"),
+        col("best.n_tokens").as("canonical_tokens"),
+        col("n_docs"),
+        (col("n_docs") - 1).as("n_removed"))
+  }
 }

@@ -118,4 +118,30 @@ object Multimodal {
       .mapPartitions(it => decoder.decodeBatch(it))
       .toDF()
   }
+
+  /** Audio framing: the sliding-window layout an acoustic feature
+    * extractor (fbank/MFCC/wav2vec chunks) consumes — one row per
+    * analysis window of each payload, treated as 16-bit mono PCM
+    * (n_samples = byte_len div 2). Windows of `window` samples every
+    * `hop` samples; payloads shorter than one window emit nothing.
+    * Pure row-local integer math + a bounded generate (fan-out =
+    * (n_samples − window) div hop + 1), the audio analog of patchify's
+    * tile grid; the extractor downstream runs per-partition like
+    * decodeMeta.
+    */
+  def audioWindows(documents: DataFrame, window: Int = 64,
+                   hop: Int = 32): DataFrame = {
+    val nSamples = expr("byte_len div 2")
+    documents
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).cast("long").as("byte_len"))
+      .select(col("doc_id"), nSamples.as("n_samples"))
+      .filter(col("n_samples") >= window)
+      .select(col("doc_id"), col("n_samples"),
+        explode(sequence(lit(0L),
+          expr(s"(n_samples - $window) div $hop"))).as("win_idx"))
+      .select(col("doc_id"), col("n_samples"), col("win_idx"),
+        (col("win_idx") * hop).as("start_sample"),
+        (col("win_idx") * hop + (window - 1)).as("end_sample"))
+  }
 }

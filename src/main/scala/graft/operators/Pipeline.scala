@@ -170,6 +170,36 @@ object Pipeline {
           - expr(s"tok_start div ${seqLen}L") + 1L).as("n_seqs_spanned"))
   }
 
+  /** Temperature-balanced multilingual sampling (the α=0.5 upsampling /
+    * downsampling mix of multilingual pretraining): each language keeps
+    * k_l = min(n_l, ceil(r·√n_l)) docs, so dominant languages are
+    * squashed toward the √ law while tail languages survive whole.
+    *
+    * Selection is HASH-THRESHOLD, not rank: a doc is kept iff its
+    * 60-bit content hash < (k_l/n_l)·2⁶⁰. That makes the whole
+    * operator one tiny per-language aggregate (broadcast back) plus a
+    * row-local filter — no per-language window, no sort, no rank
+    * anywhere (the p04-class pathology never appears). The kept count
+    * is binomial around k_l rather than exact — the standard trade at
+    * corpus scale, where rank-exact quotas cost a global sort per
+    * language. Every arithmetic step (√, ceil, one division, one
+    * multiplication) is a single correctly-rounded IEEE op, so the
+    * keep set is deterministic and engine-independent.
+    */
+  def temperatureSample(documents: DataFrame,
+                        ratePerSqrt: Double = 2.0): DataFrame = {
+    val thr = documents.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"),
+        (least(ceil(sqrt(col("n")) * ratePerSqrt), col("n"))
+          .cast("double") / col("n") * lit(1152921504606846976.0d) // 2^60
+          ).as("thr"))
+    documents
+      .join(broadcast(thr), Seq("lang"))
+      .filter(Canon.hash60(concat(lit("tsamp|"), col("text"))) < col("thr"))
+      .select(col("doc_id"), col("lang"))
+  }
+
   /** Contamination-aware mixture table: the hashSplit counts computed
     * AFTER removing every document that shares a word-5-shingle with
     * the benchmark — the composition a real pre-training pipeline runs

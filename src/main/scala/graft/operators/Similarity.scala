@@ -353,4 +353,31 @@ object Similarity {
             .otherwise(floor(x * lit(127.0d) / col("scale") + lit(0.5d))
               .cast("long"))), ",").as("q_csv"))
   }
+
+  /** Per-label mean embedding (class centroids / cluster prototypes) in
+    * long format: one row per (label, dim). The mean is computed over
+    * FIXED-POINT component sums — floor(x·10⁶) per component, summed
+    * as exact longs — so the aggregate is order-independent and the
+    * distributed result is bit-identical under any partitioning (the
+    * PageRank discipline applied to vector reductions; a naive
+    * sum(double) varies with summation order and cannot hash-gate).
+    *
+    * Shape: posexplode fans each vector into d rows (map-local), the
+    * sum is a partial hash aggregate on (label, dim) — one shuffle of
+    * at most |labels|·d combined rows per partition. 64 components ×
+    * 2^43 max |q| per row leaves exact-long headroom up to ~2^20 rows
+    * per (label, dim) group per the scale constant; raise `scale`
+    * awareness accordingly (10⁶ keeps μ-precision to 6 decimals).
+    */
+  def labelCentroids(embeddings: DataFrame, scale: Long = 1000000L): DataFrame =
+    embeddings
+      .select(col("label"),
+        posexplode(Canon.asDouble(col("embedding"))))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        floor(col("col") * scale).cast("long").as("q"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("qsum"), count(lit(1)).as("n_vecs"))
+      .select(col("label"), col("dim"),
+        (col("qsum").cast("double") / scale / col("n_vecs")).as("centroid"),
+        col("n_vecs"))
 }

@@ -261,4 +261,39 @@ object TextAnalysis {
       md5(array_join(w, " ")).as("fp_md5"),
       Canon.rollingHash(hs).as("fp_roll"))
   }
+
+  /** Corpus-level boilerplate signal: per doc, the fraction of its
+    * distinct word-`k`-shingles that occur in MORE than `minDocs`
+    * other docs — the duplicated-n-gram-fraction filter (headers,
+    * navigation chrome, license blurbs light up; original prose does
+    * not). Works on any text; needs no line structure.
+    *
+    * Two shuffles at any scale: a (shingle → doc-frequency) aggregate
+    * (map-side combinable; the per-doc array_distinct already dropped
+    * within-doc repeats), and the per-doc count join keyed on shingle
+    * hash — corpus-common shingles are a SMALL set (df > minDocs is
+    * the tail of a Zipf), so the semi-join side stays compact. The
+    * final frac is one exact division.
+    */
+  def boilerplateFrac(documents: DataFrame, k: Int = 3,
+                      minDocs: Long = 20L): DataFrame = {
+    val sh = documents.select(col("doc_id"),
+      explode(array_distinct(Canon.shingleHashes(
+        transform(Canon.words(col("text")), w => Canon.hashP(w)), k)))
+        .as("sh"))
+    val common = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > minDocs)
+      .select(col("sh"))
+    val perDoc = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val commonPerDoc = sh.join(common, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_common"))
+    perDoc.join(commonPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (coalesce(col("n_common"), lit(0L)).cast("double") /
+          col("n_shingles")).as("boilerplate_frac"))
+  }
 }
