@@ -75,6 +75,14 @@ object Bench {
     try Files.writeString(Paths.get(outPath), full + "\n")
     catch { case _: Throwable => () }
     spark.stop()
+    // Budget guard: any single query above 25% of the suite is the
+    // next t10 — flag it in-band so it can't sit unnoticed for two
+    // rounds again. Printed BEFORE the JSON line (which must stay the
+    // final, whole line inside the harness's 2000-char stdout tail).
+    results.filter { case (_, v) => total > 0 && v > 0.25 * total }
+      .foreach { case (k, v) =>
+        println(f"WARN bench-budget: $k = ${v}%.1fs is ${v / total * 100}%.0f%% of the ${total}%.1fs suite")
+      }
     // Printed AFTER spark.stop() (and with build.sbt's showSuccess off)
     // so this is the final line on stdout.
     println(json)

@@ -372,6 +372,26 @@ object SparkEntry {
     // PCM analysis-window fan-out (the audio patchify).
     "m05_audio_windows" -> ((s, dir) =>
       Multimodal.audioWindows(t(s, dir, "documents"))),
+    // Skew mitigation (§2.11): two-stage salted aggregation — salting
+    // changes physical distribution only, so the result is identical
+    // to the direct groupBy (decimal partials merge losslessly; cast
+    // to double at the very end for the driver compare).
+    "sk01_salted_agg" -> ((s, dir) =>
+      Skew.saltedSumCount(
+        t(s, dir, "lineitem").select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,2)").as("qty")),
+        Seq("l_returnflag"), "qty")
+        .withColumn("sum_qty", col("sum_qty").cast("double"))),
+    // Salted fact×dim join: the dim is replicated per salt, so every
+    // fact row still matches exactly once — same rows as the plain
+    // equi-join, spread over `buckets` tasks per hot key.
+    "sk02_salted_join" -> ((s, dir) =>
+      Skew.saltedDimJoin(t(s, dir, "customer"), t(s, dir, "nation"),
+        "c_nationkey", "n_nationkey")
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_acctbal"))
+        .withColumn("sum_acctbal", col("sum_acctbal").cast("double"))),
 
     // --- Reference-domain parity slice (SURVEY §7.2 B/C). Inputs are
     // the in-code Helium JSON fixtures, not the sf tables; the oracles
@@ -1466,6 +1486,100 @@ object SparkEntry {
          |  unnest(range(0, height // 32)) AS patch_y FROM px)
          |SELECT doc_id, patch_x, patch_y,
          | patch_x * 32 AS x0, patch_y * 32 AS y0 FROM py""".stripMargin,
+
+    // canonicalDocs over the d08 clusters: the argmax is re-derived as
+    // a window rank (n_tokens DESC, doc_id ASC — the same total order
+    // as the Spark side's max(struct(n_tokens, -doc_id))).
+    "d12_canonical_docs" ->
+      (dupClustersCte +
+        """, toks AS (SELECT doc_id,
+          |  len(string_split(text, ' '))::BIGINT AS n_tokens
+          | FROM documents),
+          |j AS (SELECT c.cluster_rep, c.doc_id, t.n_tokens
+          |  FROM clus c JOIN toks t USING (doc_id))
+          |SELECT cluster_rep, canonical_doc_id, canonical_tokens,
+          | n_docs, n_docs - 1 AS n_removed FROM (
+          | SELECT cluster_rep, doc_id AS canonical_doc_id,
+          |  n_tokens AS canonical_tokens,
+          |  count(*) OVER (PARTITION BY cluster_rep) AS n_docs,
+          |  row_number() OVER (PARTITION BY cluster_rep
+          |    ORDER BY n_tokens DESC, doc_id) AS rk
+          | FROM j) WHERE rk = 1""".stripMargin),
+    // temperatureSample mirror: same per-lang threshold arithmetic
+    // (every step — sqrt, ×2, ceil, one division, ×2^60 — is a single
+    // correctly-rounded IEEE op on exactly-representable integers, so
+    // the keep set is engine-independent), same 'tsamp|' content hash.
+    "p07_temperature_sample" ->
+      s"""WITH n AS (SELECT lang, count(*) AS n FROM documents
+         |  GROUP BY lang),
+         |thr AS (SELECT lang,
+         |  least(ceil(sqrt(n) * 2.0), n) / n * 1152921504606846976.0
+         |    AS thr
+         | FROM n)
+         |SELECT d.doc_id, lang FROM documents d JOIN thr USING (lang)
+         |WHERE ${h60("'tsamp|' || text")} < thr""".stripMargin,
+    // labelCentroids mirror: the same floor(x·10⁶) fixed-point longs,
+    // summed exactly, then the same (qsum/scale)/n division order —
+    // the order-independent design the operator exists for.
+    "s07_label_centroids" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |x AS (SELECT label,
+        |  unnest([{'d': i, 'q': floor(v[i] * 1000000)::BIGINT}
+        |    FOR i IN range(1, len(v)+1)]) AS s FROM e),
+        |g AS (SELECT label, s.d::BIGINT AS dim, sum(s.q)::BIGINT AS qsum,
+        |  count(*) AS n_vecs FROM x GROUP BY label, s.d)
+        |SELECT label, dim, qsum::DOUBLE / 1000000 / n_vecs AS centroid,
+        | n_vecs
+        |FROM g""".stripMargin,
+    // boilerplateFrac mirror: k=3 shingle polynomial over word hashes
+    // (as minhash's hb CTE), df computed WITH the containing doc
+    // (df > 20 ⇔ at least 20 OTHER docs), left join + conditional
+    // count exactly as the Spark probe.
+    "t10_boilerplate" -> {
+      import graft.functions.Canon.{MersenneP => P}
+      s"""WITH w AS (SELECT doc_id,
+         |  [${h60("x")} % $P FOR x IN string_split(text, ' ')] AS hw
+         | FROM documents),
+         |s AS (SELECT doc_id,
+         |  list_distinct([((hw[i]*31 + hw[i+1])*31 + hw[i+2]) % $P
+         |   FOR i IN range(1, len(hw)-1)]) AS sh FROM w),
+         |x AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+         |common AS (SELECT sh FROM x GROUP BY sh HAVING count(*) > 20),
+         |pd AS (SELECT x.doc_id, count(*) AS n_shingles,
+         |  count(common.sh) AS n_common
+         | FROM x LEFT JOIN common ON x.sh = common.sh
+         | GROUP BY x.doc_id)
+         |SELECT doc_id, n_shingles, n_common,
+         | n_common::DOUBLE / n_shingles AS boilerplate_frac
+         |FROM pd""".stripMargin
+    },
+    // audioWindows mirror: pure integer window fan-out
+    // (n_samples = byte_len div 2; windows of 64 every 32).
+    "m05_audio_windows" ->
+      """WITH b AS (SELECT doc_id,
+        |  (octet_length(encode(text)) // 2)::BIGINT AS n_samples
+        | FROM documents),
+        |f AS (SELECT * FROM b WHERE n_samples >= 64),
+        |w AS (SELECT doc_id, n_samples,
+        |  unnest(range(0, (n_samples - 64) // 32 + 1)) AS win_idx
+        | FROM f)
+        |SELECT doc_id, n_samples, win_idx,
+        | win_idx * 32 AS start_sample,
+        | win_idx * 32 + 63 AS end_sample
+        |FROM w""".stripMargin,
+    // Salting changes physical distribution, not results: the oracles
+    // are the plain GROUP BY / join the salted forms must equal.
+    "sk01_salted_agg" ->
+      """SELECT l_returnflag,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "sk02_salted_join" ->
+      """SELECT n_name, count(*) AS n_customers,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
 
     // --- Self-contained parity-slice oracles: fixture rows inlined as
     // VALUES (one source of truth: HeliumFixtures), transforms

@@ -29,6 +29,8 @@ import graft.functions.Canon
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** The band keys an all-null signature produces (concat_ws SKIPS
     * null elements, separator included only between retained ones →
     * md5 of just the band index): constants used to drop short-doc
@@ -321,6 +323,15 @@ object Dedup {
       labels = next
       i += 1
     }
+    // A silent exit here would return non-component-min (known-wrong)
+    // labels on a hash-gated surface — fail loudly instead. 20 rounds
+    // cover ~2^20 component diameter, so hitting this means the input
+    // is pathological or maxIters was set too low.
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClustersShortcut: labels did not converge after $maxIters " +
+          "pointer-jumping rounds; the result would be incorrect " +
+          "(non-component-min). Raise maxIters.")
     labels.select(col("node").as("doc_id"), col("lab").as("cluster_rep"))
   }
 
@@ -401,13 +412,23 @@ object Dedup {
     * table, and an uncapped label block is O(n²·d). Blocks over the cap
     * are skipped entirely (their pairs belong to a tighter blocking key —
     * an LSH / IVF bucket over the vectors, see Similarity — not to an
-    * n²/2 scan). The size side is a tiny per-label aggregate broadcast
-    * back as a semi-join; the d06 oracle mirrors the cap.
+    * n²/2 scan) — and the skip is LOUD: the count of dropped labels is
+    * logged (and available directly via [[overCapLabels]]), so reduced
+    * recall is visible rather than silent. The size side is a tiny
+    * per-label aggregate broadcast back as a semi-join; the d06 oracle
+    * mirrors the cap.
     */
   def embeddingNearDups(embeddings: DataFrame, tau: Double,
                         maxBlock: Int = 10000): DataFrame = {
-    val blockSizes = embeddings.groupBy(col("label"))
+    val sizes = embeddings.groupBy(col("label"))
       .agg(count(lit(1)).as("_bsz"))
+      .localCheckpoint() // label-sized; computed once for keep + skip
+    val skipped = sizes.filter(col("_bsz") > maxBlock).count()
+    if (skipped > 0)
+      log.warn(s"embeddingNearDups: skipping $skipped label block(s) over " +
+        s"maxBlock=$maxBlock — their pairs need a tighter blocking key " +
+        "(LSH/IVF bucket, see Similarity)")
+    val blockSizes = sizes
       .filter(col("_bsz") <= maxBlock)
       .select(col("label"))
     val e = embeddings
@@ -424,6 +445,16 @@ object Dedup {
           col("a.nrm"), col("b.nrm")).as("cos"))
       .filter(col("cos") >= tau)
   }
+
+  /** The number of label blocks [[embeddingNearDups]] skips at
+    * `maxBlock` — the recall-loss signal, exposed directly so callers
+    * (and specs) can gate on it instead of parsing logs.
+    */
+  def overCapLabels(embeddings: DataFrame, maxBlock: Int = 10000): Long =
+    embeddings.groupBy(col("label"))
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > maxBlock)
+      .count()
 
   /** Canonical-document selection: for each duplicate cluster, the one
     * doc to KEEP — the standard post-dedup step that turns cluster

@@ -263,37 +263,48 @@ object TextAnalysis {
   }
 
   /** Corpus-level boilerplate signal: per doc, the fraction of its
-    * distinct word-`k`-shingles that occur in MORE than `minDocs`
-    * other docs — the duplicated-n-gram-fraction filter (headers,
-    * navigation chrome, license blurbs light up; original prose does
-    * not). Works on any text; needs no line structure.
+    * distinct word-`k`-shingles that occur in at least `minDocs` OTHER
+    * docs (the predicate is `df > minDocs`, and df counts the
+    * containing doc itself) — the duplicated-n-gram-fraction filter
+    * (headers, navigation chrome, license blurbs light up; original
+    * prose does not). Works on any text; needs no line structure.
     *
-    * Two shuffles at any scale: a (shingle → doc-frequency) aggregate
-    * (map-side combinable; the per-doc array_distinct already dropped
-    * within-doc repeats), and the per-doc count join keyed on shingle
-    * hash — corpus-common shingles are a SMALL set (df > minDocs is
-    * the tail of a Zipf), so the semi-join side stays compact. The
-    * final frac is one exact division.
+    * The (doc, distinct-shingle) explode is the heaviest derived table
+    * in the operator, so it is materialized ONCE (localCheckpoint) and
+    * scanned twice — the df aggregate, then the probe. Without the
+    * materialization Catalyst inlines the explode into every consumer
+    * (three full corpus passes; 96 s of a 199 s suite at sf0.1). The
+    * probe fuses the per-doc total and the common count into ONE
+    * groupBy: a left join against the common set (multiplicity 1 —
+    * shingles are distinct per doc and `common` has one row per
+    * shingle) marks each row, then count + count(marker) aggregate in
+    * a single pass. Two shuffles total at any scale: the map-side-
+    * combinable df aggregate, and the mark join keyed on shingle hash
+    * (corpus-common shingles are the SMALL Zipf tail — AQE broadcasts
+    * it); the groupBy(doc_id) partial-aggregates map-side.
     */
   def boilerplateFrac(documents: DataFrame, k: Int = 3,
                       minDocs: Long = 20L): DataFrame = {
-    val sh = documents.select(col("doc_id"),
-      explode(array_distinct(Canon.shingleHashes(
-        transform(Canon.words(col("text")), w => Canon.hashP(w)), k)))
-        .as("sh"))
+    // The word-hash array gets its OWN aliased projection (SURVEY §8.5
+    // pathology #1): shingleHashes references it k+1 times
+    // (size + element_at per polynomial term), and an inlined
+    // transform(words, md5) is re-evaluated — the full per-word md5
+    // pass — at every reference.
+    val hw = documents.select(col("doc_id"),
+      transform(Canon.words(col("text")), w => Canon.hashP(w)).as("hw"))
+    val sh = hw.select(col("doc_id"),
+      explode(array_distinct(Canon.shingleHashes(col("hw"), k))).as("sh"))
+      .localCheckpoint()
     val common = sh.groupBy(col("sh"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > minDocs)
-      .select(col("sh"))
-    val perDoc = sh.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_shingles"))
-    val commonPerDoc = sh.join(common, Seq("sh"), "left_semi")
+      .select(col("sh"), lit(1).as("_common"))
+    sh.join(common, Seq("sh"), "left")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_common"))
-    perDoc.join(commonPerDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_shingles"),
-        coalesce(col("n_common"), lit(0L)).as("n_common"),
-        (coalesce(col("n_common"), lit(0L)).cast("double") /
-          col("n_shingles")).as("boilerplate_frac"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(col("_common")).as("n_common"))
+      .select(col("doc_id"), col("n_shingles"), col("n_common"),
+        (col("n_common").cast("double") / col("n_shingles"))
+          .as("boilerplate_frac"))
   }
 }

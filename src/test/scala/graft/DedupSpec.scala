@@ -180,5 +180,19 @@ class DedupSpec extends SparkSpec {
       "hot-label pairs must be skipped, cool-label pairs kept")
     val uncapped = Dedup.embeddingNearDups(emb, 0.99, maxBlock = 1000)
     assert(uncapped.count() === 40L * 39 / 2 + 1)
+    // the skip is surfaced, not silent: exactly one label is over-cap
+    assert(Dedup.overCapLabels(emb, maxBlock = 10) === 1L)
+    assert(Dedup.overCapLabels(emb, maxBlock = 1000) === 0L)
+  }
+
+  test("dupClustersShortcut throws rather than return non-converged labels") {
+    // a 6-node path cannot converge in a single pointer-jumping round;
+    // exiting silently would hand back known-wrong (non-component-min)
+    // labels on a hash-gated surface
+    val chain = (0L until 5L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.dupClustersShortcut(chain, maxIters = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
   }
 }

@@ -80,6 +80,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_._2).toSeq === Seq(5.0, 2.5, 2.5))
   }
 
+  test("boilerplateFrac: df > minDocs counts the containing doc itself") {
+    // shingle "x y z" appears in docs 0,1,2 → df=3, i.e. 2 OTHER docs;
+    // with minDocs=2 the predicate df > 2 requires >= 2 other docs, so
+    // it is common; the unique tails are not
+    val docs = Seq(
+      (0L, "x y z a b c"),   // 4 shingles, 1 common
+      (1L, "x y z d e f"),
+      (2L, "x y z g h i"),
+      (3L, "p q r s t u")    // no common shingles
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateFrac(docs, k = 3, minDocs = 2L)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out === Seq(
+      (0L, 4L, 1L, 0.25), (1L, 4L, 1L, 0.25),
+      (2L, 4L, 1L, 0.25), (3L, 4L, 0L, 0.0)))
+    // minDocs=3 would require >= 3 other docs: nothing qualifies
+    val strict = TextAnalysis.boilerplateFrac(docs, k = 3, minDocs = 3L)
+      .agg(sum("n_common")).as[Long].head()
+    assert(strict === 0L)
+  }
+
   test("langId scores every profile and predicts deterministically") {
     val docs = Seq(
       (0L, "the cat is on the mat"),   // en stopwords
