@@ -228,6 +228,13 @@ object SparkEntry {
     // Embedding cosine near-dup over label-blocked pairs.
     "d06_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDups(t(s, dir, "embeddings"), 0.3)),
+    // Asymmetric containment (subset/quotation detection) over the
+    // same source-blocked pairs as d05.
+    "d14_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(t(s, dir, "documents"), 0.8)),
+    // kNN-graph construction: per-vector top-k within label blocks.
+    "s08_knn_graph" -> ((s, dir) =>
+      Similarity.knnGraph(t(s, dir, "embeddings"), 5)),
     // Capstone: the §2.12 operators composed end to end.
     "p01_corpus_pipeline" -> ((s, dir) =>
       Pipeline.corpusPipeline(t(s, dir, "documents"))),
@@ -344,6 +351,14 @@ object SparkEntry {
     "d10_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       Dedup.decontaminate(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0))
+    }),
+    // Bloom-sketch decontamination: constant-size broadcast bitmap +
+    // row-local probe (the 100 TB path next to d10's exact semi-join).
+    "d13_bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.bloomDecontaminate(
         docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0))
     }),
@@ -1568,6 +1583,67 @@ object SparkEntry {
         | win_idx * 32 AS start_sample,
         | win_idx * 32 + 63 AS end_sample
         |FROM w""".stripMargin,
+    // containmentPairs mirror (d05's CTE chain with the asymmetric
+    // divisions; DuckDB `/` on integers is float division, matching
+    // Spark's `/`).
+    "d14_containment" ->
+      s"""WITH d0 AS (SELECT doc_id, source,
+         |  list_distinct([${h60("x")} % ${graft.functions.Canon.MersenneP}
+         |    FOR x IN string_split(text, ' ')]) AS dw FROM documents),
+         |small AS (SELECT source FROM documents
+         |  GROUP BY source HAVING count(*) <= 10000),
+         |d AS (SELECT d0.* FROM d0 JOIN small USING (source))
+         |SELECT * FROM (
+         | SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  len(list_intersect(a.dw, b.dw)) / len(a.dw) AS containment_a,
+         |  len(list_intersect(a.dw, b.dw)) / len(b.dw) AS containment_b
+         | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |WHERE greatest(containment_a, containment_b) >= 0.8""".stripMargin,
+    // knnGraph mirror: label-blocked pair scores (d06's keep cap) +
+    // per-node top-k rank, same left-fold dot as everywhere.
+    "s08_knn_graph" ->
+      (embCte +
+        s""", keep AS (SELECT label FROM embeddings
+           |  GROUP BY label HAVING count(*) <= 10000),
+           |scored AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+           |  $pairDot / (a.nrm * b.nrm) AS sim
+           | FROM n a JOIN n b ON a.label = b.label
+           |   AND a.vec_id <> b.vec_id
+           | WHERE a.label IN (SELECT label FROM keep))
+           |SELECT vec_id, nbr_id, sim, "rank" FROM (
+           | SELECT *, row_number() OVER (PARTITION BY vec_id
+           |   ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
+           |WHERE "rank" <= 5""".stripMargin),
+    // bloomDecontaminate mirror: a bitmap bit is set iff its position
+    // is in the benchmark's affine-position set, so the oracle tests
+    // set membership directly — same k=5 polynomial, same affine
+    // family, same % mBits fold; no bit packing needed on this side.
+    "d13_bloom_decontaminate" -> {
+      import graft.functions.Canon.{AffineA, AffineB, MersenneP => P}
+      val m = 1 << 16
+      val poly = (1 until 5).foldLeft("hw[i]") {
+        (acc, j) => s"($acc*31 + hw[i+$j])"
+      } + s" % $P"
+      def pos(j: Int) = s"((sh * ${AffineA(j)} + ${AffineB(j)}) % $P) % $m"
+      s"""WITH w AS (SELECT doc_id,
+         |  [${h60("x")} % $P FOR x IN string_split(text, ' ')] AS hw
+         | FROM documents),
+         |s AS (SELECT doc_id,
+         |  list_distinct([$poly FOR i IN range(1, len(hw)-3)]) AS shs
+         | FROM w),
+         |bp AS (SELECT DISTINCT unnest([${pos(0)}, ${pos(1)}]) AS pos
+         |  FROM (SELECT unnest(shs) AS sh FROM s WHERE doc_id % 7 = 0)),
+         |probe AS (SELECT doc_id, unnest(shs) AS sh FROM s
+         |  WHERE doc_id % 7 <> 0),
+         |hits AS (SELECT doc_id, count(*) AS n FROM probe
+         |  WHERE ${pos(0)} IN (SELECT pos FROM bp)
+         |    AND ${pos(1)} IN (SELECT pos FROM bp)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(n, 0)::BIGINT AS n_bloom_hits,
+         | coalesce(n, 0) > 0 AS bloom_flagged
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+         |LEFT JOIN hits USING (doc_id)""".stripMargin
+    },
     // Salting changes physical distribution, not results: the oracles
     // are the plain GROUP BY / join the salted forms must equal.
     "sk01_salted_agg" ->

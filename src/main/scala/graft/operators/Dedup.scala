@@ -224,6 +224,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric CONTAINMENT over source-blocked pairs: |A∩B|/|A| and
+    * |A∩B|/|B| on the distinct word-hash sets — the directional
+    * near-dup signal Jaccard misses. A short doc quoted whole inside a
+    * long one scores containment_a ≈ 1 while Jaccard stays tiny, so
+    * this is the subset/quotation detector (deduping a corpus against
+    * its own excerpts, boilerplate wrappers around real content).
+    * Kept when either direction >= `threshold`.
+    *
+    * Same scale shape as [[ngramJaccardPairs]] (shared block cap,
+    * sorted-hash-array two-pointer intersect, |A∩B| arithmetic —
+    * one pair join, no per-pair set allocation).
+    */
+  def containmentPairs(documents: DataFrame, threshold: Double,
+                       maxBlock: Int = 10000): DataFrame = {
+    val raw = documents.select(col("doc_id"), col("source"),
+      sort_array(array_distinct(transform(Canon.words(col("text")),
+        w => Canon.hashP(w)))).as("dw"))
+    val blockSizes = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") <= maxBlock)
+      .select(col("source"))
+    val d = raw.join(broadcast(blockSizes), Seq("source"), "left_semi")
+    d.as("a")
+      .join(d.as("b"),
+        col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(col("a.dw")).as("sa"), size(col("b.dw")).as("sb"),
+        Canon.sortedIntersectCount(col("a.dw"), col("b.dw")).as("i"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i") / col("sa")).as("containment_a"),
+        (col("i") / col("sb")).as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b"))
+        >= threshold)
+  }
+
   /** Duplicate-cluster formation: connected components over the
     * candidate-pair graph, labeling every involved doc with the
     * minimum doc_id of its component (the canonical survivor). This
@@ -402,6 +438,72 @@ object Dedup {
       .select(col("doc_id"),
         coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"),
         (coalesce(col("n_shared_shingles"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Bloom-filter decontamination: the CONSTANT-SIZE-broadcast variant
+    * of [[decontaminate]] for when even the benchmark's distinct
+    * shingle set is too large to ship — the m-bit filter is a fixed
+    * `mBits/64`-long array no matter how big the benchmark grows
+    * (Bloom 1970 CACM, the standard membership sketch). Deterministic
+    * end to end: bit positions come from the Canon affine family over
+    * the shingle hash, so WHICH docs get flagged is a pure function of
+    * the inputs and the result hash-gates (a Bloom hit can be a false
+    * positive — the flag means "shares a shingle with the benchmark
+    * under the sketch", and the false-positive rate is set by
+    * mBits/nHashes in the usual way).
+    *
+    * Scale shape: the build is one distinct + one 64-bit-word `bit_or`
+    * aggregate (≤ mBits/64 result rows); the packed bitmap broadcasts
+    * as ONE row; the probe is entirely ROW-LOCAL — an O(1) element_at
+    * + mask per (shingle, hash) inside a SQL lambda, no explode, no
+    * join, no shuffle on the batch side at all. Compare [[decontaminate]]:
+    * exact, but it shuffles the batch's (doc, shingle) pairs into an
+    * equi-join; at 100 TB the Bloom probe runs at parquet-scan speed.
+    */
+  def bloomDecontaminate(batch: DataFrame, benchmark: DataFrame,
+                         k: Int = 5, mBits: Int = 1 << 16,
+                         nHashes: Int = 2): DataFrame = {
+    require(mBits >= 64 && Integer.bitCount(mBits) == 1,
+      "mBits must be a power of two >= 64")
+    require(nHashes >= 1 && nHashes <= Canon.AffineA.size)
+    val nWords = mBits / 64
+    def shingled(d: DataFrame): DataFrame = {
+      // word-hash array aliased into its own projection (SURVEY §8.5
+      // pathology #1) before the k-wide shingle polynomial references it
+      val hw = d.select(col("doc_id"),
+        transform(Canon.words(col("text")), w => Canon.hashP(w)).as("hw"))
+      hw.select(col("doc_id"),
+        array_distinct(Canon.shingleHashes(col("hw"), k)).as("shs"))
+    }
+    val positions = shingled(benchmark)
+      .select(explode(col("shs")).as("sh"))
+      .select(explode(array((0 until nHashes).map(j =>
+        Canon.affine(j, col("sh")) % mBits): _*)).as("pos"))
+      .distinct()
+    // pack positions into mBits/64 longs, then into ONE map-backed row
+    // (same one-row-broadcast pattern as the PQ codebook in Similarity)
+    val bitmap = positions
+      .select(shiftright(col("pos"), 6).as("w"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("b"))
+      .groupBy(col("w")).agg(expr("bit_or(b)").as("bits"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bits"))))
+        .as("m"))
+      .select(transform(sequence(lit(0L), lit(nWords - 1L)),
+        i => coalesce(element_at(col("m"), i), lit(0L))).as("bloom"))
+    // row-local probe: all nHashes bits set → Bloom hit. SQL-string
+    // lambda because shiftright over a COLUMN shift amount has no
+    // Scala-DSL form (functions.shiftright takes a literal Int).
+    val hit = (0 until nHashes).map { j =>
+      val pos = s"(((sh * ${Canon.AffineA(j)} + ${Canon.AffineB(j)})" +
+        s" % ${Canon.MersenneP}) % $mBits)"
+      s"(shiftrightunsigned(element_at(bloom," +
+        s" cast(shiftright($pos, 6) as int) + 1)," +
+        s" cast($pos % 64 as int)) & 1) = 1"
+    }.mkString(" AND ")
+    shingled(batch).crossJoin(broadcast(bitmap))
+      .selectExpr("doc_id",
+        s"cast(size(filter(shs, sh -> $hit)) as bigint) as n_bloom_hits")
+      .withColumn("bloom_flagged", col("n_bloom_hits") > 0)
   }
 
   /** Embedding near-dup: cosine >= `tau` within label blocks. Norms are

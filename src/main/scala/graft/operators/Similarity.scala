@@ -369,6 +369,44 @@ object Similarity {
     * per (label, dim) group per the scale constant; raise `scale`
     * awareness accordingly (10⁶ keeps μ-precision to 6 decimals).
     */
+  /** kNN-graph construction: each vector's top-`k` cosine neighbors
+    * WITHIN its label block — the all-nodes generalization of the
+    * query-set search above, and the input structure for graph-based
+    * near-dup clustering / semantic dedup (kNN graph → connected
+    * components / community detection over high-similarity edges).
+    *
+    * Scale shape mirrors [[graft.operators.Dedup.embeddingNearDups]]:
+    * the pair join is label-blocked AND capped (an over-cap block's
+    * pairs belong to a tighter key — an IVF cell — not an n² scan),
+    * and the top-k runs in a window partitioned BY NODE, so the rank
+    * never global-sorts. Both directions of each pair are scored (the
+    * graph is directed: a's top-k need not contain b even when b's
+    * contains a).
+    */
+  def knnGraph(embeddings: DataFrame, k: Int = 5,
+               maxBlock: Int = 10000): DataFrame = {
+    val blockSizes = embeddings.groupBy(col("label"))
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") <= maxBlock)
+      .select(col("label"))
+    val e = embeddings
+      .join(broadcast(blockSizes), Seq("label"), "left_semi")
+      .select(col("vec_id"), col("label"),
+        Canon.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(Canon.dot(col("v"), col("v"))))
+    val scored = e.as("a")
+      .join(e.as("b"),
+        col("a.label") === col("b.label") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        Canon.cosine(Canon.dot(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")).as("sim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   def labelCentroids(embeddings: DataFrame, scale: Long = 1000000L): DataFrame =
     embeddings
       .select(col("label"),

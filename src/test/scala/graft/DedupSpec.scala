@@ -98,6 +98,24 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((3L, 4L)))
   }
 
+  test("containmentPairs detects subset docs that Jaccard misses") {
+    // doc 5's word set is a strict subset of doc 0's: containment from
+    // the small side is 1.0 while Jaccard is only 4/8
+    val d = docs.union(Seq((5L, "the quick brown fox", "s0"))
+      .toDF("doc_id", "text", "source"))
+    val out = Dedup.containmentPairs(d, 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out((0L, 5L)) === ((0.5, 1.0)))
+    assert(out((0L, 1L)) === ((1.0, 1.0)))
+    // the same threshold on Jaccard misses the subset pair entirely
+    val jac = Dedup.ngramJaccardPairs(d, 0.9)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(!jac.contains((0L, 5L)))
+    // near-dup (7/8 overlap) pair stays below the 0.9 bar both ways
+    assert(!out.contains((0L, 2L)))
+  }
+
   test("dupClusters: transitive closure labels components by min doc_id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
     val out = Dedup.dupClusters(pairs).orderBy("doc_id")
@@ -153,6 +171,33 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => (r._1, r._3)) ===
       Seq((1L, true), (2L, false), (3L, false)))
     assert(out.head._2 >= 1L)
+  }
+
+  test("bloomDecontaminate flags the planted overlap and nothing else") {
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta", "b")
+    ).toDF("doc_id", "text", "source")
+    val batch = Seq(
+      // shares the 5-shingle "beta gamma delta epsilon zeta"
+      (1L, "x beta gamma delta epsilon zeta y", "s"),
+      (2L, "totally unrelated words in this document here", "s"),
+      (3L, "al be ga", "s") // < 5 words: no shingles, never flagged
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.bloomDecontaminate(batch, bench)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out.map(r => (r._1, r._3)) ===
+      Seq((1L, true), (2L, false), (3L, false)))
+    assert(out.head._2 >= 1L)
+    // sketch agrees with the exact operator on this fixture (no false
+    // positives at mBits=2^16 — deterministic hashes, so stable)
+    val exact = Dedup.decontaminate(batch, bench)
+      .orderBy("doc_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(out.map(r => (r._1, r._3)) === exact.map(r => (r._1, r._3)))
+    // a tiny filter (64 bits) must STILL flag the true positive —
+    // Bloom filters have no false negatives at any size
+    val tiny = Dedup.bloomDecontaminate(batch, bench, mBits = 64)
+      .filter(col("doc_id") === 1L).as[(Long, Long, Boolean)].head()
+    assert(tiny._3)
   }
 
   test("embeddingNearDups finds the planted duplicate vector pair") {

@@ -24,6 +24,21 @@ class SimilaritySpec extends SparkSpec {
     assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
   }
 
+  test("knnGraph: directed per-node top-k stays inside label blocks") {
+    val out = Similarity.knnGraph(emb, k = 1)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // label 0: 0↔1 are mutual nearest; 2's best is 1 (0.1 component)
+    assert(out(0L) === 1L)
+    assert(out(1L) === 0L)
+    assert(out(2L) === 1L)
+    // label 1: 3 and 4 are each other's only option (never cross-label)
+    assert(out(3L) === 4L)
+    assert(out(4L) === 3L)
+    // every node has exactly one rank-1 edge
+    assert(out.size === 5)
+  }
+
   test("knnBucketed only scores candidates sharing the sign bucket") {
     val out = Similarity.knnBucketed(emb, 1, 4)
       .as[(Long, Long, Double, Int)].collect()
