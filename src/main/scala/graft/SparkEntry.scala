@@ -378,6 +378,12 @@ object SparkEntry {
     // √-temperature multilingual mix via hash-threshold sampling.
     "p07_temperature_sample" -> ((s, dir) =>
       Pipeline.temperatureSample(t(s, dir, "documents"))),
+    // Token-window chunking with overlap (row-local RAG splitter).
+    "p08_chunk" -> ((s, dir) =>
+      Pipeline.chunkDocuments(t(s, dir, "documents"))),
+    // Doc-frequency rarity signals (the model-free perplexity filter).
+    "t11_rarity" -> ((s, dir) =>
+      TextAnalysis.rarityScore(t(s, dir, "documents"))),
     // Exact per-label centroid embeddings (fixed-point component sums).
     "s07_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(t(s, dir, "embeddings"))),
@@ -1583,6 +1589,37 @@ object SparkEntry {
         | win_idx * 32 AS start_sample,
         | win_idx * 32 + 63 AS end_sample
         |FROM w""".stripMargin,
+    // chunkDocuments mirror: same start grid (every 96 while a window
+    // still adds tokens), list_slice is 1-based inclusive ⇔ Spark's
+    // slice(start, length) clipped at the array end.
+    "p08_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |n AS (SELECT doc_id, w, len(w)::BIGINT AS n_tokens FROM w
+        |  WHERE len(w) > 0),
+        |c AS (SELECT doc_id, w, n_tokens,
+        |  unnest(range(0, (greatest(n_tokens - 32, 1) - 1) // 96 + 1))
+        |    AS chunk_idx FROM n)
+        |SELECT doc_id, chunk_idx, chunk_idx * 96 AS start_tok,
+        | least(128, n_tokens - chunk_idx * 96) AS n_chunk_tokens,
+        | array_to_string(list_slice(w, chunk_idx * 96 + 1,
+        |   chunk_idx * 96 + 128), ' ') AS chunk_text
+        |FROM c""".stripMargin,
+    // rarityScore mirror: t09's df CTE joined onto the raw token
+    // explode; both output fractions are exact-int divisions.
+    "t11_rarity" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(string_split(text, ' ')) AS word FROM documents),
+        |df AS (SELECT word, count(*) AS df FROM (
+        |   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word
+        |   FROM documents) GROUP BY word),
+        |j AS (SELECT doc_id, df FROM tok JOIN df USING (word))
+        |SELECT doc_id, count(*) AS n_tokens,
+        | sum(df)::DOUBLE / count(*) AS mean_df,
+        | min(df) AS min_df,
+        | sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+        |   AS hapax_frac
+        |FROM j GROUP BY doc_id""".stripMargin,
     // containmentPairs mirror (d05's CTE chain with the asymmetric
     // divisions; DuckDB `/` on integers is float division, matching
     // Spark's `/`).

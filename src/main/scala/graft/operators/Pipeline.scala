@@ -200,6 +200,41 @@ object Pipeline {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Token-window chunking with overlap — the fixed-window splitter a
+    * RAG index or a long-context pretraining pipeline runs over every
+    * document: windows of `chunkTokens` words every
+    * `chunkTokens - overlap`, so consecutive chunks share `overlap`
+    * words of context. A window is emitted only while it still adds
+    * new tokens (start < max(n - overlap, 1)), so the tail is covered
+    * without a redundant final all-overlap chunk; the last chunk may
+    * be short.
+    *
+    * Entirely ROW-LOCAL: the fan-out is a bounded sequence+explode per
+    * doc (≤ n/stride rows) and each chunk is a slice of the one
+    * per-row word array — no shuffle anywhere; at 100 TB this runs at
+    * scan speed and writes straight to the chunk store.
+    */
+  def chunkDocuments(documents: DataFrame, chunkTokens: Int = 128,
+                     overlap: Int = 32): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens)
+    val stride = (chunkTokens - overlap).toLong
+    val w = documents
+      .select(col("doc_id"), Canon.words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+    w.select(col("doc_id"), col("w"), col("n_tokens"),
+        explode(expr(s"sequence(0L, " +
+          s"(greatest(n_tokens - $overlap, 1L) - 1) div $stride)"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        least(lit(chunkTokens.toLong),
+          col("n_tokens") - col("chunk_idx") * stride).as("n_chunk_tokens"),
+        array_join(slice(col("w"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens)),
+          " ").as("chunk_text"))
+  }
+
   /** Contamination-aware mixture table: the hashSplit counts computed
     * AFTER removing every document that shares a word-5-shingle with
     * the benchmark — the composition a real pre-training pipeline runs

@@ -262,6 +262,37 @@ object TextAnalysis {
       Canon.rollingHash(hs).as("fp_roll"))
   }
 
+  /** Word-rarity quality signals: per doc, the mean and minimum corpus
+    * document-frequency of its tokens and its hapax fraction (share of
+    * tokens whose word appears in exactly one document) — the
+    * deterministic stand-in for a perplexity filter (gibberish and
+    * OCR noise are hapax-dense with low mean df; templated text is the
+    * opposite), with no model and no libm in sight.
+    *
+    * Shape: the df side is the vocabulary-sized aggregate (per-doc
+    * array_distinct first, as docFreq), joined back onto the token
+    * explode BY WORD — one corpus explode, one vocabulary aggregate,
+    * one equi-join, one per-doc aggregate; nothing pairwise. The only
+    * non-integer outputs are two exact-int divisions.
+    */
+  def rarityScore(documents: DataFrame): DataFrame = {
+    val tok = documents.select(col("doc_id"),
+      explode(Canon.words(col("text"))).as("word"))
+    val df = documents
+      .select(explode(array_distinct(Canon.words(col("text")))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tok.join(df, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("df")).as("_sum_df"),
+        min(col("df")).as("min_df"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("_n_hapax"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("_sum_df").cast("double") / col("n_tokens")).as("mean_df"),
+        col("min_df"),
+        (col("_n_hapax").cast("double") / col("n_tokens")).as("hapax_frac"))
+  }
+
   /** Corpus-level boilerplate signal: per doc, the fraction of its
     * distinct word-`k`-shingles that occur in at least `minDocs` OTHER
     * docs (the predicate is `df > minDocs`, and df counts the

@@ -21,6 +21,29 @@ class PipelineSpec extends SparkSpec {
     assert(out === Map("en" -> 1L, "de" -> 1L))
   }
 
+  test("chunkDocuments: overlap grid, short tail, no redundant chunk") {
+    val words200 = (0 until 200).map(i => s"w$i").mkString(" ")
+    val words100 = (0 until 100).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, words200), (1L, words100), (2L, "a b c"))
+      .toDF("doc_id", "text")
+    val out = Pipeline.chunkDocuments(docs, chunkTokens = 128, overlap = 32)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    // doc 0 (200 tokens): starts 0 and 96 (96 < 200-32); second chunk
+    // is 104 tokens (clipped at the end)
+    // doc 1 (100 tokens): 100-32=68 → only start 0, one short chunk
+    // doc 2 (3 tokens): one 3-token chunk
+    assert(out.map(r => (r._1, r._2, r._3, r._4)) === Seq(
+      (0L, 0L, 0L, 128L), (0L, 1L, 96L, 104L),
+      (1L, 0L, 0L, 100L), (2L, 0L, 0L, 3L)))
+    assert(out(1)._5.startsWith("w96 w97") && out(1)._5.endsWith("w199"))
+    assert(out(3)._5 === "a b c")
+    // consecutive chunks share exactly `overlap` words
+    val c0 = out(0)._5.split(" ").toSeq
+    val c1 = out(1)._5.split(" ").toSeq
+    assert(c0.takeRight(32) === c1.take(32))
+  }
+
   test("tokenBudgetSample keeps hash-ordered docs until the budget is met") {
     val docs = Seq(
       (0L, "a b c d e", "en"),      // 5 tokens

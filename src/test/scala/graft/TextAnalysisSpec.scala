@@ -80,6 +80,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_._2).toSeq === Seq(5.0, 2.5, 2.5))
   }
 
+  test("rarityScore: mean/min df and hapax fraction per doc") {
+    val docs = Seq(
+      (0L, "the the zebra"), // the: df 2; zebra: df 1 (hapax)
+      (1L, "the cat")        // cat: df 1
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.rarityScore(docs).orderBy("doc_id")
+      .as[(Long, Long, Double, Long, Double)].collect().toSeq
+    // doc 0: dfs (2,2,1) → mean 5/3, min 1, hapax 1/3
+    // doc 1: dfs (2,1) → mean 3/2, min 1, hapax 1/2
+    assert(out === Seq(
+      (0L, 3L, 5.0 / 3, 1L, 1.0 / 3),
+      (1L, 2L, 3.0 / 2, 1L, 1.0 / 2)))
+  }
+
   test("boilerplateFrac: df > minDocs counts the containing doc itself") {
     // shingle "x y z" appears in docs 0,1,2 → df=3, i.e. 2 OTHER docs;
     // with minDocs=2 the predicate df > 2 requires >= 2 other docs, so
