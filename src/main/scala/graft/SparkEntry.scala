@@ -331,6 +331,14 @@ object SparkEntry {
         e.filter(col("event_type") === "purchase"),
         e.filter(col("event_type") === "click"), 3600L, 0L)
     }),
+    // LEFT OUTER stream-stream interval join, batch anchor (streaming
+    // null-padding semantics spec-checked in StreamingOpsSpec).
+    "st05_interval_join_outer" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      graft.streaming.StreamingOps.intervalJoinOuterStream(
+        e.filter(col("event_type") === "purchase"),
+        e.filter(col("event_type") === "click"), 3600L, 0L)
+    }),
     // Deterministic content-hash stratified sampling.
     "p03_stratified_sample" -> ((s, dir) =>
       Pipeline.stratifiedSample(t(s, dir, "documents"))),
@@ -1358,6 +1366,19 @@ object SparkEntry {
         |SELECT probe_id, p.user_id, make_timestamp(pt) AS probe_time,
         | build_id, make_timestamp(bt) AS build_time
         |FROM p JOIN b ON b.b_user = p.user_id
+        | AND bt >= pt - 3600000000 AND bt < pt""".stripMargin,
+    // st04's oracle with LEFT JOIN: unmatched probes null-padded
+    // (watermarks are no-ops in batch).
+    "st05_interval_join_outer" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+        |  event_type FROM events),
+        |p AS (SELECT event_id AS probe_id, user_id, t AS pt FROM e
+        |  WHERE event_type = 'purchase'),
+        |b AS (SELECT event_id AS build_id, user_id AS b_user, t AS bt
+        |  FROM e WHERE event_type = 'click')
+        |SELECT probe_id, p.user_id, make_timestamp(pt) AS probe_time,
+        | build_id, make_timestamp(bt) AS build_time
+        |FROM p LEFT JOIN b ON b.b_user = p.user_id
         | AND bt >= pt - 3600000000 AND bt < pt""".stripMargin,
     "p03_stratified_sample" ->
       s"""WITH b AS (SELECT doc_id, lang,

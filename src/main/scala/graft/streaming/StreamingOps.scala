@@ -124,6 +124,39 @@ object StreamingOps {
         col("build_id"), col("build_time"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every probe event is
+    * emitted, with nulls when no same-user build event fell in its
+    * look-back window — the attribution shape ("purchase with or
+    * without a preceding click") the inner form cannot express. In
+    * streaming mode the unmatched rows are held back until the
+    * watermark proves no match can still arrive, then emitted
+    * null-padded — which is exactly why BOTH watermarks plus the
+    * event-time range condition are mandatory here, not just
+    * state-bounding hygiene; same state sizing as
+    * [[intervalJoinStream]].
+    */
+  def intervalJoinOuterStream(probe: DataFrame, build: DataFrame,
+                              windowSeconds: Long,
+                              latenessSeconds: Long): DataFrame = {
+    val p = probe.select(col("user_id"),
+      col("event_id").as("probe_id"),
+      timestamp_micros(expr("ts div 1000")).as("probe_time"))
+      .withWatermark("probe_time", s"$latenessSeconds seconds")
+    val b = build.select(col("user_id").as("b_user"),
+      col("event_id").as("build_id"),
+      timestamp_micros(expr("ts div 1000")).as("build_time"))
+      .withWatermark("build_time",
+        s"${latenessSeconds + windowSeconds} seconds")
+    p.join(b,
+      col("user_id") === col("b_user") &&
+        col("build_time") >= col("probe_time") -
+          expr(s"INTERVAL $windowSeconds SECONDS") &&
+        col("build_time") < col("probe_time"),
+      "left_outer")
+      .select(col("probe_id"), col("user_id"), col("probe_time"),
+        col("build_id"), col("build_time"))
+  }
+
   /** Sessionization (event-time gap sessions) in batch form:
     * gaps-and-islands — a new session starts when the per-user gap
     * exceeds `gapUs`; the session id is the running count of starts.

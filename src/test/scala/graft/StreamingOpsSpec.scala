@@ -149,6 +149,47 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinOuterStream null-pads unmatched probes after the watermark") {
+    val minNs = 60L * 1000 * 1000 * 1000
+    val t0 = 24 * 60 * minNs
+    val clicks = Seq(Ev(1, t0, 10), Ev(2, t0 + 30 * minNs, 10))
+    val purchases = Seq(
+      Ev(100, t0 + 60 * minNs, 10),  // 2 clicks in its look-back hour
+      Ev(101, t0 + 60 * minNs, 12))  // no clicks at all
+    // batch anchor: plain left join — nulls immediately
+    val batch = StreamingOps.intervalJoinOuterStream(
+      purchases.toDF(), clicks.toDF(), 3600L, 0L)
+      .select("probe_id", "build_id").as[(Long, Option[Long])]
+      .collect().toSet
+    assert(batch === Set((100L, Some(1L)), (100L, Some(2L)),
+      (101L, None)))
+
+    // streaming: the unmatched probe is HELD until the watermark
+    // proves no match can arrive, then emitted null-padded
+    implicit val sqlCtx = spark.sqlContext
+    val cMem = MemoryStream[Ev]
+    val pMem = MemoryStream[Ev]
+    val q = StreamingOps.intervalJoinOuterStream(pMem.toDF(), cMem.toDF(),
+      windowSeconds = 3600L, latenessSeconds = 0L)
+      .writeStream.format("memory").queryName("ivjo")
+      .outputMode("append").start()
+    try {
+      cMem.addData(clicks: _*)
+      pMem.addData(purchases: _*)
+      q.processAllAvailable()
+      // advance BOTH watermarks (global watermark = min) past the
+      // probes' eviction point with one far-future event per side
+      cMem.addData(Ev(900, t0 + 24 * 60 * minNs, 90))
+      pMem.addData(Ev(901, t0 + 24 * 60 * minNs, 91))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT probe_id, build_id FROM ivjo")
+        .as[(Long, Option[Long])].collect().toSet
+      assert(got.contains((100L, Some(1L))) && got.contains((100L, Some(2L))))
+      assert(got.contains((101L, None)),
+        "unmatched probe must surface null-padded after the watermark")
+    } finally q.stop()
+  }
+
   test("streamingDedupFirst keeps only the first row per key") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long)]
