@@ -475,10 +475,16 @@ object Dedup {
       hw.select(col("doc_id"),
         array_distinct(Canon.shingleHashes(col("hw"), k)).as("shs"))
     }
+    // ONE Generate over a flattened per-row position array, not a
+    // stacked explode-then-explode: InferFiltersFromGenerate infers
+    // `size(child) > 0` from each explode and pushdown SUBSTITUTES the
+    // full shingle-polynomial chain (per-word md5 included) into that
+    // filter — SURVEY §8.5 pathology #2; the stacked form re-evaluated
+    // the corpus transform 5+ times per row (23.8 s vs 0.6 s at sf0.1).
     val positions = shingled(benchmark)
-      .select(explode(col("shs")).as("sh"))
-      .select(explode(array((0 until nHashes).map(j =>
-        Canon.affine(j, col("sh")) % mBits): _*)).as("pos"))
+      .select(explode(flatten(transform(col("shs"), sh =>
+        array((0 until nHashes).map(j =>
+          Canon.affine(j, sh) % mBits): _*)))).as("pos"))
       .distinct()
     // pack positions into mBits/64 longs, then into ONE map-backed row
     // (same one-row-broadcast pattern as the PQ codebook in Similarity)
