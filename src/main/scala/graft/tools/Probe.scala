@@ -38,7 +38,16 @@ object Probe {
                 "CartesianProduct" -> plan.contains("CartesianProduct"),
                 "no-pushed-filter" -> (plan.contains("PushedFilters: []") &&
                   plan.contains("Filter (")),
-                "sort-agg" -> plan.contains("SortAggregate")
+                "sort-agg" -> plan.contains("SortAggregate"),
+                // directly stacked Generates: each explode gets an
+                // inferred size>0 filter whose pushdown substitutes the
+                // generator's defining chain (SURVEY §8.5 pathology #2,
+                // r8 variant — the d13 23.8s regression). Benign only
+                // when the generator children are cheap (m03/m04 int
+                // sequences).
+                "stacked-generate" ->
+                  "Generate [^\n]*\n\\s*\\+- Generate ".r
+                    .findFirstIn(plan).isDefined
               ).collect { case (f, true) => f }
               println(s"PLAN $name: " +
                 (if (flags.isEmpty) "clean" else flags.mkString(",")))
