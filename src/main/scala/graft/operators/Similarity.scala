@@ -26,6 +26,8 @@ import graft.functions.Canon
   */
 object Similarity {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def prepared(embeddings: DataFrame): DataFrame =
     embeddings.select(col("vec_id"),
       Canon.asDouble(col("embedding")).as("v"))
@@ -378,15 +380,22 @@ object Similarity {
     * Scale shape mirrors [[graft.operators.Dedup.embeddingNearDups]]:
     * the pair join is label-blocked AND capped (an over-cap block's
     * pairs belong to a tighter key — an IVF cell — not an n² scan),
-    * and the top-k runs in a window partitioned BY NODE, so the rank
-    * never global-sorts. Both directions of each pair are scored (the
+    * the skip is LOUD (warn log with the dropped-label count), and the
+    * top-k runs in a window partitioned BY NODE, so the rank never
+    * global-sorts. Both directions of each pair are scored (the
     * graph is directed: a's top-k need not contain b even when b's
     * contains a).
     */
   def knnGraph(embeddings: DataFrame, k: Int = 5,
                maxBlock: Int = 10000): DataFrame = {
-    val blockSizes = embeddings.groupBy(col("label"))
+    val sizes = embeddings.groupBy(col("label"))
       .agg(count(lit(1)).as("_bsz"))
+      .localCheckpoint() // label-sized; computed once for keep + skip
+    val skipped = sizes.filter(col("_bsz") > maxBlock).count()
+    if (skipped > 0)
+      log.warn(s"knnGraph: skipping $skipped label block(s) over " +
+        s"maxBlock=$maxBlock — route them through an IVF cell key")
+    val blockSizes = sizes
       .filter(col("_bsz") <= maxBlock)
       .select(col("label"))
     val e = embeddings

@@ -37,6 +37,11 @@ class SimilaritySpec extends SparkSpec {
     assert(out(4L) === 3L)
     // every node has exactly one rank-1 edge
     assert(out.size === 5)
+    // over-cap label blocks are skipped (label 0 has 3 vecs): only the
+    // 2-vec label-1 block survives a cap of 2
+    val capped = Similarity.knnGraph(emb, k = 1, maxBlock = 2)
+      .as[(Long, Long, Double, Int)].collect().map(_._1).toSet
+    assert(capped === Set(3L, 4L))
   }
 
   test("knnBucketed only scores candidates sharing the sign bucket") {
