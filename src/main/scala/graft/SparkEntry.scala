@@ -392,6 +392,9 @@ object SparkEntry {
     // Doc-frequency rarity signals (the model-free perplexity filter).
     "t11_rarity" -> ((s, dir) =>
       TextAnalysis.rarityScore(t(s, dir, "documents"))),
+    // PII scrubbing counts + redacted-content hash.
+    "t12_pii_redact" -> ((s, dir) =>
+      TextAnalysis.piiRedact(t(s, dir, "documents"))),
     // Exact per-label centroid embeddings (fixed-point component sums).
     "s07_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(t(s, dir, "embeddings"))),
@@ -1641,6 +1644,21 @@ object SparkEntry {
         | sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
         |   AS hapax_frac
         |FROM j GROUP BY doc_id""".stripMargin,
+    // piiRedact mirror, generated from the SAME PiiPatterns constants
+    // (single source of truth); DuckDB needs the 'g' flag for
+    // replace-all, which is Spark regexp_replace's default.
+    "t12_pii_redact" -> {
+      val counts = TextAnalysis.PiiPatterns.map { case (name, pat, _) =>
+        s" len(regexp_extract_all(text, '$pat'))::BIGINT AS n_$name"
+      }.mkString(",\n")
+      val redacted = TextAnalysis.PiiPatterns.foldLeft("text") {
+        case (c, (_, pat, rep)) => s"regexp_replace($c, '$pat', '$rep', 'g')"
+      }
+      s"""SELECT doc_id,
+         |$counts,
+         | md5($redacted) AS redacted_md5
+         |FROM documents""".stripMargin
+    },
     // containmentPairs mirror (d05's CTE chain with the asymmetric
     // divisions; DuckDB `/` on integers is float division, matching
     // Spark's `/`).

@@ -262,6 +262,35 @@ object TextAnalysis {
       Canon.rollingHash(hs).as("fp_roll"))
   }
 
+  /** PII patterns shared with the oracle generator: (name, regex,
+    * replacement). Conservative syntax only (char classes, bounded
+    * quantifiers, \b) so Java regex (Spark) and RE2 (DuckDB) agree.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\d{3}[-.]\\d{3}[-.]\\d{4}", "<PHONE>"))
+
+  /** PII scrubbing: per-pattern match counts plus the md5 of the text
+    * after the redaction chain (emails → IPv4 → phones, each replaced
+    * by a typed token) — the pre-training privacy pass. Entirely
+    * row-local regex work inside the scan; the md5 keeps the gated
+    * output compact while still pinning the exact redacted bytes (a
+    * caller wanting the text itself applies the same chain via
+    * [[PiiPatterns]]).
+    */
+  def piiRedact(documents: DataFrame): DataFrame = {
+    val counts = PiiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+        .cast("long").as(s"n_$name")
+    }
+    val redacted = PiiPatterns.foldLeft(col("text")) {
+      case (c, (_, pat, rep)) => regexp_replace(c, pat, rep)
+    }
+    documents.select(
+      col("doc_id") +: counts :+ md5(redacted).as("redacted_md5"): _*)
+  }
+
   /** Word-rarity quality signals: per doc, the mean and minimum corpus
     * document-frequency of its tokens and its hapax fraction (share of
     * tokens whose word appears in exactly one document) — the

@@ -80,6 +80,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_._2).toSeq === Seq(5.0, 2.5, 2.5))
   }
 
+  test("piiRedact counts and scrubs planted emails, IPs, and phones") {
+    val docs = Seq(
+      (0L, "contact alice@example.com or 555-123-4567 now"),
+      (1L, "server 10.0.0.1 responded"),
+      (2L, "clean text with no pii at all")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3, r._4)) === Seq(
+      (0L, 1L, 0L, 1L), (1L, 0L, 1L, 0L), (2L, 0L, 0L, 0L)))
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0)._5 === md5Hex("contact <EMAIL> or <PHONE> now"))
+    assert(out(1)._5 === md5Hex("server <IP> responded"))
+    assert(out(2)._5 === md5Hex("clean text with no pii at all"))
+  }
+
   test("rarityScore: mean/min df and hapax fraction per doc") {
     val docs = Seq(
       (0L, "the the zebra"), // the: df 2; zebra: df 1 (hapax)
