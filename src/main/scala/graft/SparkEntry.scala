@@ -283,6 +283,9 @@ object SparkEntry {
     // PQ-ADC approximate top-k via per-query lookup tables.
     "s06_pq_adc" -> ((s, dir) =>
       Similarity.knnPqAdc(t(s, dir, "embeddings"), 10, 3)),
+    // Binary sign-sketch + Hamming top-k (the 64x-compression path).
+    "s09_binary_hamming" -> ((s, dir) =>
+      Similarity.knnBinaryHamming(t(s, dir, "embeddings"), 10, 3)),
     // Stopword-profile language ID.
     "t01_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"))),
@@ -1644,6 +1647,29 @@ object SparkEntry {
         | sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
         |   AS hapax_frac
         |FROM j GROUP BY doc_id""".stripMargin,
+    // knnBinaryHamming mirror: the 64-term sign fold (same bit-63
+    // spelling as simhash64Sql), xor+bit_count ranking.
+    "s09_binary_hamming" -> {
+      def bitLit(b: Int): String = {
+        val v = 1L << b
+        if (v > 0) s"$v" else "(-9223372036854775807 - 1)"
+      }
+      val sketch = (0 until 64).map(i =>
+        s"(CASE WHEN v[${i + 1}] > 0 THEN ${bitLit(i)} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |b AS (SELECT vec_id, $sketch AS bits FROM e),
+         |q AS (SELECT vec_id AS q_id, bits AS q_bits FROM b
+         |  WHERE vec_id < 10),
+         |scored AS (SELECT q.q_id, b.vec_id AS nbr_id,
+         |  CAST(bit_count(xor(b.bits, q.q_bits)) AS BIGINT) AS hamming
+         | FROM b CROSS JOIN q WHERE b.vec_id <> q.q_id)
+         |SELECT q_id, nbr_id, hamming, "rank" FROM (
+         | SELECT *, row_number() OVER (PARTITION BY q_id
+         |   ORDER BY hamming, nbr_id) AS "rank" FROM scored)
+         |WHERE "rank" <= 3""".stripMargin
+    },
     // piiRedact mirror, generated from the SAME PiiPatterns constants
     // (single source of truth); DuckDB needs the 'g' flag for
     // replace-all, which is Spark regexp_replace's default.

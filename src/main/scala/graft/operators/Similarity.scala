@@ -356,6 +356,40 @@ object Similarity {
               .cast("long"))), ",").as("q_csv"))
   }
 
+  /** Binary (sign-bit) quantization + Hamming top-k: each dim-64
+    * vector compresses to ONE long (bit i = sign of component i — the
+    * 64× memory lever past int8 and PQ), and search ranks candidates
+    * by ascending Hamming distance of the sketches. Ties break on
+    * neighbor id, so the result is deterministic and hash-gates.
+    *
+    * Scale shape = knnBrute's: the query sketches broadcast, the
+    * candidate scan computes xor+popcount map-side inside codegen (two
+    * ALU ops per pair — this is why binary sketches win at re-ranking
+    * scale), and only the per-query top-k shuffles. A production
+    * pipeline re-ranks the top-k with exact vectors (s01's scorer)
+    * afterwards.
+    */
+  def knnBinaryHamming(embeddings: DataFrame, nQueries: Int,
+                       k: Int): DataFrame = {
+    val sketch = (0 until 64).map { i =>
+      when(element_at(col("v"), i + 1) > 0.0d, lit(1L << i))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val e = embeddings
+      .select(col("vec_id"), Canon.asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), sketch.as("bits"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("bits").as("q_bits"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        bit_count(col("bits").bitwiseXOR(col("q_bits")))
+          .cast("long").as("hamming"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("hamming").asc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Per-label mean embedding (class centroids / cluster prototypes) in
     * long format: one row per (label, dim). The mean is computed over
     * FIXED-POINT component sums — floor(x·10⁶) per component, summed

@@ -44,6 +44,19 @@ class SimilaritySpec extends SparkSpec {
     assert(capped === Set(3L, 4L))
   }
 
+  test("knnBinaryHamming ranks by sketch hamming distance") {
+    val base = Array.tabulate(64)(i => if (i < 32) 1.0f else -1.0f)
+    val flip4 = base.clone(); (0 until 4).foreach(i => flip4(i) = -1.0f)
+    val e64 = Seq(
+      (0L, base, 0), (1L, base.clone(), 0),     // identical → hamming 0
+      (2L, flip4, 0),                           // 4 sign flips
+      (3L, Array.fill(64)(-1.0f), 0))           // all negative → 32 flips
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnBinaryHamming(e64, nQueries = 1, k = 3)
+      .orderBy("rank").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(out === Seq((0L, 1L, 0L, 1), (0L, 2L, 4L, 2), (0L, 3L, 32L, 3)))
+  }
+
   test("knnBucketed only scores candidates sharing the sign bucket") {
     val out = Similarity.knnBucketed(emb, 1, 4)
       .as[(Long, Long, Double, Int)].collect()
