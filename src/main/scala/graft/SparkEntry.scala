@@ -204,6 +204,11 @@ object SparkEntry {
     "g11_triangles" -> ((s, dir) =>
       GraphEtl.triangleCounts(
         GraphEtl.coSupplierEdges(t(s, dir, "lineitem")))),
+    // Weakly-connected components of the same projection (pointer
+    // jumping — the O(log n) rounds path).
+    "g12_wcc" -> ((s, dir) =>
+      GraphEtl.connectedComponents(
+        GraphEtl.coSupplierEdges(t(s, dir, "lineitem")))),
 
     // --- LLM-pipeline extension surface (SURVEY §2.12) ---
     // Exact dedup: content-hash groupBy, one shuffle.
@@ -952,6 +957,24 @@ object SparkEntry {
         |SELECT vertex, count(*) AS n_triangles
         |FROM (SELECT unnest([u, v, w]) AS vertex FROM tri)
         |GROUP BY vertex""".stripMargin,
+    // connectedComponents mirror: g11's co-supplier edge CTE (both
+    // caps mirrored) + the d08-style recursive component-min closure.
+    "g12_wcc" ->
+      """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey AS o,
+        |  l_suppkey AS s FROM lineitem),
+        |ok AS (SELECT o FROM os GROUP BY o HAVING count(*) <= 100),
+        |osk AS (SELECT os.o, os.s FROM os JOIN ok USING (o)),
+        |e AS (SELECT x.s AS a, y.s AS b FROM osk x JOIN osk y
+        |  ON x.o = y.o AND x.s < y.s
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |nodes AS (SELECT DISTINCT a AS n FROM sym),
+        |reach(node, lab) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node)
+        |SELECT node AS vertex, min(lab) AS component
+        |FROM reach GROUP BY node""".stripMargin,
     "t06_vocabulary" ->
       """SELECT word, count(*) AS n,
         | row_number() OVER (ORDER BY count(*) DESC, word ASC) AS "rank"

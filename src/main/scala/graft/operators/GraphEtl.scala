@@ -269,6 +269,19 @@ object GraphEtl {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Weakly-connected components of an undirected (a, b) edge list:
+    * every vertex labeled with its component's minimum vertex id — the
+    * graph-surface view of the dedup clusterer (supplier communities,
+    * account-graph partitions). Delegates to the O(log n)
+    * pointer-jumping labeler ([[Dedup.dupClustersShortcut]]), so the
+    * billion-edge scale path and the loud non-convergence guard come
+    * for free.
+    */
+  def connectedComponents(edges: DataFrame): DataFrame =
+    Dedup.dupClustersShortcut(
+      edges.select(col("a").as("doc_a"), col("b").as("doc_b")))
+      .select(col("doc_id").as("vertex"), col("cluster_rep").as("component"))
+
   def pageRankFixedPoint(edges: DataFrame, iters: Int = 3): DataFrame = {
     // Materialize the dedup'd edge list FIRST: outdeg, the degree
     // join, and both vertex branches all re-read it — without this the

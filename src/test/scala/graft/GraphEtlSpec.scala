@@ -49,6 +49,16 @@ class GraphEtlSpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  test("connectedComponents labels each component by its min vertex") {
+    // two components: a 4-chain {1,2,3,4} and a pair {9,10}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
+      .toDF("a", "b")
+    val out = GraphEtl.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      9L -> 9L, 10L -> 9L))
+  }
+
   test("coSupplierEdges: support threshold and hot-order cap bind") {
     val li = Seq(
       // order 1: suppliers 1,2,3 (pairs 12,13,23 once)
