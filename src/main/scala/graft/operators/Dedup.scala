@@ -277,12 +277,16 @@ object Dedup {
     * hash join on node id + one aggregate.
     */
   def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // Materialize the edge set once: its lineage typically includes
-    // the full candidate-generation plan (minhash + banding), which
-    // would otherwise re-execute in EVERY fixpoint iteration.
-    val sym = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    // Materialize the DIRECTED pair list once, BEFORE the symmetric
+    // union: the union reads it from both branches, so an unchecked-
+    // pointed `pairs` runs the full candidate-generation plan (minhash
+    // + banding / the co-supplier join) TWICE in the one job; the
+    // cached copy also keeps every fixpoint iteration off that plan.
+    // The union itself stays lazy — two scans of the small cached pair
+    // list per round beat a second materialization.
+    val p = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .localCheckpoint()
+    val sym = p.union(p.select(col("b").as("a"), col("a").as("b")))
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("lab", col("node"))
     var converged = false
@@ -326,9 +330,11 @@ object Dedup {
     * d11 gate runs the same recursive-CTE oracle as d08.
     */
   def dupClustersShortcut(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val sym = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .union(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    // same directed-pairs-first materialization as dupClusters: the
+    // symmetric union would otherwise run candidate generation twice
+    val p = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .localCheckpoint()
+    val sym = p.union(p.select(col("b").as("a"), col("a").as("b")))
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("lab", col("node"))
       .localCheckpoint()
