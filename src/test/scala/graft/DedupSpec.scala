@@ -116,6 +116,21 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((0L, 2L)))
   }
 
+  test("bloomDecontaminate and containmentPairs are partitioning-independent") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta", "b"))
+      .toDF("doc_id", "text", "source")
+    val d13a = Dedup.bloomDecontaminate(docs, bench)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val d13b = Dedup.bloomDecontaminate(docs.repartition(7),
+      bench.repartition(3)).as[(Long, Long, Boolean)].collect().toSet
+    assert(d13a === d13b)
+    val d14a = Dedup.containmentPairs(docs, 0.5)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    val d14b = Dedup.containmentPairs(docs.repartition(7), 0.5)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(d14a === d14b && d14a.nonEmpty)
+  }
+
   test("dupClusters: transitive closure labels components by min doc_id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
     val out = Dedup.dupClusters(pairs).orderBy("doc_id")

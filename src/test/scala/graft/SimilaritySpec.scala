@@ -44,6 +44,22 @@ class SimilaritySpec extends SparkSpec {
     assert(capped === Set(3L, 4L))
   }
 
+  test("knnGraph and knnBinaryHamming are partitioning-independent") {
+    val a1 = Similarity.knnGraph(emb, k = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val a2 = Similarity.knnGraph(emb.repartition(7), k = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(a1 === a2 && a1.nonEmpty)
+    val dim64 = emb.select(col("vec_id"),
+      flatten(array_repeat(col("embedding"), 16)).as("embedding"),
+      col("label"))
+    val b1 = Similarity.knnBinaryHamming(dim64, 2, 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val b2 = Similarity.knnBinaryHamming(dim64.repartition(7), 2, 3)
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(b1 === b2 && b1.nonEmpty)
+  }
+
   test("knnBinaryHamming ranks by sketch hamming distance") {
     val base = Array.tabulate(64)(i => if (i < 32) 1.0f else -1.0f)
     val flip4 = base.clone(); (0 until 4).foreach(i => flip4(i) = -1.0f)
