@@ -403,6 +403,9 @@ object SparkEntry {
     // PII scrubbing counts + redacted-content hash.
     "t12_pii_redact" -> ((s, dir) =>
       TextAnalysis.piiRedact(t(s, dir, "documents"))),
+    // Bigram LM statistics: top-3 successors per word.
+    "t13_bigram_lm" -> ((s, dir) =>
+      TextAnalysis.bigramCounts(t(s, dir, "documents"))),
     // Exact per-label centroid embeddings (fixed-point component sums).
     "s07_label_centroids" -> ((s, dir) =>
       Similarity.labelCentroids(t(s, dir, "embeddings"))),
@@ -1670,6 +1673,19 @@ object SparkEntry {
         | sum(CASE WHEN df = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
         |   AS hapax_frac
         |FROM j GROUP BY doc_id""".stripMargin,
+    // bigramCounts mirror: 1-based DuckDB list indexing ⇔ the Spark
+    // side's 0-based w[i]/w[i+1] over sequence(0, size-2).
+    "t13_bigram_lm" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+        |    FOR i IN range(1, len(w))]) AS p
+        |  FROM w WHERE len(w) >= 2),
+        |c AS (SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS n FROM p
+        |  GROUP BY 1, 2)
+        |SELECT w1, w2, n, "rank" FROM (
+        | SELECT *, row_number() OVER (PARTITION BY w1
+        |   ORDER BY n DESC, w2) AS "rank" FROM c)
+        |WHERE "rank" <= 3""".stripMargin,
     // knnBinaryHamming mirror: the 64-term sign fold (same bit-63
     // spelling as simhash64Sql), xor+bit_count ranking.
     "s09_binary_hamming" -> {

@@ -262,6 +262,34 @@ object TextAnalysis {
       Canon.rollingHash(hs).as("fp_roll"))
   }
 
+  /** Corpus bigram statistics: for every word, its top-`k` successor
+    * words by count (ties on the successor string) — the n-gram
+    * language-model table behind autocomplete-style corpus QA and
+    * next-token baselines.
+    *
+    * The pair fan-out is ROW-LOCAL (one struct array per doc — no
+    * per-pair shuffle until the bigram-vocabulary aggregate), the
+    * aggregate is map-side combinable, and the top-k window partitions
+    * by the FIRST word — bigram vocabularies are wide, so no skewed or
+    * partition-less sort anywhere.
+    */
+  def bigramCounts(documents: DataFrame, k: Int = 3): DataFrame = {
+    val pairs = documents
+      .filter(size(Canon.words(col("text"))) >= 2)
+      .select(Canon.words(col("text")).as("w"))
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2)," +
+          " i -> struct(w[i] as w1, w[i+1] as w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val counted = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1"))
+      .orderBy(col("n").desc, col("w2").asc)
+    counted.withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+  }
+
   /** PII patterns shared with the oracle generator: (name, regex,
     * replacement). Conservative syntax only (char classes, bounded
     * quantifiers, \b) so Java regex (Spark) and RE2 (DuckDB) agree.

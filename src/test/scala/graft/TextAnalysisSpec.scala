@@ -80,6 +80,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_._2).toSeq === Seq(5.0, 2.5, 2.5))
   }
 
+  test("bigramCounts: top successors per word, count then word tie-break") {
+    val docs = Seq(
+      (0L, "a b a b a c"), // bigrams: ab ba ab ba ac
+      (1L, "a b"),         // +1 ab
+      (2L, "z")            // single word: no bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramCounts(docs, k = 2)
+      .as[(String, String, Long, Int)].collect().toSet
+    // a→b 3×, a→c 1×; b→a 2×; c→(nothing: doc ends)
+    assert(out === Set(("a", "b", 3L, 1), ("a", "c", 1L, 2),
+      ("b", "a", 2L, 1)))
+  }
+
   test("piiRedact counts and scrubs planted emails, IPs, and phones") {
     val docs = Seq(
       (0L, "contact alice@example.com or 555-123-4567 now"),
