@@ -435,6 +435,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_customers"),
           sum(col("c_acctbal").cast("decimal(18,2)")).as("sum_acctbal"))
         .withColumn("sum_acctbal", col("sum_acctbal").cast("double"))),
+    // SemDeDup-style semantic near-dups: IVF-cell blocking derived
+    // from the vectors themselves (no caller label).
+    "s10_semantic_neardup" -> ((s, dir) =>
+      Similarity.semanticNearDups(t(s, dir, "embeddings"), 0.2)),
+    // Corpus-LM bigram coverage (the truncated-successor-table
+    // perplexity-filter analog).
+    "t14_lm_coverage" -> ((s, dir) =>
+      TextAnalysis.lmCoverage(t(s, dir, "documents"))),
+    // Batch anchor of the stateful streaming first-wins dedup (T5).
+    "st06_dedup_first" -> ((s, dir) =>
+      graft.streaming.StreamingOps.dedupFirstBatch(t(s, dir, "events"))),
+    // Exact-N per-language sample in content-hash order (two-stage
+    // rank, no per-language window).
+    "p09_group_sample" -> ((s, dir) =>
+      Pipeline.samplePerGroup(t(s, dir, "documents"), 40L)),
 
     // --- Reference-domain parity slice (SURVEY §7.2 B/C). Inputs are
     // the in-code Helium JSON fixtures, not the sf tables; the oracles
@@ -1797,6 +1812,71 @@ object SparkEntry {
         | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
+    // semanticNearDups mirror: s03's hash-seeded assignment CTE, then
+    // d06's pair shape with cell as the blocking key (cap mirrored).
+    "s10_semantic_neardup" -> {
+      val centSim =
+        foldSum("[a.v[i] * c.cv[i] FOR i IN range(1, len(a.v)+1)]") +
+          " / (a.nrm * c.cnrm)"
+      embCte +
+        s""", h AS (SELECT vec_id, v, nrm,
+           |  ${h60("'ivfseed|' || vec_id")} AS hh FROM n),
+           |c AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1
+           |    AS cell, v AS cv, nrm AS cnrm
+           |  FROM h ORDER BY hh, vec_id LIMIT 16),
+           |asg AS (SELECT vec_id, v, nrm, cell FROM (
+           |  SELECT a.vec_id, a.v, a.nrm, c.cell,
+           |   row_number() OVER (PARTITION BY a.vec_id
+           |     ORDER BY $centSim DESC, c.cell) AS rk
+           |  FROM n a CROSS JOIN c) WHERE rk = 1),
+           |keep AS (SELECT cell FROM asg GROUP BY cell
+           |  HAVING count(*) <= 10000)
+           |SELECT * FROM (
+           | SELECT a.cell AS cell, a.vec_id AS vec_a, b.vec_id AS vec_b,
+           |  $pairDot / (a.nrm * b.nrm) AS cos
+           | FROM asg a JOIN asg b ON a.cell = b.cell
+           |   AND a.vec_id < b.vec_id
+           | WHERE a.cell IN (SELECT cell FROM keep))
+           |WHERE cos >= 0.2""".stripMargin
+    },
+    // lmCoverage mirror: t13's pair fan-out kept per doc, the same
+    // top-3 LM built from it, then a multiplicity-1 left join back.
+    "t14_lm_coverage" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |p AS (SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]}
+        |    FOR i IN range(1, len(w))]) AS p FROM w),
+        |pp AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM p),
+        |c AS (SELECT w1, w2, count(*) AS n FROM pp GROUP BY 1, 2),
+        |lm AS (SELECT w1, w2 FROM (
+        |  SELECT w1, w2, row_number() OVER (PARTITION BY w1
+        |    ORDER BY n DESC, w2) AS rk FROM c) WHERE rk <= 3)
+        |SELECT pp.doc_id AS doc_id, count(*) AS n_bigrams,
+        | count(lm.w1) AS n_in_lm,
+        | count(lm.w1)::DOUBLE / count(*) AS lm_coverage
+        |FROM pp LEFT JOIN lm ON pp.w1 = lm.w1 AND pp.w2 = lm.w2
+        |GROUP BY pp.doc_id""".stripMargin,
+    // dedupFirstBatch mirror: first = (ts, event_id)-min per key.
+    "st06_dedup_first" ->
+      """WITH e AS (SELECT user_id, event_type, event_id,
+        |  epoch_us(ts) AS ts_us, value FROM events),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts_us, event_id) AS rk,
+        |  count(*) OVER (PARTITION BY user_id, event_type) AS n_events
+        |  FROM e)
+        |SELECT user_id, event_type, event_id AS first_event_id,
+        | ts_us AS first_ts_us, value AS first_value, n_events
+        |FROM r WHERE rk = 1""".stripMargin,
+    // samplePerGroup mirror: the two-stage rank equals the plain
+    // per-language row_number in (ord, doc_id) order.
+    "p09_group_sample" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+         |  ${h60("md5(text)")} AS ord FROM documents)
+         |SELECT doc_id, lang, "rank" FROM (
+         | SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+         |   ORDER BY ord, doc_id) AS "rank" FROM b)
+         |WHERE "rank" <= 40""".stripMargin,
 
     // --- Self-contained parity-slice oracles: fixture rows inlined as
     // VALUES (one source of truth: HeliumFixtures), transforms

@@ -56,6 +56,50 @@ object Pipeline {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Exact-N per-group sampling: the first `n` documents of each
+    * language in deterministic content-hash order — the fixed-size
+    * counterpart of stratifiedSample (rates undershoot/overshoot on
+    * small groups; eval-set construction wants EXACTLY n per slice).
+    * Output carries the 1-based in-group rank so callers can take a
+    * prefix of any smaller size without re-running.
+    *
+    * Scale: the in-group rank is TWO-STAGE, never a per-language
+    * window (tokenBudgetSample's rationale, t06's template):
+    * range-repartition by the scan order (lang, ord, doc_id), rank
+    * locally per (partition, lang), offset by the earlier partitions'
+    * per-language COUNTS (triangular join over the tiny (pid, lang)
+    * aggregate, broadcast back). The dominant language never sorts on
+    * one task.
+    */
+  def samplePerGroup(documents: DataFrame, n: Long,
+                     numPartitions: Int = 32): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), col("lang"),
+        Canon.hash60(md5(col("text"))).as("ord"))
+      .localCheckpoint() // narrow projection; see tokenBudgetSample
+    val parted = base
+      .repartitionByRange(numPartitions,
+        col("lang").asc, col("ord").asc, col("doc_id").asc)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid"), col("lang"))
+      .orderBy(col("ord"), col("doc_id"))
+    val local = parted.withColumn("_lrk",
+      row_number().over(wLocal).cast("long"))
+    val sums = local.groupBy(col("_pid"), col("lang"))
+      .agg(count(lit(1)).as("_pcnt"))
+    val offsets = sums.as("a")
+      .join(sums.as("b"),
+        col("a.lang") === col("b.lang") && col("b._pid") < col("a._pid"),
+        "left")
+      .groupBy(col("a._pid").as("_pid"), col("a.lang").as("lang"))
+      .agg(coalesce(sum(col("b._pcnt")), lit(0L)).as("_off"))
+    local.join(broadcast(offsets), Seq("_pid", "lang"))
+      .withColumn("rank", col("_off") + col("_lrk"))
+      .filter(col("rank") <= n)
+      .select(col("doc_id"), col("lang"), col("rank"))
+  }
+
   /** Token-BUDGET mixture sampling: per language, keep documents — in
     * deterministic content-hash order — until the language's token
     * budget is reached (the first doc to cross the line is kept, so

@@ -134,6 +134,97 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** The deterministic coarse-quantizer centroid set as ONE broadcast
+    * row: the `nCells` corpus vectors ranking lowest by a content hash
+    * (random-SAMPLE seeding, no Lloyd — see knnIvfDeterministic). Cell
+    * id = seed rank, assigned as the POSITION in the sorted collected
+    * array (sort_array on the (hh, vec_id)-led struct is the same
+    * total order) — no partition-less window anywhere, even a 16-row
+    * one. orderBy().limit(nCells) plans as TakeOrdered (per-partition
+    * heaps + driver merge), never a global sort. Materialized so the
+    * seed TakeOrdered + collect runs once, not once per broadcast
+    * consumer.
+    */
+  private def ivfCentroidArr(e: DataFrame, nCells: Int): DataFrame =
+    e.withColumn("_h",
+      Canon.hash60(concat(lit("ivfseed|"), col("vec_id"))))
+      .orderBy(col("_h").asc, col("vec_id").asc)
+      .limit(nCells)
+      .agg(sort_array(collect_list(struct(col("_h"), col("vec_id"),
+        col("v").as("cv"), col("nrm").as("cnrm")))).as("raw"))
+      .select(transform(col("raw"), (c, i) =>
+        struct(i.as("cell"), c.getField("cv").as("cv"),
+          c.getField("cnrm").as("cnrm"))).as("cents"))
+      .localCheckpoint()
+
+  /** Per-row cosines to every centroid in the broadcast `cents` array
+    * (sims[i] = cosine to cell i; cents is cell-sorted). Computed ONCE
+    * per row into an array — argmax and top-nProbe then read the
+    * precomputed attribute. The naive form re-instantiated the
+    * dot-fold subtree per centroid per consumer (32 copies in one
+    * tree) and paid ~3× in analysis + interpreted eval. Callers alias
+    * it in its own projection so Catalyst keeps the multi-referenced
+    * array materialized (same trick as Dedup.minhashSignature).
+    */
+  private def ivfSims: Column = transform(col("cents"), c =>
+    Canon.cosine(Canon.dot(col("v"), c.getField("cv")),
+      col("nrm"), c.getField("cnrm")))
+
+  /** argmax = FIRST index holding the max → lowest cell on an exact
+    * tie (oracle: ORDER BY csim DESC, cell); array_position is 1-based.
+    */
+  private def ivfBestCell(sims: Column): Column =
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+
+  /** Nearest-centroid cell assignment for every vector: (vec_id, v,
+    * nrm, cell). Row-local argmax over the one-row broadcast centroid
+    * array inside the corpus scan — zero shuffle.
+    */
+  private def ivfAssigned(e: DataFrame, centArr: DataFrame): DataFrame =
+    e.join(broadcast(centArr))
+      .select(col("vec_id"), col("v"), col("nrm"), ivfSims.as("sims"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        ivfBestCell(col("sims")).as("cell"))
+
+  /** SemDeDup-style SEMANTIC near-duplicates (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the
+    * deterministic IVF coarse quantizer, then score cosine pairs only
+    * WITHIN a cluster — the blocking key is derived from the vectors
+    * themselves, so near-identical embeddings land in the same cell
+    * without any caller-provided label (compare
+    * Dedup.embeddingNearDups, which blocks on a given label column).
+    *
+    * Scale shape: assignment is the row-local broadcast argmax
+    * (ivfAssigned) — materialized ONCE (localCheckpoint) because it
+    * feeds three consumers (the size audit and both self-join sides);
+    * the pair stage is a cell-blocked equi-join, never all-pairs, and
+    * cells over `maxBlock` are skipped LOUDLY (logged count), exactly
+    * the embeddingNearDups discipline: a hot cell means the quantizer
+    * needs more cells, not an n²/2 scan. nCells scales with the corpus
+    * (√n is customary), keeping expected block size n/nCells bounded.
+    */
+  def semanticNearDups(embeddings: DataFrame, tau: Double,
+                       nCells: Int = 16, maxBlock: Int = 10000): DataFrame = {
+    val e = prepared(embeddings)
+    val asg = ivfAssigned(e, ivfCentroidArr(e, nCells)).localCheckpoint()
+    val sizes = asg.groupBy(col("cell")).agg(count(lit(1)).as("_bsz"))
+    val skipped = sizes.filter(col("_bsz") > maxBlock).count()
+    if (skipped > 0)
+      log.warn(s"semanticNearDups: skipping $skipped cell block(s) over " +
+        s"maxBlock=$maxBlock — raise nCells so the quantizer splits them")
+    val keep = sizes.filter(col("_bsz") <= maxBlock).select(col("cell"))
+    val a = asg.join(broadcast(keep), Seq("cell"), "left_semi")
+    a.as("a")
+      .join(a.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Canon.cosine(Canon.dot(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
   /** IVF with a DETERMINISTIC coarse quantizer: the centroids are the
     * embeddings of the `nCells` corpus vectors ranking lowest by a
     * content hash — random-SAMPLE seeding without Lloyd refinement
@@ -154,53 +245,18 @@ object Similarity {
   def knnIvfDeterministic(embeddings: DataFrame, nQueries: Int, k: Int,
                           nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = prepared(embeddings)
-    val seeds = e
-      .withColumn("_h",
-        Canon.hash60(concat(lit("ivfseed|"), col("vec_id"))))
-      .orderBy(col("_h").asc, col("vec_id").asc)
-      .limit(nCells)
-    // cell id = seed rank, assigned as the POSITION in the sorted
-    // collected array (sort_array on the (hh, vec_id)-led struct is the
-    // same total order) — no partition-less window anywhere, even a
-    // 16-row one.
-    val centArr = seeds
-      .agg(sort_array(collect_list(struct(col("_h"), col("vec_id"),
-        col("v").as("cv"), col("nrm").as("cnrm")))).as("raw"))
-      .select(transform(col("raw"), (c, i) =>
-        struct(i.as("cell"), c.getField("cv").as("cv"),
-          c.getField("cnrm").as("cnrm"))).as("cents"))
-      // ONE row; materialized so the seed TakeOrdered + collect runs
-      // once, not once per broadcast consumer (indexed + probes)
-      .localCheckpoint()
-    // The 16 centroid cosines are computed ONCE per row into an array
-    // (sims[i] = cosine to cell i; cents is cell-sorted) — argmax and
-    // top-nProbe then read the precomputed attribute. The naive form
-    // re-instantiated the dot-fold subtree per centroid per consumer
-    // (32 copies in one tree) and paid ~3× in analysis + interpreted
-    // eval. Aliased in its own projection so Catalyst keeps the
-    // multi-referenced array materialized (same trick as
-    // Dedup.minhashSignature).
-    def simsCol: Column = transform(col("cents"), c =>
-      Canon.cosine(Canon.dot(col("v"), c.getField("cv")),
-        col("nrm"), c.getField("cnrm")))
-    // argmax = FIRST index holding the max → lowest cell on an exact
-    // tie (oracle: ORDER BY csim DESC, cell); array_position is 1-based
-    def bestCell(sims: Column): Column =
-      (array_position(sims, array_max(sims)) - 1).cast("int")
+    val centArr = ivfCentroidArr(e, nCells)
     // row-local top-nProbe cells: sort (−sim, cell) asc, take the head
     def probeCells(sims: Column): Column =
       slice(transform(
         array_sort(transform(sims, (s, i) =>
           struct((-s).as("negs"), i.as("cell")))),
         p => p.getField("cell")), 1, nProbe)
-    val indexed = e.join(broadcast(centArr))
-      .select(col("vec_id"), col("v"), col("nrm"), simsCol.as("sims"))
-      .select(col("vec_id"), col("v"), col("nrm"),
-        bestCell(col("sims")).as("cell"))
+    val indexed = ivfAssigned(e, centArr)
     val probes = e.filter(col("vec_id") < nQueries)
       .join(broadcast(centArr))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qnrm"), simsCol.as("sims"))
+        col("nrm").as("qnrm"), ivfSims.as("sims"))
       .select(col("q_id"), col("qv"), col("qnrm"),
         explode(probeCells(col("sims"))).as("qcell"))
     val scored = indexed.join(broadcast(probes),

@@ -395,4 +395,50 @@ object TextAnalysis {
         (col("n_common").cast("double") / col("n_shingles"))
           .as("boilerplate_frac"))
   }
+
+  /** LM coverage score: per doc (with ≥ 2 words), the fraction of its
+    * bigram TOKENS whose (w1, w2) appears in the corpus top-`k`
+    * bigram table (bigramCounts' truncated successor lists) — the
+    * model-free analog of a perplexity filter using the corpus itself
+    * as the LM: formulaic/templated text re-treads the head of each
+    * word's successor distribution (coverage → 1), gibberish and OCR
+    * noise fall in the truncated tail (coverage → 0). Complements
+    * rarityScore (t11), which looks at unigram document frequency.
+    *
+    * Shape: ONE corpus bigram fan-out (row-local struct array, same
+    * form as bigramCounts), materialized (localCheckpoint) because it
+    * feeds both the LM build and the probe — the t10 lesson: never let
+    * Catalyst inline the heaviest derived table into two consumers.
+    * The LM is built from the SAME materialized pairs (identical
+    * algebra to bigramCounts), is vocabulary×k-sized — Zipf-small next
+    * to the pair stream, AQE broadcasts it — and joins back with
+    * multiplicity 1 (the LM holds one row per distinct (w1, w2)). The
+    * per-doc aggregate partial-combines map-side. Two shuffles total
+    * at any scale beyond the LM build's own pair.
+    */
+  def lmCoverage(documents: DataFrame, k: Int = 3): DataFrame = {
+    val pairs = documents
+      .filter(size(Canon.words(col("text"))) >= 2)
+      .select(col("doc_id"), Canon.words(col("text")).as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2)," +
+          " i -> struct(w[i] as w1, w[i+1] as w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint()
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1"))
+      .orderBy(col("n").desc, col("w2").asc)
+    val lm = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_rk", row_number().over(win))
+      .filter(col("_rk") <= k)
+      .select(col("w1"), col("w2"), lit(1).as("_in"))
+    pairs.join(lm, Seq("w1", "w2"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(col("_in")).as("n_in_lm"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_in_lm"),
+        (col("n_in_lm").cast("double") / col("n_bigrams"))
+          .as("lm_coverage"))
+  }
 }

@@ -184,6 +184,33 @@ object StreamingOps {
         count(lit(1)).as("n_events"))
   }
 
+  /** Batch anchor of [[streamingDedupFirst]]: first event per
+    * (user_id, event_type) key, where "first" is pinned to the
+    * deterministic (ts, event_id) order — in a stream that has event
+    * ordering per key, replaying the batch through
+    * streamingDedupFirst yields exactly this set (spec-checked). The
+    * n_events count makes the collapse auditable.
+    *
+    * Shape: a single min_by hash aggregate — map-side partial combine
+    * shuffles ≤ 1 row per key per partition (the g08 latestEdgePerPair
+    * form), never a per-key window sort.
+    */
+  def dedupFirstBatch(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min_by(
+        struct(col("event_id"), col("ts").cast("long").as("ts"),
+          col("value")),
+        struct(col("ts").cast("long"), col("event_id"))).as("_f"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("event_type"),
+        col("_f.event_id").as("first_event_id"),
+        // integer ns→µs (Column `/` is double division — 1.7e18 ns
+        // epochs exceed a double's 2^53 integer range)
+        expr("_f.ts div 1000").as("first_ts_us"),
+        col("_f.value").as("first_value"),
+        col("n_events"))
+
   /** Streaming insert-ignore (T5): stateful first-occurrence-wins dedup
     * by content key — the reference's `onDuplicate="ignore"` bulk sink
     * (follower.py:205-207) re-expressed as flatMapGroupsWithState.

@@ -63,4 +63,36 @@ class PipelineSpec extends SparkSpec {
       Map("en" -> 7L)).select("doc_id").as[Long].collect().toSet
     assert(again === out.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("samplePerGroup: exactly n per language, contiguous ranks, " +
+    "matches the single-window definition") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 30L)
+      .map(i => (i, s"doc number $i", if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = Pipeline.samplePerGroup(docs, 4L)
+      .as[(Long, String, Long)].collect()
+    assert(out.count(_._2 == "en") === 4)
+    assert(out.count(_._2 == "de") === 4)
+    assert(out.filter(_._2 == "en").map(_._3).sorted ===
+      Array(1L, 2L, 3L, 4L))
+    // the two-stage rank equals the plain per-language window
+    val expected = docs
+      .select(col("doc_id"), col("lang"),
+        graft.functions.Canon.hash60(md5(col("text"))).as("ord"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("ord"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rank") <= 4)
+      .select(col("doc_id"), col("lang"), col("rank"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(out.toSet === expected)
+    // partitioning-independent; a group smaller than n returns whole
+    val rep = Pipeline.samplePerGroup(docs.repartition(7), 4L)
+      .as[(Long, String, Long)].collect().toSet
+    assert(rep === out.toSet)
+    assert(Pipeline.samplePerGroup(docs.filter($"doc_id" < 2), 4L)
+      .count() === 2L)
+  }
 }

@@ -44,6 +44,25 @@ class SimilaritySpec extends SparkSpec {
     assert(capped === Set(3L, 4L))
   }
 
+  test("semanticNearDups: cell-blocked pairs, loud cap, " +
+    "partitioning-independent") {
+    // nCells = 1 puts every vector in cell 0: pairs = all-pairs ≥ tau
+    val got = Similarity.semanticNearDups(emb, 0.9, nCells = 1)
+      .as[(Int, Long, Long, Double)].collect()
+    assert(got.map(p => (p._2, p._3)).toSet ===
+      Set((0L, 1L), (0L, 4L), (1L, 4L)))
+    assert(got.forall(p => p._1 === 0 && p._4 >= 0.9))
+    // a 5-vector cell over maxBlock = 4 is skipped entirely
+    assert(Similarity.semanticNearDups(emb, 0.9, nCells = 1, maxBlock = 4)
+      .isEmpty)
+    // singleton cells (every vector its own seed) produce no pairs:
+    // cosine to the OWN centroid is exactly 1.0, the argmax
+    assert(Similarity.semanticNearDups(emb, -1.0, nCells = 5).isEmpty)
+    val rep = Similarity.semanticNearDups(emb.repartition(7), 0.9,
+      nCells = 1).as[(Int, Long, Long, Double)].collect()
+    assert(rep.toSet === got.toSet)
+  }
+
   test("knnGraph and knnBinaryHamming are partitioning-independent") {
     val a1 = Similarity.knnGraph(emb, k = 2)
       .as[(Long, Long, Double, Int)].collect().toSet

@@ -190,6 +190,27 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupFirstBatch: (ts, event_id)-min per key, audit count, " +
+    "tie on event_id") {
+    val events = Seq(
+      (1L, 5000L, 10L, "click", 1.0),
+      (2L, 3000L, 10L, "click", 2.0), // earlier ts wins over event_id 1
+      (3L, 3000L, 10L, "view", 3.0),
+      (5L, 3000L, 11L, "view", 5.0),  // same ts as 6: lower id wins
+      (6L, 3000L, 11L, "view", 6.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = StreamingOps.dedupFirstBatch(events)
+      .as[(Long, String, Long, Long, Double, Long)].collect().toSet
+    assert(got === Set(
+      (10L, "click", 2L, 3L, 2.0, 2L),
+      (10L, "view", 3L, 3L, 3.0, 1L),
+      (11L, "view", 5L, 3L, 5.0, 2L)))
+    // partitioning-independent: min_by is order-insensitive
+    val rep = StreamingOps.dedupFirstBatch(events.repartition(7))
+      .as[(Long, String, Long, Long, Double, Long)].collect().toSet
+    assert(rep === got)
+  }
+
   test("streamingDedupFirst keeps only the first row per key") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Long)]

@@ -146,6 +146,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(strict === 0L)
   }
 
+  test("lmCoverage: bigrams beyond the top-k successor table " +
+    "fall out of the LM") {
+    val docs = Seq(
+      (1L, "a b a c"), // bigrams (a,b) (b,a) (a,c)
+      (2L, "a b"),
+      (3L, "solo")     // < 2 words: no bigrams, excluded
+    ).toDF("doc_id", "text")
+    // counts: (a,b)=2 (b,a)=1 (a,c)=1 → k=1 LM = {(a,b), (b,a)}
+    val out = TextAnalysis.lmCoverage(docs, k = 1)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 3L, 2L, 2.0 / 3.0)))
+    assert(out(2L) === ((2L, 1L, 1L, 1.0)))
+    assert(!out.contains(3L))
+    assert(out.size === 2)
+    // k=3 admits every successor here: full coverage
+    val full = TextAnalysis.lmCoverage(docs, k = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(full.forall(_._4 === 1.0))
+  }
+
   test("langId scores every profile and predicts deterministically") {
     val docs = Seq(
       (0L, "the cat is on the mat"),   // en stopwords
