@@ -450,6 +450,24 @@ object SparkEntry {
     // rank, no per-language window).
     "p09_group_sample" -> ((s, dir) =>
       Pipeline.samplePerGroup(t(s, dir, "documents"), 40L)),
+    // Recall@k of the IVF path vs the exact baseline (the ANN
+    // quality dial as a gated query).
+    "s11_ann_recall" -> ((s, dir) =>
+      Similarity.annRecall(t(s, dir, "embeddings"), 10, 3)),
+    // Stream-static broadcast enrichment (stateless lookup join),
+    // batch anchor; streaming parity spec-checked.
+    "st07_stream_static" -> ((s, dir) =>
+      graft.streaming.StreamingOps.enrichStream(
+        t(s, dir, "events").select(col("event_id"), col("user_id"),
+          col("event_type")),
+        t(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey")),
+        "user_id", "c_custkey")),
+    // Per-edge common-neighbor / Jaccard tie strength over the
+    // co-supplier graph (the link-prediction complement of g11).
+    "g13_edge_jaccard" -> ((s, dir) =>
+      GraphEtl.edgeJaccard(
+        GraphEtl.coSupplierEdges(t(s, dir, "lineitem")))),
 
     // --- Reference-domain parity slice (SURVEY §7.2 B/C). Inputs are
     // the in-code Helium JSON fixtures, not the sf tables; the oracles
@@ -1877,6 +1895,84 @@ object SparkEntry {
          | SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
          |   ORDER BY ord, doc_id) AS "rank" FROM b)
          |WHERE "rank" <= 40""".stripMargin,
+    // annRecall mirror: s01's brute CTE and s03's IVF CTE (both at
+    // k=3) joined per (q_id, nbr_id), then the per-query hit count.
+    "s11_ann_recall" -> {
+      val centSim =
+        foldSum("[a.v[i] * c.cv[i] FOR i IN range(1, len(a.v)+1)]") +
+          " / (a.nrm * c.cnrm)"
+      embCte +
+        s""", q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id < 10),
+           |bscored AS (SELECT a.q_id, b.vec_id AS nbr_id,
+           |  $pairDot / (a.nrm * b.nrm) AS sim
+           | FROM (SELECT q_id, v, nrm FROM q) a
+           | CROSS JOIN n b WHERE b.vec_id <> a.q_id),
+           |brute AS (SELECT q_id, nbr_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY sim DESC, nbr_id) AS rk FROM bscored)
+           | WHERE rk <= 3),
+           |h AS (SELECT vec_id, v, nrm,
+           |  ${h60("'ivfseed|' || vec_id")} AS hh FROM n),
+           |c AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1
+           |    AS cell, v AS cv, nrm AS cnrm
+           |  FROM h ORDER BY hh, vec_id LIMIT 16),
+           |asg AS (SELECT vec_id, v, nrm, cell FROM (
+           |  SELECT a.vec_id, a.v, a.nrm, c.cell,
+           |   row_number() OVER (PARTITION BY a.vec_id
+           |     ORDER BY $centSim DESC, c.cell) AS rk
+           |  FROM n a CROSS JOIN c) WHERE rk = 1),
+           |probes AS (SELECT q_id, qv, qnrm, cell FROM (
+           |  SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qnrm, c.cell,
+           |   row_number() OVER (PARTITION BY a.vec_id
+           |     ORDER BY $centSim DESC, c.cell) AS rk
+           |  FROM n a CROSS JOIN c WHERE a.vec_id < 10) WHERE rk <= 4),
+           |iscored AS (SELECT p.q_id, b.vec_id AS nbr_id,
+           |  ${foldSum("[p.qv[i] * b.v[i] FOR i IN range(1, len(p.qv)+1)]")}
+           |   / (p.qnrm * b.nrm) AS sim
+           | FROM probes p JOIN asg b ON b.cell = p.cell
+           |   AND b.vec_id <> p.q_id),
+           |ivf AS (SELECT q_id, nbr_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY sim DESC, nbr_id) AS rk FROM iscored)
+           | WHERE rk <= 3)
+           |SELECT b.q_id AS q_id, count(i.nbr_id) AS n_hit,
+           | count(i.nbr_id)::DOUBLE / count(*) AS recall
+           |FROM brute b LEFT JOIN ivf i
+           | ON i.q_id = b.q_id AND i.nbr_id = b.nbr_id
+           |GROUP BY b.q_id""".stripMargin
+    },
+    // enrichStream mirror: the plain dim equi-join.
+    "st07_stream_static" ->
+      """SELECT event_id, user_id, event_type, c_nationkey
+        |FROM events JOIN customer ON user_id = c_custkey""".stripMargin,
+    // edgeJaccard mirror: g11's edge + triangle CTEs, each triangle
+    // credited to its three canonical edges, zero-cn edges kept.
+    "g13_edge_jaccard" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+        |  FROM lineitem),
+        |ok AS (SELECT o FROM os GROUP BY o HAVING count(*) <= 100),
+        |osk AS (SELECT os.o, os.s FROM os JOIN ok USING (o)),
+        |e AS (SELECT x.s AS a, y.s AS b FROM osk x JOIN osk y
+        |  ON x.o = y.o AND x.s < y.s
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |deg AS (SELECT v, count(*) AS deg FROM (
+        |  SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY v),
+        |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |te AS (SELECT ed.a AS a, ed.b AS b, count(*) AS cn FROM (
+        |  SELECT unnest([
+        |    {'a': least(u, v), 'b': greatest(u, v)},
+        |    {'a': least(u, w), 'b': greatest(u, w)},
+        |    {'a': least(v, w), 'b': greatest(v, w)}]) AS ed FROM tri)
+        |  GROUP BY 1, 2)
+        |SELECT e.a, e.b, coalesce(te.cn, 0) AS common_neighbors,
+        | da.deg AS deg_a, db.deg AS deg_b,
+        | coalesce(te.cn, 0)::DOUBLE /
+        |   (da.deg + db.deg - coalesce(te.cn, 0)) AS jaccard
+        |FROM e LEFT JOIN te ON te.a = e.a AND te.b = e.b
+        |JOIN deg da ON da.v = e.a
+        |JOIN deg db ON db.v = e.b""".stripMargin,
 
     // --- Self-contained parity-slice oracles: fixture rows inlined as
     // VALUES (one source of truth: HeliumFixtures), transforms

@@ -270,6 +270,32 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Recall@k of the deterministic IVF path against the exact
+    * brute-force baseline, per query — the ANN quality measurement as
+    * a first-class gated query rather than a test-only assertion: at
+    * 100 TB you re-tune nCells/nProbe from THIS table, not from a unit
+    * test. n_hit = |ivf top-k ∩ exact top-k|, recall = n_hit / k.
+    *
+    * Shape: both sides are the already-scale-shaped searches (brute
+    * broadcasts the query set; IVF is the row-local broadcast-argmax
+    * probe); the comparison itself is a (nQueries·k)-row left join +
+    * one tiny aggregate — measurement cost is dominated by the
+    * searches, not the compare.
+    */
+  def annRecall(embeddings: DataFrame, nQueries: Int, k: Int,
+                nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val exact = knnBrute(embeddings, nQueries, k)
+      .select(col("q_id"), col("nbr_id"))
+    val approx = knnIvfDeterministic(embeddings, nQueries, k, nCells,
+      nProbe).select(col("q_id").as("_q"), col("nbr_id").as("_n"))
+    exact.join(approx,
+      col("q_id") === col("_q") && col("nbr_id") === col("_n"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k_exact"), count(col("_n")).as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        (col("n_hit").cast("double") / col("k_exact")).as("recall"))
+  }
+
   /** ANN top-k: score only candidates in the query's sign bucket.
     * Recall vs knnBrute is the quality metric (spec-checked); the plan
     * scores ~1/2^bits of the corpus per query.

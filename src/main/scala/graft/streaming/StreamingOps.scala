@@ -184,6 +184,23 @@ object StreamingOps {
         count(lit(1)).as("n_events"))
   }
 
+  /** Stream-static enrichment join: every stream row picks up the
+    * columns of its dimension row — the lookup shape of a follower
+    * pipeline (enrich events with account/customer attributes as they
+    * arrive). The dim side is explicitly broadcast: a stream-static
+    * equi-join against a broadcast dim is STATELESS (no watermark, no
+    * state store — each micro-batch joins against the shared
+    * broadcast), which is the only sane form at 100 TB of stream; the
+    * same expression is the plain broadcast-hash join over a batch
+    * frame, so one code path serves both and the batch anchor gates
+    * it (st07).
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   streamKey: String, dimKey: String): DataFrame =
+    stream.join(broadcast(dim),
+      stream(streamKey) === dim(dimKey), "inner")
+      .drop(dim(dimKey))
+
   /** Batch anchor of [[streamingDedupFirst]]: first event per
     * (user_id, event_type) key, where "first" is pinned to the
     * deterministic (ts, event_id) order — in a stream that has event

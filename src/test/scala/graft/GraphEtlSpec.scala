@@ -49,6 +49,25 @@ class GraphEtlSpec extends SparkSpec {
     assert(a === b && a.nonEmpty)
   }
 
+  test("edgeJaccard: triangle edges share a neighbor, bridges score 0") {
+    // triangle {1,2,3} with pendant edge (3,4)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val out = GraphEtl.edgeJaccard(edges)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // (1,2): common neighbor 3; |N(1)∪N(2)| = 2 + 2 − 1 = 3
+    assert(out((1L, 2L)) === ((1L, 2L, 1L, 2L, 2L, 1.0 / 3.0)))
+    // (1,3) and (2,3): deg(3) = 3
+    assert(out((1L, 3L)) === ((1L, 3L, 1L, 2L, 3L, 0.25)))
+    assert(out((2L, 3L)) === ((2L, 3L, 1L, 2L, 3L, 0.25)))
+    // the bridge (3,4): no shared neighbor
+    assert(out((3L, 4L)) === ((3L, 4L, 0L, 3L, 1L, 0.0)))
+    assert(out.size === 4)
+    val rep = GraphEtl.edgeJaccard(edges.repartition(7))
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(rep === out.values.toSet)
+  }
+
   test("connectedComponents labels each component by its min vertex") {
     // two components: a 4-chain {1,2,3,4} and a pair {9,10}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))

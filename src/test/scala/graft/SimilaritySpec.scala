@@ -63,6 +63,20 @@ class SimilaritySpec extends SparkSpec {
     assert(rep.toSet === got.toSet)
   }
 
+  test("annRecall: single-cell IVF is exact, singleton cells miss") {
+    // nCells = 1 → IVF scores the whole corpus → recall 1.0
+    val exact = Similarity.annRecall(emb, 1, 2, nCells = 1, nProbe = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(exact === Array((0L, 2L, 1.0)))
+    // singleton cells + nProbe = 1: the query probes only its own
+    // cell (cosine to the own centroid is exactly 1.0), which holds
+    // no other vector → zero hits, and the query row SURVIVES via
+    // the left join from the exact side
+    val miss = Similarity.annRecall(emb, 1, 2, nCells = 5, nProbe = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(miss === Array((0L, 0L, 0.0)))
+  }
+
   test("knnGraph and knnBinaryHamming are partitioning-independent") {
     val a1 = Similarity.knnGraph(emb, k = 2)
       .as[(Long, Long, Double, Int)].collect().toSet

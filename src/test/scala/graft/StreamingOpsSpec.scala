@@ -190,6 +190,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("enrichStream: identical columns over batch and MemoryStream, " +
+    "stateless broadcast join") {
+    val dim = Seq((10L, "gold"), (11L, "basic")).toDF("cust_id", "tier")
+    val rows = Seq(Ev(1, 0L, 10), Ev(2, 1L, 11), Ev(3, 2L, 99))
+    val batch = StreamingOps.enrichStream(rows.toDF(), dim,
+      "user_id", "cust_id")
+      .select("event_id", "tier").as[(Long, String)].collect().toSet
+    assert(batch === Set((1L, "gold"), (2L, "basic"))) // 99: no dim row
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.enrichStream(mem.toDF(), dim,
+      "user_id", "cust_id")
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, tier FROM enrich")
+        .as[(Long, String)].collect().toSet
+      assert(got === batch)
+      // stateless: a broadcast lookup keeps no state-store rows
+      assert(q.lastProgress.stateOperators.isEmpty)
+    } finally q.stop()
+  }
+
   test("dedupFirstBatch: (ts, event_id)-min per key, audit count, " +
     "tie on event_id") {
     val events = Seq(
