@@ -468,6 +468,25 @@ object SparkEntry {
     "g13_edge_jaccard" -> ((s, dir) =>
       GraphEtl.edgeJaccard(
         GraphEtl.coSupplierEdges(t(s, dir, "lineitem")))),
+    // Multi-source BFS hop distance (frontier joins, ≤3 rounds) over
+    // the co-supplier graph — the blast-radius primitive.
+    "g14_bfs_hops" -> ((s, dir) =>
+      GraphEtl.bfsHops(
+        GraphEtl.coSupplierEdges(t(s, dir, "lineitem")))),
+    // C4-style corpus segment dedup: keep globally-first occurrence of
+    // every 5-word segment, re-assemble docs (2 shuffles total).
+    "d15_segment_dedup" -> ((s, dir) =>
+      Dedup.segmentDedup(t(s, dir, "documents"))),
+    // Gopher hard-gate quality rules (row-local boolean rule columns).
+    "t15_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"))),
+    // Deterministic round-robin epoch interleave (two-stage global
+    // position — no single-task sort).
+    "p10_epoch_order" -> ((s, dir) =>
+      Pipeline.epochOrder(t(s, dir, "documents"))),
+    // Exact radius retrieval vs a broadcast probe set — zero shuffles.
+    "s12_range_search" -> ((s, dir) =>
+      Similarity.rangeSearch(t(s, dir, "embeddings"), 10, 0.2)),
 
     // --- Reference-domain parity slice (SURVEY §7.2 B/C). Inputs are
     // the in-code Helium JSON fixtures, not the sf tables; the oracles
@@ -1973,6 +1992,105 @@ object SparkEntry {
         |FROM e LEFT JOIN te ON te.a = e.a AND te.b = e.b
         |JOIN deg da ON da.v = e.a
         |JOIN deg db ON db.v = e.b""".stripMargin,
+    // bfsHops mirror: g11's co-supplier edge CTE + a depth-bounded
+    // UNION-dedup'd recursive walk (states ≤ 4·|V|, never path-
+    // enumerating); min(hops) = BFS distance.
+    "g14_bfs_hops" ->
+      """WITH RECURSIVE os AS (SELECT DISTINCT l_orderkey AS o,
+        |  l_suppkey AS s FROM lineitem),
+        |ok AS (SELECT o FROM os GROUP BY o HAVING count(*) <= 100),
+        |osk AS (SELECT os.o, os.s FROM os JOIN ok USING (o)),
+        |e AS (SELECT x.s AS a, y.s AS b FROM osk x JOIN osk y
+        |  ON x.o = y.o AND x.s < y.s
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |nodes AS (SELECT DISTINCT a AS n FROM sym),
+        |walk(v, hops) AS (
+        |  SELECT n, 0::BIGINT FROM nodes WHERE n % 10 = 0
+        |  UNION
+        |  SELECT s.b, w.hops + 1 FROM walk w JOIN sym s ON s.a = w.v
+        |  WHERE w.hops < 3)
+        |SELECT v AS vertex, min(hops) AS hops FROM walk
+        |GROUP BY v""".stripMargin,
+    // segmentDedup mirror: segments rebuilt by grouped string_agg over
+    // word ordinals ((pos-1)//5 = the slice(w, i*5+1, 5) cut points),
+    // then the identical first-occurrence window and re-assembly.
+    "d15_segment_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |wp AS (SELECT doc_id, unnest(ws) AS word,
+        |  generate_subscripts(ws, 1) AS pos FROM w),
+        |seg AS (SELECT doc_id, (pos - 1) // 5 AS seg_idx,
+        |  string_agg(word, ' ' ORDER BY pos) AS seg
+        |  FROM wp GROUP BY doc_id, (pos - 1) // 5),
+        |occ AS (SELECT doc_id, seg_idx, seg,
+        |  row_number() OVER (PARTITION BY md5(seg)
+        |    ORDER BY doc_id, seg_idx) AS occ FROM seg)
+        |SELECT doc_id, count(*) AS n_segments,
+        |  sum(CASE WHEN occ = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  coalesce(string_agg(CASE WHEN occ = 1 THEN seg END, ' '
+        |    ORDER BY seg_idx), '') AS text_dedup
+        |FROM occ GROUP BY doc_id""".stripMargin,
+    // gopherRules mirror: same rule thresholds; integer-over-integer
+    // divisions go through ::DOUBLE exactly like the Spark casts.
+    "t15_gopher_rules" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |s AS (SELECT doc_id, len(ws) AS n_words,
+        |  list_sum([len(x) FOR x IN ws])::BIGINT::DOUBLE / len(ws)
+        |    AS mean_wlen,
+        |  len(list_filter(ws, x -> contains(x, '#')))::DOUBLE / len(ws)
+        |    AS symbol_word_frac,
+        |  len(list_filter(ws, x -> contains(x, '...')))::DOUBLE / len(ws)
+        |    AS ellipsis_word_frac,
+        |  len(list_intersect(list_distinct(ws),
+        |    ['the','a','of','and','is','to','in'])) AS n_stop_distinct,
+        |  list_max([len(list_filter(ws, x -> x = d))
+        |    FOR d IN list_distinct(ws)])::DOUBLE / len(ws)
+        |    AS top_word_frac
+        | FROM w)
+        |SELECT doc_id, n_words, mean_wlen, symbol_word_frac,
+        |  ellipsis_word_frac, n_stop_distinct, top_word_frac,
+        |  n_words BETWEEN 50 AND 100000 AS rule_word_count,
+        |  mean_wlen >= 3.0 AND mean_wlen <= 10.0 AS rule_mean_wlen,
+        |  symbol_word_frac <= 0.1 AS rule_symbols,
+        |  ellipsis_word_frac <= 0.3 AS rule_ellipsis,
+        |  n_stop_distinct >= 2 AS rule_stopwords,
+        |  top_word_frac <= 0.2 AS rule_top_word,
+        |  (n_words BETWEEN 50 AND 100000)
+        |    AND (mean_wlen >= 3.0 AND mean_wlen <= 10.0)
+        |    AND symbol_word_frac <= 0.1 AND ellipsis_word_frac <= 0.3
+        |    AND n_stop_distinct >= 2 AND top_word_frac <= 0.2
+        |    AS gopher_ok
+        |FROM s""".stripMargin,
+    // epochOrder mirror: same per-lang hash rank, per-round counts
+    // prefix-summed (window over the tiny sz CTE = the broadcast
+    // offsets join), same within-round (lang, doc_id) rank.
+    "p10_epoch_order" ->
+      s"""WITH r AS (SELECT doc_id, lang,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY ${h60("'epoch|' || text")}, doc_id)::BIGINT
+         |    AS round
+         |  FROM documents),
+         |sz AS (SELECT round, count(*) AS c FROM r GROUP BY round),
+         |off AS (SELECT round, coalesce(sum(c) OVER (ORDER BY round
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |  AS off FROM sz)
+         |SELECT r.doc_id, r.lang, r.round,
+         |  (off.off + row_number() OVER (PARTITION BY r.round
+         |    ORDER BY r.lang, r.doc_id))::BIGINT AS epoch_pos
+         |FROM r JOIN off ON off.round = r.round""".stripMargin,
+    // rangeSearch mirror: the s01 scored CTE without the top-k window,
+    // thresholded on the identical left-fold cosine.
+    "s12_range_search" ->
+      (embCte +
+        s""", q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id < 10)
+           |SELECT * FROM (
+           | SELECT a.q_id, b.vec_id AS nbr_id,
+           |  $pairDot / (a.nrm * b.nrm) AS sim
+           | FROM (SELECT q_id, v, nrm FROM q) a
+           | CROSS JOIN n b WHERE b.vec_id <> a.q_id)
+           |WHERE sim >= 0.2""".stripMargin),
 
     // --- Self-contained parity-slice oracles: fixture rows inlined as
     // VALUES (one source of truth: HeliumFixtures), transforms

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Canon
@@ -594,5 +595,54 @@ object Dedup {
         col("best.n_tokens").as("canonical_tokens"),
         col("n_docs"),
         (col("n_docs") - 1).as("n_removed"))
+  }
+
+  /** Corpus-level SEGMENT dedup (the C4 / RefinedWeb "remove repeated
+    * paragraphs" pass, with fixed `k`-word segments standing in for
+    * paragraphs): every doc is cut into consecutive k-word segments,
+    * a segment is kept only at its globally FIRST occurrence (ordered
+    * by (doc_id, seg_idx) — a total order, so the keep set is
+    * deterministic under any partitioning), and each doc is
+    * re-assembled from its surviving segments in original order.
+    * Output per doc: segment counts and the deduplicated text.
+    *
+    * Shape: segmentation is a row-local Generate (one explode — no
+    * stacked Generates, per the Probe red-flag rule); first-occurrence
+    * is ONE hash shuffle (window over md5(segment)); re-assembly is
+    * ONE groupBy(doc_id) with a sort_array over the kept (idx, seg)
+    * structs — per-doc data, never a global sort. Two shuffles total,
+    * both on keys that scale with the data, so the plan survives
+    * 100 TB unchanged.
+    */
+  def segmentDedup(documents: DataFrame, k: Int = 5): DataFrame = {
+    val w = Canon.words(col("text"))
+    val nseg = ceil(size(w) / lit(k.toDouble)).cast("int")
+    val segs = when(size(w) > 0,
+      transform(sequence(lit(0), nseg - 1),
+        i => array_join(slice(w, i * k + 1, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val exploded = documents
+      .select(col("doc_id"), posexplode(segs).as(Seq("seg_idx", "seg")))
+    val firstOcc = Window.partitionBy(md5(col("seg")))
+      .orderBy(col("doc_id"), col("seg_idx"))
+    exploded
+      .withColumn("occ", row_number().over(firstOcc))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("occ") === 1, 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls from non-first occurrences, so
+        // only surviving segments enter the rebuild; sort_array on
+        // (seg_idx, seg) restores original order (seg_idx is unique
+        // per doc).
+        coalesce(
+          array_join(
+            transform(
+              sort_array(collect_list(
+                when(col("occ") === 1,
+                  struct(col("seg_idx"), col("seg"))))),
+              s => s.getField("seg")),
+            " "),
+          lit("")).as("text_dedup"))
   }
 }

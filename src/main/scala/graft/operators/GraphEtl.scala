@@ -369,4 +369,49 @@ object GraphEtl {
     }
     ranks.select(col("v").as("vertex"), col("rank"))
   }
+
+  /** Multi-source BFS hop distance over an undirected (a, b) edge
+    * list: every vertex within `maxHops` of the seed set (vertex id ≡ 0
+    * mod `seedMod`) labeled with its exact hop distance — the
+    * neighborhood-expansion primitive behind "accounts within k hops
+    * of a flagged account" / blast-radius queries.
+    *
+    * Frontier-parallel, not Bellman-Ford: each round joins only the
+    * NEWLY discovered frontier against the adjacency list and
+    * anti-joins the settled set, so total work is O(Σ frontier·deg) —
+    * edges incident to settled vertices are never re-relaxed. The
+    * adjacency list is materialized once (both directions); the
+    * settled set and frontier are localCheckpoint'd per round, keeping
+    * every compiled plan one-round shallow (the pageRank discipline).
+    * An empty frontier short-circuits the remaining rounds — the
+    * driver-side `isEmpty` is the inherent iterate-until-done check,
+    * same as the cluster labelers.
+    */
+  def bfsHops(edges: DataFrame, seedMod: Long = 10L,
+              maxHops: Int = 3): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    val adj = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint()
+    val seeds = adj.select(col("src").as("v")).distinct()
+      .filter(col("v") % seedMod === 0)
+      .select(col("v"), lit(0L).as("hops"))
+      .localCheckpoint()
+    var settled = seeds
+    var frontier = seeds
+    var h = 1
+    var done = frontier.isEmpty
+    while (h <= maxHops && !done) {
+      val next = frontier.join(adj, frontier("v") === adj("src"))
+        .select(adj("dst").as("v")).distinct()
+        .join(settled, Seq("v"), "left_anti")
+        .select(col("v"), lit(h.toLong).as("hops"))
+        .localCheckpoint()
+      done = next.isEmpty
+      if (!done) settled = settled.union(next).localCheckpoint()
+      frontier = next
+      h += 1
+    }
+    settled.select(col("v").as("vertex"), col("hops"))
+  }
 }

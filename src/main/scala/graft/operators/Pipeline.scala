@@ -315,4 +315,48 @@ object Pipeline {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("sum_tokens"))
   }
+
+  /** Deterministic training-EPOCH ordering: interleave the corpus
+    * round-robin across languages — round r holds the r-th doc of every
+    * language (content-hash order within language), so a sequential
+    * reader sees all languages mixed at every point of the epoch
+    * instead of language-sorted blocks. When a language runs out, later
+    * rounds simply contain fewer languages (standard exhaust-and-
+    * continue interleave). Output: (doc_id, lang, round, epoch_pos)
+    * with epoch_pos a gapless global 1-based position.
+    *
+    * Scale: the within-language rank is a per-lang window (bounded
+    * cardinality — same caveat as p04, languages are few and the window
+    * is hash-partitioned across them); the GLOBAL position is NOT a
+    * global sort — per-round counts (≤ max-lang-size rows, tiny) are
+    * prefix-summed and broadcast back, then the within-round rank is a
+    * per-round window. Mirrors tokenBudgetSample's two-stage
+    * prefix-sum shape: no single-task global ordering anywhere.
+    */
+  def epochOrder(documents: DataFrame): DataFrame = {
+    val wLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(col("ord"), col("doc_id"))
+    val rounds = documents
+      .select(col("doc_id"), col("lang"),
+        Canon.hash60(concat(lit("epoch|"), col("text"))).as("ord"))
+      .withColumn("round", row_number().over(wLang).cast("long"))
+      .localCheckpoint()
+    // Per-round sizes are at most max(per-lang count) rows — a tiny
+    // aggregate; the prefix sum over them runs on that tiny side and
+    // broadcasts back, so no global sort ever materializes.
+    val sizes = rounds.groupBy(col("round"))
+      .agg(count(lit(1)).as("c"))
+    val offsets = sizes.as("a")
+      .join(sizes.as("b"), col("b.round") < col("a.round"), "left")
+      .groupBy(col("a.round").as("round"))
+      .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
+    val wRound = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("round"))
+      .orderBy(col("lang"), col("doc_id"))
+    rounds.join(broadcast(offsets), Seq("round"))
+      .withColumn("epoch_pos",
+        col("off") + row_number().over(wRound).cast("long"))
+      .select(col("doc_id"), col("lang"), col("round"), col("epoch_pos"))
+  }
 }

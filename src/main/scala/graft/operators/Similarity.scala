@@ -543,4 +543,30 @@ object Similarity {
       .select(col("label"), col("dim"),
         (col("qsum").cast("double") / scale / col("n_vecs")).as("centroid"),
         col("n_vecs"))
+
+  /** Exact RADIUS search: every corpus vector with cosine ≥ `tau` to
+    * any query vector (vec_id < nQueries), self excluded — the
+    * "everything similar to these probes" retrieval behind targeted
+    * decontamination, semantic recall sets, and topic extraction.
+    * Unlike top-k there is no rank cutoff, so the answer set is exact
+    * (no window) and its size is data-dependent.
+    *
+    * The best-possible 100 TB shape: the query set is tiny and
+    * BROADCAST, so the whole operator is one corpus scan with a
+    * row-local score-and-filter — ZERO shuffles (knnBrute's top-k needs
+    * a rank shuffle; this doesn't even need that). Matches stream
+    * straight to the sink.
+    */
+  def rangeSearch(embeddings: DataFrame, nQueries: Int,
+                  tau: Double): DataFrame = {
+    val e = prepared(embeddings)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        Canon.cosine(Canon.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("sim"))
+      .filter(col("sim") >= tau)
+  }
 }

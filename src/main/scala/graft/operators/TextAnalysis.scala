@@ -441,4 +441,54 @@ object TextAnalysis {
         (col("n_in_lm").cast("double") / col("n_bigrams"))
           .as("lm_coverage"))
   }
+
+  /** Gopher-style document quality RULES (Rae et al. 2021 §A1.1 — the
+    * rule set behind MassiveWeb): word-count bounds, mean-word-length
+    * band, symbol-word and ellipsis-word caps, a required minimum of
+    * distinct stopwords, and a cap on the share of the single most
+    * frequent word. Each rule is its own boolean column (so a corpus
+    * report can aggregate per-rule failure rates) plus the conjunction
+    * `gopher_ok` — complements [[qualityScore]]'s continuous signals
+    * with the hard-gate form.
+    *
+    * Every column is a row-local array expression over the one
+    * `split()` — no shuffle, fully codegen'd, scan-speed at 100 TB.
+    * The top-word count is an O(u·n) nested array walk (u = distinct
+    * words in the doc) — bounded by doc length, never by corpus size,
+    * so it stays row-local at any scale. Mean word length is a single
+    * integer division (one correctly-rounded IEEE op → engine-
+    * deterministic, oracle-safe).
+    */
+  def gopherRules(documents: DataFrame): DataFrame = {
+    val w = Canon.words(col("text"))
+    val stops = Seq("the", "a", "of", "and", "is", "to", "in")
+    documents
+      .select(col("doc_id"), w.as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_words"),
+        (aggregate(col("w"), lit(0L), (acc, x) => acc + length(x))
+          .cast("double") / size(col("w"))).as("mean_wlen"),
+        (size(filter(col("w"), x => x.contains("#"))).cast("double") /
+          size(col("w"))).as("symbol_word_frac"),
+        (size(filter(col("w"), x => x.contains("..."))).cast("double") /
+          size(col("w"))).as("ellipsis_word_frac"),
+        size(array_intersect(array_distinct(col("w")),
+          array(stops.map(lit): _*))).as("n_stop_distinct"),
+        (array_max(transform(array_distinct(col("w")),
+          d => size(filter(col("w"), x => x === d)))).cast("double") /
+          size(col("w"))).as("top_word_frac"))
+      .withColumn("rule_word_count",
+        col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("rule_mean_wlen",
+        col("mean_wlen") >= 3.0 && col("mean_wlen") <= 10.0)
+      .withColumn("rule_symbols", col("symbol_word_frac") <= 0.1)
+      .withColumn("rule_ellipsis", col("ellipsis_word_frac") <= 0.3)
+      .withColumn("rule_stopwords", col("n_stop_distinct") >= 2)
+      .withColumn("rule_top_word", col("top_word_frac") <= 0.2)
+      .withColumn("gopher_ok",
+        col("rule_word_count") && col("rule_mean_wlen") &&
+          col("rule_symbols") && col("rule_ellipsis") &&
+          col("rule_stopwords") && col("rule_top_word"))
+  }
 }

@@ -255,4 +255,24 @@ class DedupSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("did not converge"))
   }
+  test("segmentDedup keeps globally-first segments, rebuilds docs") {
+    val docs = Seq(
+      (0L, "a b c d e f g h i j"),   // segs: "a b c d e", "f g h i j"
+      (1L, "a b c d e x y z w v"),   // first seg duplicates doc 0's
+      (2L, "q r s"),                 // one short tail segment
+      (3L, "f g h i j")              // entirely duplicated -> empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(out === Array(
+      (0L, 2L, 2L, "a b c d e f g h i j"),
+      (1L, 2L, 1L, "x y z w v"),
+      (2L, 1L, 1L, "q r s"),
+      (3L, 1L, 0L, "")))
+    // first-occurrence rule is a total order on (doc_id, seg_idx):
+    // identical under any input partitioning
+    val rep = Dedup.segmentDedup(docs.repartition(7))
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
+    assert(rep === out)
+  }
 }

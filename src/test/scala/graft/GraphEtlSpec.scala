@@ -108,4 +108,22 @@ class GraphEtlSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(out === expected)
   }
+  test("bfsHops: exact hop distances from the mod-seed set, bounded") {
+    // component A: path 0-1-2-3-4 (seed 0); component B: 10-11
+    // (seed 10); component C: 5-6 (no seed -> absent)
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (5L, 6L)).toDF("a", "b")
+    val out = GraphEtl.bfsHops(edges, seedMod = 10L, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L,
+      10L -> 0L, 11L -> 1L))
+    // 4 is four hops out: excluded by the bound, not mislabeled
+    assert(!out.contains(4L) && !out.contains(5L))
+    // frontier anti-join keeps the FIRST (minimum) hop count even
+    // when a later path reaches the same vertex
+    val diamond = Seq((0L, 1L), (1L, 2L), (0L, 2L)).toDF("a", "b")
+    val d = GraphEtl.bfsHops(diamond, seedMod = 10L, maxHops = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d === Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
+  }
 }

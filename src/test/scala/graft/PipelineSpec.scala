@@ -95,4 +95,26 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.samplePerGroup(docs.filter($"doc_id" < 2), 4L)
       .count() === 2L)
   }
+  test("epochOrder: gapless round-robin interleave across languages") {
+    val docs = Seq(
+      (0L, "en", "aaa"), (1L, "en", "bbb"), (2L, "en", "ccc"),
+      (3L, "fr", "ddd"), (4L, "fr", "eee"),
+      (5L, "de", "fff")
+    ).toDF("doc_id", "lang", "text")
+    val out = Pipeline.epochOrder(docs)
+      .as[(Long, String, Long, Long)].collect()
+    // epoch_pos is a gapless 1..n permutation
+    assert(out.map(_._4).sorted === (1L to 6L).toArray)
+    // every round-r position precedes every round-(r+1) position
+    val byRound = out.groupBy(_._3).view.mapValues(_.map(_._4)).toMap
+    assert(byRound(1L).max < byRound(2L).min)
+    // round 1 holds one doc of EVERY language
+    assert(out.filter(_._3 == 1L).map(_._2).sorted === Array("de", "en", "fr"))
+    // de is exhausted after round 1; later rounds shrink
+    assert(byRound(2L).length === 2 && byRound(3L).length === 1)
+    // deterministic under any input partitioning
+    val rep = Pipeline.epochOrder(docs.repartition(5))
+      .as[(Long, String, Long, Long)].collect()
+    assert(rep.sortBy(_._1) === out.sortBy(_._1))
+  }
 }

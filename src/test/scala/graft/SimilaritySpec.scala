@@ -246,4 +246,19 @@ class SimilaritySpec extends SparkSpec {
       assert(s <= brute(q) + 1e-12, s"query $q: bucketed $s > brute")
     }
   }
+  test("rangeSearch returns exactly the at-least-tau neighbor set") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f), 0),     // sim 1.0
+      (2L, Array(0.0f, 1.0f), 0),     // sim 0.0
+      (3L, Array(0.7f, 0.7f), 1)      // sim ~0.7071
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.rangeSearch(emb, 1, 0.5)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._2).toSet === Set(1L, 3L))
+    assert(out.forall(_._3 >= 0.5))
+    // tau above every off-axis sim: only the exact duplicate remains
+    assert(Similarity.rangeSearch(emb, 1, 0.99)
+      .as[(Long, Long, Double)].collect().map(_._2).toSet === Set(1L))
+  }
 }

@@ -177,4 +177,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1).getAs[String]("lang_pred") === "es")
     assert(out(0).getAs[Double]("s_en") === 3.0 / 6)
   }
+  test("gopherRules: each rule binds on its own column") {
+    val pass50 = (1 to 45).map(i => s"word$i").mkString(" ") +
+      " the a of and is"                      // 50 words, 5 stopwords
+    val docs = Seq(
+      (0L, pass50),                           // passes every rule
+      (1L, "foo foo foo foo")                 // short, no stops, top=1.0
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs).orderBy("doc_id").collect()
+    val d0 = out(0)
+    assert(d0.getAs[Int]("n_words") === 50)
+    assert(d0.getAs[Int]("n_stop_distinct") === 5)
+    assert(d0.getAs[Double]("top_word_frac") === 1.0 / 50)
+    assert(d0.getAs[Boolean]("gopher_ok"))
+    val d1 = out(1)
+    assert(!d1.getAs[Boolean]("rule_word_count"))
+    assert(!d1.getAs[Boolean]("rule_stopwords"))
+    assert(!d1.getAs[Boolean]("rule_top_word"))
+    assert(d1.getAs[Double]("top_word_frac") === 1.0)
+    assert(d1.getAs[Boolean]("rule_symbols") &&
+      d1.getAs[Boolean]("rule_ellipsis"))
+    assert(!d1.getAs[Boolean]("gopher_ok"))
+  }
 }
