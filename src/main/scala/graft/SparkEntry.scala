@@ -487,6 +487,27 @@ object SparkEntry {
     // Exact radius retrieval vs a broadcast probe set — zero shuffles.
     "s12_range_search" -> ((s, dir) =>
       Similarity.rangeSearch(t(s, dir, "embeddings"), 10, 0.2)),
+    // Exact group quantiles via distributed two-stage rank (no
+    // one-task-per-group sort).
+    "q35_group_quantiles" -> ((s, dir) =>
+      Relational.groupQuantiles(t(s, dir, "lineitem"))),
+    // Bounded k-core peel (3 rounds, k=2) over the co-supplier graph.
+    "g15_kcore" -> ((s, dir) =>
+      GraphEtl.kcorePeel(
+        GraphEtl.coSupplierEdges(t(s, dir, "lineitem")))),
+    // Nearest-centroid classification vs the s07 centroid table
+    // (one-row broadcast, row-local argmax).
+    "s13_centroid_assign" -> ((s, dir) =>
+      Similarity.centroidAssign(t(s, dir, "embeddings"))),
+    // Soft dedup: 1/cluster-size training weights over d08's clusters.
+    "d16_dedup_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.dedupWeights(docs, Dedup.dupClusters(
+        Dedup.lshCandidatePairs(Dedup.minhashSignature(docs))))
+    }),
+    // LAION-style image quality gate over decoded metadata.
+    "m06_image_filter" -> ((s, dir) =>
+      Multimodal.imageFilter(t(s, dir, "documents"))),
 
     // --- Reference-domain parity slice (SURVEY §7.2 B/C). Inputs are
     // the in-code Helium JSON fixtures, not the sf tables; the oracles
@@ -2091,6 +2112,104 @@ object SparkEntry {
            | FROM (SELECT q_id, v, nrm FROM q) a
            | CROSS JOIN n b WHERE b.vec_id <> a.q_id)
            |WHERE sim >= 0.2""".stripMargin),
+    // groupQuantiles mirror: the oracle may use the plain per-group
+    // window (DuckDB is single-node); percentile_disc rank ⌈q·n⌉ with
+    // the identical (value, orderkey, linenumber) total order.
+    "q35_group_quantiles" ->
+      """WITH b AS (SELECT l_returnflag AS g, l_quantity AS v,
+        |  row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY l_quantity, l_orderkey, l_linenumber) AS rk,
+        |  count(*) OVER (PARTITION BY l_returnflag) AS n
+        | FROM lineitem)
+        |SELECT g AS l_returnflag,
+        |  max(CASE WHEN rk = ceil(0.25*n) THEN v END) AS p25,
+        |  max(CASE WHEN rk = ceil(0.5*n) THEN v END) AS p50,
+        |  max(CASE WHEN rk = ceil(0.75*n) THEN v END) AS p75,
+        |  max(n)::BIGINT AS n
+        |FROM b GROUP BY g""".stripMargin,
+    // kcorePeel mirror: g11's edge CTE + the 3 peel rounds unrolled
+    // verbatim (degree agg → keep set → both-endpoint restriction).
+    "g15_kcore" -> {
+      val edges =
+        """os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+          |  FROM lineitem),
+          |ok AS (SELECT o FROM os GROUP BY o HAVING count(*) <= 100),
+          |osk AS (SELECT os.o, os.s FROM os JOIN ok USING (o)),
+          |e0 AS (SELECT x.s AS a, y.s AS b FROM osk x JOIN osk y
+          |  ON x.o = y.o AND x.s < y.s
+          |  GROUP BY 1, 2 HAVING count(*) >= 5)""".stripMargin
+      val rounds = (1 to 3).map { r =>
+        val prev = s"e${r - 1}"
+        s""",
+           |d$r AS (SELECT v, count(*) AS deg FROM (
+           |  SELECT a AS v FROM $prev UNION ALL SELECT b FROM $prev)
+           |  GROUP BY v),
+           |k$r AS (SELECT v FROM d$r WHERE deg >= 2),
+           |e$r AS (SELECT a, b FROM $prev
+           |  WHERE a IN (SELECT v FROM k$r)
+           |  AND b IN (SELECT v FROM k$r))""".stripMargin
+      }.mkString
+      s"WITH $edges$rounds\n" +
+        """SELECT v AS vertex, count(*) AS deg FROM (
+          |  SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
+          |GROUP BY v""".stripMargin
+    },
+    // centroidAssign mirror: the s07 centroid CTE collapsed to
+    // per-label arrays, the identical left-fold cosine against each,
+    // argmax via (sim DESC, label ASC) rank.
+    "s13_centroid_assign" ->
+      (embCte +
+        s""", x AS (SELECT label, unnest([{'d': i,
+           |    'q': floor(v[i] * 1000000)::BIGINT}
+           |  FOR i IN range(1, len(v)+1)]) AS s FROM e),
+           |g AS (SELECT label, s.d::BIGINT AS dim,
+           |  sum(s.q)::BIGINT AS qsum, count(*) AS n_vecs
+           |  FROM x GROUP BY label, s.d),
+           |cent AS (SELECT label, dim,
+           |  qsum::DOUBLE / 1000000 / n_vecs AS centroid FROM g),
+           |carr AS (SELECT label, list(centroid ORDER BY dim) AS cv
+           |  FROM cent GROUP BY label),
+           |scored AS (SELECT n.vec_id, n.label AS tl, c.label AS cand,
+           |  ${pairDot.replace("b.v[i]", "c.cv[i]").replace("a.v", "n.v")} /
+           |  (n.nrm * sqrt(${foldSum("[x*x FOR x IN c.cv]")})) AS sim
+           |  FROM n CROSS JOIN carr c),
+           |best AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+           |  ORDER BY sim DESC, cand ASC) AS rk FROM scored)
+           |SELECT vec_id, tl::BIGINT AS true_label,
+           |  cand::BIGINT AS pred_label, sim, tl = cand AS agree
+           |FROM best WHERE rk = 1""".stripMargin),
+    // dedupWeights mirror: the d08/d11 cluster CTE + per-cluster
+    // counts, singletons weigh 1.0.
+    "d16_dedup_weights" ->
+      (dupClustersCte +
+        """, csz AS (SELECT cluster_rep, count(*) AS csz FROM clus
+          |  GROUP BY cluster_rep)
+          |SELECT d.doc_id, coalesce(csz.csz, 1)::BIGINT AS cluster_size,
+          |  1.0::DOUBLE / coalesce(csz.csz, 1) AS weight
+          |FROM documents d
+          |LEFT JOIN clus ON clus.doc_id = d.doc_id
+          |LEFT JOIN csz ON csz.cluster_rep = clus.cluster_rep"""
+          .stripMargin),
+    // imageFilter mirror: the m02 decode-stub CTE + the same rule
+    // thresholds; aspect is one int-over-int double division.
+    "m06_image_filter" ->
+      s"""WITH h AS (SELECT doc_id, octet_length(encode(text)) AS blen,
+         |  ${h60("text")} AS h FROM documents),
+         |meta AS (SELECT doc_id, blen::BIGINT AS byte_len,
+         |  64 + h % 193 AS width, 64 + (h // 193) % 129 AS height
+         | FROM h)
+         |SELECT doc_id, byte_len, width, height,
+         |  greatest(width, height)::DOUBLE / least(width, height)
+         |    AS aspect,
+         |  width >= 96 AND height >= 96 AS rule_min_dim,
+         |  greatest(width, height)::DOUBLE / least(width, height) <= 2.0
+         |    AS rule_aspect,
+         |  byte_len >= 64 AS rule_bytes,
+         |  width >= 96 AND height >= 96
+         |    AND greatest(width, height)::DOUBLE / least(width, height)
+         |      <= 2.0
+         |    AND byte_len >= 64 AS image_ok
+         |FROM meta""".stripMargin,
 
     // --- Self-contained parity-slice oracles: fixture rows inlined as
     // VALUES (one source of truth: HeliumFixtures), transforms

@@ -597,6 +597,29 @@ object Dedup {
         (col("n_docs") - 1).as("n_removed"))
   }
 
+  /** SOFT dedup weights: instead of dropping duplicates, every doc
+    * gets training weight 1/|its duplicate cluster| (singletons weigh
+    * 1.0) — the down-weight-don't-delete alternative (SemDeDup-style
+    * reweighting) that preserves corpus coverage while removing the
+    * duplicated-mass bias. Composes with any cluster labeling
+    * ([[dupClusters]] / [[dupClustersShortcut]]).
+    *
+    * Shape: one count aggregate over the cluster table (cluster-
+    * membership sized, far smaller than the corpus) + two left joins
+    * on doc_id; the weight division is row-local exact-int-over-double.
+    */
+  def dedupWeights(documents: DataFrame, clusters: DataFrame): DataFrame = {
+    val csize = clusters.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("csz"))
+    documents.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .join(csize, Seq("cluster_rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("csz"), lit(1L)).as("cluster_size"),
+        (lit(1.0d) / coalesce(col("csz"), lit(1L)).cast("double"))
+          .as("weight"))
+  }
+
   /** Corpus-level SEGMENT dedup (the C4 / RefinedWeb "remove repeated
     * paragraphs" pass, with fixed `k`-word segments standing in for
     * paragraphs): every doc is cut into consecutive k-word segments,

@@ -414,4 +414,34 @@ object GraphEtl {
     }
     settled.select(col("v").as("vertex"), col("hops"))
   }
+
+  /** Bounded k-core peeling over an undirected (a, b) edge list:
+    * `rounds` rounds of "drop every vertex with degree < k, and every
+    * edge touching one", then the surviving vertices with their
+    * residual degrees — the density-core extractor (community kernels,
+    * spam-farm detection). A FIXED round count rather than
+    * peel-to-fixpoint: each round is one degree aggregate + two
+    * semi-joins, so the cost is exactly `rounds` passes, the result is
+    * a deterministic function of the input (the true k-core after
+    * ≤ rounds peels; extra rounds are no-ops once converged), and the
+    * oracle can unroll the same rounds verbatim. Edge list
+    * localCheckpoint'd per round (one-round-shallow plans, the
+    * pageRank discipline).
+    */
+  def kcorePeel(edges: DataFrame, k: Int = 2, rounds: Int = 3): DataFrame = {
+    var e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val keep = e.select(col("a").as("v"))
+        .union(e.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+      e = e
+        .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
+        .select(col("a"), col("b")).localCheckpoint()
+    }
+    e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .select(col("v").as("vertex"), col("deg"))
+  }
 }

@@ -144,4 +144,28 @@ object Multimodal {
         (col("win_idx") * hop).as("start_sample"),
         (col("win_idx") * hop + (window - 1)).as("end_sample"))
   }
+
+  /** LAION-style image quality gate over decoded metadata: minimum
+    * dimensions, aspect-ratio band, and a minimum payload size — each
+    * rule its own boolean column plus the `image_ok` conjunction (the
+    * multimodal analog of TextAnalysis.gopherRules, and the filter a
+    * caption-pair pipeline runs before feature extraction). Row-local
+    * over [[decodeMeta]]'s output; the aspect ratio is one
+    * exact-int-over-int double division, engine-deterministic.
+    */
+  def imageFilter(documents: DataFrame, minDim: Long = 96L,
+                  maxAspect: Double = 2.0,
+                  minBytes: Long = 64L): DataFrame = {
+    val aspect = greatest(col("width"), col("height")).cast("double") /
+      least(col("width"), col("height"))
+    decodeMeta(documents)
+      .select(col("doc_id"), col("byte_len"), col("width"), col("height"),
+        aspect.as("aspect"))
+      .withColumn("rule_min_dim",
+        col("width") >= minDim && col("height") >= minDim)
+      .withColumn("rule_aspect", col("aspect") <= maxAspect)
+      .withColumn("rule_bytes", col("byte_len") >= minBytes)
+      .withColumn("image_ok",
+        col("rule_min_dim") && col("rule_aspect") && col("rule_bytes"))
+  }
 }

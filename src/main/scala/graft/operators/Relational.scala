@@ -452,4 +452,59 @@ object Relational {
       nth_value(col("o_orderkey"), 2).over(w).as("second_orderkey"),
       last(col("o_orderkey")).over(w).as("last_orderkey"))
   }
+
+  /** EXACT per-group quantiles (percentile_disc at 0.25/0.5/0.75 of
+    * l_quantity per return flag) — the corpus-statistics primitive an
+    * approximate sketch can't hash-gate.
+    *
+    * A per-group window would sort each group in ONE task (the p04
+    * pathology: group cardinality is fixed and small, so one straggler
+    * task sorts a third of 100 TB). Instead the global rank is
+    * DISTRIBUTED: range-repartition by (group, value, tiebreak) —
+    * every task sorts only its slice — then per-(partition, group)
+    * counts (tiny) are prefix-summed and broadcast back, so
+    * global rank = partition offset + local rank. The quantile rows
+    * are then a row-local rank ∈ {⌈q·n⌉} filter and one final
+    * per-group aggregate. Same two-stage template as
+    * Pipeline.tokenBudgetSample; scales with partitions, not groups.
+    */
+  def groupQuantiles(lineitem: DataFrame,
+                     numPartitions: Int = 32): DataFrame = {
+    val base = lineitem.select(
+      col("l_returnflag").as("g"), col("l_quantity").as("v"),
+      col("l_orderkey").as("tb1"), col("l_linenumber").as("tb2"))
+      .localCheckpoint()
+    val parted = base
+      .repartitionByRange(numPartitions,
+        col("g").asc, col("v").asc, col("tb1").asc, col("tb2").asc)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("_pid"), col("g"))
+      .orderBy(col("v"), col("tb1"), col("tb2"))
+    val local = parted.withColumn("_loc", row_number().over(wLocal))
+    val sums = local.groupBy(col("_pid"), col("g"))
+      .agg(count(lit(1)).as("_psum"))
+    val offsets = sums.as("a")
+      .join(sums.as("b"),
+        col("a.g") === col("b.g") && col("b._pid") < col("a._pid"),
+        "left")
+      .groupBy(col("a._pid").as("_pid"), col("a.g").as("g"))
+      .agg(coalesce(sum(col("b._psum")), lit(0L)).as("_off"))
+    val counts = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    local.join(broadcast(offsets), Seq("_pid", "g"))
+      .withColumn("rk", col("_off") + col("_loc"))
+      .join(broadcast(counts), Seq("g"))
+      .filter(col("rk") === ceil(lit(0.25) * col("n")) ||
+        col("rk") === ceil(lit(0.5) * col("n")) ||
+        col("rk") === ceil(lit(0.75) * col("n")))
+      .groupBy(col("g"))
+      .agg(
+        max(when(col("rk") === ceil(lit(0.25) * col("n")), col("v")))
+          .as("p25"),
+        max(when(col("rk") === ceil(lit(0.5) * col("n")), col("v")))
+          .as("p50"),
+        max(when(col("rk") === ceil(lit(0.75) * col("n")), col("v")))
+          .as("p75"),
+        max(col("n")).as("n"))
+      .withColumnRenamed("g", "l_returnflag")
+  }
 }

@@ -557,6 +557,46 @@ object Similarity {
     * a rank shuffle; this doesn't even need that). Matches stream
     * straight to the sink.
     */
+  /** Nearest-centroid classification: every vector assigned to the
+    * [[labelCentroids]] centroid with the highest cosine (lowest label
+    * on ties), plus the agreement flag against its true label — the
+    * cluster-quality / weak-labeling readout of the centroid table
+    * (and the assignment step of a Lloyd iteration, as a gated query).
+    *
+    * The centroid table is label-cardinality sized: collapsed to ONE
+    * row (sorted (label, vector) structs) and broadcast, so
+    * assignment is a row-local argmax over a constant array — one
+    * corpus scan, zero shuffles past the tiny centroid aggregate
+    * (the s03 one-row broadcast pattern). The argmax is
+    * max(struct(sim, -label)): total order, deterministic ties.
+    */
+  def centroidAssign(embeddings: DataFrame,
+                     scale: Long = 1000000L): DataFrame = {
+    val cArr = labelCentroids(embeddings, scale)
+      .groupBy(col("label"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("dim"), col("centroid")))),
+        s => s.getField("centroid")).as("cv"))
+      .agg(sort_array(collect_list(struct(col("label"), col("cv"))))
+        .as("cents"))
+    // prepared() drops the label; re-derive with it kept.
+    val e = embeddings.select(col("vec_id"), col("label"),
+      Canon.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(Canon.dot(col("v"), col("v"))))
+    val scored = transform(col("cents"), c =>
+      struct(
+        Canon.cosine(Canon.dot(col("v"), c.getField("cv")), col("nrm"),
+          sqrt(Canon.dot(c.getField("cv"), c.getField("cv")))).as("sim"),
+        (-c.getField("label")).cast("long").as("neg_label")))
+    e.join(broadcast(cArr))
+      .select(col("vec_id"), col("label").cast("long").as("true_label"),
+        array_max(scored).as("best"))
+      .select(col("vec_id"), col("true_label"),
+        (-col("best.neg_label")).as("pred_label"),
+        col("best.sim").as("sim"),
+        (col("true_label") === -col("best.neg_label")).as("agree"))
+  }
+
   def rangeSearch(embeddings: DataFrame, nQueries: Int,
                   tau: Double): DataFrame = {
     val e = prepared(embeddings)

@@ -275,4 +275,13 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Long, Long, String)].collect()
     assert(rep === out)
   }
+  test("dedupWeights: 1/cluster-size, singletons weigh 1.0") {
+    val clusters = Seq((0L, 0L), (1L, 0L), (3L, 3L), (4L, 3L))
+      .toDF("doc_id", "cluster_rep")
+    val out = Dedup.dedupWeights(docs, clusters)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out === Array(
+      (0L, 2L, 0.5), (1L, 2L, 0.5), (2L, 1L, 1.0),
+      (3L, 2L, 0.5), (4L, 2L, 0.5)))
+  }
 }

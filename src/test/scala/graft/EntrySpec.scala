@@ -41,4 +41,26 @@ class EntrySpec extends SparkSpec {
     }
     assert(empty.isEmpty, s"unexpectedly empty: $empty")
   }
+
+  test("groupQuantiles: exact percentile_disc ranks, partition-stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // group A: 1..4 -> ranks ceil(1)=1, ceil(2)=2, ceil(3)=3
+    // group B: 10..50 by 10 -> ranks ceil(1.25)=2, ceil(2.5)=3, ceil(3.75)=4
+    val li = (
+      (1 to 4).map(i => ("A", i.toDouble, i.toLong, i)) ++
+      (1 to 5).map(i => ("B", i * 10.0, 100L + i, i))
+    ).toDF("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+    val out = graft.operators.Relational.groupQuantiles(li)
+      .orderBy("l_returnflag")
+      .as[(String, Double, Double, Double, Long)].collect()
+    assert(out === Array(
+      ("A", 1.0, 2.0, 3.0, 4L),
+      ("B", 20.0, 30.0, 40.0, 5L)))
+    val rep = graft.operators.Relational
+      .groupQuantiles(li.repartition(7), numPartitions = 3)
+      .orderBy("l_returnflag")
+      .as[(String, Double, Double, Double, Long)].collect()
+    assert(rep === out)
+  }
 }

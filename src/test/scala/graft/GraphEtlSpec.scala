@@ -126,4 +126,16 @@ class GraphEtlSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(d === Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
   }
+  test("kcorePeel: triangle survives, tails and chains peel away") {
+    // triangle 1-2-3 with a pendant 4; chain 5-6-7 dissolves entirely
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (5L, 6L), (6L, 7L)).toDF("a", "b")
+    val out = GraphEtl.kcorePeel(edges, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // rounds beyond convergence are no-ops
+    val more = GraphEtl.kcorePeel(edges, k = 2, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(more === out)
+  }
 }

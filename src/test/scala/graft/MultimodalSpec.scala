@@ -34,4 +34,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out.count() === 100)
     assert(out.select("doc_id").distinct().count() === 100)
   }
+  test("imageFilter: rules match decoded metadata, conjunction binds") {
+    val docs = Seq(
+      (0L, "tiny"),                              // 4 bytes: fails bytes
+      (1L, ("x" * 100))                          // 100 bytes: passes bytes
+    ).toDF("doc_id", "text")
+    val meta = Multimodal.decodeMeta(docs)
+      .as[Multimodal.MediaMeta].collect().map(m => m.doc_id -> m).toMap
+    val out = Multimodal.imageFilter(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out(0L).getAs[Boolean]("rule_bytes"))
+    assert(out(1L).getAs[Boolean]("rule_bytes"))
+    out.foreach { case (id, r) =>
+      val m = meta(id)
+      assert(r.getAs[Long]("width") === m.width)
+      assert(r.getAs[Long]("height") === m.height)
+      val aspect = math.max(m.width, m.height).toDouble /
+        math.min(m.width, m.height)
+      assert(r.getAs[Double]("aspect") === aspect)
+      assert(r.getAs[Boolean]("image_ok") ===
+        (r.getAs[Boolean]("rule_min_dim") &&
+          r.getAs[Boolean]("rule_aspect") &&
+          r.getAs[Boolean]("rule_bytes")))
+    }
+  }
 }

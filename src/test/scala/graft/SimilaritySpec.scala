@@ -261,4 +261,19 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.rangeSearch(emb, 1, 0.99)
       .as[(Long, Long, Double)].collect().map(_._2).toSet === Set(1L))
   }
+  test("centroidAssign: argmax centroid, deterministic tie, agree flag") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 0),   // label-0 outlier: nearer centroid 1
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidAssign(emb)
+      .select("vec_id", "true_label", "pred_label", "agree")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out.map(r => r._1 -> r._3).toMap ===
+      Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(out.filter(!_._4).map(_._1).toSeq === Seq(2L))
+  }
 }
