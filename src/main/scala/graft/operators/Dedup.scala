@@ -355,15 +355,21 @@ object Dedup {
         .localCheckpoint()
       // jump: lab(u) ← lab(lab(u)). Every label IS a node id, so the
       // lookup always hits; coalesce guards the impossible miss.
+      // The PRE-ROUND label rides along as _old and the jump result is
+      // checkpointed, so the convergence check is a cheap filter over
+      // the materialized round — without this the un-checkpointed jump
+      // plan re-executed 3×: once for the convergence join, twice as
+      // the next round's `labels` (the dupClusters _old fusion, which
+      // at the old 4-jobs-per-round shape made wcc the slowest query
+      // in the suite on a 150-vertex graph: pure per-job overhead).
       val byLab = prop.select(col("node").as("_ln"), col("lab").as("_lab2"))
+      val old = labels.select(col("node"), col("lab").as("_old"))
       val next = prop.join(byLab, col("lab") === col("_ln"), "left")
         .select(col("node"), coalesce(col("_lab2"), col("lab")).as("lab"))
-      // node-sized convergence check — the same cost class as the
-      // jump join, so unlike dupClusters there is nothing to fuse away
-      converged = next.as("n")
-        .join(labels.as("o"), Seq("node"))
-        .filter(col("n.lab") =!= col("o.lab")).isEmpty
-      labels = next
+        .join(old, Seq("node"))
+        .localCheckpoint()
+      converged = next.filter(col("lab") =!= col("_old")).isEmpty
+      labels = next.select(col("node"), col("lab"))
       i += 1
     }
     // A silent exit here would return non-component-min (known-wrong)

@@ -397,22 +397,27 @@ object GraphEtl {
       .filter(col("v") % seedMod === 0)
       .select(col("v"), lit(0L).as("hops"))
       .localCheckpoint()
-    var settled = seeds
+    // settled = the running union of per-round CHECKPOINTED frontiers:
+    // the anti-join probe reads ≤ maxHops tiny materialized frames, so
+    // no round re-materializes the whole settled set (halves the
+    // per-round job count vs union-and-checkpoint).
+    var frontiers = List(seeds)
     var frontier = seeds
     var h = 1
     var done = frontier.isEmpty
     while (h <= maxHops && !done) {
+      val settled = frontiers.reduce(_ union _)
       val next = frontier.join(adj, frontier("v") === adj("src"))
         .select(adj("dst").as("v")).distinct()
         .join(settled, Seq("v"), "left_anti")
         .select(col("v"), lit(h.toLong).as("hops"))
         .localCheckpoint()
       done = next.isEmpty
-      if (!done) settled = settled.union(next).localCheckpoint()
+      if (!done) frontiers ::= next
       frontier = next
       h += 1
     }
-    settled.select(col("v").as("vertex"), col("hops"))
+    frontiers.reduce(_ union _).select(col("v").as("vertex"), col("hops"))
   }
 
   /** Bounded k-core peeling over an undirected (a, b) edge list:
