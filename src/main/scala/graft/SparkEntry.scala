@@ -508,6 +508,23 @@ object SparkEntry {
     // LAION-style image quality gate over decoded metadata.
     "m06_image_filter" -> ((s, dir) =>
       Multimodal.imageFilter(t(s, dir, "documents"))),
+    // Vowel-group syllable estimate + complex-word fraction.
+    "t16_readability" -> ((s, dir) =>
+      TextAnalysis.readabilitySignals(t(s, dir, "documents"))),
+    // Aspect-ratio bucketing (exact integer nearest-ratio argmin).
+    "m07_aspect_bucket" -> ((s, dir) =>
+      Multimodal.aspectBuckets(
+        Multimodal.decodeMeta(t(s, dir, "documents")))),
+    // Exact-percentile token-length gate via value histogram.
+    "p11_length_gate" -> ((s, dir) =>
+      Pipeline.lengthGate(t(s, dir, "documents"))),
+    // MinHash estimate vs exact Jaccard over LSH candidates.
+    "d17_jaccard_est" -> ((s, dir) =>
+      Dedup.jaccardEstimatePairs(t(s, dir, "documents"))),
+    // Per-vertex local clustering coefficient (g11's node view).
+    "g16_local_cc" -> ((s, dir) =>
+      GraphEtl.localClustering(
+        GraphEtl.coSupplierEdges(t(s, dir, "lineitem")))),
 
     // --- Reference-domain parity slice (SURVEY §7.2 B/C). Inputs are
     // the in-code Helium JSON fixtures, not the sf tables; the oracles
@@ -1033,6 +1050,32 @@ object SparkEntry {
         |SELECT vertex, count(*) AS n_triangles
         |FROM (SELECT unnest([u, v, w]) AS vertex FROM tri)
         |GROUP BY vertex""".stripMargin,
+    // localClustering mirror: the g11 triangle CTE + a degree CTE;
+    // the coefficient is (2·tri)::DOUBLE / (deg·(deg−1)), one division.
+    "g16_local_cc" ->
+      """WITH os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+        |  FROM lineitem),
+        |ok AS (SELECT o FROM os GROUP BY o HAVING count(*) <= 100),
+        |osk AS (SELECT os.o, os.s FROM os JOIN ok USING (o)),
+        |e AS (SELECT x.s AS a, y.s AS b FROM osk x JOIN osk y
+        |  ON x.o = y.o AND x.s < y.s
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tv AS (SELECT vertex, count(*) AS n_triangles
+        |  FROM (SELECT unnest([u, v, w]) AS vertex FROM tri)
+        |  GROUP BY vertex),
+        |deg AS (SELECT v, count(*) AS deg
+        |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY v)
+        |SELECT deg.v AS vertex, deg.deg,
+        |  coalesce(tv.n_triangles, 0)::BIGINT AS n_triangles,
+        |  CASE WHEN deg.deg >= 2
+        |    THEN (coalesce(tv.n_triangles, 0) * 2)::DOUBLE
+        |      / (deg.deg * (deg.deg - 1))
+        |    ELSE 0.0::DOUBLE END AS local_cc
+        |FROM deg LEFT JOIN tv ON tv.vertex = deg.v""".stripMargin,
     // connectedComponents mirror: g11's co-supplier edge CTE (both
     // caps mirrored) + the d08-style recursive component-min closure.
     "g12_wcc" ->
@@ -2210,6 +2253,77 @@ object SparkEntry {
          |      <= 2.0
          |    AND byte_len >= 64 AS image_ok
          |FROM meta""".stripMargin,
+    "t16_readability" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, len(w) AS n_words,
+        |  [greatest(1, len(regexp_extract_all(x, '[aeiou]+')))
+        |   FOR x IN w] AS syl FROM w)
+        |SELECT doc_id, n_words::BIGINT AS n_words,
+        |  list_sum(syl)::BIGINT AS n_syllables,
+        |  len(list_filter(syl, x -> x >= 3))::DOUBLE / n_words
+        |    AS complex_frac,
+        |  list_sum(syl)::BIGINT::DOUBLE / n_words AS mean_syl
+        |FROM s""".stripMargin,
+    "m07_aspect_bucket" -> {
+      import graft.operators.Multimodal.AspectLadder
+      val prod = AspectLadder.map(_._3).product
+      val scores = AspectLadder.zipWithIndex.map { case ((_, n, d), i) =>
+        s"abs(l*$d - $n*s) * ${prod / d} AS s$i"
+      }
+      val chain = AspectLadder.init.zipWithIndex.map { case ((name, _, _), i) =>
+        val later = (i + 1 until AspectLadder.size).map(j => s"s$j")
+        val minLater =
+          if (later.sizeIs == 1) later.head else s"least(${later.mkString(",")})"
+        s"WHEN s$i <= $minLater THEN '$name'"
+      }
+      s"""WITH h AS (SELECT doc_id, ${h60("text")} AS h FROM documents),
+         |meta AS (SELECT doc_id, 64 + h % 193 AS width,
+         |  64 + (h // 193) % 129 AS height FROM h),
+         |ls AS (SELECT doc_id, width, height,
+         |  greatest(width, height) AS l, least(width, height) AS s
+         | FROM meta),
+         |sc AS (SELECT doc_id, width, height,
+         |  ${scores.mkString(",\n  ")}
+         | FROM ls)
+         |SELECT doc_id, width, height,
+         |  CASE WHEN width >= height THEN 'landscape' ELSE 'portrait' END
+         |    AS orientation,
+         |  CASE ${chain.mkString("\n       ")}
+         |       ELSE '${AspectLadder.last._1}' END AS bucket
+         |FROM sc""".stripMargin
+    },
+    "p11_length_gate" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens
+        |  FROM documents),
+        |thr AS (SELECT percentile_disc(0.25)
+        |  WITHIN GROUP (ORDER BY n_tokens) AS thr FROM t)
+        |SELECT doc_id, n_tokens FROM t, thr WHERE n_tokens >= thr.thr""".stripMargin,
+    "d17_jaccard_est" -> {
+      val bands = (0 until 4).map(j =>
+        s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
+      val agree = (0 until 8)
+        .map(s => s"CASE WHEN a.m$s = b.m$s THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val inter = "len(list_intersect(a.ds, b.ds))"
+      val exact = s"$inter::DOUBLE / (len(a.ds) + len(b.ds) - $inter)"
+      minhashCte +
+        s""", banded AS (SELECT doc_id,
+           | unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig WHERE m0 IS NOT NULL),
+           |$cappedCte,
+           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM capped a JOIN capped b
+           |  ON a.bk = b.bk AND a.doc_id < b.doc_id),
+           |ds AS (SELECT doc_id, list_distinct(hs) AS ds FROM hb),
+           |side AS (SELECT sig.*, ds.ds FROM sig JOIN ds USING (doc_id))
+           |SELECT doc_a, doc_b,
+           | ($agree) / 8.0 AS est_jaccard,
+           | $exact AS exact_jaccard,
+           | abs(($agree) / 8.0 - $exact) AS est_err
+           |FROM pairs JOIN side a ON pairs.doc_a = a.doc_id
+           |  JOIN side b ON pairs.doc_b = b.doc_id""".stripMargin
+    },
 
     // --- Self-contained parity-slice oracles: fixture rows inlined as
     // VALUES (one source of truth: HeliumFixtures), transforms

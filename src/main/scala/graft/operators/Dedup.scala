@@ -674,4 +674,45 @@ object Dedup {
             " "),
           lit("")).as("text_dedup"))
   }
+
+  /** MinHash estimator quality over the LSH candidate pairs: per pair,
+    * the signature-agreement Jaccard ESTIMATE (fraction of the
+    * `nSeeds` minhash coordinates that agree), the EXACT Jaccard over
+    * the distinct k-shingle sets, and the absolute error — the
+    * calibration view that tells a dedup pipeline whether its
+    * signature width / band layout hits the intended threshold (the
+    * sketch analog of Similarity's s11 ANN-recall measurement).
+    *
+    * Shape: the signature is materialized ONCE (localCheckpoint) —
+    * it feeds the banding AND both join sides, and inlined it would be
+    * recomputed three times (the t10 lesson); the distinct-shingle
+    * arrays likewise feed two sides. Both enrichment joins are
+    * equi-joins on doc id against the (always far smaller) candidate
+    * pair set; the estimate and the exact intersect/union sizes are
+    * row-local array math. Nothing here is all-pairs: the pair set is
+    * the banded, capped LSH output.
+    */
+  def jaccardEstimatePairs(documents: DataFrame, nSeeds: Int = 8,
+                           k: Int = 3): DataFrame = {
+    val sig = minhashSignature(documents, nSeeds, k).localCheckpoint()
+    val pairs = lshCandidatePairs(sig)
+    val hw = documents.select(col("doc_id"),
+      transform(Canon.words(col("text")), w => Canon.hashP(w)).as("hw"))
+    val ds = hw.select(col("doc_id"),
+      array_distinct(Canon.shingleHashes(col("hw"), k)).as("ds"))
+    val side = sig.join(ds, Seq("doc_id")).localCheckpoint()
+    val agree = (0 until nSeeds).map(s =>
+      when(col(s"a.m$s") === col(s"b.m$s"), 1).otherwise(0))
+      .reduce(_ + _)
+    val inter = size(array_intersect(col("a.ds"), col("b.ds")))
+    val uni = size(col("a.ds")) + size(col("b.ds")) - inter
+    pairs
+      .join(side.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(side.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (agree.cast("double") / nSeeds).as("est_jaccard"),
+        (inter.cast("double") / uni).as("exact_jaccard"))
+      .withColumn("est_err",
+        abs(col("est_jaccard") - col("exact_jaccard")))
+  }
 }

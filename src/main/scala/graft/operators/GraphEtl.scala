@@ -327,6 +327,36 @@ object GraphEtl {
           .as("jaccard"))
   }
 
+  /** Per-vertex local clustering coefficient over an undirected simple
+    * graph given as canonical (a < b) pairs: cc(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)), 0 for pendant vertices — the classic
+    * community-density signal ([[edgeJaccard]]'s per-vertex
+    * counterpart; together they give the node and edge views of
+    * triangle structure).
+    *
+    * Shape: ONE materialized edge list feeds the degree aggregate and
+    * [[triangleCounts]]' degree-ordered O(m^1.5) wedge join (whose own
+    * re-distinct over the checkpointed list is a cheap no-op pass);
+    * zero-triangle vertices re-enter via a left join from the degree
+    * table. The coefficient is exact-int over exact-int in ONE double
+    * division — engine-deterministic.
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val tri = triangleCounts(e)
+      .select(col("vertex").as("v"), col("n_triangles"))
+    deg.join(tri, Seq("v"), "left")
+      .select(col("v").as("vertex"), col("deg"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("local_cc",
+        when(col("deg") >= 2,
+          (col("n_triangles") * 2).cast("double") /
+            (col("deg") * (col("deg") - 1)))
+          .otherwise(lit(0.0d)))
+  }
+
   /** Weakly-connected components of an undirected (a, b) edge list:
     * every vertex labeled with its component's minimum vertex id — the
     * graph-surface view of the dedup clusterer (supplier communities,

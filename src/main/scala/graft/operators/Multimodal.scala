@@ -168,4 +168,47 @@ object Multimodal {
       .withColumn("image_ok",
         col("rule_min_dim") && col("rule_aspect") && col("rule_bytes"))
   }
+
+  /** Aspect-ratio bucket ladder shared with the oracle generator:
+    * (name, long:short) with numerator ≥ denominator — the buckets an
+    * aspect-ratio-bucketed trainer (SDXL-style) batches by.
+    */
+  val AspectLadder: Seq[(String, Long, Long)] = Seq(
+    ("1:1", 1L, 1L), ("5:4", 5L, 4L), ("4:3", 4L, 3L),
+    ("3:2", 3L, 2L), ("16:9", 16L, 9L), ("2:1", 2L, 1L))
+
+  /** Aspect-ratio bucketing over decoded metadata: each image is
+    * assigned the nearest ladder ratio (long:short side) plus its
+    * orientation — the batching key that lets a vision trainer group
+    * same-shape images without per-image padding.
+    *
+    * "Nearest" is decided in EXACT integer arithmetic: the distance of
+    * L/S to ladder ratio n/d is |L·d − n·S| / (S·d), and comparing
+    * bucket i against j cross-multiplies away both denominators
+    * (|L·d_i − n_i·S|·d_j vs |L·d_j − n_j·S|·d_i) — no floating-point
+    * epsilon, so the argmin (ladder-order tie-break, same when-chain
+    * form as TextAnalysis.langId) is engine-deterministic for the
+    * oracle. All products stay ≪ 2^63. Entirely row-local: zero
+    * shuffles at any scale.
+    */
+  def aspectBuckets(decoded: DataFrame): DataFrame = {
+    val long_ = greatest(col("width"), col("height"))
+    val short_ = least(col("width"), col("height"))
+    val scores = AspectLadder.map { case (_, n, d) =>
+      abs(long_ * d - lit(n) * short_) * lit(AspectLadder.map(_._3).product / d)
+    }
+    val names = AspectLadder.map(_._1)
+    val bucket = names.init.zipWithIndex.foldRight(lit(names.last)) {
+      case ((name, i), rest) =>
+        val minLater =
+          if (i + 1 == scores.size - 1) scores.last
+          else least(scores.drop(i + 1): _*)
+        when(scores(i) <= minLater, lit(name)).otherwise(rest)
+    }
+    decoded
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("width") >= col("height"), lit("landscape"))
+          .otherwise(lit("portrait")).as("orientation"),
+        bucket.as("bucket"))
+  }
 }

@@ -359,4 +359,54 @@ object Pipeline {
         col("off") + row_number().over(wRound).cast("long"))
       .select(col("doc_id"), col("lang"), col("round"), col("epoch_pos"))
   }
+
+  /** Exact-percentile length gate: keep documents whose token count is
+    * at or above the corpus `q`-quantile (percentile_disc semantics:
+    * the smallest value whose cumulative count reaches ⌈q·n⌉) — the
+    * "drop the shortest quartile" filter a mixture plan applies before
+    * packing, with an EXACT threshold so the keep set hash-gates
+    * (approx_percentile would not).
+    *
+    * The threshold is computed on a VALUE HISTOGRAM, not a sort: token
+    * counts are small integers, so groupBy(n_tokens) collapses 100 TB
+    * of documents into at most max-doc-length rows (bounded, ~10⁶ even
+    * for book-length docs). The cumulative count over the histogram is
+    * the repo's two-stage prefix sum (range-repartition by value,
+    * within-partition running sum, partition offsets via the
+    * ≤ P²-row triangular join — the t06/p04/q35 template): never a
+    * partition-less window even over the histogram, since "bounded"
+    * still means 10⁶ rows on one task otherwise. The scalar threshold
+    * broadcast-joins back onto the corpus scan. Two corpus passes
+    * total (map-side-combinable histogram + filter); no global sort,
+    * nothing driver-side.
+    */
+  def lengthGate(documents: DataFrame, q: Double = 0.25,
+                 numPartitions: Int = 32): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      size(Canon.words(col("text"))).cast("long").as("n_tokens"))
+    val hist = toks.groupBy(col("n_tokens"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val total = hist.agg(sum(col("c")).as("n"))
+    val parted = hist
+      .repartitionByRange(numPartitions, col("n_tokens").asc)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col("n_tokens"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val local = parted.withColumn("_lcum", sum(col("c")).over(wLocal))
+    val sums = parted.groupBy(col("_pid")).agg(sum(col("c")).as("_psum"))
+    val offsets = sums.as("a")
+      .join(sums.as("b"), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(coalesce(sum(col("b._psum")), lit(0L)).as("_off"))
+    val thr = local.join(broadcast(offsets), Seq("_pid"))
+      .join(broadcast(total))
+      .filter(col("_off") + col("_lcum") >= ceil(lit(q) * col("n")))
+      .agg(min(col("n_tokens")).as("thr"))
+    toks.join(broadcast(thr))
+      .filter(col("n_tokens") >= col("thr"))
+      .select(col("doc_id"), col("n_tokens"))
+  }
 }

@@ -284,4 +284,14 @@ class DedupSpec extends SparkSpec {
       (0L, 2L, 0.5), (1L, 2L, 0.5), (2L, 1L, 1.0),
       (3L, 2L, 0.5), (4L, 2L, 0.5)))
   }
+
+  test("jaccardEstimatePairs: identical docs estimate and verify at 1.0") {
+    val text = "alpha beta gamma delta epsilon"
+    val docs = Seq((0L, text), (1L, text),
+      (2L, "zeta eta theta iota kappa lambda"))
+      .toDF("doc_id", "text")
+    val out = Dedup.jaccardEstimatePairs(docs)
+      .as[(Long, Long, Double, Double, Double)].collect()
+    assert(out === Array((0L, 1L, 1.0, 1.0, 0.0)))
+  }
 }

@@ -138,4 +138,17 @@ class GraphEtlSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(more === out)
   }
+
+  test("localClustering: triangle closes, pendant scores 0") {
+    // triangle 1-2-3 plus pendant 4 off vertex 3
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("a", "b")
+    val out = GraphEtl.localClustering(edges)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out(1L) === ((2L, 1L, 1.0)))
+    assert(out(2L) === ((2L, 1L, 1.0)))
+    assert(out(3L) === ((3L, 1L, 2.0 / 6)))
+    assert(out(4L) === ((1L, 0L, 0.0)))
+  }
 }

@@ -58,4 +58,23 @@ class MultimodalSpec extends SparkSpec {
           r.getAs[Boolean]("rule_bytes")))
     }
   }
+
+  test("aspectBuckets: exact nearest-ratio argmin with ladder tie-break") {
+    val decoded = Seq(
+      (1L, 100L, 100L),  // exactly 1:1
+      (2L, 160L, 90L),   // exactly 16:9
+      (3L, 90L, 160L),   // 16:9 portrait
+      (4L, 4000L, 3000L), // 4:3
+      (5L, 150L, 100L),  // 3:2
+      (6L, 250L, 100L),  // 2.5 → nearest is 2:1
+      (7L, 9L, 8L)       // 1.125 = midway 1:1 / 5:4 → ladder-first 1:1
+    ).toDF("doc_id", "width", "height")
+    val out = Multimodal.aspectBuckets(decoded)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String, String)].collect()
+    assert(out.map(r => (r._4, r._5)) === Array(
+      ("landscape", "1:1"), ("landscape", "16:9"), ("portrait", "16:9"),
+      ("landscape", "4:3"), ("landscape", "3:2"), ("landscape", "2:1"),
+      ("landscape", "1:1")))
+  }
 }

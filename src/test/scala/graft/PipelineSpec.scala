@@ -117,4 +117,22 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect()
     assert(rep.sortBy(_._1) === out.sortBy(_._1))
   }
+
+  test("lengthGate: percentile_disc threshold keeps the upper tail") {
+    // token counts 1..8, q=0.25: ceil(0.25·8)=2 → threshold 2,
+    // so only the 1-token doc is dropped.
+    val docs = (1 to 8)
+      .map(n => (n.toLong, Seq.fill(n)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Pipeline.lengthGate(docs, 0.25)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(out.map(_._2) === (2L to 8L).toArray)
+    // duplicate values: [1,5,5,5] at q=0.5: ceil(2)=2 → cum(1)=1,
+    // cum(5)=4 → threshold 5 keeps the three 5-token docs.
+    val dup = Seq((0L, "w"), (1L, "w w w w w"), (2L, "v v v v v"),
+      (3L, "u u u u u")).toDF("doc_id", "text")
+    val kept = Pipeline.lengthGate(dup, 0.5)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(kept.map(_._1) === Array(1L, 2L, 3L))
+  }
 }

@@ -199,4 +199,15 @@ class TextAnalysisSpec extends SparkSpec {
       d1.getAs[Boolean]("rule_ellipsis"))
     assert(!d1.getAs[Boolean]("gopher_ok"))
   }
+
+  test("readabilitySignals: vowel-group syllables, complex fraction") {
+    // banana → a|a|a = 3 groups; x → 0 groups, floored to 1;
+    // stream → ea = 1; idea → i|ea = 2.
+    val docs = Seq((0L, "banana x stream idea")).toDF("doc_id", "text")
+    val r = TextAnalysis.readabilitySignals(docs).head()
+    assert(r.getAs[Long]("n_words") === 4L)
+    assert(r.getAs[Long]("n_syllables") === 7L)
+    assert(r.getAs[Double]("mean_syl") === 7.0 / 4)
+    assert(r.getAs[Double]("complex_frac") === 1.0 / 4)
+  }
 }
