@@ -525,6 +525,10 @@ object SparkEntry {
     "g16_local_cc" -> ((s, dir) =>
       GraphEtl.localClustering(
         GraphEtl.coSupplierEdges(t(s, dir, "lineitem")))),
+    // Hourly resample + forward fill on a dense per-user grid.
+    "st08_gap_fill" -> ((s, dir) =>
+      graft.streaming.StreamingOps.resampleForwardFill(
+        t(s, dir, "events"))),
 
     // --- Reference-domain parity slice (SURVEY §7.2 B/C). Inputs are
     // the in-code Helium JSON fixtures, not the sf tables; the oracles
@@ -1958,6 +1962,36 @@ object SparkEntry {
         |FROM pp LEFT JOIN lm ON pp.w1 = lm.w1 AND pp.w2 = lm.w2
         |GROUP BY pp.doc_id""".stripMargin,
     // dedupFirstBatch mirror: first = (ts, event_id)-min per key.
+    // resampleForwardFill mirror: same bucket arithmetic on epoch_us,
+    // in-bucket last via DESC row_number (the max_by total order),
+    // dense grid via range(), IGNORE-NULLS running fill.
+    "st08_gap_fill" ->
+      """WITH e AS (SELECT user_id, event_id, value,
+        |  epoch_us(ts) AS us FROM events),
+        |b AS (SELECT user_id, us - (us % 3600000000) AS bucket_us,
+        |  us, event_id, value FROM e),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, bucket_us
+        |    ORDER BY us DESC, event_id DESC) AS rk,
+        |  count(*) OVER (PARTITION BY user_id, bucket_us) AS n_events
+        |  FROM b),
+        |agg AS (SELECT user_id, bucket_us, n_events, value AS last_value
+        |  FROM r WHERE rk = 1),
+        |lim AS (SELECT user_id, min(bucket_us) AS lo, max(bucket_us) AS hi
+        |  FROM agg GROUP BY 1),
+        |grid AS (SELECT user_id,
+        |  unnest(range(lo, hi + 1, 3600000000)) AS bucket_us FROM lim),
+        |j AS (SELECT g.user_id, g.bucket_us,
+        |  coalesce(a.n_events, 0)::BIGINT AS n_events, a.last_value
+        |  FROM grid g LEFT JOIN agg a
+        |  ON a.user_id = g.user_id AND a.bucket_us = g.bucket_us)
+        |SELECT user_id, make_timestamp(bucket_us) AS bucket_start,
+        |  n_events,
+        |  last_value(last_value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY bucket_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_value
+        |FROM j""".stripMargin,
     "st06_dedup_first" ->
       """WITH e AS (SELECT user_id, event_type, event_id,
         |  epoch_us(ts) AS ts_us, value FROM events),

@@ -228,6 +228,55 @@ object StreamingOps {
         col("_f.value").as("first_value"),
         col("n_events"))
 
+  /** Time-bucket resample with FORWARD FILL: per (user, fixed bucket),
+    * event count and last observed value, with empty buckets
+    * materialized on a dense per-user grid and filled from the most
+    * recent earlier bucket — the gap-filling resample a feature /
+    * training-signal pipeline runs before windowed models (regular
+    * time grid, no missing steps).
+    *
+    * Determinism: the in-bucket "last" is max_by over the
+    * (ts, event_id) total order (event_id breaks ts ties), so the
+    * carried value is unique; the fill is then a per-user running
+    * `last(ignoreNulls)` ordered by bucket. The first bucket of every
+    * user holds data by construction (the grid starts at that user's
+    * min bucket), so `filled_value` is never null.
+    *
+    * Shape at 100 TB: one map-side-combinable (user, bucket) aggregate
+    * (max_by partial keeps ≤ 1 row per group per partition — the
+    * g08/st06 class); the dense grid is a bounded row-local
+    * `sequence` fan-out (span/bucket rows per user, the m05 class) off
+    * a tiny per-user min/max aggregate; the fill window partitions BY
+    * USER — millions of partitions, no global or single-task sort.
+    */
+  def resampleForwardFill(events: DataFrame,
+                          bucketUs: Long = 3600000000L): DataFrame = {
+    val us = expr("ts div 1000")
+    val bucketed = events
+      .select(col("user_id"), (us - (us % bucketUs)).as("bucket_us"),
+        col("ts").cast("long").as("ts"), col("event_id"), col("value"))
+      .groupBy(col("user_id"), col("bucket_us"))
+      .agg(count(lit(1)).as("n_events"),
+        max_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("last_value"))
+      .localCheckpoint() // feeds the grid bounds AND the join probe
+    val grid = bucketed.groupBy(col("user_id"))
+      .agg(min(col("bucket_us")).as("lo"), max(col("bucket_us")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), lit(bucketUs)))
+          .as("bucket_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("bucket_us"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    grid.join(bucketed, Seq("user_id", "bucket_us"), "left")
+      .select(col("user_id"),
+        timestamp_micros(col("bucket_us")).as("bucket_start"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("last_value"), ignoreNulls = true).over(w)
+          .as("filled_value"))
+  }
+
   /** Streaming insert-ignore (T5): stateful first-occurrence-wins dedup
     * by content key — the reference's `onDuplicate="ignore"` bulk sink
     * (follower.py:205-207) re-expressed as flatMapGroupsWithState.

@@ -253,4 +253,26 @@ class StreamingOpsSpec extends SparkSpec {
       assert(got === Set(("k1", 1L), ("k2", 3L), ("k3", 5L)))
     } finally q.stop()
   }
+
+  test("resampleForwardFill: dense grid, gaps carry the last value") {
+    val h = 3600000000L // 1 hour in µs
+    def ns(hour: Long, off: Long) = (hour * h + off) * 1000L
+    val events = Seq(
+      // user 1: data in hour 0 (two events; later one wins) and
+      // hour 3 — hours 1 and 2 are gaps that must carry 2.0
+      (10L, ns(0, 5), 1L, "c", 1.0),
+      (11L, ns(0, 9), 1L, "c", 2.0),
+      (12L, ns(3, 1), 1L, "c", 9.0),
+      // user 2: single bucket, no gaps
+      (13L, ns(1, 0), 2L, "c", 7.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = StreamingOps.resampleForwardFill(events)
+      .select(col("user_id"), col("bucket_start").cast("long"),
+        col("n_events"), col("filled_value"))
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(out === Array(
+      (1L, 0L, 2L, 2.0), (1L, h / 1000000 * 1, 0L, 2.0),
+      (1L, h / 1000000 * 2, 0L, 2.0), (1L, h / 1000000 * 3, 1L, 9.0),
+      (2L, h / 1000000 * 1, 1L, 7.0)))
+  }
 }
