@@ -529,6 +529,15 @@ object SparkEntry {
     "st08_gap_fill" -> ((s, dir) =>
       graft.streaming.StreamingOps.resampleForwardFill(
         t(s, dir, "events"))),
+    // Corpus mixture "data card": per-(lang, source) counts + shares.
+    "p12_corpus_report" -> ((s, dir) =>
+      Pipeline.corpusReport(t(s, dir, "documents"))),
+    // Dedup summary: cluster-size histogram over d08's clusters.
+    "d18_cluster_hist" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.clusterSizeHistogram(Dedup.dupClusters(
+        Dedup.lshCandidatePairs(Dedup.minhashSignature(docs))))
+    }),
 
     // --- Reference-domain parity slice (SURVEY §7.2 B/C). Inputs are
     // the in-code Helium JSON fixtures, not the sf tables; the oracles
@@ -1105,6 +1114,24 @@ object SparkEntry {
         |  FROM documents)
         |GROUP BY word""".stripMargin,
     "d08_dup_clusters" -> dupClustersOracleSql,
+    // clusterSizeHistogram mirror: the d08 cluster CTE rolled up twice.
+    "d18_cluster_hist" -> (dupClustersCte +
+      """, sz AS (SELECT cluster_rep, count(*) AS size FROM clus
+        |  GROUP BY cluster_rep)
+        |SELECT size, count(*) AS n_clusters,
+        |  (size * count(*))::BIGINT AS n_docs,
+        |  ((size - 1) * count(*))::BIGINT AS n_removable
+        |FROM sz GROUP BY size""".stripMargin),
+    "p12_corpus_report" ->
+      """WITH cells AS (SELECT lang, source, count(*) AS n_docs,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY lang, source),
+        |tot AS (SELECT sum(n_docs)::BIGINT AS td,
+        |  sum(n_tokens)::BIGINT AS tt FROM cells)
+        |SELECT lang, source, n_docs, n_tokens,
+        |  n_docs::DOUBLE / td AS share_docs,
+        |  n_tokens::DOUBLE / tt AS share_tokens
+        |FROM cells, tot""".stripMargin,
     // dupClustersShortcut converges to the SAME component-min labels,
     // so the d08 recursive-CTE oracle applies verbatim.
     "d11_dup_clusters_fast" -> dupClustersOracleSql,

@@ -715,4 +715,21 @@ object Dedup {
       .withColumn("est_err",
         abs(col("est_jaccard") - col("exact_jaccard")))
   }
+
+  /** Cluster-size histogram over a (doc_id, cluster_rep) labeling —
+    * the dedup summary a curation report leads with: for each cluster
+    * size, how many clusters and how many documents, and the docs that
+    * deduplication would remove at that size (all but one per
+    * cluster). Two map-side-combinable aggregates, each strictly
+    * smaller than its input (docs → clusters → sizes); nothing else.
+    */
+  def clusterSizeHistogram(clusters: DataFrame): DataFrame =
+    clusters
+      .groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"),
+        ((col("size") - 1) * col("n_clusters")).as("n_removable"))
 }

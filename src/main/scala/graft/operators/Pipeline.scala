@@ -409,4 +409,29 @@ object Pipeline {
       .filter(col("n_tokens") >= col("thr"))
       .select(col("doc_id"), col("n_tokens"))
   }
+
+  /** Corpus mixture report ("data card"): per (lang, source) cell, doc
+    * and token counts plus each cell's share of the corpus — the table
+    * a mixture plan (p04/p07) is tuned against and the first thing a
+    * dataset audit reads.
+    *
+    * One map-side-combinable aggregate over the corpus scan; the grand
+    * totals are a second aggregate of the (tiny) cell table joined
+    * back as a 1-row broadcast (the scalar-subquery class, SURVEY
+    * §8.5). Shares are exact-int over exact-int single divisions.
+    */
+  def corpusReport(documents: DataFrame): DataFrame = {
+    val cells = documents
+      .select(col("lang"), col("source"),
+        size(Canon.words(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .localCheckpoint() // feeds the totals AND the share join
+    val totals = cells.agg(sum(col("n_docs")).as("_td"),
+      sum(col("n_tokens")).as("_tt"))
+    cells.join(broadcast(totals))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_docs").cast("double") / col("_td")).as("share_docs"),
+        (col("n_tokens").cast("double") / col("_tt")).as("share_tokens"))
+  }
 }

@@ -294,4 +294,13 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double, Double, Double)].collect()
     assert(out === Array((0L, 1L, 1.0, 1.0, 0.0)))
   }
+
+  test("clusterSizeHistogram: sizes, cluster counts, removable docs") {
+    // two clusters of 2 and one cluster of 3
+    val clusters = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("doc_id", "cluster_rep")
+    val out = Dedup.clusterSizeHistogram(clusters)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out === Array((2L, 2L, 4L, 2L), (3L, 1L, 3L, 2L)))
+  }
 }

@@ -135,4 +135,17 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long)].collect().sortBy(_._1)
     assert(kept.map(_._1) === Array(1L, 2L, 3L))
   }
+
+  test("corpusReport: cell counts and corpus shares") {
+    val docs = Seq(
+      (0L, "a b c", "en", "web"), (1L, "d e", "en", "web"),
+      (2L, "f", "de", "book")
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Pipeline.corpusReport(docs)
+      .as[(String, String, Long, Long, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(out === Array(
+      ("de", "book", 1L, 1L, 1.0 / 3, 1.0 / 6),
+      ("en", "web", 2L, 5L, 2.0 / 3, 5.0 / 6)))
+  }
 }
