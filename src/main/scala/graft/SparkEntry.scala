@@ -538,6 +538,12 @@ object SparkEntry {
       Dedup.clusterSizeHistogram(Dedup.dupClusters(
         Dedup.lshCandidatePairs(Dedup.minhashSignature(docs))))
     }),
+    // JSONL corpus source: declared schema + PERMISSIVE corrupt flag
+    // (in-code fixture, self-contained VALUES oracle — h-family style).
+    "j01_jsonl_docs" -> ((s, _) => {
+      import s.implicits._
+      graft.sources.Jsonl.docs(s, graft.sources.Jsonl.fixtureLines.toDS())
+    }),
 
     // --- Reference-domain parity slice (SURVEY §7.2 B/C). Inputs are
     // the in-code Helium JSON fixtures, not the sf tables; the oracles
@@ -1122,6 +1128,17 @@ object SparkEntry {
         |  (size * count(*))::BIGINT AS n_docs,
         |  ((size - 1) * count(*))::BIGINT AS n_removable
         |FROM sz GROUP BY size""".stripMargin),
+    // Jsonl.docs mirror: the expected parse of the in-code fixture
+    // inlined as VALUES (empirically pinned: Spark 4 PERMISSIVE nulls
+    // ALL fields of the malformed line — the unterminated string dies
+    // in tokenization, so no partial result survives).
+    "j01_jsonl_docs" ->
+      """SELECT * FROM (VALUES
+        |  (1::BIGINT, 'hello world', 'en', 'web', false),
+        |  (2::BIGINT, 'guten tag', 'de', 'book', false),
+        |  (3::BIGINT, 'bonjour', 'fr', NULL, false),
+        |  (NULL::BIGINT, NULL, NULL, NULL, true))
+        | AS t(doc_id, "text", lang, source, is_corrupt)""".stripMargin,
     "p12_corpus_report" ->
       """WITH cells AS (SELECT lang, source, count(*) AS n_docs,
         |  sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
