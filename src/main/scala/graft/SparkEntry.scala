@@ -544,6 +544,20 @@ object SparkEntry {
       import s.implicits._
       graft.sources.Jsonl.docs(s, graft.sources.Jsonl.fixtureLines.toDS())
     }),
+    // Matryoshka truncation probe: recall@k of first-16-dims search.
+    "s14_truncated_recall" -> ((s, dir) =>
+      Similarity.truncatedRecall(t(s, dir, "embeddings"), 10, 3)),
+    // Degree assortativity (rational Pearson over symmetric edge
+    // ends) of the customer–supplier purchase graph: bipartite
+    // hub-and-spoke, so the mixing signal is real (the co-supplier
+    // graph is degree-regular at small SF — Pearson undefined).
+    // Supplier ids offset into their own id space.
+    "g17_assortativity" -> ((s, dir) =>
+      GraphEtl.degreeAssortativity(
+        t(s, dir, "lineitem").join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("a"),
+            (col("l_suppkey") + 1000000L).as("b")))),
 
     // --- Reference-domain parity slice (SURVEY §7.2 B/C). Inputs are
     // the in-code Helium JSON fixtures, not the sf tables; the oracles
@@ -1069,6 +1083,57 @@ object SparkEntry {
         |SELECT vertex, count(*) AS n_triangles
         |FROM (SELECT unnest([u, v, w]) AS vertex FROM tri)
         |GROUP BY vertex""".stripMargin,
+    // truncatedRecall mirror: the s01 CTE run twice — full dims and
+    // the v[1:16] slice (norms re-derived on the slice) — then the
+    // s11-style recall join.
+    "s14_truncated_recall" ->
+      (embCte +
+        s""", t AS (SELECT vec_id, v[1:16] AS v FROM e),
+           |tn AS (SELECT vec_id, v,
+           |  sqrt(${foldSum("[x*x FOR x IN v]")}) AS nrm FROM t),
+           |q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id < 10),
+           |fsc AS (SELECT a.q_id, b.vec_id AS nbr_id,
+           |  $pairDot / (a.nrm * b.nrm) AS sim
+           | FROM (SELECT q_id, v, nrm FROM q) a
+           | CROSS JOIN n b WHERE b.vec_id <> a.q_id),
+           |exact AS (SELECT q_id, nbr_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY sim DESC, nbr_id) AS rk FROM fsc) WHERE rk <= 3),
+           |tq AS (SELECT vec_id AS q_id, v, nrm FROM tn WHERE vec_id < 10),
+           |tsc AS (SELECT a.q_id, b.vec_id AS nbr_id,
+           |  $pairDot / (a.nrm * b.nrm) AS sim
+           | FROM (SELECT q_id, v, nrm FROM tq) a
+           | CROSS JOIN tn b WHERE b.vec_id <> a.q_id),
+           |approx AS (SELECT q_id, nbr_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY sim DESC, nbr_id) AS rk FROM tsc) WHERE rk <= 3)
+           |SELECT exact.q_id, count(approx.nbr_id)::BIGINT AS n_hit,
+           |  count(approx.nbr_id)::DOUBLE / count(*) AS recall
+           |FROM exact LEFT JOIN approx
+           | ON exact.q_id = approx.q_id AND exact.nbr_id = approx.nbr_id
+           |GROUP BY exact.q_id""".stripMargin),
+    // degreeAssortativity mirror: the bipartite purchase graph + the
+    // rational symmetric-Pearson form (DuckDB sum(BIGINT) → HUGEINT
+    // matches the Spark side's decimal(38,0) sums exactly; nullif
+    // mirrors the degree-regular guard).
+    "g17_assortativity" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS a,
+        |  l_suppkey + 1000000 AS b
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT v, count(*) AS deg
+        |  FROM (SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY v),
+        |p AS (SELECT dx.deg AS dx, dy.deg AS dy FROM sym
+        |  JOIN deg dx ON sym.a = dx.v
+        |  JOIN deg dy ON sym.b = dy.v),
+        |s AS (SELECT count(*) AS m, sum(dx) AS sx,
+        |  sum(dx * dy) AS sxy, sum(dx * dx) AS sxx FROM p)
+        |SELECT m::BIGINT AS m,
+        |  (m * sxy - sx * sx)::DOUBLE /
+        |    nullif((m * sxx - sx * sx)::DOUBLE, 0.0)
+        |    AS assortativity
+        |FROM s""".stripMargin,
     // localClustering mirror: the g11 triangle CTE + a degree CTE;
     // the coefficient is (2·tri)::DOUBLE / (deg·(deg−1)), one division.
     "g16_local_cc" ->

@@ -357,6 +357,48 @@ object GraphEtl {
           .otherwise(lit(0.0d)))
   }
 
+  /** Degree assortativity of an undirected simple graph (Newman 2002):
+    * the Pearson correlation of endpoint degrees over the SYMMETRIZED
+    * edge-end pairs. Positive = hubs link to hubs (social shape),
+    * negative = hubs link to leaves (infrastructure shape) — the
+    * one-number mixing summary next to [[degreeDistribution]].
+    *
+    * Hash-gateable because the symmetric marginals make the Pearson
+    * denominator RATIONAL: with x and y marginals identical,
+    * r = (m·Σxy − (Σx)²) / (m·Σx² − (Σx)²) — exact integer sums
+    * (order-independent, unlike float accumulation) and ONE final
+    * double division, no libm. Sums ride in decimal(38,0) (mirrors
+    * DuckDB's sum(BIGINT) → HUGEINT) so 10¹²-edge corpora cannot
+    * overflow a long.
+    *
+    * Shape: degree aggregate + two id-keyed joins + one global
+    * aggregate — all map-side combinable; the global agg shuffles one
+    * row per partition.
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val dec = "decimal(38,0)"
+    val pairs = sym
+      .join(deg.select(col("v").as("a"), col("deg").as("dx")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("dy")), "b")
+    val num = (col("m").cast(dec) * col("sxy") - col("sx") * col("sx"))
+      .cast("double")
+    val den = (col("m").cast(dec) * col("sxx") - col("sx") * col("sx"))
+      .cast("double")
+    pairs.agg(count(lit(1)).as("m"),
+        sum(col("dx").cast(dec)).as("sx"),
+        sum((col("dx") * col("dy")).cast(dec)).as("sxy"),
+        sum((col("dx") * col("dx")).cast(dec)).as("sxx"))
+      .select(col("m"),
+        // Pearson is undefined on a degree-regular graph (zero degree
+        // variance): null, not a divide-by-zero (ANSI mode throws).
+        when(den === 0.0d, lit(null).cast("double"))
+          .otherwise(num / den).as("assortativity"))
+  }
+
   /** Weakly-connected components of an undirected (a, b) edge list:
     * every vertex labeled with its component's minimum vertex id — the
     * graph-surface view of the dedup clusterer (supplier communities,

@@ -609,4 +609,43 @@ object Similarity {
           col("qnrm"), col("nrm")).as("sim"))
       .filter(col("sim") >= tau)
   }
+
+  /** Matryoshka-style truncation probe: recall@k of a search run on
+    * only the FIRST `dims` embedding components against the full-dim
+    * exact baseline — the dial that tells a pipeline how far it can
+    * cut vector storage/bandwidth (MRL-trained models keep most
+    * semantics in the prefix; this measures the loss on YOUR corpus).
+    * Completes the measurement family: s11 measures the IVF loss,
+    * this the dimension loss.
+    *
+    * Shape: two knnBrute-class searches (broadcast query set, per-query
+    * rank window — never all-pairs) + the s11 compare join; the
+    * truncated side re-derives its norms on the slice (row-local).
+    */
+  def truncatedRecall(embeddings: DataFrame, nQueries: Int, k: Int,
+                      dims: Int = 16): DataFrame = {
+    val exact = knnBrute(embeddings, nQueries, k)
+      .select(col("q_id"), col("nbr_id"))
+    val te = prepared(embeddings)
+      .select(col("vec_id"), slice(col("v"), 1, dims).as("v"))
+      .withColumn("nrm", sqrt(Canon.dot(col("v"), col("v"))))
+    val q = te.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("_q"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val scored = te.join(broadcast(q), col("vec_id") =!= col("_q"))
+      .select(col("_q"), col("vec_id").as("_n"),
+        Canon.cosine(Canon.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("sim"))
+    val w = Window.partitionBy(col("_q"))
+      .orderBy(col("sim").desc, col("_n").asc)
+    val approx = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("_q"), col("_n"))
+    exact.join(approx,
+      col("q_id") === col("_q") && col("nbr_id") === col("_n"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k_exact"), count(col("_n")).as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        (col("n_hit").cast("double") / col("k_exact")).as("recall"))
+  }
 }

@@ -139,6 +139,21 @@ class GraphEtlSpec extends SparkSpec {
     assert(more === out)
   }
 
+  test("degreeAssortativity: a star is perfectly disassortative, " +
+    "a regular graph is undefined") {
+    // K1,3: every edge joins the deg-3 hub to a deg-1 leaf → r = −1
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val out = GraphEtl.degreeAssortativity(star)
+      .as[(Long, Option[Double])].collect()
+    assert(out === Array((6L, Some(-1.0))))
+    // triangle: zero degree variance → Pearson undefined → null,
+    // never an ANSI divide-by-zero
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val reg = GraphEtl.degreeAssortativity(tri)
+      .as[(Long, Option[Double])].collect()
+    assert(reg === Array((6L, None)))
+  }
+
   test("localClustering: triangle closes, pendant scores 0") {
     // triangle 1-2-3 plus pendant 4 off vertex 3
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))

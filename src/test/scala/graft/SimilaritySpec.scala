@@ -276,4 +276,28 @@ class SimilaritySpec extends SparkSpec {
       Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
     assert(out.filter(!_._4).map(_._1).toSeq === Seq(2L))
   }
+
+  test("truncatedRecall: prefix-carried structure keeps recall 1, " +
+    "tail-carried structure loses it") {
+    // structure lives entirely in the first 2 dims → truncation to 2
+    // dims is lossless
+    val prefix = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val r1 = Similarity.truncatedRecall(prefix, 1, 1, dims = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(r1 === Array((0L, 1L, 1.0)))
+    // the true neighbor differs only in the TAIL dims → truncated
+    // search ties the candidates and picks the wrong id
+    val tail = Seq(
+      (0L, Array(1.0f, 0.0f, 1.0f, 0.0f), 0),
+      (1L, Array(1.0f, 0.0f, -1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f, 0.9f, 0.1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val r2 = Similarity.truncatedRecall(tail, 1, 1, dims = 2)
+      .as[(Long, Long, Double)].collect()
+    assert(r2 === Array((0L, 0L, 0.0)))
+  }
 }
