@@ -547,6 +547,14 @@ object SparkEntry {
     // Matryoshka truncation probe: recall@k of first-16-dims search.
     "s14_truncated_recall" -> ((s, dir) =>
       Similarity.truncatedRecall(t(s, dir, "embeddings"), 10, 3)),
+    // Personalized PageRank from the custkey≡0 (mod 10) seed set
+    // (both vertex kinds carry numeric suffixes, so the split+cast
+    // seed predicate never hits an ANSI cast failure).
+    "g18_ppr" -> ((s, dir) =>
+      GraphEtl.personalizedPageRank(
+        GraphEtl.paymentEdges(t(s, dir, "orders"), t(s, dir, "lineitem")),
+        element_at(split(col("v"), "/"), 1) === "accounts" &&
+          element_at(split(col("v"), "/"), 2).cast("long") % 10 === 0)),
     // Degree assortativity (rational Pearson over symmetric edge
     // ends) of the customer–supplier purchase graph: bipartite
     // hub-and-spoke, so the mixing signal is real (the co-supplier
@@ -1083,6 +1091,30 @@ object SparkEntry {
         |SELECT vertex, count(*) AS n_triangles
         |FROM (SELECT unnest([u, v, w]) AS vertex FROM tri)
         |GROUP BY vertex""".stripMargin,
+    // personalizedPageRank mirror: g10's unrolled rounds with the
+    // teleport mass gated by the seed indicator.
+    "g18_ppr" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""r$i AS (SELECT v.v,
+           | CAST(v.seed * 150000 + (850000 * coalesce(c.s, 0)) // 1000000
+           |   AS BIGINT) AS rank
+           | FROM v LEFT JOIN (
+           |  SELECT dst, sum(rank // outdeg) AS s FROM ed
+           |  JOIN r${i - 1} ON ed.src = r${i - 1}.v GROUP BY dst) c
+           | ON v.v = c.dst)""".stripMargin
+      }.mkString(",\n")
+      edgesCte +
+        s""", e AS (SELECT DISTINCT _from AS src, _to AS dst FROM edges),
+           |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+           |ed AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+           |v0 AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+           |v AS (SELECT v, CASE WHEN string_split(v, '/')[1] = 'accounts'
+           |  AND string_split(v, '/')[2]::BIGINT % 10 = 0
+           |  THEN 1 ELSE 0 END AS seed FROM v0),
+           |r0 AS (SELECT v, CAST(seed * 1000000 AS BIGINT) AS rank FROM v),
+           |$rounds
+           |SELECT v AS vertex, rank FROM r3""".stripMargin
+    },
     // truncatedRecall mirror: the s01 CTE run twice — full dims and
     // the v[1:16] slice (norms re-derived on the slice) — then the
     // s11-style recall join.

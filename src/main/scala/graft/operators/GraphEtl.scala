@@ -442,6 +442,45 @@ object GraphEtl {
     ranks.select(col("v").as("vertex"), col("rank"))
   }
 
+  /** PERSONALIZED PageRank: the random walk teleports only to the
+    * `isSeed` vertex set, so rank measures proximity/influence
+    * RELATIVE to the seeds (the recommendation / blast-radius scoring
+    * twin of [[bfsHops]]' reachability) — non-seed-reachable vertices
+    * decay to 0. Same deterministic integer fixed-point as
+    * [[pageRankFixedPoint]] (ranks in millionths, div-truncated):
+    * float PageRank would be summation-order-dependent and could not
+    * hash-gate.
+    *
+    * Shape identical to g10: one degree join + one aggregate per
+    * round over a once-materialized edge list, per-round
+    * localCheckpoint keeping each compiled plan one-iteration shallow.
+    */
+  def personalizedPageRank(edges: DataFrame, isSeed: Column,
+                           iters: Int = 3): DataFrame = {
+    val e = edges.select(col("_from").as("src"), col("_to").as("dst"))
+      .distinct().localCheckpoint()
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val eDeg = e.join(outDeg, "src").localCheckpoint()
+    val vertices = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct()
+      .withColumn("_seed", isSeed)
+      .localCheckpoint()
+    var ranks = vertices.select(col("v"),
+      when(col("_seed"), lit(1000000L)).otherwise(lit(0L)).as("rank"))
+    (1 to iters).foreach { i =>
+      val inbound = eDeg.join(ranks, eDeg("src") === ranks("v"))
+        .select(col("dst"), expr("rank div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = vertices
+        .join(inbound, vertices("v") === inbound("dst"), "left")
+        .select(col("v"),
+          (when(col("_seed"), lit(150000L)).otherwise(lit(0L)) +
+            expr("(850000 * coalesce(s, 0L)) div 1000000")).as("rank"))
+      if (i < iters) ranks = ranks.localCheckpoint()
+    }
+    ranks.select(col("v").as("vertex"), col("rank"))
+  }
+
   /** Multi-source BFS hop distance over an undirected (a, b) edge
     * list: every vertex within `maxHops` of the seed set (vertex id ≡ 0
     * mod `seedMod`) labeled with its exact hop distance — the

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.GraphEtl
 
 class GraphEtlSpec extends SparkSpec {
@@ -137,6 +139,23 @@ class GraphEtlSpec extends SparkSpec {
     val more = GraphEtl.kcorePeel(edges, k = 2, rounds = 5)
       .as[(Long, Long)].collect().toMap
     assert(more === out)
+  }
+
+  test("personalizedPageRank: teleport mass only on seeds, " +
+    "seed-unreachable vertices decay to zero") {
+    val edges = Seq(
+      ("accounts/10", "suppliers/1"),  // seed → supplier
+      ("suppliers/2", "suppliers/3")   // component with no seed
+    ).toDF("_from", "_to")
+    val isSeed = element_at(split(col("v"), "/"), 1) === "accounts" &&
+      element_at(split(col("v"), "/"), 2).cast("long") % 10 === 0
+    val out = GraphEtl.personalizedPageRank(edges, isSeed)
+      .as[(String, Long)].collect().toMap
+    // seed: 150000 teleport, no inbound; supplier 1 after 3 rounds:
+    // 0.85 · 150000 = 127500; the seedless component holds no mass
+    assert(out === Map(
+      "accounts/10" -> 150000L, "suppliers/1" -> 127500L,
+      "suppliers/2" -> 0L, "suppliers/3" -> 0L))
   }
 
   test("degreeAssortativity: a star is perfectly disassortative, " +
