@@ -126,4 +126,83 @@ class PropertiesSpec extends SparkSpec {
       assert(endpoints.forall(keys.contains))
     }
   }
+
+  private val docGen = for {
+    n <- Gen.chooseNum(1, 40)
+    ws <- Gen.listOfN(n, Gen.oneOf("a", "bb", "ccc", "dddd"))
+  } yield ws.mkString(" ")
+
+  private def docCases: Seq[List[String]] =
+    (1 to 5).flatMap(i =>
+      Gen.nonEmptyListOf(docGen).map(_.take(12))
+        .apply(Gen.Parameters.default, Seed(1042L + i)))
+
+  test("lengthGate: keep set is antitone in q and never empty") {
+    docCases.foreach { texts =>
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val lo = graft.operators.Pipeline.lengthGate(docs, 0.25)
+        .select("doc_id").as[Long].collect().toSet
+      val hi = graft.operators.Pipeline.lengthGate(docs, 0.75)
+        .select("doc_id").as[Long].collect().toSet
+      assert(hi.subsetOf(lo))
+      assert(hi.nonEmpty) // the max-length doc always survives
+    }
+  }
+
+  private val dimGen = for {
+    w <- Gen.chooseNum(1L, 4000L)
+    h <- Gen.chooseNum(1L, 4000L)
+  } yield (w, h)
+
+  test("aspectBuckets: scale-invariant and orientation-symmetric") {
+    val dims = (1 to 5).flatMap(i =>
+      Gen.listOfN(12, dimGen)
+        .apply(Gen.Parameters.default, Seed(2042L + i))).flatten
+    val base = dims.zipWithIndex
+      .map { case ((w, h), i) => (i.toLong, w, h) }
+      .toDF("doc_id", "width", "height")
+    val scaled = dims.zipWithIndex
+      .map { case ((w, h), i) => (i.toLong, 2 * w, 2 * h) }
+      .toDF("doc_id", "width", "height")
+    val flipped = dims.zipWithIndex
+      .map { case ((w, h), i) => (i.toLong, h, w) }
+      .toDF("doc_id", "width", "height")
+    def buckets(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      graft.operators.Multimodal.aspectBuckets(df)
+        .select("doc_id", "bucket").as[(Long, String)].collect().toMap
+    val b = buckets(base)
+    assert(buckets(scaled) === b)  // exact integer argmin scales
+    assert(buckets(flipped) === b) // long:short normalization
+  }
+
+  test("clusterSizeHistogram conserves docs and removable counts") {
+    val labels = (1 to 5).flatMap(i =>
+      Gen.listOfN(30, Gen.chooseNum(0L, 6L))
+        .apply(Gen.Parameters.default, Seed(3042L + i)))
+    labels.grouped(30).foreach { ls =>
+      val clusters = ls.zipWithIndex
+        .map { case (rep, i) => (i.toLong, rep) }
+        .toDF("doc_id", "cluster_rep")
+      val hist = graft.operators.Dedup.clusterSizeHistogram(clusters)
+        .as[(Long, Long, Long, Long)].collect()
+      assert(hist.map(_._3).sum === ls.size)          // Σ n_docs = docs
+      assert(hist.map(_._4).sum ===                   // Σ removable =
+        ls.size - ls.distinct.size)                   //  docs − clusters
+    }
+  }
+
+  test("degreeAssortativity is a Pearson coefficient: |r| ≤ 1") {
+    val edgeGen = for {
+      a <- Gen.chooseNum(0L, 8L)
+      b <- Gen.chooseNum(0L, 8L) if a != b
+    } yield (math.min(a, b), math.max(a, b))
+    (1 to 5).foreach { i =>
+      val es = Gen.listOfN(14, edgeGen)
+        .apply(Gen.Parameters.default, Seed(4042L + i)).get.distinct
+      val r = graft.operators.GraphEtl.degreeAssortativity(
+        es.toDF("a", "b")).as[(Long, Option[Double])].head()._2
+      r.foreach(v => assert(math.abs(v) <= 1.0 + 1e-12))
+    }
+  }
 }
