@@ -511,6 +511,9 @@ object SparkEntry {
     // Vowel-group syllable estimate + complex-word fraction.
     "t16_readability" -> ((s, dir) =>
       TextAnalysis.readabilitySignals(t(s, dir, "documents"))),
+    // Moving-average type-token ratio (length-robust lexical diversity).
+    "t17_mattr" -> ((s, dir) =>
+      TextAnalysis.mattr(t(s, dir, "documents"))),
     // Aspect-ratio bucketing (exact integer nearest-ratio argmin).
     "m07_aspect_bucket" -> ((s, dir) =>
       Multimodal.aspectBuckets(
@@ -2428,6 +2431,20 @@ object SparkEntry {
          |      <= 2.0
          |    AND byte_len >= 64 AS image_ok
          |FROM meta""".stripMargin,
+    // mattr mirror: same bounded window walk as a list comprehension;
+    // the mean stays rational (Σ distinct over window·n_windows).
+    "t17_mattr" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |f AS (SELECT doc_id, w, len(w) - 9 AS n_windows FROM w
+        |  WHERE len(w) >= 10),
+        |s AS (SELECT doc_id, n_windows::BIGINT AS n_windows,
+        |  list_sum([len(list_distinct(w[i:i+9]))
+        |    FOR i IN range(1, n_windows + 1)])::BIGINT AS sd
+        |  FROM f)
+        |SELECT doc_id, n_windows,
+        |  sd::DOUBLE / (n_windows * 10) AS mattr
+        |FROM s""".stripMargin,
     "t16_readability" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents),

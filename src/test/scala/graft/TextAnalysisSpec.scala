@@ -210,4 +210,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_syl") === 7.0 / 4)
     assert(r.getAs[Double]("complex_frac") === 1.0 / 4)
   }
+
+  test("mattr: windowed distinct fractions, short docs drop") {
+    val docs = Seq(
+      // 4 words, window 3: windows [a b a] (2 distinct), [b a b]
+      // (2 distinct) → mattr = 4 / (2·3)
+      (0L, "a b a b"),
+      // all distinct → mattr 1.0
+      (1L, "p q r s"),
+      (2L, "too short")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.mattr(docs, window = 3)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out === Array((0L, 2L, 4.0 / 6), (1L, 2L, 1.0)))
+  }
 }
