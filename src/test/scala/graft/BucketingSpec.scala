@@ -56,4 +56,23 @@ class BucketingSpec extends SparkSpec {
     s.sql("DROP TABLE IF EXISTS orders_b")
     s.sql("DROP TABLE IF EXISTS lineitem_b")
   }
+
+  test("hive-partitioned layout prunes non-matching partitions at scan") {
+    val dir = Files.createTempDirectory("parted").toString + "/events"
+    Tables.load(spark, sf0001, "events")
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"))
+    val plan = q.queryExecution.executedPlan.toString
+    // the predicate lands in PartitionFilters (directory-level skip,
+    // no data read from other event types), not a post-scan Filter
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.split("\n").exists(l =>
+      l.contains("PartitionFilters") && l.contains("event_type")))
+    // and only the matching partition's rows flow
+    val expected = Tables.load(spark, sf0001, "events")
+      .filter(col("event_type") === "click").count()
+    assert(q.count() === expected)
+  }
 }
