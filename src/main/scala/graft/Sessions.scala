@@ -23,6 +23,17 @@ object Sessions {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.adaptive.enabled", "true")
+    // Coalesce small post-shuffle partitions by SIZE, not up to the
+    // default parallelism: the iterative operators (pagerank, pointer
+    // jumping, BFS, k-core) run many rounds of node-sized shuffles,
+    // and at parallelismFirst=true every one of those rounds schedules
+    // `cpus` near-empty tasks per stage — pure scheduler overhead at
+    // local[32], and the same pathology 1000 executors would see on a
+    // 100-partition iteration table. Size-based coalescing collapses
+    // them to one task while leaving genuinely large shuffles at full
+    // width (they exceed advisoryPartitionSizeInBytes).
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+      "false")
     .config("spark.sql.parquet.aggregatePushdown", "true")
     .config("spark.ui.enabled", "false")
 
