@@ -514,6 +514,14 @@ object SparkEntry {
     // Moving-average type-token ratio (length-robust lexical diversity).
     "t17_mattr" -> ((s, dir) =>
       TextAnalysis.mattr(t(s, dir, "documents"))),
+    // LSH banding calibration: analytic detection curve vs actual
+    // candidate flags over all capped source-blocked pairs.
+    "d19_lsh_curve" -> ((s, dir) =>
+      Dedup.lshDetectionCurve(t(s, dir, "documents"))),
+    // ViT patch/token accounting + budget gate per image.
+    "m08_vision_tokens" -> ((s, dir) =>
+      Multimodal.visionTokens(
+        Multimodal.decodeMeta(t(s, dir, "documents")))),
     // Aspect-ratio bucketing (exact integer nearest-ratio argmin).
     "m07_aspect_bucket" -> ((s, dir) =>
       Multimodal.aspectBuckets(
@@ -2430,6 +2438,61 @@ object SparkEntry {
          |    AND greatest(width, height)::DOUBLE / least(width, height)
          |      <= 2.0
          |    AND byte_len >= 64 AS image_ok
+         |FROM meta""".stripMargin,
+    // lshDetectionCurve mirror: d05's capped block-pair CTE on
+    // k-shingle sets + the d03 candidate CTE left-joined on the pair
+    // key; the polynomial stays left-associated multiplication in
+    // both engines (no pow()).
+    "d19_lsh_curve" -> {
+      import graft.functions.Canon.{AffineA, AffineB, MersenneP => P}
+      val sigs = (0 until 8).map(s =>
+        s"  list_min([(h * ${AffineA(s)} + ${AffineB(s)}) % $P FOR h IN hs]) AS m$s")
+        .mkString(",\n")
+      val bands = (0 until 4).map(j =>
+        s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
+      val miss = "(1.0 - jaccard * jaccard)"
+      s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w
+         |  FROM documents),
+         |hw AS (SELECT doc_id, source,
+         |  [${h60("x")} % $P FOR x IN w] AS hw FROM w),
+         |hb AS (SELECT doc_id, source,
+         |  [((hw[i]*31 + hw[i+1])*31 + hw[i+2]) % $P
+         |   FOR i IN range(1, len(hw)-1)] AS hs FROM hw),
+         |dsx AS (SELECT doc_id, source, list_distinct(hs) AS ds
+         |  FROM hb WHERE len(hs) > 0),
+         |small AS (SELECT source FROM documents
+         |  GROUP BY source HAVING count(*) <= 10000),
+         |d AS (SELECT dsx.* FROM dsx JOIN small USING (source)),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  len(list_intersect(a.ds, b.ds)) /
+         |    (len(a.ds) + len(b.ds) - len(list_intersect(a.ds, b.ds)))
+         |    AS jaccard
+         |  FROM d a JOIN d b
+         |  ON a.source = b.source AND a.doc_id < b.doc_id),
+         |sig AS (SELECT doc_id,
+         |$sigs
+         | FROM hb),
+         |banded AS (SELECT doc_id,
+         |  unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig WHERE m0 IS NOT NULL),
+         |$cappedCte,
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM capped a JOIN capped b
+         |  ON a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT p.doc_a, p.doc_b, p.jaccard,
+         |  1.0 - $miss * $miss * $miss * $miss AS p_detect,
+         |  cand.doc_a IS NOT NULL AS was_candidate
+         |FROM p LEFT JOIN cand
+         | ON p.doc_a = cand.doc_a AND p.doc_b = cand.doc_b""".stripMargin
+    },
+    // visionTokens mirror: the m02 stub CTE + patch-grid arithmetic.
+    "m08_vision_tokens" ->
+      s"""WITH h AS (SELECT doc_id, ${h60("text")} AS h FROM documents),
+         |meta AS (SELECT doc_id, 64 + h % 193 AS width,
+         |  64 + (h // 193) % 129 AS height FROM h)
+         |SELECT doc_id, width, height,
+         |  (width // 32) * (height // 32) AS n_patches,
+         |  (width // 32) * (height // 32) + 1 AS vision_tokens,
+         |  (width // 32) * (height // 32) + 1 <= 64 AS fits_budget
          |FROM meta""".stripMargin,
     // mattr mirror: same bounded window walk as a list comprehension;
     // the mean stays rational (Σ distinct over window·n_windows).

@@ -716,6 +716,54 @@ object Dedup {
         abs(col("est_jaccard") - col("exact_jaccard")))
   }
 
+  /** LSH banding calibration: over ALL source-blocked pairs (capped,
+    * the d05 shape) with their exact k-shingle Jaccard, the ANALYTIC
+    * detection probability of the 4-band × 2-row layout —
+    * p = 1 − (1 − j²)⁴ — next to the pair's ACTUAL candidate flag from
+    * [[lshCandidatePairs]]. High-j pairs with `was_candidate = false`
+    * are the banding's false negatives; the (j, p, flag) triples are
+    * the empirical S-curve an LSH tuning decision reads
+    * ([[jaccardEstimatePairs]] calibrates the estimator, this
+    * calibrates the CANDIDATE FILTER).
+    *
+    * Determinism: j is exact-int-over-int; the polynomial is 5
+    * correctly-rounded IEEE ops (squares and products — no pow()
+    * libm call). Shape: the d05 capped block join + the d03 banded
+    * candidate set left-joined on the pair key — nothing new is
+    * all-pairs.
+    */
+  def lshDetectionCurve(documents: DataFrame, k: Int = 3,
+                        maxBlock: Int = 10000): DataFrame = {
+    val hw = documents.select(col("doc_id"), col("source"),
+      transform(Canon.words(col("text")), w => Canon.hashP(w)).as("hw"))
+    val raw = hw.select(col("doc_id"), col("source"),
+      sort_array(array_distinct(Canon.shingleHashes(col("hw"), k)))
+        .as("ds"))
+      .filter(size(col("ds")) > 0)
+    val blockSizes = documents.groupBy(col("source"))
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") <= maxBlock)
+      .select(col("source"))
+    val d = raw.join(broadcast(blockSizes), Seq("source"), "left_semi")
+    val pairs = d.as("a")
+      .join(d.as("b"),
+        col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(col("a.ds")).as("sa"), size(col("b.ds")).as("sb"),
+        Canon.sortedIntersectCount(col("a.ds"), col("b.ds")).as("i"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("i") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
+    val cand = lshCandidatePairs(minhashSignature(documents))
+      .select(col("doc_a"), col("doc_b"), lit(1).as("_c"))
+    val j = col("jaccard")
+    val miss = lit(1.0d) - j * j
+    pairs.join(cand, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        (lit(1.0d) - miss * miss * miss * miss).as("p_detect"),
+        col("_c").isNotNull.as("was_candidate"))
+  }
+
   /** Cluster-size histogram over a (doc_id, cluster_rep) labeling —
     * the dedup summary a curation report leads with: for each cluster
     * size, how many clusters and how many documents, and the docs that

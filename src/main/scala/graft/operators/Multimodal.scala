@@ -177,6 +177,23 @@ object Multimodal {
     ("1:1", 1L, 1L), ("5:4", 5L, 4L), ("4:3", 4L, 3L),
     ("3:2", 3L, 2L), ("16:9", 16L, 9L), ("2:1", 2L, 1L))
 
+  /** ViT token accounting over decoded metadata: patches per image at
+    * a fixed patch size plus the CLS token — the budget number a
+    * multimodal mixture plan needs per image (vision tokens compete
+    * with text tokens for context), with a fits-budget gate for the
+    * packing stage. Row-local integer math; the multimodal twin of
+    * TextAnalysis.tokenCounts.
+    */
+  def visionTokens(decoded: DataFrame, patch: Int = 32,
+                   maxTokens: Long = 64L): DataFrame =
+    decoded
+      .select(col("doc_id"), col("width"), col("height"),
+        (expr(s"width div $patch") * expr(s"height div $patch"))
+          .as("n_patches"))
+      .select(col("doc_id"), col("width"), col("height"),
+        col("n_patches"), (col("n_patches") + 1L).as("vision_tokens"))
+      .withColumn("fits_budget", col("vision_tokens") <= maxTokens)
+
   /** Aspect-ratio bucketing over decoded metadata: each image is
     * assigned the nearest ladder ratio (long:short side) plus its
     * orientation — the batching key that lets a vision trainer group

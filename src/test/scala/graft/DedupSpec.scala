@@ -295,6 +295,22 @@ class DedupSpec extends SparkSpec {
     assert(out === Array((0L, 1L, 1.0, 1.0, 0.0)))
   }
 
+  test("lshDetectionCurve: analytic curve brackets the candidate flag") {
+    val text = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (0L, text, "web"), (1L, text, "web"),
+      (2L, "zeta eta theta iota kappa", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = Dedup.lshDetectionCurve(docs)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    // identical docs: j = 1, p = 1, and the banding must find them
+    assert(out((0L, 1L)) === ((1.0, 1.0, true)))
+    // disjoint docs: j = 0, p = 0, not candidates
+    assert(out((0L, 2L)) === ((0.0, 0.0, false)))
+    assert(out((1L, 2L)) === ((0.0, 0.0, false)))
+  }
+
   test("clusterSizeHistogram: sizes, cluster counts, removable docs") {
     // two clusters of 2 and one cluster of 3
     val clusters = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L),

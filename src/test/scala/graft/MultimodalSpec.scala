@@ -59,6 +59,19 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("visionTokens: patch grid + CLS, budget gate binds") {
+    val decoded = Seq(
+      (1L, 64L, 64L),    // 2×2 patches → 5 tokens, fits
+      (2L, 256L, 256L),  // 8×8 → 65 tokens, over the 64 budget
+      (3L, 31L, 100L)    // narrower than one patch → 0 patches, 1 token
+    ).toDF("doc_id", "width", "height")
+    val out = Multimodal.visionTokens(decoded)
+      .select("doc_id", "n_patches", "vision_tokens", "fits_budget")
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(out === Array(
+      (1L, 4L, 5L, true), (2L, 64L, 65L, false), (3L, 0L, 1L, true)))
+  }
+
   test("aspectBuckets: exact nearest-ratio argmin with ladder tie-break") {
     val decoded = Seq(
       (1L, 100L, 100L),  // exactly 1:1
