@@ -522,6 +522,10 @@ object SparkEntry {
     "m08_vision_tokens" -> ((s, dir) =>
       Multimodal.visionTokens(
         Multimodal.decodeMeta(t(s, dir, "documents")))),
+    // Positional duplicated-window fraction (exact-substring dedup's
+    // measurement pass; catches in-document repetition too).
+    "d20_window_dup" -> ((s, dir) =>
+      Dedup.windowDupFrac(t(s, dir, "documents"))),
     // Aspect-ratio bucketing (exact integer nearest-ratio argmin).
     "m07_aspect_bucket" -> ((s, dir) =>
       Multimodal.aspectBuckets(
@@ -2483,6 +2487,27 @@ object SparkEntry {
          |  cand.doc_a IS NOT NULL AS was_candidate
          |FROM p LEFT JOIN cand
          | ON p.doc_a = cand.doc_a AND p.doc_b = cand.doc_b""".stripMargin
+    },
+    // windowDupFrac mirror: t10's CTE shape WITHOUT the per-doc
+    // distinct (positions keep multiplicity) at k=5, dup = count > 1.
+    "d20_window_dup" -> {
+      import graft.functions.Canon.{MersenneP => P}
+      s"""WITH w AS (SELECT doc_id,
+         |  [${h60("x")} % $P FOR x IN string_split(text, ' ')] AS hw
+         | FROM documents),
+         |s AS (SELECT doc_id,
+         |  [((((hw[i]*31 + hw[i+1])*31 + hw[i+2])*31 + hw[i+3])*31
+         |     + hw[i+4]) % $P
+         |   FOR i IN range(1, len(hw)-3)] AS sh FROM w),
+         |x AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+         |dup AS (SELECT sh FROM x GROUP BY sh HAVING count(*) > 1),
+         |pd AS (SELECT x.doc_id, count(*) AS n_windows,
+         |  count(dup.sh) AS n_dup_windows
+         | FROM x LEFT JOIN dup ON x.sh = dup.sh
+         | GROUP BY x.doc_id)
+         |SELECT doc_id, n_windows, n_dup_windows,
+         | n_dup_windows::DOUBLE / n_windows AS dup_frac
+         |FROM pd""".stripMargin
     },
     // visionTokens mirror: the m02 stub CTE + patch-grid arithmetic.
     "m08_vision_tokens" ->

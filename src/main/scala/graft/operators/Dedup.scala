@@ -764,6 +764,42 @@ object Dedup {
         col("_c").isNotNull.as("was_candidate"))
   }
 
+  /** Position-level duplicated-window fraction (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): per
+    * document, the share of its word-`k`-window POSITIONS whose window
+    * content occurs more than once in the corpus — including
+    * repetitions inside the same document, which [[segmentDedup]]'s
+    * aligned segments and boilerplateFrac's per-doc DISTINCT shingles
+    * both miss. This is the measurement pass of exact-substring dedup
+    * (the removal pass is segmentDedup); docs above a dup_frac
+    * threshold are near-verbatim rehashes of corpus content.
+    *
+    * Shape: the t10 discipline — the corpus-wide positional window
+    * explode is the heaviest derived table, so it is materialized ONCE
+    * (localCheckpoint) and scanned twice: the window-count aggregate
+    * (map-side combinable, Zipf-small survivors of `> 1`) and the
+    * marker-join probe fused with the per-doc aggregate into one
+    * groupBy. Two shuffles at any scale.
+    */
+  def windowDupFrac(documents: DataFrame, k: Int = 5): DataFrame = {
+    val hw = documents.select(col("doc_id"),
+      transform(Canon.words(col("text")), w => Canon.hashP(w)).as("hw"))
+    val sh = hw.select(col("doc_id"),
+      explode(Canon.shingleHashes(col("hw"), k)).as("sh"))
+      .localCheckpoint()
+    val dup = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(col("sh"), lit(1).as("_dup"))
+    sh.join(dup, Seq("sh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        count(col("_dup")).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        (col("n_dup_windows").cast("double") / col("n_windows"))
+          .as("dup_frac"))
+  }
+
   /** Cluster-size histogram over a (doc_id, cluster_rep) labeling —
     * the dedup summary a curation report leads with: for each cluster
     * size, how many clusters and how many documents, and the docs that

@@ -311,6 +311,21 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) === ((0.0, 0.0, false)))
   }
 
+  test("windowDupFrac: cross-doc and IN-doc repeated windows count") {
+    val docs = Seq(
+      (0L, "a b c d e f"),   // windows [a..e],[b..f]; first shared
+      (1L, "a b c d e x"),   // windows [a..e],[b..x]; first shared
+      // 3× repetition of a 5-word phrase: EVERY window content
+      // recurs, so dup_frac = 1.0 — invisible to distinct-shingle
+      // boilerplate but caught positionally
+      (2L, "p q r s t p q r s t p q r s t")
+    ).toDF("doc_id", "text")
+    val out = Dedup.windowDupFrac(docs)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out === Array(
+      (0L, 2L, 1L, 0.5), (1L, 2L, 1L, 0.5), (2L, 11L, 11L, 1.0)))
+  }
+
   test("clusterSizeHistogram: sizes, cluster counts, removable docs") {
     // two clusters of 2 and one cluster of 3
     val clusters = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L),
