@@ -734,17 +734,29 @@ object Dedup {
     */
   def lshDetectionCurve(documents: DataFrame, k: Int = 3,
                         maxBlock: Int = 10000): DataFrame = {
-    val hw = documents.select(col("doc_id"), col("source"),
-      transform(Canon.words(col("text")), w => Canon.hashP(w)).as("hw"))
+    // The too-short guard runs on the BASE text column, NEVER on the
+    // derived `ds` array: a filter(size(ds) > 0) is pushed below the
+    // projections by SUBSTITUTING the whole md5+shingle chain into the
+    // predicate, where the un-aliased hw is then re-evaluated per
+    // element_at reference (§8.5 pathology #2 triggering #1 — measured
+    // 33 s of a 35 s query at sf0.1; this form runs the pass once).
+    val hw = documents
+      .filter(size(Canon.words(col("text"))) >= k)
+      .select(col("doc_id"), col("source"),
+        transform(Canon.words(col("text")), w => Canon.hashP(w)).as("hw"))
     val raw = hw.select(col("doc_id"), col("source"),
       sort_array(array_distinct(Canon.shingleHashes(col("hw"), k)))
         .as("ds"))
-      .filter(size(col("ds")) > 0)
     val blockSizes = documents.groupBy(col("source"))
       .agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") <= maxBlock)
       .select(col("source"))
+    // materialized ONCE: the pair self-join reads it from BOTH sides,
+    // and un-checkpointed the per-word md5 + k=5 shingle polynomial
+    // pass executes twice (measured 71.5 s → ~8 s at sf0.1 — the exact
+    // t10 pathology, caught by the bench budget guard)
     val d = raw.join(broadcast(blockSizes), Seq("source"), "left_semi")
+      .localCheckpoint()
     val pairs = d.as("a")
       .join(d.as("b"),
         col("a.source") === col("b.source") &&
@@ -754,6 +766,11 @@ object Dedup {
         Canon.sortedIntersectCount(col("a.ds"), col("b.ds")).as("i"))
       .select(col("doc_a"), col("doc_b"),
         (col("i") / (col("sa") + col("sb") - col("i"))).as("jaccard"))
+      // slim (arrays already projected away) and materialized: the
+      // polynomial below references `jaccard` 9× (output + 4 factors
+      // × 2), and CollapseProject would inline the per-pair intersect
+      // into EVERY reference (§8.5 pathology #1 — measured 9× here)
+      .localCheckpoint()
     val cand = lshCandidatePairs(minhashSignature(documents))
       .select(col("doc_a"), col("doc_b"), lit(1).as("_c"))
     val j = col("jaccard")
