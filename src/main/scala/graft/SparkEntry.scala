@@ -526,6 +526,9 @@ object SparkEntry {
     // measurement pass; catches in-document repetition too).
     "d20_window_dup" -> ((s, dir) =>
       Dedup.windowDupFrac(t(s, dir, "documents"))),
+    // Easy-to-hard curriculum position (two-stage global rank).
+    "p13_curriculum" -> ((s, dir) =>
+      Pipeline.curriculumOrder(t(s, dir, "documents"))),
     // Aspect-ratio bucketing (exact integer nearest-ratio argmin).
     "m07_aspect_bucket" -> ((s, dir) =>
       Multimodal.aspectBuckets(
@@ -2488,6 +2491,18 @@ object SparkEntry {
          |FROM p LEFT JOIN cand
          | ON p.doc_a = cand.doc_a AND p.doc_b = cand.doc_b""".stripMargin
     },
+    // curriculumOrder mirror: single global window (fine at oracle
+    // scale) over the same (difficulty, md5, id) total order.
+    "p13_curriculum" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_sum([len(x) FOR x IN string_split(text, ' ')])
+        |    ::BIGINT::DOUBLE / len(string_split(text, ' '))
+        |    AS difficulty,
+        |  md5(text) AS tb FROM documents)
+        |SELECT doc_id, difficulty,
+        |  row_number() OVER (ORDER BY difficulty, tb, doc_id)
+        |    AS curriculum_pos
+        |FROM d""".stripMargin,
     // windowDupFrac mirror: t10's CTE shape WITHOUT the per-doc
     // distinct (positions keep multiplicity) at k=5, dup = count > 1.
     "d20_window_dup" -> {

@@ -410,6 +410,44 @@ object Pipeline {
       .select(col("doc_id"), col("n_tokens"))
   }
 
+  /** Curriculum order: a global easy-to-hard training position for
+    * every document, difficulty = mean word length (exact-int ratio —
+    * the deterministic stand-in for a model difficulty score), ties
+    * broken by content hash then id so the order is total. The
+    * curriculum-learning counterpart of [[epochOrder]]'s round-robin.
+    *
+    * The GLOBAL position is the two-stage template (t06/q35/p10):
+    * range-repartition by the order key so partition i holds a
+    * contiguous position range, rank within partitions, offset by the
+    * tiny triangular prefix of partition counts — no partition-less
+    * window, no single-task sort, scales with partitions.
+    */
+  def curriculumOrder(documents: DataFrame,
+                      numPartitions: Int = 32): DataFrame = {
+    val w = Canon.words(col("text"))
+    val base = documents.select(col("doc_id"),
+      (aggregate(w, lit(0L), (acc, x) => acc + length(x))
+        .cast("double") / size(w)).as("difficulty"),
+      md5(col("text")).as("_tb"))
+      .localCheckpoint() // the range sampler evaluates its child twice
+    val parted = base
+      .repartitionByRange(numPartitions,
+        col("difficulty").asc, col("_tb").asc, col("doc_id").asc)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid"))
+      .orderBy(col("difficulty"), col("_tb"), col("doc_id"))
+    val local = parted.withColumn("_r", row_number().over(wLocal))
+    val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(coalesce(sum(col("b._cnt")), lit(0L)).as("_off"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      .select(col("doc_id"), col("difficulty"),
+        (col("_off") + col("_r")).as("curriculum_pos"))
+  }
+
   /** Corpus mixture report ("data card"): per (lang, source) cell, doc
     * and token counts plus each cell's share of the corpus — the table
     * a mixture plan (p04/p07) is tuned against and the first thing a

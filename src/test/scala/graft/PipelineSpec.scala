@@ -136,6 +136,22 @@ class PipelineSpec extends SparkSpec {
     assert(kept.map(_._1) === Array(1L, 2L, 3L))
   }
 
+  test("curriculumOrder: easy-to-hard total order, gapless positions") {
+    val docs = Seq(
+      (0L, "aa aa"),  // mean 2
+      (1L, "b b"),    // mean 1 → first
+      (2L, "cccc")    // mean 4 → last
+    ).toDF("doc_id", "text")
+    val out = Pipeline.curriculumOrder(docs)
+      .as[(Long, Double, Long)].collect().sortBy(_._3)
+    assert(out.map(_._1) === Array(1L, 0L, 2L))
+    assert(out.map(_._3) === Array(1L, 2L, 3L))
+    // deterministic under any input partitioning
+    val rep = Pipeline.curriculumOrder(docs.repartition(5))
+      .as[(Long, Double, Long)].collect().sortBy(_._3)
+    assert(rep === out)
+  }
+
   test("corpusReport: cell counts and corpus shares") {
     val docs = Seq(
       (0L, "a b c", "en", "web"), (1L, "d e", "en", "web"),
