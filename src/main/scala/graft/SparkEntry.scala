@@ -529,6 +529,9 @@ object SparkEntry {
     // Easy-to-hard curriculum position (two-stage global rank).
     "p13_curriculum" -> ((s, dir) =>
       Pipeline.curriculumOrder(t(s, dir, "documents"))),
+    // Embedding L2-norm histogram (degenerate/unnormalized-vector QA).
+    "s15_norm_hist" -> ((s, dir) =>
+      Similarity.normHistogram(t(s, dir, "embeddings"))),
     // Aspect-ratio bucketing (exact integer nearest-ratio argmin).
     "m07_aspect_bucket" -> ((s, dir) =>
       Multimodal.aspectBuckets(
@@ -2491,6 +2494,13 @@ object SparkEntry {
          |FROM p LEFT JOIN cand
          | ON p.doc_a = cand.doc_a AND p.doc_b = cand.doc_b""".stripMargin
     },
+    // normHistogram mirror: the shared embedding-norm CTE + floor
+    // bucketing (sqrt correctly rounded in both engines).
+    "s15_norm_hist" ->
+      (embCte +
+        """SELECT floor(nrm * 16)::BIGINT AS bucket,
+          |  count(*) AS n_vectors
+          |FROM n GROUP BY 1""".stripMargin),
     // curriculumOrder mirror: single global window (fine at oracle
     // scale) over the same (difficulty, md5, id) total order.
     "p13_curriculum" ->

@@ -610,6 +610,20 @@ object Similarity {
       .filter(col("sim") >= tau)
   }
 
+  /** Embedding-norm histogram: vector counts per fixed-width L2-norm
+    * bucket (floor(norm·scale)) — the first QA view over an embedding
+    * table: a spike at bucket 0 is degenerate/zero vectors, a spread
+    * instead of a single bucket means the encoder output is not
+    * normalized and cosine vs dot-product choices matter downstream.
+    * One map-side-combinable aggregate over the scan; sqrt is IEEE
+    * correctly-rounded in both engines, so the bucket ids hash-gate.
+    */
+  def normHistogram(embeddings: DataFrame, scale: Int = 16): DataFrame =
+    prepared(embeddings)
+      .select(floor(col("nrm") * scale).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vectors"))
+
   /** Matryoshka-style truncation probe: recall@k of a search run on
     * only the FIRST `dims` embedding components against the full-dim
     * exact baseline — the dial that tells a pipeline how far it can

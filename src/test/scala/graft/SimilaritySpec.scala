@@ -277,6 +277,18 @@ class SimilaritySpec extends SparkSpec {
     assert(out.filter(!_._4).map(_._1).toSeq === Seq(2L))
   }
 
+  test("normHistogram: known norms land in their buckets") {
+    val emb = Seq(
+      (0L, Array(3.0f, 4.0f), 0),   // norm 5.0  → bucket 80
+      (1L, Array(0.0f, 0.0f), 0),   // zero      → bucket 0
+      (2L, Array(1.0f, 0.0f), 0),   // norm 1.0  → bucket 16
+      (3L, Array(0.0f, 1.0f), 0)    // norm 1.0  → bucket 16
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.normHistogram(emb)
+      .as[(Long, Long)].collect().toMap
+    assert(out === Map(0L -> 1L, 16L -> 2L, 80L -> 1L))
+  }
+
   test("truncatedRecall: prefix-carried structure keeps recall 1, " +
     "tail-carried structure loses it") {
     // structure lives entirely in the first 2 dims → truncation to 2
