@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize.MatOps
 
 import graft.functions.Canon
 
@@ -286,7 +287,7 @@ object Dedup {
     // The union itself stays lazy — two scans of the small cached pair
     // list per round beat a second materialization.
     val p = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .localCheckpoint()
+      .materialized
     val sym = p.union(p.select(col("b").as("a"), col("a").as("b")))
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("lab", col("node"))
@@ -307,7 +308,7 @@ object Dedup {
         .union(viaEdges)
         .groupBy(col("node"))
         .agg(min(col("lab")).as("lab"), max(col("_old")).as("_old"))
-        .localCheckpoint() // truncate the growing iterative lineage
+        .materialized // truncate the growing iterative lineage
       converged = next.filter(col("lab") =!= col("_old")).isEmpty
       labels = next.select(col("node"), col("lab"))
       i += 1
@@ -324,7 +325,7 @@ object Dedup {
     * rounds where plain propagation needs 1M. This is the
     * billion-edge path the dupClusters scaladoc promises; the
     * per-round cost adds one node-sized hash join to the edge-sized
-    * propagate, and each round's result is localCheckpoint'd to keep
+    * propagate, and each round's result is materialized to keep
     * the iterative lineage flat.
     *
     * Output is identical to dupClusters (component min labels) — the
@@ -334,11 +335,11 @@ object Dedup {
     // same directed-pairs-first materialization as dupClusters: the
     // symmetric union would otherwise run candidate generation twice
     val p = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .localCheckpoint()
+      .materialized
     val sym = p.union(p.select(col("b").as("a"), col("a").as("b")))
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("lab", col("node"))
-      .localCheckpoint()
+      .materialized
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -352,7 +353,7 @@ object Dedup {
       val prop = labels.select(col("node"), col("lab"))
         .union(viaEdges)
         .groupBy(col("node")).agg(min(col("lab")).as("lab"))
-        .localCheckpoint()
+        .materialized
       // jump: lab(u) ← lab(lab(u)). Every label IS a node id, so the
       // lookup always hits; coalesce guards the impossible miss.
       // The PRE-ROUND label rides along as _old and the jump result is
@@ -367,7 +368,7 @@ object Dedup {
       val next = prop.join(byLab, col("lab") === col("_ln"), "left")
         .select(col("node"), coalesce(col("_lab2"), col("lab")).as("lab"))
         .join(old, Seq("node"))
-        .localCheckpoint()
+        .materialized
       converged = next.filter(col("lab") =!= col("_old")).isEmpty
       labels = next.select(col("node"), col("lab"))
       i += 1
@@ -543,7 +544,7 @@ object Dedup {
                         maxBlock: Int = 10000): DataFrame = {
     val sizes = embeddings.groupBy(col("label"))
       .agg(count(lit(1)).as("_bsz"))
-      .localCheckpoint() // label-sized; computed once for keep + skip
+      .materialized // label-sized; computed once for keep + skip
     val skipped = sizes.filter(col("_bsz") > maxBlock).count()
     if (skipped > 0)
       log.warn(s"embeddingNearDups: skipping $skipped label block(s) over " +
@@ -683,7 +684,7 @@ object Dedup {
     * signature width / band layout hits the intended threshold (the
     * sketch analog of Similarity's s11 ANN-recall measurement).
     *
-    * Shape: the signature is materialized ONCE (localCheckpoint) —
+    * Shape: the signature is materialized ONCE (Materialize seam) —
     * it feeds the banding AND both join sides, and inlined it would be
     * recomputed three times (the t10 lesson); the distinct-shingle
     * arrays likewise feed two sides. Both enrichment joins are
@@ -694,13 +695,13 @@ object Dedup {
     */
   def jaccardEstimatePairs(documents: DataFrame, nSeeds: Int = 8,
                            k: Int = 3): DataFrame = {
-    val sig = minhashSignature(documents, nSeeds, k).localCheckpoint()
+    val sig = minhashSignature(documents, nSeeds, k).materialized
     val pairs = lshCandidatePairs(sig)
     val hw = documents.select(col("doc_id"),
       transform(Canon.words(col("text")), w => Canon.hashP(w)).as("hw"))
     val ds = hw.select(col("doc_id"),
       array_distinct(Canon.shingleHashes(col("hw"), k)).as("ds"))
-    val side = sig.join(ds, Seq("doc_id")).localCheckpoint()
+    val side = sig.join(ds, Seq("doc_id")).materialized
     val agree = (0 until nSeeds).map(s =>
       when(col(s"a.m$s") === col(s"b.m$s"), 1).otherwise(0))
       .reduce(_ + _)
@@ -756,7 +757,7 @@ object Dedup {
     // pass executes twice (measured 71.5 s → ~8 s at sf0.1 — the exact
     // t10 pathology, caught by the bench budget guard)
     val d = raw.join(broadcast(blockSizes), Seq("source"), "left_semi")
-      .localCheckpoint()
+      .materialized
     val pairs = d.as("a")
       .join(d.as("b"),
         col("a.source") === col("b.source") &&
@@ -770,7 +771,7 @@ object Dedup {
       // polynomial below references `jaccard` 9× (output + 4 factors
       // × 2), and CollapseProject would inline the per-pair intersect
       // into EVERY reference (§8.5 pathology #1 — measured 9× here)
-      .localCheckpoint()
+      .materialized
     val cand = lshCandidatePairs(minhashSignature(documents))
       .select(col("doc_a"), col("doc_b"), lit(1).as("_c"))
     val j = col("jaccard")
@@ -793,7 +794,7 @@ object Dedup {
     *
     * Shape: the t10 discipline — the corpus-wide positional window
     * explode is the heaviest derived table, so it is materialized ONCE
-    * (localCheckpoint) and scanned twice: the window-count aggregate
+    * (Materialize seam) and scanned twice: the window-count aggregate
     * (map-side combinable, Zipf-small survivors of `> 1`) and the
     * marker-join probe fused with the per-doc aggregate into one
     * groupBy. Two shuffles at any scale.
@@ -803,7 +804,7 @@ object Dedup {
       transform(Canon.words(col("text")), w => Canon.hashP(w)).as("hw"))
     val sh = hw.select(col("doc_id"),
       explode(Canon.shingleHashes(col("hw"), k)).as("sh"))
-      .localCheckpoint()
+      .materialized
     val dup = sh.groupBy(col("sh"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") > 1)
@@ -815,6 +816,37 @@ object Dedup {
       .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
         (col("n_dup_windows").cast("double") / col("n_windows"))
           .as("dup_frac"))
+  }
+
+  /** The ACTING half of exact-substring dedup: keep only documents
+    * whose [[windowDupFrac]] duplicated-window share is at or below
+    * `tau` (Lee et al. 2022 drop near-verbatim rehashes at the
+    * position level; doc-granularity removal is the variant that
+    * composes with the d12/d16 keep-list machinery). Documents too
+    * short to form a single `k`-window carry no duplication evidence
+    * and are KEPT (n_windows = 0, dup_frac = 0.0).
+    *
+    * Scale shape: the measurement pass is d20's two-shuffle plan
+    * unchanged (positional explode materialized once, window-count
+    * aggregate, fused probe+per-doc aggregate); the removal adds one
+    * doc_id-keyed left join of the corpus against the doc-sized frac
+    * table plus a row-local threshold filter — the join is the only
+    * new shuffle, and AQE broadcasts it when the frac table is small.
+    * Returns the surviving corpus rows with their dup statistics, so
+    * the output feeds the next pipeline stage directly.
+    */
+  def windowDupRemoval(documents: DataFrame, k: Int = 5,
+                       tau: Double = 0.5): DataFrame = {
+    val frac = windowDupFrac(documents, k)
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        col("dup_frac"))
+    documents.select(col("doc_id"), col("text"))
+      .join(frac, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_frac"), lit(0.0d)).as("dup_frac"))
+      .filter(col("dup_frac") <= tau)
   }
 
   /** Cluster-size histogram over a (doc_id, cluster_rep) labeling —

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materialize.MatOps
 
 /** Property-graph ETL surface (SURVEY.md §2.1, §2.9, §2.10).
   *
@@ -239,7 +240,7 @@ object GraphEtl {
     // time — without this the whole upstream edge construction (for
     // g11, the co-supplier pair join) executes 3×. Same discipline as
     // pageRankFixedPoint's edge materialization.
-    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    val e = edges.select(col("a"), col("b")).distinct().materialized
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     // Orient by (degree, id): rk is the total-order key, unique per
@@ -254,7 +255,7 @@ object GraphEtl {
     // Wedges around the low vertex, ordered so (v, w) matches the
     // closing edge's own orientation; materialized once — both sides
     // of the wedge self-join and the closing probe reuse it.
-    val o = oriented.localCheckpoint()
+    val o = oriented.materialized
     val wedges = o.as("e1")
       .join(o.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.rkd") < col("e2.rkd"))
@@ -286,7 +287,7 @@ object GraphEtl {
     * The division is exact-int over double — engine-deterministic.
     */
   def edgeJaccard(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    val e = edges.select(col("a"), col("b")).distinct().materialized
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val withRk = e
@@ -296,7 +297,7 @@ object GraphEtl {
       when(col("rka") < col("rkb"), col("a")).otherwise(col("b")).as("src"),
       when(col("rka") < col("rkb"), col("b")).otherwise(col("a")).as("dst"),
       when(col("rka") < col("rkb"), col("rkb")).otherwise(col("rka")).as("rkd"))
-    val o = oriented.localCheckpoint()
+    val o = oriented.materialized
     val wedges = o.as("e1")
       .join(o.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.rkd") < col("e2.rkd"))
@@ -342,7 +343,7 @@ object GraphEtl {
     * division — engine-deterministic.
     */
   def localClustering(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    val e = edges.select(col("a"), col("b")).distinct().materialized
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val tri = triangleCounts(e)
@@ -376,7 +377,7 @@ object GraphEtl {
     * row per partition.
     */
   def degreeAssortativity(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    val e = edges.select(col("a"), col("b")).distinct().materialized
     val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
@@ -417,11 +418,11 @@ object GraphEtl {
     // join, and both vertex branches all re-read it — without this the
     // upstream edge-construction plan executes once per consumer.
     val e = edges.select(col("_from").as("src"), col("_to").as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().materialized
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(outDeg, "src").localCheckpoint()
+    val eDeg = e.join(outDeg, "src").materialized
     val vertices = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct().localCheckpoint()
+      .union(e.select(col("dst").as("v"))).distinct().materialized
     var ranks = vertices.withColumn("rank", lit(1000000L))
     (1 to iters).foreach { i =>
       val inbound = eDeg.join(ranks, eDeg("src") === ranks("v"))
@@ -437,7 +438,7 @@ object GraphEtl {
       // 3-iteration plan generated enough code that one-shot janino
       // compilation cost 3× the actual compute — and truncates the
       // iterative lineage for deep runs
-      if (i < iters) ranks = ranks.localCheckpoint()
+      if (i < iters) ranks = ranks.materialized
     }
     ranks.select(col("v").as("vertex"), col("rank"))
   }
@@ -453,18 +454,18 @@ object GraphEtl {
     *
     * Shape identical to g10: one degree join + one aggregate per
     * round over a once-materialized edge list, per-round
-    * localCheckpoint keeping each compiled plan one-iteration shallow.
+    * Materialize keeping each compiled plan one-iteration shallow.
     */
   def personalizedPageRank(edges: DataFrame, isSeed: Column,
                            iters: Int = 3): DataFrame = {
     val e = edges.select(col("_from").as("src"), col("_to").as("dst"))
-      .distinct().localCheckpoint()
+      .distinct().materialized
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(outDeg, "src").localCheckpoint()
+    val eDeg = e.join(outDeg, "src").materialized
     val vertices = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
       .withColumn("_seed", isSeed)
-      .localCheckpoint()
+      .materialized
     var ranks = vertices.select(col("v"),
       when(col("_seed"), lit(1000000L)).otherwise(lit(0L)).as("rank"))
     (1 to iters).foreach { i =>
@@ -476,7 +477,7 @@ object GraphEtl {
         .select(col("v"),
           (when(col("_seed"), lit(150000L)).otherwise(lit(0L)) +
             expr("(850000 * coalesce(s, 0L)) div 1000000")).as("rank"))
-      if (i < iters) ranks = ranks.localCheckpoint()
+      if (i < iters) ranks = ranks.materialized
     }
     ranks.select(col("v").as("vertex"), col("rank"))
   }
@@ -492,7 +493,7 @@ object GraphEtl {
     * anti-joins the settled set, so total work is O(Σ frontier·deg) —
     * edges incident to settled vertices are never re-relaxed. The
     * adjacency list is materialized once (both directions); the
-    * settled set and frontier are localCheckpoint'd per round, keeping
+    * settled set and frontier are materialized per round, keeping
     * every compiled plan one-round shallow (the pageRank discipline).
     * An empty frontier short-circuits the remaining rounds — the
     * driver-side `isEmpty` is the inherent iterate-until-done check,
@@ -500,14 +501,14 @@ object GraphEtl {
     */
   def bfsHops(edges: DataFrame, seedMod: Long = 10L,
               maxHops: Int = 3): DataFrame = {
-    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    val e = edges.select(col("a"), col("b")).distinct().materialized
     val adj = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
-      .localCheckpoint()
+      .materialized
     val seeds = adj.select(col("src").as("v")).distinct()
       .filter(col("v") % seedMod === 0)
       .select(col("v"), lit(0L).as("hops"))
-      .localCheckpoint()
+      .materialized
     // settled = the running union of per-round CHECKPOINTED frontiers:
     // the anti-join probe reads ≤ maxHops tiny materialized frames, so
     // no round re-materializes the whole settled set (halves the
@@ -522,7 +523,7 @@ object GraphEtl {
         .select(adj("dst").as("v")).distinct()
         .join(settled, Seq("v"), "left_anti")
         .select(col("v"), lit(h.toLong).as("hops"))
-        .localCheckpoint()
+        .materialized
       done = next.isEmpty
       if (!done) frontiers ::= next
       frontier = next
@@ -541,11 +542,11 @@ object GraphEtl {
     * a deterministic function of the input (the true k-core after
     * ≤ rounds peels; extra rounds are no-ops once converged), and the
     * oracle can unroll the same rounds verbatim. Edge list
-    * localCheckpoint'd per round (one-round-shallow plans, the
+    * materialized per round (one-round-shallow plans, the
     * pageRank discipline).
     */
   def kcorePeel(edges: DataFrame, k: Int = 2, rounds: Int = 3): DataFrame = {
-    var e = edges.select(col("a"), col("b")).distinct().localCheckpoint()
+    var e = edges.select(col("a"), col("b")).distinct().materialized
     (1 to rounds).foreach { _ =>
       val keep = e.select(col("a").as("v"))
         .union(e.select(col("b").as("v")))
@@ -554,7 +555,7 @@ object GraphEtl {
       e = e
         .join(keep.select(col("v").as("a")), Seq("a"), "left_semi")
         .join(keep.select(col("v").as("b")), Seq("b"), "left_semi")
-        .select(col("a"), col("b")).localCheckpoint()
+        .select(col("a"), col("b")).materialized
     }
     e.select(col("a").as("v")).union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Materialize.MatOps
 
 import graft.functions.Canon
 
@@ -76,7 +77,7 @@ object Pipeline {
     val base = documents
       .select(col("doc_id"), col("lang"),
         Canon.hash60(md5(col("text"))).as("ord"))
-      .localCheckpoint() // narrow projection; see tokenBudgetSample
+      .materialized // narrow projection; see tokenBudgetSample
     val parted = base
       .repartitionByRange(numPartitions,
         col("lang").asc, col("ord").asc, col("doc_id").asc)
@@ -141,7 +142,7 @@ object Pipeline {
       .select(col("doc_id"), col("lang"),
         size(Canon.words(col("text"))).cast("long").as("n_tokens"),
         Canon.hash60(md5(col("text"))).as("ord"))
-      .localCheckpoint()
+      .materialized
     val parted = base
       .repartitionByRange(numPartitions,
         col("lang").asc, col("ord").asc, col("doc_id").asc)
@@ -341,7 +342,7 @@ object Pipeline {
       .select(col("doc_id"), col("lang"),
         Canon.hash60(concat(lit("epoch|"), col("text"))).as("ord"))
       .withColumn("round", row_number().over(wLang).cast("long"))
-      .localCheckpoint()
+      .materialized
     // Per-round sizes are at most max(per-lang count) rows — a tiny
     // aggregate; the prefix sum over them runs on that tiny side and
     // broadcasts back, so no global sort ever materializes.
@@ -386,7 +387,7 @@ object Pipeline {
       size(Canon.words(col("text"))).cast("long").as("n_tokens"))
     val hist = toks.groupBy(col("n_tokens"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .materialized
     val total = hist.agg(sum(col("c")).as("n"))
     val parted = hist
       .repartitionByRange(numPartitions, col("n_tokens").asc)
@@ -429,7 +430,7 @@ object Pipeline {
       (aggregate(w, lit(0L), (acc, x) => acc + length(x))
         .cast("double") / size(w)).as("difficulty"),
       md5(col("text")).as("_tb"))
-      .localCheckpoint() // the range sampler evaluates its child twice
+      .materialized // the range sampler evaluates its child twice
     val parted = base
       .repartitionByRange(numPartitions,
         col("difficulty").asc, col("_tb").asc, col("doc_id").asc)
@@ -464,7 +465,7 @@ object Pipeline {
         size(Canon.words(col("text"))).cast("long").as("n_tokens"))
       .groupBy(col("lang"), col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
-      .localCheckpoint() // feeds the totals AND the share join
+      .materialized // feeds the totals AND the share join
     val totals = cells.agg(sum(col("n_docs")).as("_td"),
       sum(col("n_tokens")).as("_tt"))
     cells.join(broadcast(totals))

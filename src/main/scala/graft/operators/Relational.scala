@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize.MatOps
 
 /** Relational operator surface (SURVEY.md §2.2-§2.8).
   *
@@ -467,32 +468,38 @@ object Relational {
     * are then a row-local rank ∈ {⌈q·n⌉} filter and one final
     * per-group aggregate. Same two-stage template as
     * Pipeline.tokenBudgetSample; scales with partitions, not groups.
+    *
+    * ONE corpus pass: both consumers of the range shuffle (the local
+    * rank window and the per-(partition, group) counts) share the same
+    * `parted` subtree, so Catalyst reuses the exchange (ReusedExchange
+    * — verified in the plan) and lineitem is scanned and shuffled
+    * once; no materialization needed. Partition offsets AND group
+    * totals both come from the tiny counts table in one window pass —
+    * no triangular self-join, no second aggregate on the base.
     */
   def groupQuantiles(lineitem: DataFrame,
                      numPartitions: Int = 32): DataFrame = {
-    val base = lineitem.select(
+    val parted = lineitem.select(
       col("l_returnflag").as("g"), col("l_quantity").as("v"),
       col("l_orderkey").as("tb1"), col("l_linenumber").as("tb2"))
-      .localCheckpoint()
-    val parted = base
       .repartitionByRange(numPartitions,
         col("g").asc, col("v").asc, col("tb1").asc, col("tb2").asc)
       .withColumn("_pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("_pid"), col("g"))
       .orderBy(col("v"), col("tb1"), col("tb2"))
     val local = parted.withColumn("_loc", row_number().over(wLocal))
-    val sums = local.groupBy(col("_pid"), col("g"))
+    val sums = parted.groupBy(col("_pid"), col("g"))
       .agg(count(lit(1)).as("_psum"))
-    val offsets = sums.as("a")
-      .join(sums.as("b"),
-        col("a.g") === col("b.g") && col("b._pid") < col("a._pid"),
-        "left")
-      .groupBy(col("a._pid").as("_pid"), col("a.g").as("g"))
-      .agg(coalesce(sum(col("b._psum")), lit(0L)).as("_off"))
-    val counts = base.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    // prefix (earlier partitions' counts) and per-group total in one
+    // window pass over the ≤ partitions×groups-row counts table
+    val wOff = Window.partitionBy(col("g")).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(col("g"))
+    val offsets = sums.select(col("_pid"), col("g"),
+      coalesce(sum(col("_psum")).over(wOff), lit(0L)).as("_off"),
+      sum(col("_psum")).over(wTot).as("n"))
     local.join(broadcast(offsets), Seq("_pid", "g"))
       .withColumn("rk", col("_off") + col("_loc"))
-      .join(broadcast(counts), Seq("g"))
       .filter(col("rk") === ceil(lit(0.25) * col("n")) ||
         col("rk") === ceil(lit(0.5) * col("n")) ||
         col("rk") === ceil(lit(0.75) * col("n")))

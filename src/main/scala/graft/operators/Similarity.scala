@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize.MatOps
 
 import graft.functions.Canon
 
@@ -155,7 +156,7 @@ object Similarity {
       .select(transform(col("raw"), (c, i) =>
         struct(i.as("cell"), c.getField("cv").as("cv"),
           c.getField("cnrm").as("cnrm"))).as("cents"))
-      .localCheckpoint()
+      .materialized
 
   /** Per-row cosines to every centroid in the broadcast `cents` array
     * (sims[i] = cosine to cell i; cents is cell-sorted). Computed ONCE
@@ -195,7 +196,7 @@ object Similarity {
     * Dedup.embeddingNearDups, which blocks on a given label column).
     *
     * Scale shape: assignment is the row-local broadcast argmax
-    * (ivfAssigned) — materialized ONCE (localCheckpoint) because it
+    * (ivfAssigned) — materialized ONCE (Materialize seam) because it
     * feeds three consumers (the size audit and both self-join sides);
     * the pair stage is a cell-blocked equi-join, never all-pairs, and
     * cells over `maxBlock` are skipped LOUDLY (logged count), exactly
@@ -206,7 +207,7 @@ object Similarity {
   def semanticNearDups(embeddings: DataFrame, tau: Double,
                        nCells: Int = 16, maxBlock: Int = 10000): DataFrame = {
     val e = prepared(embeddings)
-    val asg = ivfAssigned(e, ivfCentroidArr(e, nCells)).localCheckpoint()
+    val asg = ivfAssigned(e, ivfCentroidArr(e, nCells)).materialized
     val sizes = asg.groupBy(col("cell")).agg(count(lit(1)).as("_bsz"))
     val skipped = sizes.filter(col("_bsz") > maxBlock).count()
     if (skipped > 0)
@@ -373,7 +374,7 @@ object Similarity {
       .select(col("vec_id").as("q_id"), parts.as("parts"))
       .agg(sort_array(collect_list(struct(col("q_id"), col("parts"))))
         .as("qt"))
-      .localCheckpoint() // one row; see knnIvfDeterministic
+      .materialized // one row; see knnIvfDeterministic
     val codesCol = Canon.pqEncode(col("v"), col("cbflat"), m)
     // approx dot = left fold over s ASCENDING of parts[s][code_s] —
     // a fixed summation order, so the result is bit-deterministic
@@ -410,7 +411,7 @@ object Similarity {
       // the flat nCodes×d layout the native encoder consumes
       .withColumn("cbflat",
         flatten(transform(col("cb"), c => c.getField("cv"))))
-      .localCheckpoint()
+      .materialized
 
   /** Int8 symmetric quantization — the 4× memory lever that lets an
     * ANN index hold 4× the vectors per executor: per-vector scale =
@@ -506,7 +507,7 @@ object Similarity {
                maxBlock: Int = 10000): DataFrame = {
     val sizes = embeddings.groupBy(col("label"))
       .agg(count(lit(1)).as("_bsz"))
-      .localCheckpoint() // label-sized; computed once for keep + skip
+      .materialized // label-sized; computed once for keep + skip
     val skipped = sizes.filter(col("_bsz") > maxBlock).count()
     if (skipped > 0)
       log.warn(s"knnGraph: skipping $skipped label block(s) over " +

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materialize.MatOps
 
 import graft.functions.Canon
 
@@ -129,7 +130,7 @@ object TextAnalysis {
     val v = documents
       .select(explode(Canon.words(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .materialized
     val parted = v
       .repartitionByRange(rankPartitions, col("n").desc, col("word").asc)
       .withColumn("_pid", spark_partition_id())
@@ -358,7 +359,7 @@ object TextAnalysis {
     * prose does not). Works on any text; needs no line structure.
     *
     * The (doc, distinct-shingle) explode is the heaviest derived table
-    * in the operator, so it is materialized ONCE (localCheckpoint) and
+    * in the operator, so it is materialized ONCE (Materialize seam) and
     * scanned twice — the df aggregate, then the probe. Without the
     * materialization Catalyst inlines the explode into every consumer
     * (three full corpus passes; 96 s of a 199 s suite at sf0.1). The
@@ -382,7 +383,7 @@ object TextAnalysis {
       transform(Canon.words(col("text")), w => Canon.hashP(w)).as("hw"))
     val sh = hw.select(col("doc_id"),
       explode(array_distinct(Canon.shingleHashes(col("hw"), k))).as("sh"))
-      .localCheckpoint()
+      .materialized
     val common = sh.groupBy(col("sh"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > minDocs)
@@ -406,7 +407,7 @@ object TextAnalysis {
     * rarityScore (t11), which looks at unigram document frequency.
     *
     * Shape: ONE corpus bigram fan-out (row-local struct array, same
-    * form as bigramCounts), materialized (localCheckpoint) because it
+    * form as bigramCounts), materialized (Materialize seam) because it
     * feeds both the LM build and the probe — the t10 lesson: never let
     * Catalyst inline the heaviest derived table into two consumers.
     * The LM is built from the SAME materialized pairs (identical
@@ -424,7 +425,7 @@ object TextAnalysis {
         "transform(sequence(0, size(w) - 2)," +
           " i -> struct(w[i] as w1, w[i+1] as w2))")).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .localCheckpoint()
+      .materialized
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("w1"))
       .orderBy(col("n").desc, col("w2").asc)

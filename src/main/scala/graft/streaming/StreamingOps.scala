@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.Materialize.MatOps
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured-Streaming-facing operators (SURVEY.md §2.10).
@@ -259,7 +260,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"),
         max_by(col("value"), struct(col("ts"), col("event_id")))
           .as("last_value"))
-      .localCheckpoint() // feeds the grid bounds AND the join probe
+      .materialized // feeds the grid bounds AND the join probe
     val grid = bucketed.groupBy(col("user_id"))
       .agg(min(col("bucket_us")).as("lo"), max(col("bucket_us")).as("hi"))
       .select(col("user_id"),

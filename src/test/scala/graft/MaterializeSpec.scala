@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import graft.operators.{Dedup, GraphEtl, TextAnalysis}
+
+/** The Materialize seam must be a pure deployment knob: every strategy
+  * produces identical operator results. Exercised on the three
+  * materialization shapes the operators use — a driver-checked fixpoint
+  * (dupClustersShortcut / connectedComponents), a fixed-round iteration
+  * (pageRankFixedPoint), and a materialize-once reused base
+  * (topTfidfTerms).
+  */
+class MaterializeSpec extends SparkSpec {
+
+  private lazy val docs = table("documents")
+  private lazy val orders = table("orders")
+
+  private def edges = orders
+    .select((col("o_custkey") % 40).as("a"), (col("o_orderkey") % 40).as("b"))
+    .filter(col("a") =!= col("b")).distinct()
+
+  private def snapshot(df: DataFrame): Seq[String] = {
+    val names = df.columns.sorted
+    df.select(names.map(col).toIndexedSeq: _*).collect()
+      .map(_.toSeq.mkString("|")).sorted.toSeq
+  }
+
+  private def underEach(body: => DataFrame): Map[String, Seq[String]] = {
+    val dir = Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    Seq(
+      "local" -> Materialize.LocalCheckpoint,
+      "reliable" -> Materialize.ReliableCheckpoint,
+      "replicated" -> Materialize.PersistReplicated
+    ).map { case (name, s) =>
+      name -> Materialize.withStrategy(s)(snapshot(body))
+    }.toMap
+  }
+
+  test("connectedComponents fixpoint: identical under all strategies") {
+    val r = underEach(GraphEtl.connectedComponents(edges))
+    assert(r("local").nonEmpty)
+    assert(r("reliable") === r("local"))
+    assert(r("replicated") === r("local"))
+  }
+
+  test("dedup cluster fixpoint: identical under all strategies") {
+    val pairs = edges.limit(60)
+      .select(col("a").as("doc_a"), col("b").as("doc_b"))
+    val r = underEach(Dedup.dupClustersShortcut(pairs))
+    assert(r("local").nonEmpty)
+    assert(r("reliable") === r("local"))
+    assert(r("replicated") === r("local"))
+  }
+
+  test("pageRank rounds: identical ranks under all strategies") {
+    val e = orders.select((col("o_custkey") % 30).as("_from"),
+      (col("o_orderkey") % 30).as("_to"))
+      .filter(col("_from") =!= col("_to"))
+    val r = underEach(GraphEtl.pageRankFixedPoint(e, iters = 3))
+    assert(r("local").nonEmpty)
+    assert(r("reliable") === r("local"))
+    assert(r("replicated") === r("local"))
+  }
+
+  test("tfidf materialize-once base: identical terms under all strategies") {
+    val r = underEach(TextAnalysis.topTfidfTerms(docs.limit(100), k = 3))
+    assert(r("local").nonEmpty)
+    assert(r("reliable") === r("local"))
+    assert(r("replicated") === r("local"))
+  }
+
+  test("withStrategy restores the previous strategy") {
+    assert(Materialize.strategy === Materialize.LocalCheckpoint)
+    Materialize.withStrategy(Materialize.ReliableCheckpoint) {
+      assert(Materialize.strategy === Materialize.ReliableCheckpoint)
+    }
+    assert(Materialize.strategy === Materialize.LocalCheckpoint)
+  }
+}
