@@ -526,6 +526,9 @@ object SparkEntry {
     // measurement pass; catches in-document repetition too).
     "d20_window_dup" -> ((s, dir) =>
       Dedup.windowDupFrac(t(s, dir, "documents"))),
+    // The acting half: drop documents above the dup-fraction threshold.
+    "d21_window_dup_removal" -> ((s, dir) =>
+      Dedup.windowDupRemoval(t(s, dir, "documents"))),
     // Easy-to-hard curriculum position (two-stage global rank).
     "p13_curriculum" -> ((s, dir) =>
       Pipeline.curriculumOrder(t(s, dir, "documents"))),
@@ -553,6 +556,9 @@ object SparkEntry {
     // Corpus mixture "data card": per-(lang, source) counts + shares.
     "p12_corpus_report" -> ((s, dir) =>
       Pipeline.corpusReport(t(s, dir, "documents"))),
+    // Loss-accounting funnel: docs/tokens surviving each p01 stage.
+    "p14_corpus_funnel" -> ((s, dir) =>
+      Pipeline.corpusFunnel(t(s, dir, "documents"))),
     // Dedup summary: cluster-size histogram over d08's clusters.
     "d18_cluster_hist" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1045,6 +1051,59 @@ object SparkEntry {
          |SELECT lang, count(*) AS n_docs,
          | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM fin GROUP BY lang""".stripMargin
+    },
+    // corpusFunnel mirror: p01's CTE chain + one stage-count aggregate
+    // per funnel stage (raw → quality → exact dedup → canonical).
+    "p14_corpus_funnel" -> {
+      import graft.functions.Canon.{AffineA, AffineB, MersenneP => P}
+      val sigs = (0 until 8).map(s =>
+        s"  list_min([(h * ${AffineA(s)} + ${AffineB(s)}) % $P FOR h IN hs]) AS m$s")
+        .mkString(",\n")
+      val bands = (0 until 4).map(j =>
+        s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
+      s"""WITH RECURSIVE w0 AS (SELECT doc_id, text,
+         |  string_split(text, ' ') AS w FROM documents),
+         |q AS (SELECT doc_id, text, w, len(w) AS n_tokens
+         |  FROM w0 WHERE len(w) >= 30),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         |surv AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+         |hw AS (SELECT doc_id, [${h60("x")} % $P FOR x IN w] AS hw
+         |  FROM surv),
+         |hb AS (SELECT doc_id,
+         |  [((hw[i]*31 + hw[i+1])*31 + hw[i+2]) % $P
+         |   FOR i IN range(1, len(hw)-1)] AS hs FROM hw),
+         |sig AS (SELECT doc_id,
+         |$sigs
+         | FROM hb),
+         |banded AS (SELECT doc_id,
+         |  unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig WHERE m0 IS NOT NULL),
+         |$cappedCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM capped a JOIN capped b
+         |  ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM sym),
+         |reach(node, lab) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node),
+         |clusters AS (SELECT node AS doc_id, min(lab) AS rep
+         |  FROM reach GROUP BY node),
+         |dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> rep),
+         |fin AS (SELECT * FROM surv
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+         |SELECT 0 AS stage, 'raw' AS stage_name, count(*) AS n_docs,
+         |  CAST(coalesce(sum(len(w)), 0) AS BIGINT) AS n_tokens FROM w0
+         |UNION ALL
+         |SELECT 1, 'quality_gate', count(*),
+         |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM q
+         |UNION ALL
+         |SELECT 2, 'exact_dedup', count(*),
+         |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM surv
+         |UNION ALL
+         |SELECT 3, 'neardup_canonical', count(*),
+         |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM fin""".stripMargin
     },
     "p02_hash_split" ->
       s"""WITH b AS (SELECT lang,
@@ -2533,6 +2592,32 @@ object SparkEntry {
          |SELECT doc_id, n_windows, n_dup_windows,
          | n_dup_windows::DOUBLE / n_windows AS dup_frac
          |FROM pd""".stripMargin
+    },
+    // windowDupRemoval mirror: the d20 CTE + threshold filter over the
+    // corpus (left join keeps sub-k-word docs: no windows, no evidence).
+    "d21_window_dup_removal" -> {
+      import graft.functions.Canon.{MersenneP => P}
+      s"""WITH w AS (SELECT doc_id,
+         |  [${h60("x")} % $P FOR x IN string_split(text, ' ')] AS hw
+         | FROM documents),
+         |s AS (SELECT doc_id,
+         |  [((((hw[i]*31 + hw[i+1])*31 + hw[i+2])*31 + hw[i+3])*31
+         |     + hw[i+4]) % $P
+         |   FOR i IN range(1, len(hw)-3)] AS sh FROM w),
+         |x AS (SELECT doc_id, unnest(sh) AS sh FROM s),
+         |dup AS (SELECT sh FROM x GROUP BY sh HAVING count(*) > 1),
+         |pd AS (SELECT x.doc_id, count(*) AS n_windows,
+         |  count(dup.sh) AS n_dup_windows
+         | FROM x LEFT JOIN dup ON x.sh = dup.sh
+         | GROUP BY x.doc_id)
+         |SELECT d.doc_id, d.text,
+         | coalesce(pd.n_windows, 0) AS n_windows,
+         | coalesce(pd.n_dup_windows, 0) AS n_dup_windows,
+         | coalesce(pd.n_dup_windows::DOUBLE / pd.n_windows, 0.0)
+         |   AS dup_frac
+         |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
+         |WHERE coalesce(pd.n_dup_windows::DOUBLE / pd.n_windows, 0.0)
+         |  <= 0.5""".stripMargin
     },
     // visionTokens mirror: the m02 stub CTE + patch-grid arithmetic.
     "m08_vision_tokens" ->

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.Materialize.MatOps
 
@@ -472,5 +472,58 @@ object Pipeline {
       .select(col("lang"), col("source"), col("n_docs"), col("n_tokens"),
         (col("n_docs").cast("double") / col("_td")).as("share_docs"),
         (col("n_tokens").cast("double") / col("_tt")).as("share_tokens"))
+  }
+
+  /** Loss-accounting funnel over the [[corpusPipeline]] chain: docs
+    * and tokens SURVIVING each stage — raw → quality gate → exact
+    * dedup → near-dup canonical — the first table a pipeline owner
+    * asks for ("where did my tokens go?"). p12 reports the final
+    * mixture; this reports the attrition that produced it.
+    *
+    * Scale shape: the stage memberships are attached as per-doc flags
+    * (two doc_id-keyed left joins of the corpus against the doc-sized
+    * exact-canonical and near-dup-drop lists, broadcast by AQE when
+    * small), then ALL four stages aggregate in ONE corpus pass via
+    * conditional sums — not one scan per stage. The 1-row result
+    * explodes into the 4 stage rows row-locally. The chain itself
+    * (content-key dedup shuffle, LSH banding, cluster fixpoint) is
+    * corpusPipeline's, unchanged.
+    */
+  def corpusFunnel(documents: DataFrame,
+                   minTokens: Int = 30): DataFrame = {
+    val toks = documents.withColumn("n_tokens",
+      size(Canon.words(col("text"))).cast("long"))
+    val q = toks.filter(col("n_tokens") >= minTokens)
+    val keep = q.groupBy(md5(col("text")).as("_k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1).as("_ex"))
+    val surv = q.join(keep.select(col("doc_id")), Seq("doc_id"),
+      "left_semi")
+    val dropIds = Dedup.dupClusters(
+        Dedup.lshCandidatePairs(Dedup.minhashSignature(surv)))
+      .filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id"), lit(1).as("_nd"))
+    val marked = toks
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") >= minTokens).as("_q"))
+      .join(keep, Seq("doc_id"), "left")
+      .join(dropIds, Seq("doc_id"), "left")
+    def dt(cond: Column, d: String, t: String) = Seq(
+      count(when(cond, lit(1))).as(d),
+      coalesce(sum(when(cond, col("n_tokens"))), lit(0L)).as(t))
+    val aggs = dt(lit(true), "d0", "t0") ++
+      dt(col("_q"), "d1", "t1") ++
+      dt(col("_ex").isNotNull, "d2", "t2") ++
+      dt(col("_ex").isNotNull && col("_nd").isNull, "d3", "t3")
+    def row(i: Int, name: String) = struct(
+      lit(i).as("stage"), lit(name).as("stage_name"),
+      col(s"d$i").as("n_docs"), col(s"t$i").as("n_tokens"))
+    marked.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(
+        row(0, "raw"), row(1, "quality_gate"),
+        row(2, "exact_dedup"), row(3, "neardup_canonical"))).as("s"))
+      .select(col("s.stage").as("stage"),
+        col("s.stage_name").as("stage_name"),
+        col("s.n_docs").as("n_docs"), col("s.n_tokens").as("n_tokens"))
   }
 }

@@ -326,6 +326,26 @@ class DedupSpec extends SparkSpec {
       (0L, 2L, 1L, 0.5), (1L, 2L, 1L, 0.5), (2L, 11L, 11L, 1.0)))
   }
 
+  test("windowDupRemoval: drops high-dup docs, keeps short no-window docs") {
+    val docs = Seq(
+      (0L, "a b c d e f"),   // dup_frac 0.5 (first window shared with 1)
+      (1L, "a b c d e x"),   // dup_frac 0.5
+      (2L, "p q r s t p q r s t p q r s t"), // dup_frac 1.0 → dropped
+      (3L, "u v w"),         // < 5 words: no windows, kept with 0.0
+      (4L, "g h i j k l m")  // all windows unique, kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.windowDupRemoval(docs, tau = 0.5)
+      .select("doc_id", "n_windows", "n_dup_windows", "dup_frac")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out === Array(
+      (0L, 2L, 1L, 0.5), (1L, 2L, 1L, 0.5),
+      (3L, 0L, 0L, 0.0), (4L, 3L, 0L, 0.0)))
+    // tightening the threshold drops the half-duplicated pair too
+    val strict = Dedup.windowDupRemoval(docs, tau = 0.25)
+      .select("doc_id").as[Long].collect().sorted
+    assert(strict === Array(3L, 4L))
+  }
+
   test("clusterSizeHistogram: sizes, cluster counts, removable docs") {
     // two clusters of 2 and one cluster of 3
     val clusters = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L),

@@ -164,4 +164,25 @@ class PipelineSpec extends SparkSpec {
       ("de", "book", 1L, 1L, 1.0 / 3, 1.0 / 6),
       ("en", "web", 2L, 5L, 2.0 / 3, 5.0 / 6)))
   }
+
+  test("corpusFunnel: per-stage doc/token attrition over the p01 chain") {
+    val thirty = (0 until 30).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (0L, "too short to pass", "en", "web"),      // fails quality gate
+      (1L, thirty, "en", "web"),                   // canonical survivor
+      (2L, thirty, "en", "web"),                   // exact dup of 1
+      (3L, thirty + " extra", "en", "web")         // near-dup of 1 (LSH)
+    ).toDF("doc_id", "text", "lang", "source")
+    val out = Pipeline.corpusFunnel(docs)
+      .as[(Int, String, Long, Long)].collect().sortBy(_._1)
+    assert(out(0) === ((0, "raw", 4L, 4L + 30L + 30L + 31L)))
+    assert(out(1) === ((1, "quality_gate", 3L, 30L + 30L + 31L)))
+    // exact dedup drops doc 2 (same content as 1, higher id)
+    assert(out(2) === ((2, "exact_dedup", 2L, 30L + 31L)))
+    // near-dup clustering keeps only the canonical min-id member
+    assert(out(3) === ((3, "neardup_canonical", 1L, 30L)))
+    // monotone: every stage can only lose docs and tokens
+    assert(out.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+    assert(out.map(_._4).sliding(2).forall(p => p(0) >= p(1)))
+  }
 }
