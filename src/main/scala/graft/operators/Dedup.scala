@@ -695,6 +695,13 @@ object Dedup {
     */
   def jaccardEstimatePairs(documents: DataFrame, nSeeds: Int = 8,
                            k: Int = 3): DataFrame = {
+    // lshCandidatePairs' band layout is fixed at 8 seeds / 4 bands
+    // (it references m0..m7): fewer seeds would fail analysis at
+    // runtime, more would estimate over coordinates the banding
+    // ignores. Fail fast instead of either.
+    require(nSeeds == 8,
+      s"jaccardEstimatePairs requires nSeeds=8 (the lshCandidatePairs " +
+        s"band layout); got $nSeeds")
     val sig = minhashSignature(documents, nSeeds, k).materialized
     val pairs = lshCandidatePairs(sig)
     val hw = documents.select(col("doc_id"),

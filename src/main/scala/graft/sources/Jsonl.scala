@@ -17,7 +17,10 @@ import org.apache.spark.sql.types._
   *
   * Malformed lines follow Spark's PERMISSIVE contract: the parsed
   * columns come back null and the raw line is captured in the
-  * `_corrupt` column — [[docs]] folds that into an `is_corrupt` flag
+  * `__graft_corrupt` column (a reserved name an input object will not
+  * carry — a plain `_corrupt` key in a WELL-FORMED line would
+  * populate the capture column and flag the line corrupt despite
+  * parsing cleanly) — [[docs]] folds that into an `is_corrupt` flag
   * so a curation pipeline can count/quarantine bad records instead of
   * failing the job (FAILFAST) or silently dropping them (DROPMALFORMED)
   * — at corpus scale there is ALWAYS a bad line.
@@ -35,15 +38,15 @@ object Jsonl {
     .add("text", StringType)
     .add("lang", StringType)
     .add("source", StringType)
-    .add("_corrupt", StringType)
+    .add("__graft_corrupt", StringType)
 
   /** Parse JSONL lines with the declared schema; corrupt lines keep
-    * their raw text in `_corrupt`.
+    * their raw text in `__graft_corrupt`.
     */
   def readDocs(spark: SparkSession, lines: Dataset[String]): DataFrame =
     spark.read.schema(docSchema)
       .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("columnNameOfCorruptRecord", "__graft_corrupt")
       .json(lines)
 
   /** The curated view: parsed fields plus `is_corrupt` (true = the
@@ -52,7 +55,7 @@ object Jsonl {
   def docs(spark: SparkSession, lines: Dataset[String]): DataFrame =
     readDocs(spark, lines)
       .select(col("doc_id"), col("text"), col("lang"), col("source"),
-        col("_corrupt").isNotNull.as("is_corrupt"))
+        col("__graft_corrupt").isNotNull.as("is_corrupt"))
 
   /** In-code JSONL fixture (the h-fixture pattern): three well-formed
     * lines — one with a missing optional field — and one malformed

@@ -237,7 +237,11 @@ object StreamingOps {
     * time grid, no missing steps).
     *
     * Determinism: the in-bucket "last" is max_by over the
-    * (ts, event_id) total order (event_id breaks ts ties), so the
+    * (ts_us, event_id) total order — MICROSECOND ts, the repo's
+    * ts-comparison convention (every other op and the DuckDB oracle
+    * order on epoch_us; ordering on raw nano ts here would pick a
+    * different row than the oracle when two events share a
+    * microsecond), with event_id breaking the remaining ties — so the
     * carried value is unique; the fill is then a per-user running
     * `last(ignoreNulls)` ordered by bucket. The first bucket of every
     * user holds data by construction (the grid starts at that user's
@@ -255,10 +259,10 @@ object StreamingOps {
     val us = expr("ts div 1000")
     val bucketed = events
       .select(col("user_id"), (us - (us % bucketUs)).as("bucket_us"),
-        col("ts").cast("long").as("ts"), col("event_id"), col("value"))
+        us.as("ts_us"), col("event_id"), col("value"))
       .groupBy(col("user_id"), col("bucket_us"))
       .agg(count(lit(1)).as("n_events"),
-        max_by(col("value"), struct(col("ts"), col("event_id")))
+        max_by(col("value"), struct(col("ts_us"), col("event_id")))
           .as("last_value"))
       .materialized // feeds the grid bounds AND the join probe
     val grid = bucketed.groupBy(col("user_id"))

@@ -18,11 +18,20 @@ class JsonlSpec extends SparkSpec {
       (None, None, None, None, true)))
   }
 
-  test("readDocs keeps the raw malformed line in _corrupt") {
+  test("readDocs keeps the raw malformed line in the capture column") {
     val corrupt = Jsonl.readDocs(spark, Jsonl.fixtureLines.toDS())
-      .filter(col("_corrupt").isNotNull)
-      .select(col("_corrupt")).as[String].collect()
+      .filter(col("__graft_corrupt").isNotNull)
+      .select(col("__graft_corrupt")).as[String].collect()
     assert(corrupt === Array(Jsonl.fixtureLines.last))
+  }
+
+  test("a well-formed line with a literal _corrupt key parses clean") {
+    val lines = Seq(
+      """{"doc_id": 7, "text": "x", "lang": "en", "source": "s",""" +
+        """ "_corrupt": "red herring"}""").toDS()
+    val r = Jsonl.docs(spark, lines).head()
+    assert(r.getAs[Long]("doc_id") === 7L)
+    assert(!r.getAs[Boolean]("is_corrupt"))
   }
 
   test("parsing is schema-declared, not inferred: extra fields ignored") {
