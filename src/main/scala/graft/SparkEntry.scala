@@ -720,6 +720,55 @@ object SparkEntry {
       |  SELECT doc_id, bk, count(*) OVER (PARTITION BY bk) AS bsz
       |  FROM banded) WHERE bsz <= 1000)""".stripMargin
 
+  /** Shared deterministic-IVF CTE chain (appended after embCte's `n`):
+    * hash-seeded cells (c0), seed-cell assignment (asg0), ONE
+    * fixed-point Lloyd round — per-(cell, dim) integer sums of
+    * floor(v·10⁶), the s07 shape — rebuilt into the refined centroid
+    * table `c` (seed backfill for cells that lost every member, cnrm
+    * recomputed uniformly), then the refined assignment `asg` and the
+    * query probe list `probes`. Mirrors Similarity.ivfRefineOnce +
+    * knnIvfDeterministic at nQueries=10, nCells=16, nProbe=4 — the
+    * parameters both gated callers (s03, s11) use. Same left-fold dot
+    * as the Spark side throughout.
+    */
+  private val ivfCte: String = {
+    val centSim =
+      foldSum("[a.v[i] * c.cv[i] FOR i IN range(1, len(a.v)+1)]") +
+        " / (a.nrm * c.cnrm)"
+    s"""h AS (SELECT vec_id, v, nrm,
+       |  ${h60("'ivfseed|' || vec_id")} AS hh FROM n),
+       |c0 AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1
+       |    AS cell, v AS cv, nrm AS cnrm
+       |  FROM h ORDER BY hh, vec_id LIMIT 16),
+       |asg0 AS (SELECT vec_id, v, cell FROM (
+       |  SELECT a.vec_id, a.v, c.cell,
+       |   row_number() OVER (PARTITION BY a.vec_id
+       |     ORDER BY $centSim DESC, c.cell) AS rk
+       |  FROM n a CROSS JOIN c0 c) WHERE rk = 1),
+       |mx AS (SELECT cell,
+       |  unnest([{'d': i, 'q': floor(v[i] * 1000000)::BIGINT}
+       |    FOR i IN range(1, len(v)+1)]) AS s FROM asg0),
+       |m AS (SELECT cell, s.d AS dim, sum(s.q)::BIGINT AS qsum,
+       |  count(*) AS n_vecs FROM mx GROUP BY cell, s.d),
+       |rc AS (SELECT cell,
+       |  list(qsum::DOUBLE / 1000000 / n_vecs ORDER BY dim) AS rcv
+       |  FROM m GROUP BY cell),
+       |c1 AS (SELECT c0.cell, coalesce(rc.rcv, c0.cv) AS cv
+       |  FROM c0 LEFT JOIN rc ON rc.cell = c0.cell),
+       |c AS (SELECT cell, cv,
+       |  sqrt(${foldSum("[x*x FOR x IN cv]")}) AS cnrm FROM c1),
+       |asg AS (SELECT vec_id, v, nrm, cell FROM (
+       |  SELECT a.vec_id, a.v, a.nrm, c.cell,
+       |   row_number() OVER (PARTITION BY a.vec_id
+       |     ORDER BY $centSim DESC, c.cell) AS rk
+       |  FROM n a CROSS JOIN c) WHERE rk = 1),
+       |probes AS (SELECT q_id, qv, qnrm, cell FROM (
+       |  SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qnrm, c.cell,
+       |   row_number() OVER (PARTITION BY a.vec_id
+       |     ORDER BY $centSim DESC, c.cell) AS rk
+       |  FROM n a CROSS JOIN c WHERE a.vec_id < 10) WHERE rk <= 4)""".stripMargin
+  }
+
   /** Component-min connected components over the LSH candidate pairs
     * as a recursive CTE — shared by d08 (fixpoint propagation) and d11
     * (pointer jumping): both Spark forms converge to the identical
@@ -1389,30 +1438,12 @@ object SparkEntry {
            | SELECT *, row_number() OVER (PARTITION BY q_id
            |   ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
            |WHERE "rank" <= 3""".stripMargin),
-    // Mirrors knnIvfDeterministic exactly: hash-seeded centroids
-    // (rank by h60('ivfseed|'||vec_id), 16 cells), argmax-cosine cell
-    // assignment with lowest-cell tie-break, 4 probed cells per query,
-    // k=3 final top-k. Same left-fold dot as the Spark side.
-    "s03_knn_ivf" -> {
-      val centSim =
-        foldSum("[a.v[i] * c.cv[i] FOR i IN range(1, len(a.v)+1)]") +
-          " / (a.nrm * c.cnrm)"
-      embCte +
-        s""", h AS (SELECT vec_id, v, nrm,
-           |  ${h60("'ivfseed|' || vec_id")} AS hh FROM n),
-           |c AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1
-           |    AS cell, v AS cv, nrm AS cnrm
-           |  FROM h ORDER BY hh, vec_id LIMIT 16),
-           |asg AS (SELECT vec_id, v, nrm, cell FROM (
-           |  SELECT a.vec_id, a.v, a.nrm, c.cell,
-           |   row_number() OVER (PARTITION BY a.vec_id
-           |     ORDER BY $centSim DESC, c.cell) AS rk
-           |  FROM n a CROSS JOIN c) WHERE rk = 1),
-           |probes AS (SELECT q_id, qv, qnrm, cell FROM (
-           |  SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qnrm, c.cell,
-           |   row_number() OVER (PARTITION BY a.vec_id
-           |     ORDER BY $centSim DESC, c.cell) AS rk
-           |  FROM n a CROSS JOIN c WHERE a.vec_id < 10) WHERE rk <= 4),
+    // Mirrors knnIvfDeterministic exactly: the shared ivfCte (hash
+    // seeds + one Lloyd round + refined argmax assignment, 4 probed
+    // cells per query), k=3 final top-k.
+    "s03_knn_ivf" ->
+      (embCte +
+        s""", $ivfCte,
            |scored AS (SELECT p.q_id, b.vec_id AS nbr_id,
            |  ${foldSum("[p.qv[i] * b.v[i] FOR i IN range(1, len(p.qv)+1)]")}
            |   / (p.qnrm * b.nrm) AS sim
@@ -1421,8 +1452,7 @@ object SparkEntry {
            |SELECT q_id, nbr_id, sim, "rank" FROM (
            | SELECT *, row_number() OVER (PARTITION BY q_id
            |   ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
-           |WHERE "rank" <= 3""".stripMargin
-    },
+           |WHERE "rank" <= 3""".stripMargin),
     // Mirrors pqCodes: hash-seeded codebook (h60('pqseed|'||vec_id),
     // 16 entries), per-subspace squared-L2 argmin with lowest-code
     // tie-break; 8 subspaces of width 8 over dim-64 vectors.
@@ -2138,8 +2168,11 @@ object SparkEntry {
         | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name""".stripMargin,
-    // semanticNearDups mirror: s03's hash-seeded assignment CTE, then
-    // d06's pair shape with cell as the blocking key (cap mirrored).
+    // semanticNearDups mirror: the SEED (unrefined) cell assignment —
+    // s10's quantizer deliberately skips the Lloyd round the s03/s11
+    // search path runs (blocking only needs a spread, and the extra
+    // corpus pass buys nothing for pair generation) — then d06's pair
+    // shape with cell as the blocking key (cap mirrored).
     "s10_semantic_neardup" -> {
       val centSim =
         foldSum("[a.v[i] * c.cv[i] FOR i IN range(1, len(a.v)+1)]") +
@@ -2233,12 +2266,9 @@ object SparkEntry {
          | SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
          |   ORDER BY ord, doc_id) AS "rank" FROM b)
          |WHERE "rank" <= 40""".stripMargin,
-    // annRecall mirror: s01's brute CTE and s03's IVF CTE (both at
-    // k=3) joined per (q_id, nbr_id), then the per-query hit count.
+    // annRecall mirror: s01's brute CTE and the shared refined-IVF CTE
+    // (both at k=3) joined per (q_id, nbr_id), then per-query hits.
     "s11_ann_recall" -> {
-      val centSim =
-        foldSum("[a.v[i] * c.cv[i] FOR i IN range(1, len(a.v)+1)]") +
-          " / (a.nrm * c.cnrm)"
       embCte +
         s""", q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id < 10),
            |bscored AS (SELECT a.q_id, b.vec_id AS nbr_id,
@@ -2249,21 +2279,7 @@ object SparkEntry {
            | SELECT *, row_number() OVER (PARTITION BY q_id
            |   ORDER BY sim DESC, nbr_id) AS rk FROM bscored)
            | WHERE rk <= 3),
-           |h AS (SELECT vec_id, v, nrm,
-           |  ${h60("'ivfseed|' || vec_id")} AS hh FROM n),
-           |c AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1
-           |    AS cell, v AS cv, nrm AS cnrm
-           |  FROM h ORDER BY hh, vec_id LIMIT 16),
-           |asg AS (SELECT vec_id, v, nrm, cell FROM (
-           |  SELECT a.vec_id, a.v, a.nrm, c.cell,
-           |   row_number() OVER (PARTITION BY a.vec_id
-           |     ORDER BY $centSim DESC, c.cell) AS rk
-           |  FROM n a CROSS JOIN c) WHERE rk = 1),
-           |probes AS (SELECT q_id, qv, qnrm, cell FROM (
-           |  SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qnrm, c.cell,
-           |   row_number() OVER (PARTITION BY a.vec_id
-           |     ORDER BY $centSim DESC, c.cell) AS rk
-           |  FROM n a CROSS JOIN c WHERE a.vec_id < 10) WHERE rk <= 4),
+           |$ivfCte,
            |iscored AS (SELECT p.q_id, b.vec_id AS nbr_id,
            |  ${foldSum("[p.qv[i] * b.v[i] FOR i IN range(1, len(p.qv)+1)]")}
            |   / (p.qnrm * b.nrm) AS sim

