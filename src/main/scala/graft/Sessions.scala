@@ -17,25 +17,46 @@ object Sessions {
     *  - UTC session time zone: oracle (DuckDB) parity.
     *  - AQE on: runtime shuffle-partition coalescing + skew-join
     *    handling — the local[32] stand-in for what matters at 100 TB.
+    *
+    * `rocksdbStateStore = true` switches Structured Streaming state
+    * (streamingDedupFirst's per-key flags, interval-join buffers,
+    * session windows) from the default in-memory HDFS-backed provider
+    * to RocksDB. The default provider holds every key of every state
+    * partition on-heap — at 100 TB of keyed state that is executor OOM
+    * by design; RocksDB keeps state off-heap + on local disk with
+    * incremental changelog checkpointing. Off by default: the gate
+    * suite's fixtures are tiny and the in-memory provider keeps the
+    * local feedback loop fastest. (Also settable per-query before
+    * stream start via the same conf key — it is read at query start,
+    * which is how StreamingOpsSpec exercises both providers in one
+    * session.)
     */
-  def tuned(b: SparkSession.Builder): SparkSession.Builder = b
-    .withExtensions(new graft.plans.GraftExtensions)
-    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.adaptive.enabled", "true")
-    // Coalesce small post-shuffle partitions by SIZE, not up to the
-    // default parallelism: the iterative operators (pagerank, pointer
-    // jumping, BFS, k-core) run many rounds of node-sized shuffles,
-    // and at parallelismFirst=true every one of those rounds schedules
-    // `cpus` near-empty tasks per stage — pure scheduler overhead at
-    // local[32], and the same pathology 1000 executors would see on a
-    // 100-partition iteration table. Size-based coalescing collapses
-    // them to one task while leaving genuinely large shuffles at full
-    // width (they exceed advisoryPartitionSizeInBytes).
-    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-      "false")
-    .config("spark.sql.parquet.aggregatePushdown", "true")
-    .config("spark.ui.enabled", "false")
+  def tuned(b: SparkSession.Builder,
+            rocksdbStateStore: Boolean = false): SparkSession.Builder = {
+    val base = if (rocksdbStateStore)
+      b.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+    else b
+    base
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // Coalesce small post-shuffle partitions by SIZE, not up to the
+      // default parallelism: the iterative operators (pagerank, pointer
+      // jumping, BFS, k-core) run many rounds of node-sized shuffles,
+      // and at parallelismFirst=true every one of those rounds schedules
+      // `cpus` near-empty tasks per stage — pure scheduler overhead at
+      // local[32], and the same pathology 1000 executors would see on a
+      // 100-partition iteration table. Size-based coalescing collapses
+      // them to one task while leaving genuinely large shuffles at full
+      // width (they exceed advisoryPartitionSizeInBytes).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+  }
 
   /** Local session for tests and ad-hoc runs. */
   def local(cpus: Int = 4): SparkSession = {

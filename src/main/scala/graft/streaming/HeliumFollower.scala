@@ -38,6 +38,15 @@ import graft.sources.TxnSource
   *   - `inventoryHeight`/`onInventoryRefresh`: the T6 refresh trigger
   *     (follower.py:61-62) — fires when the cursor leads the inventory
   *     snapshot by more than `inventoryLag`.
+  *   - `maxHeightsPerTrigger`: hard per-step height cap (the
+  *     maxOffsetsPerTrigger analog) clamped over `batchSize`. A
+  *     restarted follower that is a million blocks behind would
+  *     otherwise be free to fetch `batchSize` heights per step with a
+  *     batchSize tuned for steady-state; the cap bounds every step's
+  *     fetch + transform + commit working set independently of tuning,
+  *     so catch-up degrades to more batches instead of bigger ones.
+  *     Each capped step still commits + checkpoints atomically, so the
+  *     final tables are identical to an uncapped backfill.
   */
 final class HeliumFollower(spark: SparkSession, source: TxnSource,
                            sinkDir: String, checkpointPath: String,
@@ -48,7 +57,10 @@ final class HeliumFollower(spark: SparkSession, source: TxnSource,
                            inventoryHeight: () => Option[Long] =
                              () => None,
                            onInventoryRefresh: () => Unit = () => (),
-                           inventoryLag: Long = 500L) {
+                           inventoryLag: Long = 500L,
+                           maxHeightsPerTrigger: Option[Long] = None) {
+  require(maxHeightsPerTrigger.forall(_ > 0),
+    s"maxHeightsPerTrigger must be positive; got $maxHeightsPerTrigger")
 
   def cursor(): Long = {
     val p = Paths.get(checkpointPath)
@@ -78,7 +90,9 @@ final class HeliumFollower(spark: SparkSession, source: TxnSource,
     val c = cursor()
     if (c >= tip) None
     else {
-      val hi = math.min(c + batchSize, tip)
+      val stepHeights =
+        maxHeightsPerTrigger.fold(batchSize)(math.min(batchSize, _))
+      val hi = math.min(c + stepHeights, tip)
       source.fetchRange(spark, c, hi) match {
         case None => None
         case Some(env) =>

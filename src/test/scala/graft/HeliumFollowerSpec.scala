@@ -43,6 +43,41 @@ class HeliumFollowerSpec extends SparkSpec {
     }
   }
 
+  test("maxHeightsPerTrigger forces multi-batch backfill, same tables") {
+    StubNode.withServer() { endpoint =>
+      def backfill(cap: Option[Long]) = {
+        val dir = Files.createTempDirectory("hfollowcap").toString
+        val f = new HeliumFollower(spark,
+          new RpcTxnSource(new JsonRpcClient(endpoint),
+            maxRetries = 2, sleepMs = 0, sleep = _ => ()),
+          s"$dir/sink", s"$dir/checkpoint.json", batchSize = 10L,
+          maxHeightsPerTrigger = cap)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/checkpoint.json"),
+          """{"sync_cursor": 99}""")
+        var steps = 0
+        while (f.step(102L).isDefined) steps += 1
+        (f, steps)
+      }
+      val (whole, wholeSteps) = backfill(None)      // one 10-height batch
+      val (capped, cappedSteps) = backfill(Some(1L)) // 1 height per step
+      assert(wholeSteps === 1 && cappedSteps === 3)
+      // identical final collections either way: each capped step
+      // commits + checkpoints atomically, so catch-up only changes
+      // batch BOUNDARIES, never content
+      for (c <- Seq("payments", "poc_receipts")) {
+        def rows(f: HeliumFollower) = f.collection(c)
+          .drop("batch") // partition boundary column differs by design
+          .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+        assert(rows(capped) === rows(whole))
+      }
+      def accounts(f: HeliumFollower) = f.collection("accounts")
+        .select("_key").distinct()
+        .collect().map(_.getString(0)).toSet
+      assert(accounts(capped) === accounts(whole))
+    }
+  }
+
   test("importTarget posts byte-exact importBulk bodies per collection") {
     StubNode.withServerImports() { (endpoint, imports) =>
       val dir = Files.createTempDirectory("hfollow").toString

@@ -254,6 +254,36 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingDedupFirst is provider-agnostic: RocksDB state store") {
+    implicit val sqlCtx = spark.sqlContext
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    // provider is read at query START, so a per-query override in a
+    // shared session exercises RocksDB without rebuilding the session
+    spark.conf.set(confKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, Long)]
+      val q = StreamingOps.streamingDedupFirst(mem.toDS())
+        .writeStream.format("memory").queryName("dedup_rocks")
+        .outputMode("append").start()
+      try {
+        mem.addData(("k1", 1L), ("k1", 2L), ("k2", 3L))
+        q.processAllAvailable()
+        mem.addData(("k1", 4L), ("k3", 5L)) // state survives the batch
+        q.processAllAvailable()
+        assert(q.lastProgress.stateOperators.nonEmpty)
+        val got = spark.sql("SELECT * FROM dedup_rocks")
+          .as[(String, Long)].collect().toSet
+        assert(got === Set(("k1", 1L), ("k2", 3L), ("k3", 5L)))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
   test("resampleForwardFill: dense grid, gaps carry the last value") {
     val h = 3600000000L // 1 hour in µs
     def ns(hour: Long, off: Long) = (hour * h + off) * 1000L
