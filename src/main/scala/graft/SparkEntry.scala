@@ -529,6 +529,9 @@ object SparkEntry {
     // The acting half: drop documents above the dup-fraction threshold.
     "d21_window_dup_removal" -> ((s, dir) =>
       Dedup.windowDupRemoval(t(s, dir, "documents"))),
+    // Span-level variant: mask (remove) duplicated-window positions.
+    "d22_window_dup_mask" -> ((s, dir) =>
+      Dedup.windowDupMask(t(s, dir, "documents"))),
     // Easy-to-hard curriculum position (two-stage global rank).
     "p13_curriculum" -> ((s, dir) =>
       Pipeline.curriculumOrder(t(s, dir, "documents"))),
@@ -2634,6 +2637,39 @@ object SparkEntry {
          |FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id
          |WHERE coalesce(pd.n_dup_windows::DOUBLE / pd.n_windows, 0.0)
          |  <= 0.5""".stripMargin
+    },
+    // windowDupMask mirror: d20's window CTE WITH start indexes; a
+    // word position p is masked iff a duplicated window starts in
+    // (p-5, p]; text rebuilt from the kept positions.
+    "d22_window_dup_mask" -> {
+      import graft.functions.Canon.{MersenneP => P}
+      s"""WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w
+         | FROM documents),
+         |hwt AS (SELECT doc_id, w,
+         |  [${h60("x")} % $P FOR x IN w] AS hw FROM w0),
+         |s AS (SELECT doc_id, w,
+         |  [{'s': i, 'h': ((((hw[i]*31 + hw[i+1])*31 + hw[i+2])*31
+         |     + hw[i+3])*31 + hw[i+4]) % $P}
+         |   FOR i IN range(1, len(hw)-3)] AS sh FROM hwt),
+         |x AS (SELECT doc_id, unnest(sh) AS e FROM s),
+         |xx AS (SELECT doc_id, e.s AS s, e.h AS sh FROM x),
+         |dup AS (SELECT sh FROM xx GROUP BY sh HAVING count(*) > 1),
+         |st AS (SELECT doc_id, list(s ORDER BY s) AS starts
+         |  FROM xx JOIN dup USING (sh) GROUP BY doc_id),
+         |j AS (SELECT w0.doc_id, w0.w,
+         |  coalesce(st.starts, []) AS starts
+         | FROM w0 LEFT JOIN st ON w0.doc_id = st.doc_id),
+         |m AS (SELECT doc_id, w,
+         |  list_filter(range(1, len(w)+1), p ->
+         |    len(list_filter(starts, q -> q <= p AND p < q + 5)) = 0)
+         |    AS kept
+         | FROM j)
+         |SELECT doc_id, len(w)::BIGINT AS n_tokens,
+         | (len(w) - len(kept))::BIGINT AS n_masked,
+         | coalesce(
+         |   array_to_string(list_transform(kept, p -> w[p]), ' '), '')
+         |   AS text_masked
+         |FROM m""".stripMargin
     },
     // visionTokens mirror: the m02 stub CTE + patch-grid arithmetic.
     "m08_vision_tokens" ->

@@ -856,6 +856,56 @@ object Dedup {
       .filter(col("dup_frac") <= tau)
   }
 
+  /** SPAN-level exact-substring masking — the fine-grained acting
+    * variant next to [[windowDupRemoval]]'s doc-granularity drop:
+    * rebuild each document with every word position covered by a
+    * duplicated `k`-window removed (a position p is covered iff some
+    * window starting in [p−k+1, p] has corpus multiplicity > 1).
+    * Documents with no duplicated windows pass through intact (split
+    * on single spaces and re-joined, [[segmentDedup]]'s rebuild
+    * convention), so the output is a drop-in cleaned corpus.
+    *
+    * Scale shape: d20's position table WITH start indexes, same
+    * materialize-once + window-count aggregate; covered starts
+    * collapse to ONE small sorted array per affected doc (duplicated
+    * windows are the Zipf tail — the starts list is bounded by the
+    * doc's own window count), joined back doc_id-keyed; the
+    * mask itself is a row-local position filter (O(words × covered
+    * starts) per doc, both bounded by doc length). Three shuffles
+    * total: window counts, starts aggregate, corpus join.
+    */
+  def windowDupMask(documents: DataFrame, k: Int = 5): DataFrame = {
+    val hw = documents.select(col("doc_id"),
+      transform(Canon.words(col("text")), w => Canon.hashP(w)).as("hw"))
+    val sh = hw.select(col("doc_id"),
+      posexplode(Canon.shingleHashes(col("hw"), k)))
+      .select(col("doc_id"), (col("pos") + 1).as("s"), col("col").as("sh"))
+      .materialized
+    val dup = sh.groupBy(col("sh"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(col("sh"))
+    val starts = sh.join(dup, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("s"))).as("_starts"))
+    val joined = documents
+      .select(col("doc_id"), Canon.words(col("text")).as("w"))
+      .join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        coalesce(col("_starts"), array().cast("array<int>")).as("_starts"))
+    val n = size(col("w"))
+    // guard the sequence: sequence(1, 0) would walk BACKWARDS
+    val positions = when(n >= 1, sequence(lit(1), n))
+      .otherwise(array().cast("array<int>"))
+    val kept = filter(positions, p =>
+      !exists(col("_starts"), s => s <= p && p < s + lit(k)))
+    joined.select(col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      (n - size(kept)).cast("long").as("n_masked"),
+      concat_ws(" ", transform(kept, p => element_at(col("w"), p)))
+        .as("text_masked"))
+  }
+
   /** Cluster-size histogram over a (doc_id, cluster_rep) labeling —
     * the dedup summary a curation report leads with: for each cluster
     * size, how many clusters and how many documents, and the docs that

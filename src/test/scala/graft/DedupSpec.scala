@@ -346,6 +346,36 @@ class DedupSpec extends SparkSpec {
     assert(strict === Array(3L, 4L))
   }
 
+  test("windowDupMask removes covered spans, keeps clean docs intact") {
+    val docs = Seq(
+      // docs 0/1 share their first 5-word window "a b c d e": in both,
+      // positions 1..5 are covered (window start 1), tails survive
+      (0L, "a b c d e f g"),
+      (1L, "a b c d e x y"),
+      (2L, "all words here are unique in corpus"), // untouched
+      (3L, "u v")                                  // < k words: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.windowDupMask(docs)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out === Array(
+      (0L, 7L, 5L, "f g"),
+      (1L, 7L, 5L, "x y"),
+      (2L, 7L, 0L, "all words here are unique in corpus"),
+      (3L, 2L, 0L, "u v")))
+  }
+
+  test("windowDupMask: in-doc repetition masks every covered position") {
+    // "p q r s t" repeats 3x: every window recurs, all 15 words covered
+    val docs = Seq(
+      (0L, "p q r s t p q r s t p q r s t"),
+      (1L, "calm unrelated filler words beyond any window here")
+    ).toDF("doc_id", "text")
+    val r = Dedup.windowDupMask(docs)
+      .filter($"doc_id" === 0L)
+      .as[(Long, Long, Long, String)].head()
+    assert(r === ((0L, 15L, 15L, "")))
+  }
+
   test("clusterSizeHistogram: sizes, cluster counts, removable docs") {
     // two clusters of 2 and one cluster of 3
     val clusters = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L),
