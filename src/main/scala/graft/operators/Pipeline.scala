@@ -68,7 +68,7 @@ object Pipeline {
     * window (tokenBudgetSample's rationale, t06's template):
     * range-repartition by the scan order (lang, ord, doc_id), rank
     * locally per (partition, lang), offset by the earlier partitions'
-    * per-language COUNTS (triangular join over the tiny (pid, lang)
+    * per-language COUNTS (one window pass over the tiny (pid, lang)
     * aggregate, broadcast back). The dominant language never sorts on
     * one task.
     */
@@ -87,14 +87,16 @@ object Pipeline {
       .orderBy(col("ord"), col("doc_id"))
     val local = parted.withColumn("_lrk",
       row_number().over(wLocal).cast("long"))
-    val sums = local.groupBy(col("_pid"), col("lang"))
+    val sums = parted.groupBy(col("_pid"), col("lang"))
       .agg(count(lit(1)).as("_pcnt"))
-    val offsets = sums.as("a")
-      .join(sums.as("b"),
-        col("a.lang") === col("b.lang") && col("b._pid") < col("a._pid"),
-        "left")
-      .groupBy(col("a._pid").as("_pid"), col("a.lang").as("lang"))
-      .agg(coalesce(sum(col("b._pcnt")), lit(0L)).as("_off"))
+    // per-language prefix offsets in one window pass over the tiny
+    // (pid, lang) counts table (the q35 fold — no triangular join)
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("_pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val offsets = sums.select(col("_pid"), col("lang"),
+      coalesce(sum(col("_pcnt")).over(wOff), lit(0L)).as("_off"))
     local.join(broadcast(offsets), Seq("_pid", "lang"))
       .withColumn("rank", col("_off") + col("_lrk"))
       .filter(col("rank") <= n)
@@ -121,7 +123,7 @@ object Pipeline {
     * range-repartition by the scan order (lang, ord, doc_id) so each
     * partition holds a contiguous slice of each language's order; sum
     * locally per (partition, lang); offset by the earlier partitions'
-    * per-language sums (a triangular join over the tiny (pid, lang)
+    * per-language sums (one window pass over the tiny (pid, lang)
     * aggregate, broadcast back). No single-task sort anywhere; the
     * local window's (_pid, lang) groups are partition-sized by
     * construction.
@@ -158,14 +160,17 @@ object Pipeline {
     // Derived from `local` so the exchange subtree is shared with the
     // probe side (ReuseExchange keeps _pid assignment consistent and
     // the shuffle single-execution).
-    val sums = local.groupBy(col("_pid"), col("lang"))
+    val sums = parted.groupBy(col("_pid"), col("lang"))
       .agg(sum(col("n_tokens")).as("_psum"))
-    val offsets = sums.as("a")
-      .join(sums.as("b"),
-        col("a.lang") === col("b.lang") && col("b._pid") < col("a._pid"),
-        "left")
-      .groupBy(col("a._pid").as("_pid"), col("a.lang").as("lang"))
-      .agg(coalesce(sum(col("b._psum")), lit(0L)).as("_off"))
+    // per-language prefix offsets in one window pass over the
+    // ≤ numPartitions×langs-row sums table (the q35 fold — no
+    // triangular self-join)
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("_pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val offsets = sums.select(col("_pid"), col("lang"),
+      coalesce(sum(col("_psum")).over(wOff), lit(0L)).as("_off"))
     local.join(broadcast(offsets), Seq("_pid", "lang"))
       .withColumn("tokens_before", col("_off") + col("_loc"))
       .filter(col("tokens_before") < budget)
@@ -328,13 +333,17 @@ object Pipeline {
     *
     * Scale: the within-language rank is a per-lang window (bounded
     * cardinality — same caveat as p04, languages are few and the window
-    * is hash-partitioned across them); the GLOBAL position is NOT a
-    * global sort — per-round counts (≤ max-lang-size rows, tiny) are
-    * prefix-summed and broadcast back, then the within-round rank is a
-    * per-round window. Mirrors tokenBudgetSample's two-stage
-    * prefix-sum shape: no single-task global ordering anywhere.
+    * is hash-partitioned across them); the GLOBAL position is the
+    * interleave's total order (round, lang, doc_id) ranked with the
+    * two-stage template (range-repartition, per-partition rank,
+    * partition-count prefix offsets via one window over the tiny
+    * counts table — t06/q35's shape). Round count equals the LARGEST
+    * language's size — corpus-scale, so anything per-round (the old
+    * triangular round-offset join was O(rounds²); even a per-round
+    * window leaves round-sized single tasks) must not key on it.
     */
-  def epochOrder(documents: DataFrame): DataFrame = {
+  def epochOrder(documents: DataFrame,
+                 numPartitions: Int = 32): DataFrame = {
     val wLang = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang"))
       .orderBy(col("ord"), col("doc_id"))
@@ -343,22 +352,23 @@ object Pipeline {
         Canon.hash60(concat(lit("epoch|"), col("text"))).as("ord"))
       .withColumn("round", row_number().over(wLang).cast("long"))
       .materialized
-    // Per-round sizes are at most max(per-lang count) rows — a tiny
-    // aggregate; the prefix sum over them runs on that tiny side and
-    // broadcasts back, so no global sort ever materializes.
-    val sizes = rounds.groupBy(col("round"))
-      .agg(count(lit(1)).as("c"))
-    val offsets = sizes.as("a")
-      .join(sizes.as("b"), col("b.round") < col("a.round"), "left")
-      .groupBy(col("a.round").as("round"))
-      .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
-    val wRound = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("round"))
-      .orderBy(col("lang"), col("doc_id"))
-    rounds.join(broadcast(offsets), Seq("round"))
-      .withColumn("epoch_pos",
-        col("off") + row_number().over(wRound).cast("long"))
-      .select(col("doc_id"), col("lang"), col("round"), col("epoch_pos"))
+    val parted = rounds
+      .repartitionByRange(numPartitions,
+        col("round").asc, col("lang").asc, col("doc_id").asc)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid"))
+      .orderBy(col("round"), col("lang"), col("doc_id"))
+    val local = parted.withColumn("_r",
+      row_number().over(wLocal).cast("long"))
+    val counts = parted.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("_pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("_pid"),
+      coalesce(sum(col("_cnt")).over(wOff), lit(0L)).as("_off"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      .select(col("doc_id"), col("lang"), col("round"),
+        (col("_off") + col("_r")).as("epoch_pos"))
   }
 
   /** Exact-percentile length gate: keep documents whose token count is
@@ -374,7 +384,7 @@ object Pipeline {
     * for book-length docs). The cumulative count over the histogram is
     * the repo's two-stage prefix sum (range-repartition by value,
     * within-partition running sum, partition offsets via the
-    * ≤ P²-row triangular join — the t06/p04/q35 template): never a
+    * counts-table window pass — the t06/p04/q35 template): never a
     * partition-less window even over the histogram, since "bounded"
     * still means 10⁶ rows on one task otherwise. The scalar threshold
     * broadcast-joins back onto the corpus scan. Two corpus passes
@@ -398,10 +408,12 @@ object Pipeline {
         org.apache.spark.sql.expressions.Window.currentRow)
     val local = parted.withColumn("_lcum", sum(col("c")).over(wLocal))
     val sums = parted.groupBy(col("_pid")).agg(sum(col("c")).as("_psum"))
-    val offsets = sums.as("a")
-      .join(sums.as("b"), col("b._pid") < col("a._pid"), "left")
-      .groupBy(col("a._pid").as("_pid"))
-      .agg(coalesce(sum(col("b._psum")), lit(0L)).as("_off"))
+    // prefix offsets in one window pass over the ≤ numPartitions-row
+    // sums table (bounded by partition COUNT, not data — the q35 fold)
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("_pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = sums.select(col("_pid"),
+      coalesce(sum(col("_psum")).over(wOff), lit(0L)).as("_off"))
     val thr = local.join(broadcast(offsets), Seq("_pid"))
       .join(broadcast(total))
       .filter(col("_off") + col("_lcum") >= ceil(lit(q) * col("n")))
@@ -420,7 +432,7 @@ object Pipeline {
     * The GLOBAL position is the two-stage template (t06/q35/p10):
     * range-repartition by the order key so partition i holds a
     * contiguous position range, rank within partitions, offset by the
-    * tiny triangular prefix of partition counts — no partition-less
+    * partition-count prefix window over the tiny counts — no partition-less
     * window, no single-task sort, scales with partitions.
     */
   def curriculumOrder(documents: DataFrame,
@@ -439,11 +451,13 @@ object Pipeline {
       .partitionBy(col("_pid"))
       .orderBy(col("difficulty"), col("_tb"), col("doc_id"))
     val local = parted.withColumn("_r", row_number().over(wLocal))
-    val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
-    val offsets = counts.as("a")
-      .join(counts.as("b"), col("b._pid") < col("a._pid"), "left")
-      .groupBy(col("a._pid").as("_pid"))
-      .agg(coalesce(sum(col("b._cnt")), lit(0L)).as("_off"))
+    val counts = parted.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    // prefix offsets in one window pass over the ≤ numPartitions-row
+    // counts table (bounded by partition COUNT, not data — q35's fold)
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("_pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("_pid"),
+      coalesce(sum(col("_cnt")).over(wOff), lit(0L)).as("_off"))
     local.join(broadcast(offsets), Seq("_pid"))
       .select(col("doc_id"), col("difficulty"),
         (col("_off") + col("_r")).as("curriculum_pos"))

@@ -114,9 +114,10 @@ object TextAnalysis {
     * with no partition key moves the whole table onto a single task.
     * Instead: range-repartition by the rank order (so partition i
     * holds a contiguous rank range), rank within each partition, and
-    * offset by the sizes of earlier partitions (a P²-row triangular
-    * self-join over the tiny per-partition counts — no window, no
-    * single-partition sort anywhere). Rank ties are impossible: `word`
+    * offset by the sizes of earlier partitions (a prefix window over
+    * the tiny per-partition counts — bounded by the partition COUNT,
+    * so no data-sized window and no single-partition sort anywhere).
+    * Rank ties are impossible: `word`
     * is unique after the aggregate, so (n desc, word asc) is a total
     * order and the result is deterministic for ANY range-boundary
     * placement.
@@ -138,11 +139,14 @@ object TextAnalysis {
       .partitionBy(col("_pid"))
       .orderBy(col("n").desc, col("word").asc)
     val local = parted.withColumn("_r", row_number().over(wLocal))
-    val counts = local.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
-    val offsets = counts.as("a")
-      .join(counts.as("b"), col("b._pid") < col("a._pid"), "left")
-      .groupBy(col("a._pid").as("_pid"))
-      .agg(coalesce(sum(col("b._cnt")), lit(0L)).as("_off"))
+    val counts = parted.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    // prefix offsets in ONE window pass over the ≤ rankPartitions-row
+    // counts table (partition-less, but bounded by the partition COUNT,
+    // never by data — the q35 fold, replacing the triangular self-join)
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("_pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("_pid"),
+      coalesce(sum(col("_cnt")).over(wOff), lit(0L)).as("_off"))
     local.join(broadcast(offsets), Seq("_pid"))
       .select(col("word"), col("n"),
         (col("_off") + col("_r")).cast("int").as("rank"))
