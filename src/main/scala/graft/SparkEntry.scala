@@ -291,6 +291,9 @@ object SparkEntry {
     // Binary sign-sketch + Hamming top-k (the 64x-compression path).
     "s09_binary_hamming" -> ((s, dir) =>
       Similarity.knnBinaryHamming(t(s, dir, "embeddings"), 10, 3)),
+    // IVF-PQ (IVFADC): coarse cell blocking x ADC table scoring.
+    "s16_knn_ivfpq" -> ((s, dir) =>
+      Similarity.knnIvfPq(t(s, dir, "embeddings"), 10, 3)),
     // Stopword-profile language ID.
     "t01_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"))),
@@ -1516,6 +1519,52 @@ object SparkEntry {
            |  FROM codes c JOIN qt ON qt.s = c.s AND qt.code = c.code
            |  WHERE c.vec_id <> qt.q_id
            |  GROUP BY qt.q_id, c.vec_id)
+           |SELECT q_id, nbr_id, approx_dot, "rank" FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY approx_dot DESC, nbr_id) AS "rank" FROM scored)
+           |WHERE "rank" <= 3""".stripMargin),
+    // Mirrors knnIvfPq: the shared ivfCte (cells, refined assignment,
+    // probes) composed with s05/s06's codebook+codes+query-table CTEs;
+    // each candidate in a probed cell scores as the s-ASCENDING
+    // ordered-list fold of its m lookups (the Spark side's fixed
+    // summation order), then top-3. A vector lives in exactly ONE
+    // cell and probes explodes distinct cells, so no pair dedup is
+    // needed before the group.
+    "s16_knn_ivfpq" ->
+      (embCte +
+        s""", $ivfCte,
+           |hb AS (SELECT vec_id, v, ${h60("'pqseed|' || vec_id")} AS hh
+           |  FROM n),
+           |cb AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1
+           |    AS code, v AS cv
+           |  FROM hb ORDER BY hh, vec_id LIMIT 16),
+           |sub AS (SELECT a.vec_id, t.s, cb.code,
+           |   list_slice(a.v, t.s*8+1, t.s*8+8) AS va,
+           |   list_slice(cb.cv, t.s*8+1, t.s*8+8) AS vb
+           |  FROM n a CROSS JOIN generate_series(0, 7) t(s)
+           |  CROSS JOIN cb),
+           |codes AS (SELECT vec_id, s, code FROM (
+           |  SELECT vec_id, s, code, row_number() OVER (
+           |    PARTITION BY vec_id, s ORDER BY
+           |    list_reduce(list_prepend(0.0,
+           |      [(va[i]-vb[i])*(va[i]-vb[i])
+           |       FOR i IN range(1, len(va)+1)]),
+           |      (acc, x) -> acc + x), code) AS rk FROM sub)
+           |  WHERE rk = 1),
+           |qt AS (SELECT vec_id AS q_id, s, code,
+           |   list_reduce(list_prepend(0.0,
+           |     [va[i]*vb[i] FOR i IN range(1, len(va)+1)]),
+           |     (acc, x) -> acc + x) AS pdot
+           |  FROM sub WHERE vec_id < 10),
+           |scored AS (SELECT p.q_id, b.vec_id AS nbr_id,
+           |   list_reduce(list_prepend(0.0, list(qt.pdot ORDER BY qt.s)),
+           |     (acc, x) -> acc + x) AS approx_dot
+           |  FROM probes p
+           |  JOIN asg b ON b.cell = p.cell AND b.vec_id <> p.q_id
+           |  JOIN codes c2 ON c2.vec_id = b.vec_id
+           |  JOIN qt ON qt.q_id = p.q_id AND qt.s = c2.s
+           |    AND qt.code = c2.code
+           |  GROUP BY p.q_id, b.vec_id)
            |SELECT q_id, nbr_id, approx_dot, "rank" FROM (
            | SELECT *, row_number() OVER (PARTITION BY q_id
            |   ORDER BY approx_dot DESC, nbr_id) AS "rank" FROM scored)

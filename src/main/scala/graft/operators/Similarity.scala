@@ -177,6 +177,16 @@ object Similarity {
   private def ivfBestCell(sims: Column): Column =
     (array_position(sims, array_max(sims)) - 1).cast("int")
 
+  /** Row-local top-`nProbe` probe cells from the precomputed per-cell
+    * cosine array: sort (−sim, cell) asc, take the head — lowest cell
+    * wins an exact tie (oracle: ORDER BY csim DESC, cell).
+    */
+  private def ivfProbeCells(sims: Column, nProbe: Int): Column =
+    slice(transform(
+      array_sort(transform(sims, (s, i) =>
+        struct((-s).as("negs"), i.as("cell")))),
+      p => p.getField("cell")), 1, nProbe)
+
   /** Nearest-centroid cell assignment for every vector: (vec_id, v,
     * nrm, cell). Row-local argmax over the one-row broadcast centroid
     * array inside the corpus scan — zero shuffle.
@@ -295,19 +305,13 @@ object Similarity {
                           nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = prepared(embeddings)
     val centArr = ivfRefineOnce(e, ivfCentroidArr(e, nCells))
-    // row-local top-nProbe cells: sort (−sim, cell) asc, take the head
-    def probeCells(sims: Column): Column =
-      slice(transform(
-        array_sort(transform(sims, (s, i) =>
-          struct((-s).as("negs"), i.as("cell")))),
-        p => p.getField("cell")), 1, nProbe)
     val indexed = ivfAssigned(e, centArr)
     val probes = e.filter(col("vec_id") < nQueries)
       .join(broadcast(centArr))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm"), ivfSims.as("sims"))
       .select(col("q_id"), col("qv"), col("qnrm"),
-        explode(probeCells(col("sims"))).as("qcell"))
+        explode(ivfProbeCells(col("sims"), nProbe)).as("qcell"))
     val scored = indexed.join(broadcast(probes),
       col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("nbr_id"),
@@ -436,6 +440,67 @@ object Similarity {
       .select(col("vec_id"), col("codes"), explode(col("qt")).as("q"))
       .filter(col("vec_id") =!= col("q.q_id"))
       .select(col("q.q_id").as("q_id"), col("vec_id").as("nbr_id"),
+        approx.as("approx_dot"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dot").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ search — the IVFADC composition (Jégou et al. 2011, the
+    * structure FAISS ships for billion-scale indexes): the coarse IVF
+    * quantizer shrinks each query's CANDIDATE SET to `nProbe` cells
+    * (knnIvfDeterministic's blocking) and PQ-ADC shrinks the COST PER
+    * CANDIDATE to m table lookups (knnPqAdc's scoring) — the two
+    * approximations are independent levers, and composing them is what
+    * makes exhaustive re-ranking affordable after a 10⁴× candidate cut.
+    *
+    * Scale shape: the index pass computes (cell, codes) per vector
+    * row-locally against two one-row broadcasts (centroid array +
+    * codebook) — zero corpus shuffle, and at 100 TB it would be
+    * written once as the packed index (1 int + m bytes per vector, the
+    * only thing search ever scans). The query side precomputes probe
+    * cells AND the ADC lookup table in one pass over the nQueries
+    * rows; search is a broadcast cell-key equi-join with the m-lookup
+    * fold inside the scan, then the per-query top-k window — the same
+    * two-exchange plan as s03 with the d-dim multiply gone.
+    * Determinism: every stage reuses the hash-gated s03/s05 kernels
+    * and the s-ascending lookup fold, so the whole path oracle-checks
+    * (s16) despite being doubly approximate.
+    */
+  def knnIvfPq(embeddings: DataFrame, nQueries: Int, k: Int,
+               nCells: Int = 16, nProbe: Int = 4,
+               m: Int = 8, nCodes: Int = 16, dim: Int = 64): DataFrame = {
+    val e = prepared(embeddings)
+    val centArr = ivfRefineOnce(e, ivfCentroidArr(e, nCells))
+    val cbArr = pqCodebook(e, nCodes)
+    val sub = dim / m
+    // the packed index: (vec_id, cell, codes), all row-local
+    val indexed = ivfAssigned(e, centArr)
+      .join(broadcast(cbArr))
+      .select(col("vec_id"), col("cell"),
+        Canon.pqEncode(col("v"), col("cbflat"), m).as("codes"))
+    // query side: ADC table (knnPqAdc's parts) + probe cells, one pass
+    val parts = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(col("cb"), c =>
+        Canon.dot(slice(col("v"), s * sub + 1, lit(sub)),
+          slice(c.getField("cv"), s * sub + 1, lit(sub)))))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .join(broadcast(centArr))
+      .join(broadcast(cbArr))
+      .select(col("vec_id").as("q_id"), parts.as("parts"),
+        ivfSims.as("sims"))
+      .select(col("q_id"), col("parts"),
+        explode(ivfProbeCells(col("sims"), nProbe)).as("qcell"))
+    // approx dot = left fold over s ASCENDING of parts[s][code_s]
+    // (knnPqAdc's fixed summation order — bit-deterministic)
+    val approx = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d),
+      (acc, s) => acc +
+        element_at(element_at(col("parts"), s + 1),
+          element_at(col("codes"), s + 1) + 1))
+    val scored = indexed.join(broadcast(probes),
+      col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
         approx.as("approx_dot"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("approx_dot").desc, col("nbr_id").asc)

@@ -212,6 +212,32 @@ class SimilaritySpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("knnIvfPq: ADC scores agree with knnPqAdc, partition-independent") {
+    val real = table("embeddings")
+    // the full ADC ranking (k large enough to cover every candidate)
+    // is the scoring universe: IVF-PQ must return the SAME approx_dot
+    // for any (q, nbr) it keeps — the cell blocking only restricts
+    // candidates, never changes a score
+    val full = Similarity.knnPqAdc(real, 10, 10000)
+      .select("q_id", "nbr_id", "approx_dot")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, d) => (q, n) -> d }.toMap
+    val ivfpq = Similarity.knnIvfPq(real, 10, 3)
+      .select("q_id", "nbr_id", "approx_dot", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(ivfpq.length === 30)
+    assert(ivfpq.groupBy(_._1)
+      .forall(_._2.map(_._4).sorted.sameElements(1 to 3)))
+    ivfpq.foreach { case (q, n, d, _) =>
+      assert(math.abs(d - full((q, n))) < 1e-12,
+        s"IVF-PQ score for ($q,$n) diverged from the ADC universe")
+    }
+    val again = Similarity.knnIvfPq(real.repartition(13), 10, 3)
+      .select("q_id", "nbr_id", "approx_dot", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(ivfpq.toSeq === again.toSeq)
+  }
+
   test("quantizeInt8: bounded reconstruction error, zero-vector safe") {
     val emb = Seq(
       (0L, Array(0.5f, -1.0f, 0.25f), 0),
