@@ -517,6 +517,9 @@ object SparkEntry {
     // Moving-average type-token ratio (length-robust lexical diversity).
     "t17_mattr" -> ((s, dir) =>
       TextAnalysis.mattr(t(s, dir, "documents"))),
+    // DSIR-style hashed n-gram importance weights (target = en slice).
+    "t18_dsir_weights" -> ((s, dir) =>
+      TextAnalysis.importanceWeights(t(s, dir, "documents"), "en")),
     // LSH banding calibration: analytic detection curve vs actual
     // candidate flags over all capped source-blocked pairs.
     "d19_lsh_curve" -> ((s, dir) =>
@@ -2730,6 +2733,27 @@ object SparkEntry {
          |  (width // 32) * (height // 32) + 1 AS vision_tokens,
          |  (width // 32) * (height // 32) + 1 <= 64 AS fits_budget
          |FROM meta""".stripMargin,
+    // importanceWeights mirror: same u|/b| hashed feature streams,
+    // bucket counts with target filter, and the EXACT fixed-point
+    // per-feature ratio (ct+1)*1e6 // (cr+1) — integer floor division
+    // in both engines (all operands positive), so the long sums agree
+    // bit-for-bit and only the final division is a double.
+    "t18_dsir_weights" ->
+      (s"""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS w
+         |  FROM documents),
+         |f AS (SELECT doc_id, lang, unnest(
+         |   list_concat(['u|' || x FOR x IN w],
+         |     ['b|' || w[i] || ' ' || w[i+1]
+         |      FOR i IN range(1, len(w))])) AS f FROM w),
+         |b AS (SELECT doc_id, lang, ${h60("f")} % 1024 AS b FROM f),
+         |lm AS (SELECT b, count(*)::BIGINT AS cr,
+         |   count(*) FILTER (WHERE lang = 'en')::BIGINT AS ct
+         |  FROM b GROUP BY b)
+         |SELECT doc_id, count(*)::BIGINT AS n_feats,
+         |  (sum((ct + 1) * 1000000 // (cr + 1)))::DOUBLE / 1000000
+         |    / count(*) AS dsir_score
+         |FROM b JOIN lm USING (b)
+         |GROUP BY doc_id""".stripMargin),
     // mattr mirror: same bounded window walk as a list comprehension;
     // the mean stays rational (Σ distinct over window·n_windows).
     "t17_mattr" ->

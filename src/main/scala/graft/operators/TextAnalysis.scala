@@ -565,4 +565,64 @@ object TextAnalysis {
           col("rule_symbols") && col("rule_ellipsis") &&
           col("rule_stopwords") && col("rule_top_word"))
   }
+
+  /** DSIR-style importance weights over hashed n-gram features (Xie et
+    * al. 2023, arXiv:2302.03169): score every document by how much its
+    * hashed unigram+bigram distribution looks like a TARGET slice of
+    * the corpus (e.g. the high-quality reference domain) relative to
+    * the raw distribution — the data-SELECTION signal a pretraining
+    * pipeline ranks/resamples by, where a quality filter (t02/t15)
+    * only thresholds.
+    *
+    * Faithful to DSIR's structure: features are hashed n-grams
+    * (unigrams + bigrams → `nBuckets` buckets, independent `u|`/`b|`
+    * hash streams), both "LMs" are add-one-smoothed bucket counts, and
+    * the score aggregates per-feature target-vs-raw evidence. It
+    * deviates ONCE, deliberately: DSIR sums per-feature LOG ratios
+    * (geometric mean); ln is the one libm call whose low bits differ
+    * across engines (t09's rationale), so the per-feature ratio
+    * (ct+1)/(cr+1) enters as the EXACT fixed-point integer
+    * `(ct+1)·10⁶ div (cr+1)` and the doc score is the arithmetic mean
+    * of those — integer sums all the way (order-independent on any
+    * partitioning), ONE double division at the end, hash-gateable
+    * (t18). Ratios and their logs rank per-feature evidence
+    * identically (monotone); only the cross-feature averaging differs
+    * (outlier features weigh more arithmetically).
+    *
+    * Scale shape: ONE corpus feature fan-out, materialized (the t14
+    * lesson) because it feeds both the bucket LM build and the per-doc
+    * probe. The LM table is ≤ `nBuckets` rows by construction — THE
+    * point of feature hashing at 100 TB: the statistic the score needs
+    * is bucket-bounded, not vocabulary-bounded — and broadcasts back
+    * onto the feature stream; the per-doc aggregate partial-combines
+    * map-side. Two shuffles beyond the fan-out at any scale. Every doc
+    * has ≥ 1 feature (the split convention maps empty text to [""]),
+    * so no doc drops out. Fixed-point headroom: (ct+1)·10⁶ needs
+    * ct < 9.2e12 — raise nBuckets long before a bucket count
+    * approaches that.
+    */
+  def importanceWeights(documents: DataFrame, targetLang: String,
+                        nBuckets: Int = 1024): DataFrame = {
+    val w = Canon.words(col("text"))
+    val feats = documents
+      .select(col("doc_id"), col("lang"), w.as("w"))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(
+          transform(col("w"), x => concat(lit("u|"), x)),
+          transform(Canon.shingles(col("w"), 2), x =>
+            concat(lit("b|"), x)))).as("f"))
+      .select(col("doc_id"), col("lang"),
+        (Canon.hash60(col("f")) % nBuckets).as("b"))
+      .materialized
+    val lm = feats.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        count(when(col("lang") === targetLang, 1)).as("ct"))
+    feats.join(broadcast(lm), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(expr("(ct + 1) * 1000000 div (cr + 1)")).as("_sfix"))
+      .select(col("doc_id"), col("n_feats"),
+        (col("_sfix").cast("double") / lit(1e6) / col("n_feats"))
+          .as("dsir_score"))
+  }
 }

@@ -224,4 +224,30 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().sortBy(_._1)
     assert(out === Array((0L, 2L, 4.0 / 6), (1L, 2L, 1.0)))
   }
+
+  test("importanceWeights: target-like features outscore off-target, " +
+    "feature counts exact, partition-independent") {
+    val docs = Seq(
+      (0L, "alpha beta alpha beta", "en"),
+      (1L, "alpha beta gamma", "en"),
+      // de doc re-using the en vocabulary: every feature has high
+      // target counts → high score
+      (2L, "alpha beta", "de"),
+      // de doc with vocabulary no en doc shares: ct = 0 everywhere
+      (3L, "zeta eta theta", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = TextAnalysis.importanceWeights(docs, "en")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // unigrams + (n-1) bigrams per doc
+    assert(out.map(r => r._1 -> r._2).toMap ===
+      Map(0L -> 7L, 1L -> 5L, 2L -> 3L, 3L -> 5L))
+    val score = out.map(r => r._1 -> r._3).toMap
+    assert(score(2L) > score(3L),
+      "en-vocabulary de doc must outscore off-target de doc")
+    assert(score(0L) > score(3L))
+    val again = TextAnalysis
+      .importanceWeights(docs.repartition(7), "en")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq === again.toSeq)
+  }
 }
