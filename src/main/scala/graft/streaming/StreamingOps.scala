@@ -282,6 +282,51 @@ object StreamingOps {
           .as("filled_value"))
   }
 
+  /** Lateness profile — the measurement a watermark is TUNED from:
+    * per event, how far its event time lags the running event-time
+    * high-water mark over everything that ARRIVED before it (arrival
+    * order = event_id, the generation sequence). `withWatermark(d)`
+    * silently drops exactly the rows with lateness > d, so this table
+    * answers "what would a d-second watermark cost me?" BEFORE a
+    * streaming job is deployed with the wrong d — the st-family's
+    * QA-dial convention (s11/d19: measure the loss, don't assume it).
+    *
+    * Scale shape: a running max over arrival order is the prefix-sum
+    * problem with max as the monoid, so it gets the repo's two-stage
+    * template (t06/q35) — range-repartition by event_id, per-partition
+    * running max (rows UNBOUNDED PRECEDING..-1: the mark EXCLUDES the
+    * row itself, matching Spark's watermark-vs-row comparison), then
+    * partition-prefix maxes from the tiny per-partition aggregate via
+    * one window pass over ≤ numPartitions rows. No partition-less
+    * data-sized window, no single-task sort. Epoch micros are
+    * non-negative, so −1 is a safe "no predecessor" identity (the
+    * first arrival is never late).
+    */
+  def latenessProfile(events: DataFrame, delayUs: Long,
+                      numPartitions: Int = 32): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val parted = events
+      .select(col("event_id"), expr("ts div 1000").as("ts_us"))
+      .repartitionByRange(numPartitions, col("event_id").asc)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = W.partitionBy(col("_pid")).orderBy(col("event_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val local = parted.withColumn("_lmax",
+      coalesce(max(col("ts_us")).over(wLocal), lit(-1L)))
+    val pmax = parted.groupBy(col("_pid"))
+      .agg(max(col("ts_us")).as("_pm"))
+    val wOff = W.orderBy(col("_pid"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offs = pmax.select(col("_pid"),
+      coalesce(max(col("_pm")).over(wOff), lit(-1L)).as("_off"))
+    local.join(broadcast(offs), Seq("_pid"))
+      .select(col("event_id"), col("ts_us"),
+        greatest(lit(0L),
+          greatest(col("_lmax"), col("_off")) - col("ts_us"))
+          .as("lateness_us"))
+      .withColumn("is_late", col("lateness_us") > delayUs)
+  }
+
   /** Streaming insert-ignore (T5): stateful first-occurrence-wins dedup
     * by content key — the reference's `onDuplicate="ignore"` bulk sink
     * (follower.py:205-207) re-expressed as flatMapGroupsWithState.
