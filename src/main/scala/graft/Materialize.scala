@@ -65,9 +65,17 @@ object Materialize {
   }
 
   /** Run `body` under `s`, restoring the previous strategy after —
-    * spec/test helper; production code sets [[strategy]] once.
+    * spec/test helper; production code sets [[strategy]] once at
+    * startup, before any operator call, and never again.
+    *
+    * The strategy is process-global, so concurrent `withStrategy`
+    * blocks with different strategies would bleed into each other's
+    * jobs; the helper serializes itself on this object to keep the
+    * read-set-restore atomic. (All three strategies produce identical
+    * rows — MaterializeSpec — so even a bleed is a performance bleed,
+    * never a correctness one; the lock removes it anyway.)
     */
-  def withStrategy[A](s: Strategy)(body: => A): A = {
+  def withStrategy[A](s: Strategy)(body: => A): A = this.synchronized {
     val prev = strategy
     strategy = s
     try body finally strategy = prev

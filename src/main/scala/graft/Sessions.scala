@@ -37,6 +37,13 @@ object Sessions {
       b.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state." +
           "RocksDBStateStoreProvider")
+        // Changelog checkpointing is NOT Spark's default: without it
+        // every commit uploads a full RocksDB snapshot, which at large
+        // keyed state is the dominant per-batch cost. Incremental
+        // changelogs upload only the delta (snapshots amortize in the
+        // background maintenance task).
+        .config("spark.sql.streaming.stateStore.rocksdb." +
+          "changelogCheckpointing.enabled", "true")
     else b
     base
       .withExtensions(new graft.plans.GraftExtensions)

@@ -562,6 +562,11 @@ object SparkEntry {
     "st08_gap_fill" -> ((s, dir) =>
       graft.streaming.StreamingOps.resampleForwardFill(
         t(s, dir, "events"))),
+    // Watermark-tuning dial: per event, event-time lag behind the
+    // arrival-order high-water mark (two-stage running max).
+    "st09_lateness" -> ((s, dir) =>
+      graft.streaming.StreamingOps.latenessProfile(
+        t(s, dir, "events"), 5000000L)),
     // Corpus mixture "data card": per-(lang, source) counts + shares.
     "p12_corpus_report" -> ((s, dir) =>
       Pipeline.corpusReport(t(s, dir, "documents"))),
@@ -2301,6 +2306,16 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS filled_value
         |FROM j""".stripMargin,
+    // latenessProfile mirror: running max over arrival order
+    // (event_id) EXCLUDING the current row; first arrival never late.
+    "st09_lateness" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us FROM events),
+        |m AS (SELECT event_id, ts_us, greatest(0, coalesce(
+        |    max(ts_us) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    -1) - ts_us) AS lateness_us FROM e)
+        |SELECT event_id, ts_us, lateness_us,
+        |  lateness_us > 5000000 AS is_late FROM m""".stripMargin,
     "st06_dedup_first" ->
       """WITH e AS (SELECT user_id, event_type, event_id,
         |  epoch_us(ts) AS ts_us, value FROM events),

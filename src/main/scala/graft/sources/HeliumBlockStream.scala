@@ -106,6 +106,11 @@ final class HeliumBlockMicroBatchStream(endpoint: String,
   require(maxHeightsPerTrigger >= 0,
     s"maxHeightsPerTrigger must be >= 0 (0 = uncapped); " +
       s"got $maxHeightsPerTrigger")
+  // A non-positive fan-out would plan ZERO partitions for a non-empty
+  // (start, end] range while the engine still commits the offsets —
+  // silent permanent height loss. Fail at stream construction instead.
+  require(numPartitions > 0,
+    s"numPartitions must be > 0; got $numPartitions")
   private val client = new JsonRpcClient(endpoint)
   // Highest height this instance knows the engine has reached — seeded
   // from startHeight, advanced by commit() and by every offset the

@@ -305,4 +305,31 @@ class StreamingOpsSpec extends SparkSpec {
       (1L, h / 1000000 * 2, 0L, 2.0), (1L, h / 1000000 * 3, 1L, 9.0),
       (2L, h / 1000000 * 1, 1L, 7.0)))
   }
+
+  test("latenessProfile: lag behind the arrival-order high-water mark") {
+    // arrival order = event_id; ts in ns, profile works in µs.
+    // Event-time µs sequence: 100, 50, 200, 150, 30, 250.
+    // Exclusive running max:   -1, 100, 100, 200, 200, 200.
+    val events = Seq(
+      (1L, 100L), (2L, 50L), (3L, 200L),
+      (4L, 150L), (5L, 30L), (6L, 250L))
+      .map { case (id, us) => (id, us * 1000L) }
+      .toDF("event_id", "ts")
+    val out = StreamingOps.latenessProfile(events, delayUs = 60L)
+      .orderBy("event_id")
+      .select(col("lateness_us"), col("is_late"))
+      .as[(Long, Boolean)].collect()
+    assert(out === Array((0L, false), (50L, false), (0L, false),
+      (50L, false), (170L, true), (0L, false)))
+  }
+
+  test("latenessProfile: result independent of the partition count") {
+    val events = table("events")
+      .select(col("event_id"), col("ts"))
+    def run(parts: Int) =
+      StreamingOps.latenessProfile(events, 5000000L, parts)
+        .select("event_id", "ts_us", "lateness_us", "is_late")
+        .as[(Long, Long, Long, Boolean)].collect().sorted
+    assert(run(1) === run(7))
+  }
 }
