@@ -127,6 +127,15 @@ object Canon {
         org.apache.spark.sql.GraftSqlBridge.expression(v),
         org.apache.spark.sql.GraftSqlBridge.expression(cbFlat), m))
 
+  /** Uncovered positions of [1, n] under k-wide intervals at the given
+    * SORTED starts, in one native merged-interval walk (O(m + n)).
+    */
+  def keptUncoveredPositions(starts: Column, n: Column, k: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.KeptUncoveredPositionsI(
+        org.apache.spark.sql.GraftSqlBridge.expression(starts),
+        org.apache.spark.sql.GraftSqlBridge.expression(n), k))
+
   /** SimHash of a token-hash array in one native traversal. */
   def simhashBits(hashes: Column, bits: Int): Column =
     org.apache.spark.sql.GraftSqlBridge.column(

@@ -325,6 +325,82 @@ case class PqEncodeI(left: Expression, right: Expression, m: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** Positions in [1, n] NOT covered by any interval [s, s+k-1] for the
+  * starts `s` in a SORTED array<int> — the span-mask kernel of
+  * exact-substring dedup (windowDupMask): a single merged-interval
+  * walk, O(m + n) with one exact-sized output pass, replacing the
+  * O(n × m) per-position `exists` scan of the HOF form (and keeping a
+  * pathological fully-duplicated document linear instead of
+  * quadratic). Starts are assumed ≥ 1 and sorted ascending (the
+  * producer is sort_array(collect_list(...)) over posexplode offsets);
+  * a null ARRAY or null n yields null; n ≤ 0 yields an empty array.
+  */
+case class KeptUncoveredPositionsI(left: Expression, right: Expression,
+                                   k: Int)
+  extends BinaryExpression {
+
+  require(k >= 1, s"k must be positive, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<int>, int), got ($l, $r)")
+    }
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_kept_uncovered"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val st = a.asInstanceOf[ArrayData]
+    val n = b.asInstanceOf[Int]
+    val m = st.numElements()
+    val out = new Array[Int](math.max(n, 0))
+    var cnt = 0; var cur = 1; var i = 0
+    while (i < m) {
+      val s = st.getInt(i)
+      val e = math.min(s - 1, n)
+      var p = cur
+      while (p <= e) { out(cnt) = p; cnt += 1; p += 1 }
+      if (s + k > cur) cur = s + k
+      i += 1
+    }
+    var p = cur
+    while (p <= n) { out(cnt) = p; cnt += 1; p += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(out, cnt))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m"); val out = ctx.freshName("out")
+      val cnt = ctx.freshName("cnt"); val cur = ctx.freshName("cur")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val e = ctx.freshName("e"); val p = ctx.freshName("p")
+      s"""
+         |final int $m = $a.numElements();
+         |final int[] $out = new int[java.lang.Math.max($b, 0)];
+         |int $cnt = 0; int $cur = 1;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  final int $s = $a.getInt($i);
+         |  final int $e = java.lang.Math.min($s - 1, $b);
+         |  for (int $p = $cur; $p <= $e; $p++) { $out[$cnt++] = $p; }
+         |  if ($s + $k > $cur) $cur = $s + $k;
+         |}
+         |for (int $p = $cur; $p <= $b; $p++) { $out[$cnt++] = $p; }
+         |${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |    java.util.Arrays.copyOf($out, $cnt));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): KeptUncoveredPositionsI =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Longest run of equal adjacent values in a SORTED array<long> — the
   * modal frequency of the multiset (top-bigram count in the
   * repetition-signal operator) in one pass without materializing a

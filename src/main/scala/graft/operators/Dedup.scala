@@ -869,10 +869,13 @@ object Dedup {
     * materialize-once + window-count aggregate; covered starts
     * collapse to ONE small sorted array per affected doc (duplicated
     * windows are the Zipf tail — the starts list is bounded by the
-    * doc's own window count), joined back doc_id-keyed; the
-    * mask itself is a row-local position filter (O(words × covered
-    * starts) per doc, both bounded by doc length). Three shuffles
-    * total: window counts, starts aggregate, corpus join.
+    * doc's own window count), joined back doc_id-keyed; the mask
+    * itself is the native merged-interval walk
+    * ([[graft.functions.KeptUncoveredPositionsI]]) — O(words +
+    * starts) per doc, so even a pathological fully-duplicated long
+    * document (every position a duplicated start) stays linear.
+    * Three shuffles total: window counts, starts aggregate, corpus
+    * join.
     */
   def windowDupMask(documents: DataFrame, k: Int = 5): DataFrame = {
     val hw = documents.select(col("doc_id"),
@@ -894,11 +897,7 @@ object Dedup {
       .select(col("doc_id"), col("w"),
         coalesce(col("_starts"), array().cast("array<int>")).as("_starts"))
     val n = size(col("w"))
-    // guard the sequence: sequence(1, 0) would walk BACKWARDS
-    val positions = when(n >= 1, sequence(lit(1), n))
-      .otherwise(array().cast("array<int>"))
-    val kept = filter(positions, p =>
-      !exists(col("_starts"), s => s <= p && p < s + lit(k)))
+    val kept = Canon.keptUncoveredPositions(col("_starts"), n, k)
     joined.select(col("doc_id"),
       n.cast("long").as("n_tokens"),
       (n - size(kept)).cast("long").as("n_masked"),

@@ -376,6 +376,25 @@ class DedupSpec extends SparkSpec {
     assert(r === ((0L, 15L, 15L, "")))
   }
 
+  test("windowDupMask: fully-duplicated long doc stays linear and empties") {
+    // 1000 words, EVERY position a duplicated-window start — the
+    // pathological case the merged-interval kernel keeps O(words):
+    // the quadratic per-position exists scan would do ~10^6 probes/doc.
+    val phrase = (0 until 200).map(_ => "p q r s t").mkString(" ")
+    val docs = Seq(
+      (0L, phrase),
+      // same phrase with a unique island in the middle: the island
+      // words (and nothing else) survive masking — positions covered
+      // by windows straddling the island boundary stay masked
+      (1L, ((0 until 100).map(_ => "p q r s t") ++ Seq("lone island words")
+        ++ (0 until 100).map(_ => "p q r s t")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Dedup.windowDupMask(docs)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0) === ((0L, 1000L, 1000L, "")))
+    assert(out(1) === ((1L, 1003L, 1000L, "lone island words")))
+  }
+
   test("clusterSizeHistogram: sizes, cluster counts, removable docs") {
     // two clusters of 2 and one cluster of 3
     val clusters = Seq((0L, 0L), (1L, 0L), (2L, 2L), (3L, 2L),

@@ -108,4 +108,30 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(native.keySet === reference.keySet)
     native.foreach { case (k, v) => assert(v === reference(k), s"pair $k") }
   }
+
+  test("keptUncoveredPositions equals the per-position exists formula") {
+    val k = 5
+    val cases = Seq(
+      (1L, 10, Seq(1)),               // head interval
+      (2L, 10, Seq(6)),               // tail interval, exactly to n
+      (3L, 10, Seq(8)),               // interval clipped past n
+      (4L, 10, Seq(2, 4, 6)),         // overlapping chain
+      (5L, 10, Seq(1, 6)),            // adjacent, full coverage
+      (6L, 10, Seq.empty[Int]),       // no starts
+      (7L, 3, Seq(1)),                // doc shorter than k
+      (8L, 0, Seq.empty[Int]),        // empty doc
+      (9L, 40, Seq(1, 2, 3, 17, 30, 31, 36)))
+    val df = cases.toDF("id", "n", "starts")
+      .select(col("id"), col("n").cast("int").as("n"),
+        col("starts").cast("array<int>").as("starts"))
+    val positions = when(col("n") >= 1, sequence(lit(1), col("n")))
+      .otherwise(array().cast("array<int>"))
+    val reference = filter(positions, p =>
+      !exists(col("starts"), s => s <= p && p < s + lit(k)))
+    val out = df.select(col("id"),
+      Canon.keptUncoveredPositions(col("starts"), col("n"), k).as("a"),
+      reference.as("b"))
+      .as[(Long, Seq[Int], Seq[Int])].collect()
+    out.foreach { case (id, a, b) => assert(a === b, s"case $id") }
+  }
 }
