@@ -1087,9 +1087,22 @@ object SparkEntry {
          |surv AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
          |hw AS (SELECT doc_id, [${h60("x")} % $P FOR x IN w] AS hw
          |  FROM surv),
+         |s5 AS (SELECT doc_id,
+         |  [((((hw[i]*31 + hw[i+1])*31 + hw[i+2])*31 + hw[i+3])*31
+         |     + hw[i+4]) % $P
+         |   FOR i IN range(1, len(hw)-3)] AS s5 FROM hw),
+         |x5 AS (SELECT doc_id, unnest(s5) AS sh FROM s5),
+         |dup5 AS (SELECT sh FROM x5 GROUP BY sh HAVING count(*) > 1),
+         |pd AS (SELECT x5.doc_id, count(*) AS nw, count(dup5.sh) AS ndw
+         |  FROM x5 LEFT JOIN dup5 ON x5.sh = dup5.sh GROUP BY x5.doc_id),
+         |wdrop AS (SELECT doc_id FROM pd WHERE ndw::DOUBLE / nw > 0.5),
+         |surv2 AS (SELECT * FROM surv
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM wdrop)),
+         |hw2 AS (SELECT hw.* FROM hw
+         |  WHERE doc_id IN (SELECT doc_id FROM surv2)),
          |hb AS (SELECT doc_id,
          |  [((hw[i]*31 + hw[i+1])*31 + hw[i+2]) % $P
-         |   FOR i IN range(1, len(hw)-1)] AS hs FROM hw),
+         |   FOR i IN range(1, len(hw)-1)] AS hs FROM hw2),
          |sig AS (SELECT doc_id,
          |$sigs
          | FROM hb),
@@ -1109,14 +1122,15 @@ object SparkEntry {
          |clusters AS (SELECT node AS doc_id, min(lab) AS rep
          |  FROM reach GROUP BY node),
          |dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> rep),
-         |fin AS (SELECT * FROM surv
+         |fin AS (SELECT * FROM surv2
          |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
          |SELECT lang, count(*) AS n_docs,
          | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM fin GROUP BY lang""".stripMargin
     },
     // corpusFunnel mirror: p01's CTE chain + one stage-count aggregate
-    // per funnel stage (raw → quality → exact dedup → canonical).
+    // per funnel stage (raw → quality → exact dedup → window dedup →
+    // canonical).
     "p14_corpus_funnel" -> {
       import graft.functions.Canon.{AffineA, AffineB, MersenneP => P}
       val sigs = (0 until 8).map(s =>
@@ -1132,9 +1146,22 @@ object SparkEntry {
          |surv AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
          |hw AS (SELECT doc_id, [${h60("x")} % $P FOR x IN w] AS hw
          |  FROM surv),
+         |s5 AS (SELECT doc_id,
+         |  [((((hw[i]*31 + hw[i+1])*31 + hw[i+2])*31 + hw[i+3])*31
+         |     + hw[i+4]) % $P
+         |   FOR i IN range(1, len(hw)-3)] AS s5 FROM hw),
+         |x5 AS (SELECT doc_id, unnest(s5) AS sh FROM s5),
+         |dup5 AS (SELECT sh FROM x5 GROUP BY sh HAVING count(*) > 1),
+         |pd AS (SELECT x5.doc_id, count(*) AS nw, count(dup5.sh) AS ndw
+         |  FROM x5 LEFT JOIN dup5 ON x5.sh = dup5.sh GROUP BY x5.doc_id),
+         |wdrop AS (SELECT doc_id FROM pd WHERE ndw::DOUBLE / nw > 0.5),
+         |surv2 AS (SELECT * FROM surv
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM wdrop)),
+         |hw2 AS (SELECT hw.* FROM hw
+         |  WHERE doc_id IN (SELECT doc_id FROM surv2)),
          |hb AS (SELECT doc_id,
          |  [((hw[i]*31 + hw[i+1])*31 + hw[i+2]) % $P
-         |   FOR i IN range(1, len(hw)-1)] AS hs FROM hw),
+         |   FOR i IN range(1, len(hw)-1)] AS hs FROM hw2),
          |sig AS (SELECT doc_id,
          |$sigs
          | FROM hb),
@@ -1154,7 +1181,7 @@ object SparkEntry {
          |clusters AS (SELECT node AS doc_id, min(lab) AS rep
          |  FROM reach GROUP BY node),
          |dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> rep),
-         |fin AS (SELECT * FROM surv
+         |fin AS (SELECT * FROM surv2
          |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
          |SELECT 0 AS stage, 'raw' AS stage_name, count(*) AS n_docs,
          |  CAST(coalesce(sum(len(w)), 0) AS BIGINT) AS n_tokens FROM w0
@@ -1165,7 +1192,10 @@ object SparkEntry {
          |SELECT 2, 'exact_dedup', count(*),
          |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM surv
          |UNION ALL
-         |SELECT 3, 'neardup_canonical', count(*),
+         |SELECT 3, 'window_dedup', count(*),
+         |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM surv2
+         |UNION ALL
+         |SELECT 4, 'neardup_canonical', count(*),
          |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM fin""".stripMargin
     },
     "p02_hash_split" ->

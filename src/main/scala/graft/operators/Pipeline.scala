@@ -302,7 +302,8 @@ object Pipeline {
   }
 
   def corpusPipeline(documents: DataFrame,
-                     minTokens: Int = 30): DataFrame = {
+                     minTokens: Int = 30,
+                     dupTau: Double = 0.5): DataFrame = {
     val q = documents
       .withColumn("n_tokens", size(Canon.words(col("text"))))
       .filter(col("n_tokens") >= minTokens)
@@ -311,12 +312,21 @@ object Pipeline {
       .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"))
     val surv = q.join(keep, Seq("doc_id"), "left_semi")
+    // exact-substring (windowed-dup) removal over the exact-dedup
+    // survivors — the Lee et al. 2022 position-level stage the doc-
+    // and span-granularity d21/d22 operators act on, here composed
+    // between exact dedup and near-dup canonical selection: docs
+    // whose duplicated-window share exceeds dupTau are near-verbatim
+    // rehashes of OTHER surviving content and drop before clustering
+    val wdrop = Dedup.windowDupFrac(surv)
+      .filter(col("dup_frac") > dupTau).select(col("doc_id"))
+    val surv2 = surv.join(wdrop, Seq("doc_id"), "left_anti")
     // near-dup clusters over the survivors; drop non-canonical members
     val clusters = Dedup.dupClusters(
-      Dedup.lshCandidatePairs(Dedup.minhashSignature(surv)))
+      Dedup.lshCandidatePairs(Dedup.minhashSignature(surv2)))
     val dropIds = clusters.filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id"))
-    val fin = surv.join(dropIds, Seq("doc_id"), "left_anti")
+    val fin = surv2.join(dropIds, Seq("doc_id"), "left_anti")
     fin.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("sum_tokens"))
@@ -490,21 +500,25 @@ object Pipeline {
 
   /** Loss-accounting funnel over the [[corpusPipeline]] chain: docs
     * and tokens SURVIVING each stage — raw → quality gate → exact
-    * dedup → near-dup canonical — the first table a pipeline owner
-    * asks for ("where did my tokens go?"). p12 reports the final
-    * mixture; this reports the attrition that produced it.
+    * dedup → exact-substring (windowed-dup) removal → near-dup
+    * canonical — the first table a pipeline owner asks for ("where
+    * did my tokens go?"). p12 reports the final mixture; this reports
+    * the attrition that produced it, including what the Lee et al.
+    * position-level stage removes that content-key dedup missed.
     *
     * Scale shape: the stage memberships are attached as per-doc flags
-    * (two doc_id-keyed left joins of the corpus against the doc-sized
-    * exact-canonical and near-dup-drop lists, broadcast by AQE when
-    * small), then ALL four stages aggregate in ONE corpus pass via
-    * conditional sums — not one scan per stage. The 1-row result
-    * explodes into the 4 stage rows row-locally. The chain itself
-    * (content-key dedup shuffle, LSH banding, cluster fixpoint) is
+    * (three doc_id-keyed left joins of the corpus against the
+    * doc-sized exact-canonical, windowed-dup-drop, and near-dup-drop
+    * lists, broadcast by AQE when small), then ALL five stages
+    * aggregate in ONE corpus pass via conditional sums — not one scan
+    * per stage. The 1-row result explodes into the 5 stage rows
+    * row-locally. The chain itself (content-key dedup shuffle, d20
+    * position table, LSH banding, cluster fixpoint) is
     * corpusPipeline's, unchanged.
     */
   def corpusFunnel(documents: DataFrame,
-                   minTokens: Int = 30): DataFrame = {
+                   minTokens: Int = 30,
+                   dupTau: Double = 0.5): DataFrame = {
     val toks = documents.withColumn("n_tokens",
       size(Canon.words(col("text"))).cast("long"))
     val q = toks.filter(col("n_tokens") >= minTokens)
@@ -513,14 +527,20 @@ object Pipeline {
       .select(col("doc_id"), lit(1).as("_ex"))
     val surv = q.join(keep.select(col("doc_id")), Seq("doc_id"),
       "left_semi")
+    val wdrop = Dedup.windowDupFrac(surv)
+      .filter(col("dup_frac") > dupTau)
+      .select(col("doc_id"), lit(1).as("_wd"))
+    val surv2 = surv.join(wdrop.select(col("doc_id")), Seq("doc_id"),
+      "left_anti")
     val dropIds = Dedup.dupClusters(
-        Dedup.lshCandidatePairs(Dedup.minhashSignature(surv)))
+        Dedup.lshCandidatePairs(Dedup.minhashSignature(surv2)))
       .filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id"), lit(1).as("_nd"))
     val marked = toks
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") >= minTokens).as("_q"))
       .join(keep, Seq("doc_id"), "left")
+      .join(wdrop, Seq("doc_id"), "left")
       .join(dropIds, Seq("doc_id"), "left")
     def dt(cond: Column, d: String, t: String) = Seq(
       count(when(cond, lit(1))).as(d),
@@ -528,14 +548,17 @@ object Pipeline {
     val aggs = dt(lit(true), "d0", "t0") ++
       dt(col("_q"), "d1", "t1") ++
       dt(col("_ex").isNotNull, "d2", "t2") ++
-      dt(col("_ex").isNotNull && col("_nd").isNull, "d3", "t3")
+      dt(col("_ex").isNotNull && col("_wd").isNull, "d3", "t3") ++
+      dt(col("_ex").isNotNull && col("_wd").isNull &&
+        col("_nd").isNull, "d4", "t4")
     def row(i: Int, name: String) = struct(
       lit(i).as("stage"), lit(name).as("stage_name"),
       col(s"d$i").as("n_docs"), col(s"t$i").as("n_tokens"))
     marked.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(
         row(0, "raw"), row(1, "quality_gate"),
-        row(2, "exact_dedup"), row(3, "neardup_canonical"))).as("s"))
+        row(2, "exact_dedup"), row(3, "window_dedup"),
+        row(4, "neardup_canonical"))).as("s"))
       .select(col("s.stage").as("stage"),
         col("s.stage_name").as("stage_name"),
         col("s.n_docs").as("n_docs"), col("s.n_tokens").as("n_tokens"))

@@ -167,20 +167,37 @@ class PipelineSpec extends SparkSpec {
 
   test("corpusFunnel: per-stage doc/token attrition over the p01 chain") {
     val thirty = (0 until 30).map(i => s"t$i").mkString(" ")
+    // docs 3/4 share a 15-word prefix X and have unique 15-word tails:
+    // 11 of 26 5-windows duplicated (0.42 ≤ τ=0.5, so BOTH survive the
+    // window stage) while their minhash band 0 collides (verified
+    // deterministic md5 arithmetic), so LSH clusters them and the
+    // canonical stage keeps only min-id doc 3. A heavier overlap (e.g.
+    // doc + " extra") would drop BOTH members at the window stage
+    // instead — d21's Lee-et-al. doc-granularity semantics.
+    val x = (0 until 15).map(i => s"x$i")
+    val nearA = (x ++ (0 until 15).map(i => s"u0_$i")).mkString(" ")
+    val nearB = (x ++ (0 until 15).map(i => s"v2_$i")).mkString(" ")
+    val rep = (0 until 6).map(_ => "p q r s t").mkString(" ")
     val docs = Seq(
       (0L, "too short to pass", "en", "web"),      // fails quality gate
       (1L, thirty, "en", "web"),                   // canonical survivor
       (2L, thirty, "en", "web"),                   // exact dup of 1
-      (3L, thirty + " extra", "en", "web")         // near-dup of 1 (LSH)
+      (3L, nearA, "en", "web"),                    // near-dup pair, kept
+      (4L, nearB, "en", "web"),                    // near-dup pair, dropped
+      (5L, rep, "en", "web")                       // in-doc repetition:
+                                                   // every window dup'd,
+                                                   // window stage drops it
     ).toDF("doc_id", "text", "lang", "source")
     val out = Pipeline.corpusFunnel(docs)
       .as[(Int, String, Long, Long)].collect().sortBy(_._1)
-    assert(out(0) === ((0, "raw", 4L, 4L + 30L + 30L + 31L)))
-    assert(out(1) === ((1, "quality_gate", 3L, 30L + 30L + 31L)))
+    assert(out(0) === ((0, "raw", 6L, 4L + 5 * 30L)))
+    assert(out(1) === ((1, "quality_gate", 5L, 5 * 30L)))
     // exact dedup drops doc 2 (same content as 1, higher id)
-    assert(out(2) === ((2, "exact_dedup", 2L, 30L + 31L)))
+    assert(out(2) === ((2, "exact_dedup", 4L, 4 * 30L)))
+    // windowed-dup removal drops the fully-self-repetitive doc 5
+    assert(out(3) === ((3, "window_dedup", 3L, 3 * 30L)))
     // near-dup clustering keeps only the canonical min-id member
-    assert(out(3) === ((3, "neardup_canonical", 1L, 30L)))
+    assert(out(4) === ((4, "neardup_canonical", 2L, 2 * 30L)))
     // monotone: every stage can only lose docs and tokens
     assert(out.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
     assert(out.map(_._4).sliding(2).forall(p => p(0) >= p(1)))
