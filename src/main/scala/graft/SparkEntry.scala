@@ -294,6 +294,11 @@ object SparkEntry {
     // IVF-PQ (IVFADC): coarse cell blocking x ADC table scoring.
     "s16_knn_ivfpq" -> ((s, dir) =>
       Similarity.knnIvfPq(t(s, dir, "embeddings"), 10, 3)),
+    // Composed IVF-PQ recall@k vs the exact baseline — the doubly-
+    // approximate path's quality dial next to s11 (IVF alone) and
+    // s14 (truncation alone).
+    "s17_ivfpq_recall" -> ((s, dir) =>
+      Similarity.annRecallIvfPq(t(s, dir, "embeddings"), 10, 3)),
     // Stopword-profile language ID.
     "t01_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"))),
@@ -782,6 +787,56 @@ object SparkEntry {
        |     ORDER BY $centSim DESC, c.cell) AS rk
        |  FROM n a CROSS JOIN c WHERE a.vec_id < 10) WHERE rk <= 4)""".stripMargin
   }
+
+  /** Shared refined-PQ-codebook CTE chain (appended after embCte's
+    * `n`): hash-seeded entries (cb0), seed-codebook assignment
+    * (codes0, squared-L2 argmin with lowest-code tie-break), ONE
+    * fixed-point per-subspace mean round — per-dim integer sums of
+    * floor(x·10⁶), the ivfCte Lloyd shape, seed backfill for entries
+    * that lost every member — into the refined codebook `cb`, plus
+    * the per-(vector, subspace, entry) slice table `sub` every PQ
+    * consumer (s05/s06/s16/s17) builds on. Mirrors
+    * Similarity.pqCodebook = pqRefineOnce ∘ pqCodebookSeed at m=8,
+    * nCodes=16, dim=64.
+    */
+  private val pqCbCte: String =
+    s"""hb AS (SELECT vec_id, v, ${h60("'pqseed|' || vec_id")} AS hh
+       |  FROM n),
+       |cb0 AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1
+       |    AS code, v AS cv
+       |  FROM hb ORDER BY hh, vec_id LIMIT 16),
+       |sub0 AS (SELECT a.vec_id, t.s, cb0.code,
+       |   list_slice(a.v, t.s*8+1, t.s*8+8) AS va,
+       |   list_slice(cb0.cv, t.s*8+1, t.s*8+8) AS vb
+       |  FROM n a CROSS JOIN generate_series(0, 7) t(s)
+       |  CROSS JOIN cb0),
+       |codes0 AS (SELECT vec_id, s, code, va FROM (
+       |  SELECT vec_id, s, code, va, row_number() OVER (
+       |    PARTITION BY vec_id, s ORDER BY
+       |    list_reduce(list_prepend(0.0,
+       |      [(va[i]-vb[i])*(va[i]-vb[i])
+       |       FOR i IN range(1, len(va)+1)]),
+       |      (acc, x) -> acc + x), code) AS rk FROM sub0)
+       |  WHERE rk = 1),
+       |pqm AS (SELECT s, code, t.d AS d,
+       |   sum(floor(va[t.d] * 1000000)::BIGINT)::BIGINT AS qsum,
+       |   count(*) AS nv
+       |  FROM codes0 CROSS JOIN generate_series(1, 8) t(d)
+       |  GROUP BY s, code, t.d),
+       |pqr AS (SELECT code, s,
+       |   list(qsum::DOUBLE / 1000000 / nv ORDER BY d) AS rsv
+       |  FROM pqm GROUP BY code, s),
+       |pqs AS (SELECT cb0.code, t.s,
+       |   coalesce(pqr.rsv, list_slice(cb0.cv, t.s*8+1, t.s*8+8)) AS sv
+       |  FROM cb0 CROSS JOIN generate_series(0, 7) t(s)
+       |  LEFT JOIN pqr ON pqr.code = cb0.code AND pqr.s = t.s),
+       |cb AS (SELECT code, flatten(list(sv ORDER BY s)) AS cv
+       |  FROM pqs GROUP BY code),
+       |sub AS (SELECT a.vec_id, t.s, cb.code,
+       |   list_slice(a.v, t.s*8+1, t.s*8+8) AS va,
+       |   list_slice(cb.cv, t.s*8+1, t.s*8+8) AS vb
+       |  FROM n a CROSS JOIN generate_series(0, 7) t(s)
+       |  CROSS JOIN cb)""".stripMargin
 
   /** Component-min connected components over the LSH candidate pairs
     * as a recursive CTE — shared by d08 (fixpoint propagation) and d11
@@ -1497,21 +1552,13 @@ object SparkEntry {
            | SELECT *, row_number() OVER (PARTITION BY q_id
            |   ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
            |WHERE "rank" <= 3""".stripMargin),
-    // Mirrors pqCodes: hash-seeded codebook (h60('pqseed|'||vec_id),
-    // 16 entries), per-subspace squared-L2 argmin with lowest-code
-    // tie-break; 8 subspaces of width 8 over dim-64 vectors.
+    // Mirrors pqCodes: the shared refined codebook (pqCbCte — seed
+    // sampling + one fixed-point mean round), per-subspace squared-L2
+    // argmin with lowest-code tie-break; 8 subspaces of width 8 over
+    // dim-64 vectors.
     "s05_pq_codes" ->
       (embCte +
-        s""", hb AS (SELECT vec_id, v, ${h60("'pqseed|' || vec_id")} AS hh
-           |  FROM n),
-           |cb AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1
-           |    AS code, v AS cv
-           |  FROM hb ORDER BY hh, vec_id LIMIT 16),
-           |sub AS (SELECT a.vec_id, t.s, cb.code,
-           |   list_slice(a.v, t.s*8+1, t.s*8+8) AS va,
-           |   list_slice(cb.cv, t.s*8+1, t.s*8+8) AS vb
-           |  FROM n a CROSS JOIN generate_series(0, 7) t(s)
-           |  CROSS JOIN cb),
+        s""", $pqCbCte,
            |dist AS (SELECT vec_id, s, code,
            |   list_reduce(list_prepend(0.0,
            |     [(va[i]-vb[i])*(va[i]-vb[i])
@@ -1528,16 +1575,7 @@ object SparkEntry {
     // = the Spark side's fixed summation order), then top-3.
     "s06_pq_adc" ->
       (embCte +
-        s""", hb AS (SELECT vec_id, v, ${h60("'pqseed|' || vec_id")} AS hh
-           |  FROM n),
-           |cb AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1
-           |    AS code, v AS cv
-           |  FROM hb ORDER BY hh, vec_id LIMIT 16),
-           |sub AS (SELECT a.vec_id, t.s, cb.code,
-           |   list_slice(a.v, t.s*8+1, t.s*8+8) AS va,
-           |   list_slice(cb.cv, t.s*8+1, t.s*8+8) AS vb
-           |  FROM n a CROSS JOIN generate_series(0, 7) t(s)
-           |  CROSS JOIN cb),
+        s""", $pqCbCte,
            |codes AS (SELECT vec_id, s, code FROM (
            |  SELECT vec_id, s, code, row_number() OVER (
            |    PARTITION BY vec_id, s ORDER BY
@@ -1571,16 +1609,7 @@ object SparkEntry {
     "s16_knn_ivfpq" ->
       (embCte +
         s""", $ivfCte,
-           |hb AS (SELECT vec_id, v, ${h60("'pqseed|' || vec_id")} AS hh
-           |  FROM n),
-           |cb AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1
-           |    AS code, v AS cv
-           |  FROM hb ORDER BY hh, vec_id LIMIT 16),
-           |sub AS (SELECT a.vec_id, t.s, cb.code,
-           |   list_slice(a.v, t.s*8+1, t.s*8+8) AS va,
-           |   list_slice(cb.cv, t.s*8+1, t.s*8+8) AS vb
-           |  FROM n a CROSS JOIN generate_series(0, 7) t(s)
-           |  CROSS JOIN cb),
+           |$pqCbCte,
            |codes AS (SELECT vec_id, s, code FROM (
            |  SELECT vec_id, s, code, row_number() OVER (
            |    PARTITION BY vec_id, s ORDER BY
@@ -2392,6 +2421,53 @@ object SparkEntry {
            |SELECT b.q_id AS q_id, count(i.nbr_id) AS n_hit,
            | count(i.nbr_id)::DOUBLE / count(*) AS recall
            |FROM brute b LEFT JOIN ivf i
+           | ON i.q_id = b.q_id AND i.nbr_id = b.nbr_id
+           |GROUP BY b.q_id""".stripMargin
+    },
+    // annRecallIvfPq mirror: s11's brute CTEs + s16's IVF-PQ chain
+    // (shared ivfCte + refined pqCbCte), compared per query.
+    "s17_ivfpq_recall" -> {
+      embCte +
+        s""", q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id < 10),
+           |bscored AS (SELECT a.q_id, b.vec_id AS nbr_id,
+           |  $pairDot / (a.nrm * b.nrm) AS sim
+           | FROM (SELECT q_id, v, nrm FROM q) a
+           | CROSS JOIN n b WHERE b.vec_id <> a.q_id),
+           |brute AS (SELECT q_id, nbr_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY sim DESC, nbr_id) AS rk FROM bscored)
+           | WHERE rk <= 3),
+           |$ivfCte,
+           |$pqCbCte,
+           |codes AS (SELECT vec_id, s, code FROM (
+           |  SELECT vec_id, s, code, row_number() OVER (
+           |    PARTITION BY vec_id, s ORDER BY
+           |    list_reduce(list_prepend(0.0,
+           |      [(va[i]-vb[i])*(va[i]-vb[i])
+           |       FOR i IN range(1, len(va)+1)]),
+           |      (acc, x) -> acc + x), code) AS rk FROM sub)
+           |  WHERE rk = 1),
+           |qt AS (SELECT vec_id AS q_id, s, code,
+           |   list_reduce(list_prepend(0.0,
+           |     [va[i]*vb[i] FOR i IN range(1, len(va)+1)]),
+           |     (acc, x) -> acc + x) AS pdot
+           |  FROM sub WHERE vec_id < 10),
+           |pscored AS (SELECT p.q_id, b.vec_id AS nbr_id,
+           |   list_reduce(list_prepend(0.0, list(qt.pdot ORDER BY qt.s)),
+           |     (acc, x) -> acc + x) AS approx_dot
+           |  FROM probes p
+           |  JOIN asg b ON b.cell = p.cell AND b.vec_id <> p.q_id
+           |  JOIN codes c2 ON c2.vec_id = b.vec_id
+           |  JOIN qt ON qt.q_id = p.q_id AND qt.s = c2.s
+           |    AND qt.code = c2.code
+           |  GROUP BY p.q_id, b.vec_id),
+           |ipq AS (SELECT q_id, nbr_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY approx_dot DESC, nbr_id) AS rk FROM pscored)
+           | WHERE rk <= 3)
+           |SELECT b.q_id AS q_id, count(i.nbr_id) AS n_hit,
+           | count(i.nbr_id)::DOUBLE / count(*) AS recall
+           |FROM brute b LEFT JOIN ipq i
            | ON i.q_id = b.q_id AND i.nbr_id = b.nbr_id
            |GROUP BY b.q_id""".stripMargin
     },

@@ -390,7 +390,7 @@ object Similarity {
   def pqCodes(embeddings: DataFrame, m: Int = 8,
               nCodes: Int = 16, dim: Int = 64): DataFrame = {
     val e = prepared(embeddings)
-    val cbArr = pqCodebook(e, nCodes)
+    val cbArr = pqCodebook(e, nCodes, m, dim)
     e.join(broadcast(cbArr))
       .select(col("vec_id"),
         posexplode(Canon.pqEncode(col("v"), col("cbflat"), m)))
@@ -414,7 +414,7 @@ object Similarity {
   def knnPqAdc(embeddings: DataFrame, nQueries: Int, k: Int,
                m: Int = 8, nCodes: Int = 16, dim: Int = 64): DataFrame = {
     val e = prepared(embeddings)
-    val cbArr = pqCodebook(e, nCodes)
+    val cbArr = pqCodebook(e, nCodes, m, dim)
     val sub = dim / m
     // per query: parts[s][j] = dot(q_sub_s, codebook[s][j])
     val parts = transform(sequence(lit(0), lit(m - 1)), s =>
@@ -473,7 +473,7 @@ object Similarity {
                m: Int = 8, nCodes: Int = 16, dim: Int = 64): DataFrame = {
     val e = prepared(embeddings)
     val centArr = ivfRefineOnce(e, ivfCentroidArr(e, nCells))
-    val cbArr = pqCodebook(e, nCodes)
+    val cbArr = pqCodebook(e, nCodes, m, dim)
     val sub = dim / m
     // the packed index: (vec_id, cell, codes), all row-local
     val indexed = ivfAssigned(e, centArr)
@@ -508,12 +508,37 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Recall@k of the doubly-approximate IVF-PQ composition against the
+    * exact brute baseline — the COMPOSED loss, reported next to s11
+    * (cell-blocking loss alone) and s14 (truncation loss alone): the
+    * two approximations are independent levers and their losses do not
+    * simply add, so a 100 TB deployment tunes (nProbe, m, nCodes) from
+    * THIS table. Same measurement shape as [[annRecall]]: both sides
+    * are the already-scale-shaped searches; the compare is a
+    * (nQueries·k)-row join + one tiny aggregate.
+    */
+  def annRecallIvfPq(embeddings: DataFrame, nQueries: Int, k: Int,
+                     nCells: Int = 16, nProbe: Int = 4,
+                     m: Int = 8, nCodes: Int = 16,
+                     dim: Int = 64): DataFrame = {
+    val exact = knnBrute(embeddings, nQueries, k)
+      .select(col("q_id"), col("nbr_id"))
+    val approx = knnIvfPq(embeddings, nQueries, k, nCells, nProbe, m,
+      nCodes, dim).select(col("q_id").as("_q"), col("nbr_id").as("_n"))
+    exact.join(approx,
+      col("q_id") === col("_q") && col("nbr_id") === col("_n"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k_exact"), count(col("_n")).as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        (col("n_hit").cast("double") / col("k_exact")).as("recall"))
+  }
+
   /** Hash-seeded PQ codebook: the `nCodes` vectors ranking lowest by
     * the `pqseed|` content hash, cell-sorted into one broadcast row —
     * the same deterministic sampling as knnIvfDeterministic's
     * quantizer, on an independent hash stream.
     */
-  private def pqCodebook(e: DataFrame, nCodes: Int): DataFrame =
+  private def pqCodebookSeed(e: DataFrame, nCodes: Int): DataFrame =
     e.withColumn("_h", Canon.hash60(concat(lit("pqseed|"), col("vec_id"))))
       .orderBy(col("_h").asc, col("vec_id").asc)
       .limit(nCodes)
@@ -525,6 +550,70 @@ object Similarity {
       .withColumn("cbflat",
         flatten(transform(col("cb"), c => c.getField("cv"))))
       .materialized
+
+  /** ONE deterministic refinement round for the PQ codebook — the
+    * per-subspace Lloyd step of [[ivfRefineOnce]]'s template: encode
+    * every corpus vector against the seed codebook (the native
+    * PqEncodeI argmin), then recompute entry (s, j) as the FIXED-POINT
+    * per-dimension mean — sums of floor(x·10⁶) as exact longs, so the
+    * mean is partition-order-independent and the refined codebook
+    * hash-gates in the DuckDB oracle — of the subvectors it was
+    * assigned. An entry no subvector chose keeps its seed (the
+    * ivfRefineOnce backfill rule). Centering entries on their actual
+    * members shrinks quantization error vs raw sampled vectors, which
+    * s17 measures as composed recall.
+    *
+    * Cost: one extra corpus pass (row-local encode + one map-side-
+    * combinable (s, code, dim) aggregate of ≤ m·nCodes·subDim rows) —
+    * same trade as the IVF round, amortized over every search that
+    * reuses the codebook.
+    */
+  private def pqRefineOnce(e: DataFrame, cbArr: DataFrame, m: Int,
+                           dim: Int, scale: Long = 1000000L): DataFrame = {
+    val sub = dim / m
+    val means = e.join(broadcast(cbArr))
+      .select(col("v"), posexplode(Canon.pqEncode(col("v"), col("cbflat"), m)))
+      .select(col("pos").as("s"), col("col").as("code"),
+        posexplode(slice(col("v"), col("pos") * sub + 1, lit(sub))))
+      .select(col("s"), col("code"), col("pos").as("d"),
+        floor(col("col") * scale).cast("long").as("q"))
+      .groupBy(col("s"), col("code"), col("d"))
+      .agg(sum(col("q")).as("qsum"), count(lit(1)).as("nv"))
+      .select(col("s"), col("code"), col("d"),
+        (col("qsum").cast("double") / scale / col("nv")).as("mval"))
+    val rsub = means.groupBy(col("code"), col("s"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("d"), col("mval")))),
+        t => t.getField("mval")).as("rsv"))
+    val seedSub = cbArr.select(explode(col("cb")).as("c"))
+      .select(col("c.code").as("code"), col("c.cv").as("scv"))
+      .select(col("code"), col("scv"),
+        explode(sequence(lit(0), lit(m - 1))).as("s"))
+      .select(col("code"), col("s"),
+        slice(col("scv"), col("s") * sub + 1, lit(sub)).as("ssv"))
+    seedSub.join(rsub, Seq("code", "s"), "left")
+      .select(col("code"), col("s"),
+        coalesce(col("rsv"), col("ssv")).as("sv"))
+      .groupBy(col("code"))
+      .agg(flatten(transform(
+        sort_array(collect_list(struct(col("s"), col("sv")))),
+        t => t.getField("sv"))).as("cv"))
+      .agg(sort_array(collect_list(struct(col("code"), col("cv"))))
+        .as("raw"))
+      .select(transform(col("raw"), c =>
+        struct(c.getField("code").as("code"),
+          c.getField("cv").as("cv"))).as("cb"))
+      .withColumn("cbflat",
+        flatten(transform(col("cb"), c => c.getField("cv"))))
+      .materialized
+  }
+
+  /** Seed sampling + one fixed-point refinement round — the codebook
+    * every PQ caller (s05/s06/s16/s17) shares.
+    */
+  private def pqCodebook(e: DataFrame, nCodes: Int, m: Int = 8,
+                         dim: Int = 64): DataFrame =
+    pqRefineOnce(e, pqCodebookSeed(e, nCodes), m, dim)
 
   /** Int8 symmetric quantization — the 4× memory lever that lets an
     * ANN index hold 4× the vectors per executor: per-vector scale =

@@ -199,6 +199,14 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("annRecallIvfPq: one row per query, hits bounded by k") {
+    val out = Similarity.annRecallIvfPq(table("embeddings"), 10, 3)
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.map(_._1) === (0L until 10L).toArray)
+    assert(out.forall { case (_, h, r) =>
+      h >= 0 && h <= 3 && r >= 0.0 && r <= 1.0 && r == h / 3.0 })
+  }
+
   test("knnPqAdc on real embeddings: shape + partition independence") {
     val real = table("embeddings")
     val a = Similarity.knnPqAdc(real, 10, 3)
