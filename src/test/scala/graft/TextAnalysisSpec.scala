@@ -250,4 +250,69 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().sortBy(_._1)
     assert(out.toSeq === again.toSeq)
   }
+
+  test("importanceWeights fidelity probe: rank agreement with DSIR's " +
+    "mean-log-ratio") {
+    // The shipped score deviates from DSIR once (arithmetic mean of
+    // fixed-point ratios instead of mean log-ratio, for
+    // bit-determinism). This probe quantifies what that deviation
+    // costs IN RANKINGS on the real fixture corpus: Spearman rho
+    // between the two scores, plus overlap of the top-quartile
+    // selection (the decision a DSIR pipeline actually takes).
+    val docs = table("documents")
+    val shipped = TextAnalysis.importanceWeights(docs, "en")
+      .select("doc_id", "dsir_score")
+      .as[(Long, Double)].collect().toMap
+    // DSIR's form, plain doubles: mean over features of
+    // ln((ct+1)/(cr+1)) — the importanceWeights pipeline with the
+    // fixed-point ratio swapped for the log
+    val w = graft.functions.Canon.words(col("text"))
+    val feats = docs
+      .select(col("doc_id"), col("lang"), w.as("w"))
+      .select(col("doc_id"), col("lang"),
+        explode(concat(
+          transform(col("w"), x => concat(lit("u|"), x)),
+          transform(graft.functions.Canon.shingles(col("w"), 2), x =>
+            concat(lit("b|"), x)))).as("f"))
+      .select(col("doc_id"), col("lang"),
+        (graft.functions.Canon.hash60(col("f")) % 1024).as("b"))
+    val lm = feats.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        count(when(col("lang") === "en", 1)).as("ct"))
+    val reference = feats.join(broadcast(lm), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg((sum(log((col("ct") + 1).cast("double") / (col("cr") + 1))) /
+        count(lit(1))).as("log_score"))
+      .as[(Long, Double)].collect().toMap
+    assert(shipped.keySet === reference.keySet)
+    val ids = shipped.keySet.toArray.sorted
+    def avgRanks(score: Map[Long, Double]): Map[Long, Double] = {
+      val sorted = ids.sortBy(id => (score(id), id))
+      sorted.zipWithIndex.groupBy { case (id, _) => score(id) }
+        .values.flatMap { grp =>
+          val r = grp.map(_._2 + 1.0).sum / grp.length
+          grp.map { case (id, _) => id -> r }
+        }.toMap
+    }
+    val ra = avgRanks(shipped)
+    val rb = avgRanks(reference)
+    val n = ids.length.toDouble
+    val ma = ra.values.sum / n
+    val mb = rb.values.sum / n
+    val cov = ids.map(i => (ra(i) - ma) * (rb(i) - mb)).sum
+    val va = math.sqrt(ids.map(i => math.pow(ra(i) - ma, 2)).sum)
+    val vb = math.sqrt(ids.map(i => math.pow(rb(i) - mb, 2)).sum)
+    val rho = cov / (va * vb)
+    // top-quartile selection overlap (the threshold decision)
+    val kSel = ids.length / 4
+    val selA = ids.sortBy(id => (-shipped(id), id)).take(kSel).toSet
+    val selB = ids.sortBy(id => (-reference(id), id)).take(kSel).toSet
+    val overlap = selA.intersect(selB).size.toDouble / kSel
+    info(f"spearman rho = $rho%.4f, top-quartile overlap = $overlap%.3f")
+    // recorded in SURVEY §8.2 (t18 row); the floors pin the measured
+    // agreement so a future scoring change that degrades fidelity
+    // fails loudly rather than silently
+    assert(rho >= 0.85, f"Spearman rho $rho%.4f below the measured floor")
+    assert(overlap >= 0.8, f"selection overlap $overlap%.3f below floor")
+  }
 }
