@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -34,10 +34,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - An OFFSET is a block height (the reference's sync_cursor, T1) —
   *    serialized as its decimal string in the engine's own checkpoint
   *    WAL, so recovery needs no source-side state.
-  *  - `latestOffset` probes the node tip (S3) and clamps the advance
-  *    to `maxHeightsPerTrigger` above the last known position — the
-  *    same catch-up bound as HeliumFollower.maxHeightsPerTrigger, here
-  *    enforced per micro-batch by the engine.
+  *  - The catch-up bound is ADMISSION CONTROL, Spark's own API for
+  *    maxOffsetsPerTrigger-style caps ([[SupportsAdmissionControl]],
+  *    the Kafka source's shape): `maxHeightsPerTrigger` becomes the
+  *    default [[ReadLimit]], and `latestOffset(start, limit)` probes
+  *    the node tip (S3) and clamps to `start + limit` — the engine
+  *    hands in the recovered START offset, so a WAL restart resumes
+  *    the cap from the committed position with no source-side state.
+  *    (A plain `latestOffset()` clamped against instance state stalls
+  *    on clean restart: the engine only calls `deserializeOffset`
+  *    when a batch actually RUNS, so a freshly restarted capped
+  *    source would clamp against its construction seed forever —
+  *    found by the st09 capstone kill/restart spec.)
   *  - `planInputPartitions(start, end)` slices the (start, end] height
   *    range into `numPartitions` contiguous chunks; each task fetches
   *    its blocks + txn payloads EXECUTOR-side with its own client
@@ -102,7 +110,7 @@ final class HeliumBlockMicroBatchStream(endpoint: String,
                                         numPartitions: Int,
                                         maxRetries: Int,
                                         sleepMs: Long)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl {
   require(maxHeightsPerTrigger >= 0,
     s"maxHeightsPerTrigger must be >= 0 (0 = uncapped); " +
       s"got $maxHeightsPerTrigger")
@@ -112,36 +120,45 @@ final class HeliumBlockMicroBatchStream(endpoint: String,
   require(numPartitions > 0,
     s"numPartitions must be > 0; got $numPartitions")
   private val client = new JsonRpcClient(endpoint)
-  // Highest height this instance knows the engine has reached — seeded
-  // from startHeight, advanced by commit() and by every offset the
-  // engine hands back (deserializeOffset / planInputPartitions), so a
-  // RESTARTED query recovering from the WAL can never see latestOffset
-  // fall below its recovered start position.
-  @volatile private var known: Long = startHeight
-  private def advance(h: Long): Unit =
-    synchronized { if (h > known) known = h }
 
   override def initialOffset(): Offset = HeightOffset(startHeight)
 
-  override def deserializeOffset(json: String): Offset = {
-    val h = json.trim.toLong
-    advance(h)
-    HeightOffset(h)
+  override def deserializeOffset(json: String): Offset =
+    HeightOffset(json.trim.toLong)
+
+  /** maxHeightsPerTrigger as the engine-owned admission limit; one
+    * "row" of the limit = one block height.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxHeightsPerTrigger > 0) ReadLimit.maxRows(maxHeightsPerTrigger)
+    else ReadLimit.allAvailable()
+
+  /** Clamp the tip probe (S3, one driver-side scalar) to `limit`
+    * heights above the engine-supplied start — stateless, so restart
+    * recovery is entirely the WAL's.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[HeightOffset].height
+    val tip = client.height()
+    val end = limit match {
+      case r: ReadMaxRows => math.min(tip, s + r.maxRows())
+      case _ => tip
+    }
+    HeightOffset(math.max(end, s))
   }
 
-  override def latestOffset(): Offset = {
-    val tip = client.height() // S3 probe, driver-side (one scalar)
-    val end =
-      if (maxHeightsPerTrigger == 0L) tip
-      else math.min(tip, known + maxHeightsPerTrigger)
-    HeightOffset(math.max(end, known))
-  }
+  /** The engine always routes through the admission-controlled
+    * overload for SupportsAdmissionControl sources; the plain probe
+    * reports the uncapped tip (also serves reportLatestOffset).
+    */
+  override def latestOffset(): Offset = HeightOffset(client.height())
+
+  override def reportLatestOffset(): Offset = HeightOffset(client.height())
 
   override def planInputPartitions(start: Offset,
                                    end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[HeightOffset].height
     val hi = end.asInstanceOf[HeightOffset].height
-    advance(hi)
     val n = hi - lo
     if (n <= 0) Array.empty
     else {
@@ -161,8 +178,7 @@ final class HeliumBlockMicroBatchStream(endpoint: String,
   override def createReaderFactory(): PartitionReaderFactory =
     new HeliumBlockReaderFactory
 
-  override def commit(end: Offset): Unit =
-    advance(end.asInstanceOf[HeightOffset].height)
+  override def commit(end: Offset): Unit = ()
 
   override def stop(): Unit = ()
 }

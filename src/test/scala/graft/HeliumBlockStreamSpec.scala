@@ -54,6 +54,62 @@ class HeliumBlockStreamSpec extends SparkSpec {
     }
   }
 
+  test("capstone: engine-driven stream → transforms → sink equals the " +
+    "driver-loop follower, across a mid-backfill kill and WAL restart") {
+    import graft.streaming.{HeliumFollower, HeliumStreamFollower}
+    val dir = Files.createTempDirectory("hsf").toString
+    def writer(endpoint: String) = HeliumStreamFollower.writer(spark,
+      endpoint, s"$dir/sink", s"$dir/ckpt", startHeight = 99L,
+      maxHeightsPerTrigger = 1L, numPartitions = 2,
+      maxRetries = 2, sleepMs = 0L)
+    // run 1 against a node whose tip is still 100: the stream drains
+    // exactly that height, idles, and is killed mid-backfill — the
+    // WAL has committed offset 100 with heights 101..102 outstanding.
+    StubNode.withServer(tipCap = 100L) { endpoint =>
+      val q1 = writer(endpoint).start()
+      try q1.processAllAvailable() finally q1.stop()
+    }
+    val partialPayments =
+      spark.read.parquet(s"$dir/sink/payments").count()
+    StubNode.withServer() { endpoint =>
+      // run 2: restart from the SAME checkpoint against the advanced
+      // tip — must resume at the recovered offset (not the
+      // startHeight seed) and drain the rest
+      val q2 = writer(endpoint).start()
+      try q2.processAllAvailable() finally q2.stop()
+      // the driver-loop parity follower over the same fixture range
+      val fdir = Files.createTempDirectory("hsf-follower").toString
+      val f = new HeliumFollower(spark,
+        new RpcTxnSource(new JsonRpcClient(endpoint),
+          maxRetries = 2, sleepMs = 0, sleep = _ => ()),
+        s"$fdir/sink", s"$fdir/checkpoint.json", batchSize = 2L)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$fdir/checkpoint.json"),
+        """{"sync_cursor": 99}""")
+      f.runToTip(102L)
+      def rows(root: String, c: String) =
+        spark.read.parquet(s"$root/$c").drop("batch")
+          .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      for (c <- Seq("payments", "poc_receipts")) {
+        assert(rows(s"$dir/sink", c) === rows(s"$fdir/sink", c),
+          s"collection $c diverged from the driver loop")
+        assert(rows(s"$dir/sink", c).nonEmpty, s"collection $c empty")
+      }
+      // accounts: the A3 collapse-at-read distinct view on both sides
+      def accounts(root: String) =
+        spark.read.parquet(s"$root/accounts").select("_key").distinct()
+          .collect().map(_.getString(0)).toSet
+      assert(accounts(s"$dir/sink") === accounts(s"$fdir/sink"))
+      assert(accounts(s"$dir/sink") ===
+        Set("alice", "bob", "carol", "dave"))
+      // the kill really was mid-backfill: run 1 committed strictly
+      // fewer payment edges than the finished stream
+      assert(partialPayments <
+        rows(s"$dir/sink", "payments").size.toLong,
+        "run 1 unexpectedly drained the whole backlog")
+    }
+  }
+
   test("uncapped: the whole backlog arrives in one micro-batch") {
     StubNode.withServer() { endpoint =>
       val ckpt = Files.createTempDirectory("hbs-ckpt2").toString

@@ -16,15 +16,19 @@ import graft.sources.HeliumFixtures
   * "couldn't find transaction...retrying" path (follower.py:58-69).
   */
 object StubNode {
-  def withServer[A](flaky: Map[String, Int] = Map.empty)(
+  def withServer[A](flaky: Map[String, Int] = Map.empty,
+                    tipCap: Long = Long.MaxValue)(
       f: String => A): A =
-    withServerImports(flaky) { (endpoint, _) => f(endpoint) }
+    withServerImports(flaky, tipCap) { (endpoint, _) => f(endpoint) }
 
   /** Variant that also records ArangoDB-style bulk-import POSTs
     * (path incl. query string, raw body bytes) so specs can assert the
-    * exact wire shape the sink produced.
+    * exact wire shape the sink produced. `tipCap` clamps the
+    * block_height answer below the fixture maximum — a node whose tip
+    * has not advanced yet (the capstone kill/restart spec).
     */
-  def withServerImports[A](flaky: Map[String, Int] = Map.empty)(
+  def withServerImports[A](flaky: Map[String, Int] = Map.empty,
+                           tipCap: Long = Long.MaxValue)(
       f: (String, java.util.Queue[(String, String)]) => A): A = {
     val mapper = new ObjectMapper
     val flakyRemaining = new java.util.concurrent.ConcurrentHashMap[String, Integer]
@@ -65,7 +69,8 @@ object StubNode {
       val id = req.get("id").asLong()
       val result: Either[Int, String] = req.get("method").asText() match {
         case "block_height" =>
-          Right(HeliumFixtures.blockJsonByHeight.keys.max.toString)
+          Right(math.min(HeliumFixtures.blockJsonByHeight.keys.max,
+            tipCap).toString)
         case "block_get" =>
           val h = req.get("params").get("height").asLong()
           HeliumFixtures.blockJsonByHeight.get(h).toRight(-100)
