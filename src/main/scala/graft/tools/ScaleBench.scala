@@ -1,0 +1,131 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Sessions, SparkEntry}
+
+/** Scaling probe for the iterative operator family (VERDICT r9 #7).
+  *
+  * The claim under test: the graph-iterative queries' sf0.1 cost is
+  * dominated by fixed per-round job overhead (scheduling, shuffle
+  * setup), so their wall-clock grows far slower than data — "the
+  * overhead amortizes at 100×". This measures it instead of arguing
+  * it: the family runs at every driver scale factor (sf0.001 →
+  * sf0.1, a 100× span) plus a 10× amplification of sf0.1 ("sf1eq",
+  * ~6M lineitem rows — the sf1 the driver does not ship), and the
+  * per-query growth ratios land in SCALEBENCH.json / BASELINE.md §4.
+  *
+  * The sf1eq tables are DERIVED from the driver's sf0.1 parquet, not
+  * synthesized: 10 disjoint copies unioned, every graph key salted by
+  * `copy * 10_000_000` (a multiple of 10, so g18's `custkey % 10`
+  * seed predicate selects the same seeds in every copy). Disjoint
+  * copies scale the per-round join/aggregate volume 10× while keeping
+  * round counts identical to sf0.1 — exactly the variable the
+  * amortization claim is about. For `documents`, each copy's text
+  * goes through a per-copy alphabet rotation (`translate`, a
+  * bijection on letters): within-copy shingle-set Jaccard — and so
+  * the entire duplicate-cluster structure d08/d11 iterate over — is
+  * preserved exactly, while copies share (almost) no vocabulary, so
+  * LSH does not manufacture O(copies²) cross-copy candidate pairs
+  * that sf1 data would not contain.
+  *
+  * Run: `sbt -batch "runMain graft.tools.ScaleBench"` (SPARK_GRAFT_CPUS
+  * to override local[32]). Not part of the driver contract — a
+  * measurement tool like Probe/PlanProbe.
+  */
+object ScaleBench {
+  /** The iterative family named by the r9 verdict: per-round
+    * join+aggregate fixpoints (g10/g12/g14/g15/g18/d08/d11) and the
+    * wedge-join heavy hitters that dominate the bench tail
+    * (g11/g13/g16/g17).
+    */
+  val family: Seq[String] = Seq(
+    "g10_pagerank", "g11_triangles", "g12_wcc", "g13_edge_jaccard",
+    "g14_bfs_hops", "g15_kcore", "g16_local_cc", "g17_assortativity",
+    "g18_ppr", "d08_dup_clusters", "d11_dup_clusters_fast")
+
+  private val Copies = 10
+  private val KeyOffset = 10000000L // > any sf0.1 key; multiple of 10
+
+  private def rotated(c: Int): String = {
+    val az = ('a' to 'z').mkString
+    val rot = az.drop(c % 26) + az.take(c % 26)
+    rot + rot.toUpperCase
+  }
+  private val alphabet = {
+    val az = ('a' to 'z').mkString
+    az + az.toUpperCase
+  }
+
+  /** 10 disjoint key-salted copies; text rotated per copy so duplicate
+    * structure is copy-local (see object scaladoc).
+    */
+  private def amplify(df: DataFrame, keyCols: Seq[String],
+                      textCols: Seq[String]): DataFrame =
+    (0 until Copies).map { c =>
+      val salted = keyCols.foldLeft(df)((d, k) =>
+        d.withColumn(k, col(k) + lit(c * KeyOffset)))
+      textCols.foldLeft(salted)((d, t) =>
+        d.withColumn(t, translate(col(t), alphabet, rotated(c))))
+    }.reduce(_ unionByName _)
+
+  private def writeAmplified(spark: SparkSession, srcDir: String,
+                             outDir: String): Unit = {
+    def amp(name: String, keys: Seq[String], texts: Seq[String]): Unit =
+      amplify(spark.read.parquet(s"$srcDir/$name.parquet"), keys, texts)
+        .write.mode(SaveMode.Overwrite).parquet(s"$outDir/$name.parquet")
+    amp("orders", Seq("o_orderkey", "o_custkey"), Nil)
+    amp("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), Nil)
+    amp("documents", Seq("doc_id"), Seq("text"))
+  }
+
+  private def timeQueries(spark: SparkSession, dir: String)
+      : Seq[(String, Double)] = {
+    // Footer/codegen warmup so the first query doesn't absorb it.
+    Seq("orders", "lineitem", "documents").foreach(n =>
+      spark.read.parquet(s"$dir/$n.parquet").count())
+    family.map { name =>
+      System.gc()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      name -> (System.nanoTime() - t0) / 1e9
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.tuned(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sf1eq = Files.createTempDirectory("graft-sf1eq").toString
+    writeAmplified(spark, "/root/testdata/sf0.1", sf1eq)
+
+    val tiers = Seq(
+      "sf0.001" -> "/root/testdata/sf0.001",
+      "sf0.01" -> "/root/testdata/sf0.01",
+      "sf0.1" -> "/root/testdata/sf0.1",
+      "sf1eq" -> sf1eq)
+    val results = tiers.map { case (label, dir) =>
+      label -> timeQueries(spark, dir)
+    }
+    spark.stop()
+
+    def fmt(v: Double) = f"$v%.3f"
+    val json = results.map { case (label, qs) =>
+      val body = qs.map { case (k, v) => s""""$k":${fmt(v)}""" }
+        .mkString(",")
+      val total = qs.map(_._2).sum
+      s""""$label":{"total":${fmt(total)},$body}"""
+    }.mkString("{", ",", "}")
+    val outPath = args.headOption.getOrElse("SCALEBENCH.json")
+    Files.writeString(Paths.get(outPath), json + "\n")
+    println(json)
+  }
+}
