@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 
 import graft.operators.HeliumGraph
+import graft.sinks.GraphSink
 import graft.sources.HeliumBlockStreamProvider
 
 /** The ENGINE-DRIVEN follower — the reference's poll loop
@@ -40,8 +41,19 @@ object HeliumStreamFollower {
     * over an envelope micro-batch: the three collections, each
     * content-keyed, in-batch deduped, and committed by epoch
     * partition overwrite (idempotent under epoch replay).
+    *
+    * With an [[GraphSink.ImportTarget]], each committed partition is
+    * read back and POSTed as importBulk bodies from the executors —
+    * the driver loop's wire verb (HeliumFollower.write), same
+    * read-back-what-the-store-holds discipline. A replayed epoch
+    * re-POSTs its partition, which the store's onDuplicate=ignore
+    * absorbs (every document carries its content-hash `_key`) — the
+    * HTTP sink inherits T5 from the key discipline, not from any
+    * sink-side transaction.
     */
-  def commitBatch(env: DataFrame, sinkDir: String, batchId: Long): Unit = {
+  def commitBatch(env: DataFrame, sinkDir: String, batchId: Long,
+                  importTarget: Option[GraphSink.ImportTarget] = None)
+      : Unit = {
     val payments = HeliumGraph.paymentV1Edges(env)
       .unionByName(HeliumGraph.paymentV2Edges(env))
       .dropDuplicates("_key")
@@ -52,6 +64,11 @@ object HeliumStreamFollower {
       accounts -> "accounts").foreach { case (df, c) =>
       df.write.mode(SaveMode.Overwrite)
         .parquet(s"$sinkDir/$c/batch=$batchId")
+      importTarget.foreach { t =>
+        GraphSink.importBulkPost(
+          env.sparkSession.read.parquet(s"$sinkDir/$c/batch=$batchId"),
+          t, c)
+      }
     }
   }
 
@@ -64,7 +81,8 @@ object HeliumStreamFollower {
   def writer(spark: SparkSession, endpoint: String, sinkDir: String,
              checkpointDir: String, startHeight: Long,
              maxHeightsPerTrigger: Long = 0L, numPartitions: Int = 4,
-             maxRetries: Int = 50, sleepMs: Long = 10000L)
+             maxRetries: Int = 50, sleepMs: Long = 10000L,
+             importTarget: Option[GraphSink.ImportTarget] = None)
       : DataStreamWriter[Row] =
     spark.readStream
       .format(classOf[HeliumBlockStreamProvider].getName)
@@ -77,7 +95,7 @@ object HeliumStreamFollower {
       .load()
       .writeStream
       .foreachBatch { (env: DataFrame, batchId: Long) =>
-        commitBatch(env, sinkDir, batchId)
+        commitBatch(env, sinkDir, batchId, importTarget)
       }
       .option("checkpointLocation", checkpointDir)
 
@@ -87,8 +105,10 @@ object HeliumStreamFollower {
   def start(spark: SparkSession, endpoint: String, sinkDir: String,
             checkpointDir: String, startHeight: Long,
             maxHeightsPerTrigger: Long = 0L, numPartitions: Int = 4,
-            maxRetries: Int = 50, sleepMs: Long = 10000L)
+            maxRetries: Int = 50, sleepMs: Long = 10000L,
+            importTarget: Option[GraphSink.ImportTarget] = None)
       : StreamingQuery =
     writer(spark, endpoint, sinkDir, checkpointDir, startHeight,
-      maxHeightsPerTrigger, numPartitions, maxRetries, sleepMs).start()
+      maxHeightsPerTrigger, numPartitions, maxRetries, sleepMs,
+      importTarget).start()
 }

@@ -110,6 +110,66 @@ class HeliumBlockStreamSpec extends SparkSpec {
     }
   }
 
+  test("capstone wire sink: engine-driven importBulk POSTs carry the " +
+    "same documents as the driver loop's") {
+    import graft.streaming.{HeliumFollower, HeliumStreamFollower}
+    import scala.jdk.CollectionConverters._
+    // compact to_json docs contain no nested objects/arrays here, so
+    // splitting on "},{" recovers the exact document bytes (the
+    // HeliumFollowerSpec convention)
+    def docs(bodies: Seq[String]): Set[String] = bodies.flatMap { b =>
+      assert(b.startsWith("[") && b.endsWith("]"))
+      b.stripPrefix("[").stripSuffix("]").split("\\},\\{")
+        .filter(_.nonEmpty)
+        .map(d => (if (d.startsWith("{")) d else "{" + d) +
+          (if (d.endsWith("}")) "" else "}"))
+    }.toSet
+    def collect(posted: Seq[(String, String)], c: String): Set[String] = {
+      posted.foreach { case (path, _) =>
+        assert(path.contains("&type=list&onDuplicate=ignore"))
+      }
+      docs(posted.collect {
+        case (p, b) if p.contains(s"collection=$c&") => b
+      })
+    }
+    // engine-driven: 1-height epochs
+    val streamPosts = StubNode.withServerImports() { (endpoint, imports) =>
+      val dir = Files.createTempDirectory("hsf-wire").toString
+      val q = HeliumStreamFollower.writer(spark, endpoint,
+        s"$dir/sink", s"$dir/ckpt", startHeight = 99L,
+        maxHeightsPerTrigger = 1L, numPartitions = 2,
+        maxRetries = 2, sleepMs = 0L,
+        importTarget = Some(
+          graft.sinks.GraphSink.ImportTarget(endpoint, "helium")))
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      imports.asScala.toSeq
+    }
+    // driver loop: 2-height batches — DIFFERENT epoch boundaries, so
+    // document-set parity (insert-ignore's collapse unit) is the
+    // invariant, not body-level bytes
+    val loopPosts = StubNode.withServerImports() { (endpoint, imports) =>
+      val dir = Files.createTempDirectory("hsf-wire-loop").toString
+      val f = new HeliumFollower(spark,
+        new RpcTxnSource(new JsonRpcClient(endpoint),
+          maxRetries = 2, sleepMs = 0, sleep = _ => ()),
+        s"$dir/sink", s"$dir/checkpoint.json", batchSize = 2L,
+        importTarget = Some(
+          graft.sinks.GraphSink.ImportTarget(endpoint, "helium")))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/checkpoint.json"),
+        """{"sync_cursor": 99}""")
+      f.runToTip(102L)
+      imports.asScala.toSeq
+    }
+    for (c <- Seq("payments", "poc_receipts", "accounts")) {
+      val s = collect(streamPosts, c)
+      assert(s === collect(loopPosts, c),
+        s"wire documents for $c diverged from the driver loop")
+      assert(s.nonEmpty, s"no documents posted for $c")
+    }
+  }
+
   test("uncapped: the whole backlog arrives in one micro-batch") {
     StubNode.withServer() { endpoint =>
       val ckpt = Files.createTempDirectory("hbs-ckpt2").toString
