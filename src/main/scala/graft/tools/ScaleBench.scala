@@ -47,6 +47,18 @@ object ScaleBench {
     "g14_bfs_hops", "g15_kcore", "g16_local_cc", "g17_assortativity",
     "g18_ppr", "d08_dup_clusters", "d11_dup_clusters_fast")
 
+  /** Second axis (late r10): the corpus-heavy single-pass family —
+    * LSH candidate generation, pair verification, the two corpus-pass
+    * text scores, the composed pipeline, and IVF search. These are
+    * shuffle/scan-bound rather than round-bound, so their scaling
+    * curve tests a different claim: the bucketed/blocked shapes stay
+    * LINEAR in corpus size (no pair blow-up) as duplicate structure
+    * and cell membership grow 10× with the data.
+    */
+  val corpusFamily: Seq[String] = Seq(
+    "d03_lsh_pairs", "d05_ngram_jaccard", "t09_tfidf_terms",
+    "t10_boilerplate", "p01_corpus_pipeline", "s03_knn_ivf")
+
   private val Copies = 10
   private val KeyOffset = 10000000L // > any sf0.1 key; multiple of 10
 
@@ -80,14 +92,18 @@ object ScaleBench {
     amp("orders", Seq("o_orderkey", "o_custkey"), Nil)
     amp("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), Nil)
     amp("documents", Seq("doc_id"), Seq("text"))
+    // identical vectors ×10 under salted ids: IVF cell membership and
+    // LSH buckets grow uniformly 10× — the cost-scaling variable —
+    // while recall semantics are irrelevant to the timing probe
+    amp("embeddings", Seq("vec_id"), Nil)
   }
 
-  private def timeQueries(spark: SparkSession, dir: String)
-      : Seq[(String, Double)] = {
+  private def timeQueries(spark: SparkSession, dir: String,
+                          names: Seq[String]): Seq[(String, Double)] = {
     // Footer/codegen warmup so the first query doesn't absorb it.
-    Seq("orders", "lineitem", "documents").foreach(n =>
+    Seq("orders", "lineitem", "documents", "embeddings").foreach(n =>
       spark.read.parquet(s"$dir/$n.parquet").count())
-    family.map { name =>
+    names.map { name =>
       System.gc()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
@@ -112,8 +128,13 @@ object ScaleBench {
       "sf0.01" -> "/root/testdata/sf0.01",
       "sf0.1" -> "/root/testdata/sf0.1",
       "sf1eq" -> sf1eq)
+    val names = args.toSeq.drop(1) match {
+      case Seq("corpus") => corpusFamily
+      case Seq("all") => family ++ corpusFamily
+      case _ => family
+    }
     val results = tiers.map { case (label, dir) =>
-      label -> timeQueries(spark, dir)
+      label -> timeQueries(spark, dir, names)
     }
     spark.stop()
 
@@ -126,6 +147,11 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     val outPath = args.headOption.getOrElse("SCALEBENCH.json")
     Files.writeString(Paths.get(outPath), json + "\n")
+    // the amplified tier is ~10× sf0.1 on disk — don't leave it in /tmp
+    def rm(p: java.io.File): Unit = {
+      Option(p.listFiles()).foreach(_.foreach(rm)); p.delete(); ()
+    }
+    rm(new java.io.File(sf1eq))
     println(json)
   }
 }
