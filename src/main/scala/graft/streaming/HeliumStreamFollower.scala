@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, max}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
 
 import graft.operators.HeliumGraph
@@ -28,12 +29,16 @@ import graft.sources.HeliumBlockStreamProvider
   *
   * Exactly-once effect (T5) without sink transactions: the WAL
   * serializes half-open immutable height ranges, and every epoch's
-  * commit lands under `batch=<epochId>` via overwrite — a replayed
-  * epoch (crash between sink write and WAL commit) REWRITES its own
-  * partition with identical content-keyed rows instead of appending
-  * duplicates. The account collection keeps the reference's
-  * insert-ignore collapse deferred to read (the A3 distinct view),
-  * exactly like the driver loop.
+  * commit lands under `batch=<max height in the epoch>` via overwrite
+  * — the partition name is a deterministic function of the offset
+  * range (heights are immutable), so a replayed epoch (crash between
+  * sink write and WAL commit) REWRITES its own partition with
+  * identical content-keyed rows instead of appending duplicates.
+  * Height-named partitions are also the unit the driver loop commits
+  * (HeliumFollower's `hi`) and what T7 height-based retention drops.
+  * The account collection keeps the reference's insert-ignore
+  * collapse deferred to read (the A3 distinct view), exactly like the
+  * driver loop.
   */
 object HeliumStreamFollower {
 
@@ -52,24 +57,50 @@ object HeliumStreamFollower {
     * sink-side transaction.
     */
   def commitBatch(env: DataFrame, sinkDir: String, batchId: Long,
-                  importTarget: Option[GraphSink.ImportTarget] = None)
-      : Unit = {
-    val payments = HeliumGraph.paymentV1Edges(env)
-      .unionByName(HeliumGraph.paymentV2Edges(env))
-      .dropDuplicates("_key")
-    val receipts = HeliumGraph.receiptEdges(env)
-      .dropDuplicates("_key")
-    val accounts = HeliumGraph.accountVertices(env)
-    Seq(payments -> "payments", receipts -> "poc_receipts",
-      accounts -> "accounts").foreach { case (df, c) =>
-      df.write.mode(SaveMode.Overwrite)
-        .parquet(s"$sinkDir/$c/batch=$batchId")
-      importTarget.foreach { t =>
-        GraphSink.importBulkPost(
-          env.sparkSession.read.parquet(s"$sinkDir/$c/batch=$batchId"),
-          t, c)
+                  importTarget: Option[GraphSink.ImportTarget] = None,
+                  receiptRetentionBlocks: Option[Long] = None,
+                  inventoryHeight: () => Option[Long] = () => None,
+                  onInventoryRefresh: () => Unit = () => (),
+                  inventoryLag: Long = 500L): Unit = {
+    // ONE source evaluation per epoch: the transforms read the
+    // envelope four ways (two payment variants, receipts, accounts),
+    // and an un-persisted micro-batch re-runs its partition readers
+    // per action — i.e. refetches every block over HTTP and burns the
+    // per-task retry budget three extra times.
+    val cached = env.persist()
+    try {
+      // driver-side scalar, the reference's own per-batch granularity
+      val hiRow = cached.agg(max(col("block"))).first()
+      if (!hiRow.isNullAt(0)) { // empty epoch: nothing to commit
+        val hi = hiRow.getLong(0)
+        val payments = HeliumGraph.paymentV1Edges(cached)
+          .unionByName(HeliumGraph.paymentV2Edges(cached))
+          .dropDuplicates("_key")
+        val receipts = HeliumGraph.receiptEdges(cached)
+          .dropDuplicates("_key")
+        val accounts = HeliumGraph.accountVertices(cached)
+        Seq(payments -> "payments", receipts -> "poc_receipts",
+          accounts -> "accounts").foreach { case (df, c) =>
+          df.write.mode(SaveMode.Overwrite)
+            .parquet(s"$sinkDir/$c/batch=$hi")
+          importTarget.foreach { t =>
+            GraphSink.importBulkPost(
+              env.sparkSession.read.parquet(s"$sinkDir/$c/batch=$hi"),
+              t, c)
+          }
+        }
+        // reference loop housekeeping, post-commit — the same order
+        // as HeliumFollower.step: receipt retention partition drop
+        // (T7, follower.py:210-214) and the inventory-lag refresh
+        // trigger (T6, follower.py:61-62)
+        receiptRetentionBlocks.foreach { keep =>
+          Follower.dropExpiredBatches(s"$sinkDir/poc_receipts",
+            hi - keep)
+        }
+        if (Follower.shouldRefreshInventory(hi, inventoryHeight(),
+          inventoryLag)) onInventoryRefresh()
       }
-    }
+    } finally { cached.unpersist(); () }
   }
 
   /** The configured query, trigger left to the caller (production
@@ -82,7 +113,11 @@ object HeliumStreamFollower {
              checkpointDir: String, startHeight: Long,
              maxHeightsPerTrigger: Long = 0L, numPartitions: Int = 4,
              maxRetries: Int = 50, sleepMs: Long = 10000L,
-             importTarget: Option[GraphSink.ImportTarget] = None)
+             importTarget: Option[GraphSink.ImportTarget] = None,
+             receiptRetentionBlocks: Option[Long] = None,
+             inventoryHeight: () => Option[Long] = () => None,
+             onInventoryRefresh: () => Unit = () => (),
+             inventoryLag: Long = 500L)
       : DataStreamWriter[Row] =
     spark.readStream
       .format(classOf[HeliumBlockStreamProvider].getName)
@@ -95,7 +130,9 @@ object HeliumStreamFollower {
       .load()
       .writeStream
       .foreachBatch { (env: DataFrame, batchId: Long) =>
-        commitBatch(env, sinkDir, batchId, importTarget)
+        commitBatch(env, sinkDir, batchId, importTarget,
+          receiptRetentionBlocks, inventoryHeight, onInventoryRefresh,
+          inventoryLag)
       }
       .option("checkpointLocation", checkpointDir)
 
@@ -106,9 +143,14 @@ object HeliumStreamFollower {
             checkpointDir: String, startHeight: Long,
             maxHeightsPerTrigger: Long = 0L, numPartitions: Int = 4,
             maxRetries: Int = 50, sleepMs: Long = 10000L,
-            importTarget: Option[GraphSink.ImportTarget] = None)
+            importTarget: Option[GraphSink.ImportTarget] = None,
+            receiptRetentionBlocks: Option[Long] = None,
+            inventoryHeight: () => Option[Long] = () => None,
+            onInventoryRefresh: () => Unit = () => (),
+            inventoryLag: Long = 500L)
       : StreamingQuery =
     writer(spark, endpoint, sinkDir, checkpointDir, startHeight,
       maxHeightsPerTrigger, numPartitions, maxRetries, sleepMs,
-      importTarget).start()
+      importTarget, receiptRetentionBlocks, inventoryHeight,
+      onInventoryRefresh, inventoryLag).start()
 }

@@ -170,6 +170,60 @@ class HeliumBlockStreamSpec extends SparkSpec {
     }
   }
 
+  test("capstone housekeeping: retention drop and inventory refresh " +
+    "fire per epoch, matching the driver loop") {
+    import graft.streaming.{HeliumFollower, HeliumStreamFollower}
+    def partitions(root: String): Seq[String] =
+      Option(new java.io.File(root).list()).fold(Seq.empty[String])(
+        _.filter(_.startsWith("batch=")).sorted.toSeq)
+    def receipts(root: String): Seq[String] =
+      spark.read.parquet(root).drop("batch")
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    // engine-driven: 1-height epochs, keep 1 block of receipts, a
+    // stale inventory (height 0) against a tiny lag so the refresh
+    // trigger must fire every epoch
+    val (sParts, sRows, sRefreshes) = StubNode.withServer() { endpoint =>
+      val dir = Files.createTempDirectory("hsf-keep").toString
+      var refreshes = 0
+      val q = HeliumStreamFollower.writer(spark, endpoint,
+        s"$dir/sink", s"$dir/ckpt", startHeight = 99L,
+        maxHeightsPerTrigger = 1L, numPartitions = 2,
+        maxRetries = 2, sleepMs = 0L,
+        receiptRetentionBlocks = Some(1L),
+        inventoryHeight = () => Some(0L),
+        onInventoryRefresh = () => refreshes += 1,
+        inventoryLag = 1L).start()
+      try q.processAllAvailable() finally q.stop()
+      (partitions(s"$dir/sink/poc_receipts"),
+        receipts(s"$dir/sink/poc_receipts"), refreshes)
+    }
+    // driver loop: same per-height batching and retention config
+    val (lParts, lRows, lRefreshes) = StubNode.withServer() { endpoint =>
+      val dir = Files.createTempDirectory("hsf-keep-loop").toString
+      var refreshes = 0
+      val f = new HeliumFollower(spark,
+        new RpcTxnSource(new JsonRpcClient(endpoint),
+          maxRetries = 2, sleepMs = 0, sleep = _ => ()),
+        s"$dir/sink", s"$dir/checkpoint.json", batchSize = 1L,
+        receiptRetentionBlocks = Some(1L),
+        inventoryHeight = () => Some(0L),
+        onInventoryRefresh = () => refreshes += 1,
+        inventoryLag = 1L)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/checkpoint.json"),
+        """{"sync_cursor": 99}""")
+      f.runToTip(102L)
+      (partitions(s"$dir/sink/poc_receipts"),
+        receipts(s"$dir/sink/poc_receipts"), refreshes)
+    }
+    assert(sParts === lParts, "retained partitions diverged")
+    assert(sParts.nonEmpty && sParts.size < 3,
+      s"retention never dropped anything: $sParts")
+    assert(sRows === lRows, "retained receipt rows diverged")
+    assert(sRefreshes > 0 && lRefreshes > 0,
+      "inventory refresh trigger never fired")
+  }
+
   test("uncapped: the whole backlog arrives in one micro-batch") {
     StubNode.withServer() { endpoint =>
       val ckpt = Files.createTempDirectory("hbs-ckpt2").toString
