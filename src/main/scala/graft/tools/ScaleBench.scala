@@ -59,6 +59,21 @@ object ScaleBench {
     "d03_lsh_pairs", "d05_ngram_jaccard", "t09_tfidf_terms",
     "t10_boilerplate", "p01_corpus_pipeline", "s03_knn_ivf")
 
+  /** Third axis (late r10): the event-time window family. Its scale
+    * risk is per-key WINDOW/JOIN STATE — salted user ids grow the key
+    * space 10× with the data (the cluster direction: more users, not
+    * longer histories), so per-key state stays constant and the
+    * interval joins stay copy-local (they key on user_id). st09's
+    * global running max is the stress case: arrival order is
+    * corpus-sized, which is exactly what its two-stage template must
+    * absorb without a partition-less window.
+    */
+  val streamFamily: Seq[String] = Seq(
+    "st01_tumbling_window", "st02_sessionize", "st03_sliding_window",
+    "st04_interval_join", "st05_interval_join_outer",
+    "st06_dedup_first", "st08_gap_fill", "st09_lateness",
+    "q24_lag_lead", "q25_running_sum")
+
   private val Copies = 10
   private val KeyOffset = 10000000L // > any sf0.1 key; multiple of 10
 
@@ -96,13 +111,17 @@ object ScaleBench {
     // LSH buckets grow uniformly 10× — the cost-scaling variable —
     // while recall semantics are irrelevant to the timing probe
     amp("embeddings", Seq("vec_id"), Nil)
+    // timestamps unchanged, user/event ids salted: event density per
+    // time bucket and the user-key space both grow 10× — more users,
+    // not longer per-user histories (the cluster growth direction)
+    amp("events", Seq("event_id", "user_id"), Nil)
   }
 
   private def timeQueries(spark: SparkSession, dir: String,
                           names: Seq[String]): Seq[(String, Double)] = {
     // Footer/codegen warmup so the first query doesn't absorb it.
-    Seq("orders", "lineitem", "documents", "embeddings").foreach(n =>
-      spark.read.parquet(s"$dir/$n.parquet").count())
+    Seq("orders", "lineitem", "documents", "embeddings", "events")
+      .foreach(n => spark.read.parquet(s"$dir/$n.parquet").count())
     names.map { name =>
       System.gc()
       val t0 = System.nanoTime()
@@ -130,7 +149,8 @@ object ScaleBench {
       "sf1eq" -> sf1eq)
     val names = args.toSeq.drop(1) match {
       case Seq("corpus") => corpusFamily
-      case Seq("all") => family ++ corpusFamily
+      case Seq("stream") => streamFamily
+      case Seq("all") => family ++ corpusFamily ++ streamFamily
       case _ => family
     }
     val results = tiers.map { case (label, dir) =>
