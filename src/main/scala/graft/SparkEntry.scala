@@ -299,6 +299,14 @@ object SparkEntry {
     // s14 (truncation alone).
     "s17_ivfpq_recall" -> ((s, dir) =>
       Similarity.annRecallIvfPq(t(s, dir, "embeddings"), 10, 3)),
+    // IVFADC with residual encoding (Jégou 2011): PQ over v − centroid,
+    // exact centroid dot added back at scoring.
+    "s18_knn_ivfpq_res" -> ((s, dir) =>
+      Similarity.knnIvfPqResidual(t(s, dir, "embeddings"), 10, 3)),
+    // Residual-path composed recall at identical parameters — what the
+    // residual lever buys vs s17's raw-vector PQ.
+    "s19_ivfpq_res_recall" -> ((s, dir) =>
+      Similarity.annRecallIvfPqResidual(t(s, dir, "embeddings"), 10, 3)),
     // Stopword-profile language ID.
     "t01_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"))),
@@ -797,18 +805,20 @@ object SparkEntry {
     * the per-(vector, subspace, entry) slice table `sub` every PQ
     * consumer (s05/s06/s16/s17) builds on. Mirrors
     * Similarity.pqCodebook = pqRefineOnce ∘ pqCodebookSeed at m=8,
-    * nCodes=16, dim=64.
+    * nCodes=16, dim=64. Parameterized over the (vec_id, v) source so
+    * the residual path (s18/s19) trains the same chain on the
+    * residual table instead of `n`.
     */
-  private val pqCbCte: String =
+  private def pqCbCteOver(src: String): String =
     s"""hb AS (SELECT vec_id, v, ${h60("'pqseed|' || vec_id")} AS hh
-       |  FROM n),
+       |  FROM $src),
        |cb0 AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1
        |    AS code, v AS cv
        |  FROM hb ORDER BY hh, vec_id LIMIT 16),
        |sub0 AS (SELECT a.vec_id, t.s, cb0.code,
        |   list_slice(a.v, t.s*8+1, t.s*8+8) AS va,
        |   list_slice(cb0.cv, t.s*8+1, t.s*8+8) AS vb
-       |  FROM n a CROSS JOIN generate_series(0, 7) t(s)
+       |  FROM $src a CROSS JOIN generate_series(0, 7) t(s)
        |  CROSS JOIN cb0),
        |codes0 AS (SELECT vec_id, s, code, va FROM (
        |  SELECT vec_id, s, code, va, row_number() OVER (
@@ -835,8 +845,58 @@ object SparkEntry {
        |sub AS (SELECT a.vec_id, t.s, cb.code,
        |   list_slice(a.v, t.s*8+1, t.s*8+8) AS va,
        |   list_slice(cb.cv, t.s*8+1, t.s*8+8) AS vb
-       |  FROM n a CROSS JOIN generate_series(0, 7) t(s)
+       |  FROM $src a CROSS JOIN generate_series(0, 7) t(s)
        |  CROSS JOIN cb)""".stripMargin
+
+  private val pqCbCte: String = pqCbCteOver("n")
+
+  /** The residual table + residual-trained codebook + residual codes
+    * + the centroid-dot and ADC-lookup-table CTEs shared by the s18
+    * search and the s19 recall gate — mirrors knnIvfPqResidual:
+    * resn = v − centroid(cell) (IVFADC, Jégou 2011 §IV-A), the
+    * pqCb chain trained ON resn, codes = residual argmin, subq/qt =
+    * RAW query subvector × residual-codebook dot table, cdot = exact
+    * per-(query, probed cell) centroid dot. Appended after ivfCte
+    * (needs asg, c, probes).
+    */
+  private lazy val ivfPqResCte: String =
+    s"""resn AS (SELECT a.vec_id,
+       |   [a.v[i] - c.cv[i] FOR i IN range(1, len(a.v)+1)] AS v
+       |  FROM asg a JOIN c ON c.cell = a.cell),
+       |${pqCbCteOver("resn")},
+       |codes AS (SELECT vec_id, s, code FROM (
+       |  SELECT vec_id, s, code, row_number() OVER (
+       |    PARTITION BY vec_id, s ORDER BY
+       |    list_reduce(list_prepend(0.0,
+       |      [(va[i]-vb[i])*(va[i]-vb[i])
+       |       FOR i IN range(1, len(va)+1)]),
+       |      (acc, x) -> acc + x), code) AS rk FROM sub)
+       |  WHERE rk = 1),
+       |subq AS (SELECT a.vec_id, t.s, cb.code,
+       |   list_slice(a.v, t.s*8+1, t.s*8+8) AS va,
+       |   list_slice(cb.cv, t.s*8+1, t.s*8+8) AS vb
+       |  FROM n a CROSS JOIN generate_series(0, 7) t(s)
+       |  CROSS JOIN cb WHERE a.vec_id < 10),
+       |qt AS (SELECT vec_id AS q_id, s, code,
+       |   list_reduce(list_prepend(0.0,
+       |     [va[i]*vb[i] FOR i IN range(1, len(va)+1)]),
+       |     (acc, x) -> acc + x) AS pdot
+       |  FROM subq),
+       |cdot AS (SELECT p.q_id, p.cell,
+       |   ${foldSum("[p.qv[i] * c.cv[i] FOR i IN range(1, len(p.qv)+1)]")}
+       |     AS centdot
+       |  FROM probes p JOIN c ON c.cell = p.cell),
+       |pscored AS (SELECT p.q_id, b.vec_id AS nbr_id,
+       |   cd.centdot + list_reduce(list_prepend(0.0,
+       |     list(qt.pdot ORDER BY qt.s)),
+       |     (acc, x) -> acc + x) AS approx_dot
+       |  FROM probes p
+       |  JOIN cdot cd ON cd.q_id = p.q_id AND cd.cell = p.cell
+       |  JOIN asg b ON b.cell = p.cell AND b.vec_id <> p.q_id
+       |  JOIN codes c2 ON c2.vec_id = b.vec_id
+       |  JOIN qt ON qt.q_id = p.q_id AND qt.s = c2.s
+       |    AND qt.code = c2.code
+       |  GROUP BY p.q_id, b.vec_id, cd.centdot)""".stripMargin
 
   /** Component-min connected components over the LSH candidate pairs
     * as a recursive CTE — shared by d08 (fixpoint propagation) and d11
@@ -1635,6 +1695,19 @@ object SparkEntry {
            |SELECT q_id, nbr_id, approx_dot, "rank" FROM (
            | SELECT *, row_number() OVER (PARTITION BY q_id
            |   ORDER BY approx_dot DESC, nbr_id) AS "rank" FROM scored)
+           |WHERE "rank" <= 3""".stripMargin),
+    // Mirrors knnIvfPqResidual: shared ivfCte + the residual chain
+    // (ivfPqResCte: residual-trained codebook, residual codes, raw-
+    // query ADC table, exact centroid dot), centdot + s-ASCENDING
+    // fold, then top-3. centdot is in pscored's GROUP BY — constant
+    // within a (q_id, nbr_id) group since a vector lives in ONE cell.
+    "s18_knn_ivfpq_res" ->
+      (embCte +
+        s""", $ivfCte,
+           |$ivfPqResCte
+           |SELECT q_id, nbr_id, approx_dot, "rank" FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY approx_dot DESC, nbr_id) AS "rank" FROM pscored)
            |WHERE "rank" <= 3""".stripMargin),
     "s04_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
@@ -2461,6 +2534,31 @@ object SparkEntry {
            |  JOIN qt ON qt.q_id = p.q_id AND qt.s = c2.s
            |    AND qt.code = c2.code
            |  GROUP BY p.q_id, b.vec_id),
+           |ipq AS (SELECT q_id, nbr_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY approx_dot DESC, nbr_id) AS rk FROM pscored)
+           | WHERE rk <= 3)
+           |SELECT b.q_id AS q_id, count(i.nbr_id) AS n_hit,
+           | count(i.nbr_id)::DOUBLE / count(*) AS recall
+           |FROM brute b LEFT JOIN ipq i
+           | ON i.q_id = b.q_id AND i.nbr_id = b.nbr_id
+           |GROUP BY b.q_id""".stripMargin
+    },
+    // annRecallIvfPqResidual mirror: s11's brute CTEs + the s18
+    // residual chain, compared per query.
+    "s19_ivfpq_res_recall" -> {
+      embCte +
+        s""", q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id < 10),
+           |bscored AS (SELECT a.q_id, b.vec_id AS nbr_id,
+           |  $pairDot / (a.nrm * b.nrm) AS sim
+           | FROM (SELECT q_id, v, nrm FROM q) a
+           | CROSS JOIN n b WHERE b.vec_id <> a.q_id),
+           |brute AS (SELECT q_id, nbr_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY sim DESC, nbr_id) AS rk FROM bscored)
+           | WHERE rk <= 3),
+           |$ivfCte,
+           |$ivfPqResCte,
            |ipq AS (SELECT q_id, nbr_id FROM (
            | SELECT *, row_number() OVER (PARTITION BY q_id
            |   ORDER BY approx_dot DESC, nbr_id) AS rk FROM pscored)

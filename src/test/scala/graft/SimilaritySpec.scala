@@ -246,6 +246,34 @@ class SimilaritySpec extends SparkSpec {
     assert(ivfpq.toSeq === again.toSeq)
   }
 
+  test("knnIvfPqResidual: shape, partition independence, and the " +
+      "residual lever not below the raw-PQ path at identical params") {
+    val real = table("embeddings")
+    val res = Similarity.knnIvfPqResidual(real, 10, 3)
+      .select("q_id", "nbr_id", "approx_dot", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(res.length === 30)
+    assert(res.groupBy(_._1)
+      .forall(_._2.map(_._4).sorted.sameElements(1 to 3)))
+    val again = Similarity.knnIvfPqResidual(real.repartition(13), 10, 3)
+      .select("q_id", "nbr_id", "approx_dot", "rank")
+      .as[(Long, Long, Double, Int)].collect().sortBy(r => (r._1, r._4))
+    assert(res.toSeq === again.toSeq)
+    // the IVFADC residual claim, measured not argued: at identical
+    // (nCells, nProbe, m, nCodes) the composed recall of the
+    // residual-encoded path must not fall below the raw-vector path
+    // (sf0.001 fixture: 0.167 vs 0.067; sf0.01: 0.233 vs 0.100 —
+    // bounded gains are the expected shape on random embeddings,
+    // which have no cluster structure for the centroid term to carry)
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(col("recall"))).first().getDouble(0)
+    val raw = meanRecall(Similarity.annRecallIvfPq(real, 10, 3))
+    val resid = meanRecall(Similarity.annRecallIvfPqResidual(real, 10, 3))
+    info(f"composed mean recall@3: raw-PQ $raw%.3f, residual $resid%.3f")
+    assert(resid >= raw,
+      f"residual recall $resid%.3f fell below the raw-PQ path $raw%.3f")
+  }
+
   test("quantizeInt8: bounded reconstruction error, zero-vector safe") {
     val emb = Seq(
       (0L, Array(0.5f, -1.0f, 0.25f), 0),
