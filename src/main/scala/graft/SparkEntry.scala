@@ -307,6 +307,13 @@ object SparkEntry {
     // residual lever buys vs s17's raw-vector PQ.
     "s19_ivfpq_res_recall" -> ((s, dir) =>
       Similarity.annRecallIvfPqResidual(t(s, dir, "embeddings"), 10, 3)),
+    // Exact re-ranking over the ADC shortlist (k' = 3k): the final
+    // stage of the production ANN pipeline.
+    "s20_knn_rerank" -> ((s, dir) =>
+      Similarity.knnIvfPqRerank(t(s, dir, "embeddings"), 10, 3)),
+    // Re-ranked recall — what exact rescoring recovers at a given k'.
+    "s21_rerank_recall" -> ((s, dir) =>
+      Similarity.annRecallIvfPqRerank(t(s, dir, "embeddings"), 10, 3)),
     // Stopword-profile language ID.
     "t01_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"))),
@@ -1709,6 +1716,24 @@ object SparkEntry {
            | SELECT *, row_number() OVER (PARTITION BY q_id
            |   ORDER BY approx_dot DESC, nbr_id) AS "rank" FROM pscored)
            |WHERE "rank" <= 3""".stripMargin),
+    // Mirrors knnIvfPqRerank: the s18 chain cut at k' = 9, candidates
+    // rescored with the EXACT cosine (the brute expression), top-3.
+    "s20_knn_rerank" ->
+      (embCte +
+        s""", $ivfCte,
+           |$ivfPqResCte,
+           |short AS (SELECT q_id, nbr_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY approx_dot DESC, nbr_id) AS rk FROM pscored)
+           | WHERE rk <= 9),
+           |rescored AS (SELECT s.q_id, s.nbr_id,
+           |  $pairDot / (a.nrm * b.nrm) AS sim
+           | FROM short s JOIN n a ON a.vec_id = s.q_id
+           | JOIN n b ON b.vec_id = s.nbr_id)
+           |SELECT q_id, nbr_id, sim, "rank" FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY sim DESC, nbr_id) AS "rank" FROM rescored)
+           |WHERE "rank" <= 3""".stripMargin),
     "s04_quantize_int8" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
         |  FROM embeddings),
@@ -2541,6 +2566,39 @@ object SparkEntry {
            |SELECT b.q_id AS q_id, count(i.nbr_id) AS n_hit,
            | count(i.nbr_id)::DOUBLE / count(*) AS recall
            |FROM brute b LEFT JOIN ipq i
+           | ON i.q_id = b.q_id AND i.nbr_id = b.nbr_id
+           |GROUP BY b.q_id""".stripMargin
+    },
+    // annRecallIvfPqRerank mirror: s11's brute CTEs + the s20 chain
+    // (s18 shortlist at k' = 9 + exact rescore), compared per query.
+    "s21_rerank_recall" -> {
+      embCte +
+        s""", q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id < 10),
+           |bscored AS (SELECT a.q_id, b.vec_id AS nbr_id,
+           |  $pairDot / (a.nrm * b.nrm) AS sim
+           | FROM (SELECT q_id, v, nrm FROM q) a
+           | CROSS JOIN n b WHERE b.vec_id <> a.q_id),
+           |brute AS (SELECT q_id, nbr_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY sim DESC, nbr_id) AS rk FROM bscored)
+           | WHERE rk <= 3),
+           |$ivfCte,
+           |$ivfPqResCte,
+           |short AS (SELECT q_id, nbr_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY approx_dot DESC, nbr_id) AS rk FROM pscored)
+           | WHERE rk <= 9),
+           |rescored AS (SELECT s.q_id, s.nbr_id,
+           |  $pairDot / (a.nrm * b.nrm) AS sim
+           | FROM short s JOIN n a ON a.vec_id = s.q_id
+           | JOIN n b ON b.vec_id = s.nbr_id),
+           |rr AS (SELECT q_id, nbr_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY sim DESC, nbr_id) AS rk FROM rescored)
+           | WHERE rk <= 3)
+           |SELECT b.q_id AS q_id, count(i.nbr_id) AS n_hit,
+           | count(i.nbr_id)::DOUBLE / count(*) AS recall
+           |FROM brute b LEFT JOIN rr i
            | ON i.q_id = b.q_id AND i.nbr_id = b.nbr_id
            |GROUP BY b.q_id""".stripMargin
     },
