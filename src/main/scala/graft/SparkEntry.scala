@@ -311,6 +311,10 @@ object SparkEntry {
     // stage of the production ANN pipeline.
     "s20_knn_rerank" -> ((s, dir) =>
       Similarity.knnIvfPqRerank(t(s, dir, "embeddings"), 10, 3)),
+    // nProbe tuning curve: recall@3 at probe budgets 1/2/4/8 from one
+    // scored pass (the admitting cell's probe rank decides them all).
+    "s22_probe_curve" -> ((s, dir) =>
+      Similarity.annRecallProbeCurve(t(s, dir, "embeddings"), 10, 3)),
     // Re-ranked recall — what exact rescoring recovers at a given k'.
     "s21_rerank_recall" -> ((s, dir) =>
       Similarity.annRecallIvfPqRerank(t(s, dir, "embeddings"), 10, 3)),
@@ -2601,6 +2605,50 @@ object SparkEntry {
            |FROM brute b LEFT JOIN rr i
            | ON i.q_id = b.q_id AND i.nbr_id = b.nbr_id
            |GROUP BY b.q_id""".stripMargin
+    },
+    // annRecallProbeCurve mirror: brute + ivfCte's refined centroids
+    // and assignment; probe ranks kept to 8 (probes8, the shared
+    // centSim ORDER BY), candidates fanned over the threshold VALUES
+    // list, per-(np, query) top-3, per-np recall.
+    "s22_probe_curve" -> {
+      val centSim =
+        foldSum("[a.v[i] * c.cv[i] FOR i IN range(1, len(a.v)+1)]") +
+          " / (a.nrm * c.cnrm)"
+      embCte +
+        s""", q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id < 10),
+           |bscored AS (SELECT a.q_id, b.vec_id AS nbr_id,
+           |  $pairDot / (a.nrm * b.nrm) AS sim
+           | FROM (SELECT q_id, v, nrm FROM q) a
+           | CROSS JOIN n b WHERE b.vec_id <> a.q_id),
+           |brute AS (SELECT q_id, nbr_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY sim DESC, nbr_id) AS rk FROM bscored)
+           | WHERE rk <= 3),
+           |$ivfCte,
+           |probes8 AS (SELECT q_id, qv, qnrm, rk AS pr, cell FROM (
+           |  SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qnrm, c.cell,
+           |   row_number() OVER (PARTITION BY a.vec_id
+           |     ORDER BY $centSim DESC, c.cell) AS rk
+           |  FROM n a CROSS JOIN c WHERE a.vec_id < 10) WHERE rk <= 8),
+           |cscored AS (SELECT p.q_id, b.vec_id AS nbr_id, p.pr,
+           |  ${foldSum("[p.qv[i] * b.v[i] FOR i IN range(1, len(p.qv)+1)]")}
+           |   / (p.qnrm * b.nrm) AS sim
+           | FROM probes8 p JOIN asg b ON b.cell = p.cell
+           |   AND b.vec_id <> p.q_id),
+           |fan AS (SELECT q_id, nbr_id, sim, t.np FROM cscored
+           | CROSS JOIN (VALUES (1), (2), (4), (8)) t(np)
+           | WHERE pr <= t.np),
+           |topk AS (SELECT np, q_id, nbr_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY np, q_id
+           |   ORDER BY sim DESC, nbr_id) AS rk FROM fan)
+           | WHERE rk <= 3),
+           |bt AS (SELECT b.q_id, b.nbr_id, t.np FROM brute b
+           | CROSS JOIN (VALUES (1), (2), (4), (8)) t(np))
+           |SELECT bt.np AS n_probe, count(i.nbr_id) AS n_hit,
+           | count(i.nbr_id)::DOUBLE / count(*) AS recall
+           |FROM bt LEFT JOIN topk i
+           | ON i.np = bt.np AND i.q_id = bt.q_id AND i.nbr_id = bt.nbr_id
+           |GROUP BY bt.np""".stripMargin
     },
     // annRecallIvfPqResidual mirror: s11's brute CTEs + the s18
     // residual chain, compared per query.

@@ -349,6 +349,63 @@ object Similarity {
         (col("n_hit").cast("double") / col("k_exact")).as("recall"))
   }
 
+  /** The nProbe TUNING CURVE in one pass — mean recall@k at every
+    * probe budget in `thresholds`, the d19-detection-curve pattern
+    * applied to the IVF dial: s11 reports recall at ONE nProbe; at
+    * 100 TB the (recall, cost) trade is picked from THIS table.
+    *
+    * One scored pass, not |thresholds| searches: each candidate is
+    * admitted by exactly one cell (vectors live in one cell), so its
+    * admitting cell's probe RANK `pr` decides every threshold at
+    * once — fan the scored set over the thresholds array row-locally
+    * (|candidates|×|thresholds| rows, still query-bounded), filter
+    * pr ≤ n_probe, and take per-(threshold, query) top-k windows.
+    * The curve is monotone by construction (a bigger budget only adds
+    * candidates) — spec-pinned.
+    */
+  def annRecallProbeCurve(embeddings: DataFrame, nQueries: Int, k: Int,
+                          nCells: Int = 16,
+                          thresholds: Seq[Int] = Seq(1, 2, 4, 8))
+      : DataFrame = {
+    val maxProbe = thresholds.max
+    val e = prepared(embeddings)
+    val centArr = ivfRefineOnce(e, ivfCentroidArr(e, nCells))
+    val indexed = ivfAssigned(e, centArr)
+    val probes = e.filter(col("vec_id") < nQueries)
+      .join(broadcast(centArr))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), ivfSims.as("sims"))
+      .select(col("q_id"), col("qv"), col("qnrm"),
+        posexplode(ivfProbeCells(col("sims"), maxProbe)))
+      .select(col("q_id"), col("qv"), col("qnrm"),
+        (col("pos") + 1).as("pr"), col("col").as("qcell"))
+    val scored = indexed.join(broadcast(probes),
+      col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"), col("pr"),
+        Canon.cosine(Canon.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("sim"))
+    val thArr = array(thresholds.map(lit): _*)
+    val fanned = scored
+      .select(col("q_id"), col("nbr_id"), col("pr"), col("sim"),
+        explode(thArr).as("n_probe"))
+      .filter(col("pr") <= col("n_probe"))
+    val w = Window.partitionBy(col("n_probe"), col("q_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    val topk = fanned.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("n_probe").as("_np"), col("q_id").as("_q"),
+        col("nbr_id").as("_n"))
+    val exactTh = knnBrute(embeddings, nQueries, k)
+      .select(col("q_id"), col("nbr_id"), explode(thArr).as("n_probe"))
+    exactTh.join(topk,
+      col("n_probe") === col("_np") && col("q_id") === col("_q") &&
+        col("nbr_id") === col("_n"), "left")
+      .groupBy(col("n_probe"))
+      .agg(count(lit(1)).as("k_total"), count(col("_n")).as("n_hit"))
+      .select(col("n_probe"), col("n_hit"),
+        (col("n_hit").cast("double") / col("k_total")).as("recall"))
+  }
+
   /** ANN top-k: score only candidates in the query's sign bucket.
     * Recall vs knnBrute is the quality metric (spec-checked); the plan
     * scores ~1/2^bits of the corpus per query.

@@ -305,6 +305,27 @@ class SimilaritySpec extends SparkSpec {
       f"re-ranked recall $rerank%.3f fell below the shortlist path $plain%.3f")
   }
 
+  test("annRecallProbeCurve: monotone in the probe budget, agrees " +
+      "with the single-point s11 measurement at nProbe = 4") {
+    val real = table("embeddings")
+    val curve = Similarity.annRecallProbeCurve(real, 10, 3)
+      .select("n_probe", "n_hit", "recall")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(curve.map(_._1) === Array(1, 2, 4, 8))
+    // a bigger probe budget only ADDS candidates — recall cannot drop
+    curve.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._3 >= lo._3,
+        s"recall fell ${lo._3} -> ${hi._3} between nProbe ${lo._1} and ${hi._1}")
+    }
+    // the nProbe = 4 point IS s11's measurement — same centroids,
+    // same probes, same top-k — so the curve and the gate must agree
+    val s11mean = Similarity.annRecall(real, 10, 3)
+      .agg(avg(col("recall"))).first().getDouble(0)
+    val c4 = curve.find(_._1 == 4).get._3
+    assert(math.abs(c4 - s11mean) < 1e-12,
+      f"curve point $c4%.4f disagrees with s11 $s11mean%.4f at nProbe=4")
+  }
+
   test("quantizeInt8: bounded reconstruction error, zero-vector safe") {
     val emb = Seq(
       (0L, Array(0.5f, -1.0f, 0.25f), 0),
