@@ -315,6 +315,10 @@ object SparkEntry {
     // scored pass (the admitting cell's probe rank decides them all).
     "s22_probe_curve" -> ((s, dir) =>
       Similarity.annRecallProbeCurve(t(s, dir, "embeddings"), 10, 3)),
+    // Shortlist-size tuning curve: re-ranked recall@3 at k' budgets
+    // 3/6/9/18 from one rescore pass (shortlist rank decides them all).
+    "s23_rerank_curve" -> ((s, dir) =>
+      Similarity.annRecallRerankCurve(t(s, dir, "embeddings"), 10, 3)),
     // Re-ranked recall — what exact rescoring recovers at a given k'.
     "s21_rerank_recall" -> ((s, dir) =>
       Similarity.annRecallIvfPqRerank(t(s, dir, "embeddings"), 10, 3)),
@@ -2649,6 +2653,46 @@ object SparkEntry {
            |FROM bt LEFT JOIN topk i
            | ON i.np = bt.np AND i.q_id = bt.q_id AND i.nbr_id = bt.nbr_id
            |GROUP BY bt.np""".stripMargin
+    },
+    // annRecallRerankCurve mirror: the s21 chain with the shortlist
+    // kept to rank 18 AND carrying its rank, candidates fanned over
+    // the k' VALUES list, per-(ks, query) top-3 by exact sim,
+    // per-ks recall.
+    "s23_rerank_curve" -> {
+      embCte +
+        s""", q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id < 10),
+           |bscored AS (SELECT a.q_id, b.vec_id AS nbr_id,
+           |  $pairDot / (a.nrm * b.nrm) AS sim
+           | FROM (SELECT q_id, v, nrm FROM q) a
+           | CROSS JOIN n b WHERE b.vec_id <> a.q_id),
+           |brute AS (SELECT q_id, nbr_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY sim DESC, nbr_id) AS rk FROM bscored)
+           | WHERE rk <= 3),
+           |$ivfCte,
+           |$ivfPqResCte,
+           |short AS (SELECT q_id, nbr_id, rk AS sr FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY approx_dot DESC, nbr_id) AS rk FROM pscored)
+           | WHERE rk <= 18),
+           |rescored AS (SELECT s.q_id, s.nbr_id, s.sr,
+           |  $pairDot / (a.nrm * b.nrm) AS sim
+           | FROM short s JOIN n a ON a.vec_id = s.q_id
+           | JOIN n b ON b.vec_id = s.nbr_id),
+           |fan AS (SELECT q_id, nbr_id, sim, t.ks FROM rescored
+           | CROSS JOIN (VALUES (3), (6), (9), (18)) t(ks)
+           | WHERE sr <= t.ks),
+           |topk AS (SELECT ks, q_id, nbr_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY ks, q_id
+           |   ORDER BY sim DESC, nbr_id) AS rk FROM fan)
+           | WHERE rk <= 3),
+           |bt AS (SELECT b.q_id, b.nbr_id, t.ks FROM brute b
+           | CROSS JOIN (VALUES (3), (6), (9), (18)) t(ks))
+           |SELECT bt.ks AS k_short, count(i.nbr_id) AS n_hit,
+           | count(i.nbr_id)::DOUBLE / count(*) AS recall
+           |FROM bt LEFT JOIN topk i
+           | ON i.ks = bt.ks AND i.q_id = bt.q_id AND i.nbr_id = bt.nbr_id
+           |GROUP BY bt.ks""".stripMargin
     },
     // annRecallIvfPqResidual mirror: s11's brute CTEs + the s18
     // residual chain, compared per query.

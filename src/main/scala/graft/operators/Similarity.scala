@@ -600,7 +600,7 @@ object Similarity {
     * m·nCodes code budget quantizes only the smaller within-cell
     * variation; s19 vs s17 reports what that buys at identical
     * (nCells, nProbe, m, nCodes) — measured at sf0.01 the composed
-    * mean recall@3 rises 0.10 → 0.23 (IVF-alone s11 = 0.60). The
+    * mean recall@3 rises 0.10 → 0.20 (IVF-alone s11 = 0.60). The
     * bounded gain is the expected shape on RANDOM synthetic
     * embeddings: with no cluster structure the centroids capture
     * little shared direction, so the residual is nearly the vector
@@ -704,7 +704,7 @@ object Similarity {
     * shortlist, just misranked — so a small k′ recovers much of the
     * quantization loss while exact math touches nQueries·k′ vectors
     * instead of the corpus: measured at sf0.01 (k′ = 3k) composed
-    * mean recall@3 climbs 0.23 → 0.43 against the 0.60 IVF-cell
+    * mean recall@3 climbs 0.20 → 0.43 against the 0.60 IVF-cell
     * ceiling (s11) that only more probing can lift — what remains
     * between 0.43 and 0.60 is true neighbors ranked below the k′
     * shortlist cut, the dial k′ itself tunes.
@@ -762,6 +762,66 @@ object Similarity {
       .agg(count(lit(1)).as("k_exact"), count(col("_n")).as("n_hit"))
       .select(col("q_id"), col("n_hit"),
         (col("n_hit").cast("double") / col("k_exact")).as("recall"))
+  }
+
+  /** The shortlist-size TUNING CURVE in one pass — mean re-ranked
+    * recall@k at every shortlist budget k′ in `shortlists`, the
+    * [[annRecallProbeCurve]] trick applied to the OTHER dial: a
+    * candidate's rank in the (approx_dot-ordered) shortlist decides
+    * every k′ threshold at once, so ONE rescore pass over the max
+    * shortlist + a row-local threshold fan covers the whole menu.
+    * With s22 this closes the tuning table: a deployment reads
+    * (nProbe, k′) jointly from two gated curves instead of two
+    * single-point measurements. Measured at sf0.01: k′ = 3/6/9/18 →
+    * 0.20 / 0.37 / 0.43 / 0.50 against the 0.60 cell ceiling —
+    * diminishing returns per exact multiply, which is exactly the
+    * spend decision the curve exists to inform. The k′ = 3 row
+    * equals s19 by construction (re-ranking a 3-candidate set cannot
+    * change the SET) and k′ = 9 equals s21 — both spec-pinned as
+    * cross-gate consistency checks.
+    */
+  def annRecallRerankCurve(embeddings: DataFrame, nQueries: Int,
+                           k: Int,
+                           shortlists: Seq[Int] = Seq(3, 6, 9, 18),
+                           nCells: Int = 16, nProbe: Int = 4,
+                           m: Int = 8, nCodes: Int = 16,
+                           dim: Int = 64): DataFrame = {
+    val maxShort = shortlists.max
+    val e = prepared(embeddings)
+    val short = knnIvfPqResidual(embeddings, nQueries, maxShort,
+      nCells, nProbe, m, nCodes, dim)
+      .select(col("q_id"), col("nbr_id"), col("rank").as("sr"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("_qid"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val shortQ = short.join(broadcast(q), col("q_id") === col("_qid"))
+      .select(col("q_id"), col("nbr_id"), col("sr"), col("qv"),
+        col("qnrm"))
+    val rescored = e.join(broadcast(shortQ),
+      col("vec_id") === col("nbr_id"))
+      .select(col("q_id"), col("nbr_id"), col("sr"),
+        Canon.cosine(Canon.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("sim"))
+    val ksArr = array(shortlists.map(lit): _*)
+    val fanned = rescored
+      .select(col("q_id"), col("nbr_id"), col("sr"), col("sim"),
+        explode(ksArr).as("k_short"))
+      .filter(col("sr") <= col("k_short"))
+    val w = Window.partitionBy(col("k_short"), col("q_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    val topk = fanned.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("k_short").as("_ks"), col("q_id").as("_q"),
+        col("nbr_id").as("_n"))
+    val exactTh = knnBrute(embeddings, nQueries, k)
+      .select(col("q_id"), col("nbr_id"), explode(ksArr).as("k_short"))
+    exactTh.join(topk,
+      col("k_short") === col("_ks") && col("q_id") === col("_q") &&
+        col("nbr_id") === col("_n"), "left")
+      .groupBy(col("k_short"))
+      .agg(count(lit(1)).as("k_total"), count(col("_n")).as("n_hit"))
+      .select(col("k_short"), col("n_hit"),
+        (col("n_hit").cast("double") / col("k_total")).as("recall"))
   }
 
   /** Hash-seeded PQ codebook: the `nCodes` vectors ranking lowest by

@@ -262,7 +262,7 @@ class SimilaritySpec extends SparkSpec {
     // the IVFADC residual claim, measured not argued: at identical
     // (nCells, nProbe, m, nCodes) the composed recall of the
     // residual-encoded path must not fall below the raw-vector path
-    // (sf0.001 fixture: 0.167 vs 0.067; sf0.01: 0.233 vs 0.100 —
+    // (sf0.001 fixture: 0.167 vs 0.067; sf0.01: 0.200 vs 0.100 —
     // bounded gains are the expected shape on random embeddings,
     // which have no cluster structure for the centroid term to carry)
     def meanRecall(df: org.apache.spark.sql.DataFrame): Double =
@@ -294,7 +294,7 @@ class SimilaritySpec extends SparkSpec {
     }
     // re-ranking over a superset shortlist can only help: mean recall
     // must not fall below the un-reranked residual path (sf0.001:
-    // 0.267 vs 0.167; sf0.01: 0.433 vs 0.233 — against s11's 0.60
+    // 0.267 vs 0.167; sf0.01: 0.433 vs 0.200 — against s11's 0.60
     // IVF-cell ceiling)
     def meanRecall(df: org.apache.spark.sql.DataFrame): Double =
       df.agg(avg(col("recall"))).first().getDouble(0)
@@ -324,6 +324,31 @@ class SimilaritySpec extends SparkSpec {
     val c4 = curve.find(_._1 == 4).get._3
     assert(math.abs(c4 - s11mean) < 1e-12,
       f"curve point $c4%.4f disagrees with s11 $s11mean%.4f at nProbe=4")
+  }
+
+  test("annRecallRerankCurve: monotone in the shortlist budget, " +
+      "endpoints agree with the s19/s21 single-point gates") {
+    val real = table("embeddings")
+    val curve = Similarity.annRecallRerankCurve(real, 10, 3)
+      .select("k_short", "n_hit", "recall")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(curve.map(_._1) === Array(3, 6, 9, 18))
+    // a bigger shortlist only ADDS candidates — recall cannot drop
+    curve.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._3 >= lo._3,
+        s"recall fell ${lo._3} -> ${hi._3} between k' ${lo._1} and ${hi._1}")
+    }
+    def meanRecall(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(col("recall"))).first().getDouble(0)
+    // k' = 3: re-ranking a 3-candidate set cannot change the SET, so
+    // the curve point IS s19's un-reranked measurement
+    val s19mean = meanRecall(Similarity.annRecallIvfPqResidual(real, 10, 3))
+    assert(math.abs(curve.find(_._1 == 3).get._3 - s19mean) < 1e-12,
+      "k'=3 curve point disagrees with the s19 gate")
+    // k' = 9 is exactly the s21 configuration
+    val s21mean = meanRecall(Similarity.annRecallIvfPqRerank(real, 10, 3))
+    assert(math.abs(curve.find(_._1 == 9).get._3 - s21mean) < 1e-12,
+      "k'=9 curve point disagrees with the s21 gate")
   }
 
   test("quantizeInt8: bounded reconstruction error, zero-vector safe") {
