@@ -720,6 +720,10 @@ object Similarity {
                      shortlist: Int = 9, nCells: Int = 16,
                      nProbe: Int = 4, m: Int = 8, nCodes: Int = 16,
                      dim: Int = 64): DataFrame = {
+    // a k′ < k shortlist can never yield k rows per query — it would
+    // silently deflate the recall gates instead of failing the dial
+    require(shortlist >= k,
+      s"shortlist (k'=$shortlist) must be >= k ($k)")
     val e = prepared(embeddings)
     val short = knnIvfPqResidual(embeddings, nQueries, shortlist,
       nCells, nProbe, m, nCodes, dim)
@@ -786,6 +790,8 @@ object Similarity {
                            nCells: Int = 16, nProbe: Int = 4,
                            m: Int = 8, nCodes: Int = 16,
                            dim: Int = 64): DataFrame = {
+    require(shortlists.nonEmpty && shortlists.forall(_ >= k),
+      s"every shortlist k' (${shortlists.mkString(",")}) must be >= k ($k)")
     val maxShort = shortlists.max
     val e = prepared(embeddings)
     val short = knnIvfPqResidual(embeddings, nQueries, maxShort,

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{col, max}
 import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
@@ -29,11 +31,13 @@ import graft.sources.HeliumBlockStreamProvider
   *
   * Exactly-once effect (T5) without sink transactions: the WAL
   * serializes half-open immutable height ranges, and every epoch's
-  * commit lands under `batch=<max height in the epoch>` via overwrite
-  * — the partition name is a deterministic function of the offset
-  * range (heights are immutable), so a replayed epoch (crash between
-  * sink write and WAL commit) REWRITES its own partition with
-  * identical content-keyed rows instead of appending duplicates.
+  * commit lands under `batch=<offset-range end>` via overwrite — the
+  * partition name is read back from the engine's own offsets WAL
+  * ([[epochEndHeight]]), so it is a deterministic function of the
+  * committed range even when tail heights carry no envelope rows, and
+  * a replayed epoch (crash between sink write and WAL commit)
+  * REWRITES its own partition with identical content-keyed rows
+  * instead of appending duplicates.
   * Height-named partitions are also the unit the driver loop commits
   * (HeliumFollower's `hi`) and what T7 height-based retention drops.
   * The account collection keeps the reference's insert-ignore
@@ -61,18 +65,35 @@ object HeliumStreamFollower {
                   receiptRetentionBlocks: Option[Long] = None,
                   inventoryHeight: () => Option[Long] = () => None,
                   onInventoryRefresh: () => Unit = () => (),
-                  inventoryLag: Long = 500L): Unit = {
+                  inventoryLag: Long = 500L,
+                  epochHi: Option[Long] = None): Unit = {
     // ONE source evaluation per epoch: the transforms read the
     // envelope four ways (two payment variants, receipts, accounts),
     // and an un-persisted micro-batch re-runs its partition readers
     // per action — i.e. refetches every block over HTTP and burns the
     // per-task retry budget three extra times.
+    //
+    // Raw `persist()` here, NOT the Materialize seam used by the batch
+    // operators: the seam exists to TRUNCATE LINEAGE under iteration
+    // (its localCheckpoint/write-out strategies cut the plan), and
+    // cutting a micro-batch's lineage would detach the epoch's plan
+    // from the streaming source it must re-derive from under task
+    // retry. An epoch envelope is already bounded by the admission cap
+    // — plain block caching is the whole requirement, so this one
+    // site deliberately bypasses the seam.
     val cached = env.persist()
     try {
-      // driver-side scalar, the reference's own per-batch granularity
-      val hiRow = cached.agg(max(col("block"))).first()
-      if (!hiRow.isNullAt(0)) { // empty epoch: nothing to commit
-        val hi = hiRow.getLong(0)
+      // The epoch's partition name: the engine-committed offset-range
+      // end when the caller threads it through ([[epochEndHeight]] —
+      // the driver loop's own `hi` cursor semantics, including for
+      // epochs whose tail heights carry no envelope rows); data max as
+      // the fallback for direct callers outside a streaming query (the
+      // reference's own per-batch granularity, one driver-side scalar).
+      val hiOpt = epochHi.orElse {
+        val hiRow = cached.agg(max(col("block"))).first()
+        if (hiRow.isNullAt(0)) None else Some(hiRow.getLong(0))
+      }
+      hiOpt.foreach { hi =>
         val payments = HeliumGraph.paymentV1Edges(cached)
           .unionByName(HeliumGraph.paymentV2Edges(cached))
           .dropDuplicates("_key")
@@ -101,6 +122,37 @@ object HeliumStreamFollower {
           inventoryLag)) onInventoryRefresh()
       }
     } finally { cached.unpersist(); () }
+  }
+
+  /** The epoch's committed end height — the (lo, hi] offset-range end
+    * the engine planned for `batchId`, read back from its own offsets
+    * WAL at `checkpointDir/offsets/<batchId>`. This is the SAME `hi`
+    * the driver loop checkpoints (HeliumFollower.step), so partition
+    * names, the retention cutoff, and the inventory-refresh trigger
+    * stay parity-exact even when an epoch's tail heights yield no
+    * envelope rows (a data-max probe would under-report there).
+    *
+    * Deterministic under replay: the engine writes the offsets entry
+    * BEFORE the batch first runs and never rewrites it, so a replayed
+    * epoch reads back the identical range. File shape is the engine's
+    * OffsetSeqLog: a version line, the batch-metadata JSON line, then
+    * one serialized offset per source — this query has exactly one
+    * source, whose HeightOffset.json() is the decimal height.
+    */
+  private[streaming] def epochEndHeight(spark: SparkSession,
+                                        checkpointDir: String,
+                                        batchId: Long): Long = {
+    val path = new Path(s"$checkpointDir/offsets/$batchId")
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(path)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n").filter(_.nonEmpty)
+    require(lines.length == 3 && lines.head.startsWith("v"),
+      s"unexpected offsets WAL shape at $path " +
+        s"(${lines.length} non-empty lines)")
+    lines(2).trim.toLong
   }
 
   /** The configured query, trigger left to the caller (production
@@ -132,7 +184,8 @@ object HeliumStreamFollower {
       .foreachBatch { (env: DataFrame, batchId: Long) =>
         commitBatch(env, sinkDir, batchId, importTarget,
           receiptRetentionBlocks, inventoryHeight, onInventoryRefresh,
-          inventoryLag)
+          inventoryLag,
+          epochHi = Some(epochEndHeight(spark, checkpointDir, batchId)))
       }
       .option("checkpointLocation", checkpointDir)
 

@@ -224,6 +224,115 @@ class HeliumBlockStreamSpec extends SparkSpec {
       "inventory refresh trigger never fired")
   }
 
+  test("capstone under RocksDB + changelog checkpointing: kill/restart " +
+    "byte parity is provider-independent") {
+    import graft.streaming.{HeliumFollower, HeliumStreamFollower}
+    // the production state-store config (Sessions.tuned
+    // rocksdbStateStore = true), set per-query — the conf keys are
+    // read at stream start, the StreamingOpsSpec discipline
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val changelogKey = "spark.sql.streaming.stateStore.rocksdb." +
+      "changelogCheckpointing.enabled"
+    val prior = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    spark.conf.set(changelogKey, "true")
+    try {
+      val dir = Files.createTempDirectory("hsf-rocks").toString
+      def writer(endpoint: String) = HeliumStreamFollower.writer(spark,
+        endpoint, s"$dir/sink", s"$dir/ckpt", startHeight = 99L,
+        maxHeightsPerTrigger = 1L, numPartitions = 2,
+        maxRetries = 2, sleepMs = 0L)
+      StubNode.withServer(tipCap = 100L) { endpoint =>
+        val q1 = writer(endpoint).start()
+        try q1.processAllAvailable() finally q1.stop()
+      }
+      StubNode.withServer() { endpoint =>
+        val q2 = writer(endpoint).start()
+        try q2.processAllAvailable() finally q2.stop()
+        val fdir = Files.createTempDirectory("hsf-rocks-loop").toString
+        val f = new HeliumFollower(spark,
+          new RpcTxnSource(new JsonRpcClient(endpoint),
+            maxRetries = 2, sleepMs = 0, sleep = _ => ()),
+          s"$fdir/sink", s"$fdir/checkpoint.json", batchSize = 2L)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$fdir/checkpoint.json"),
+          """{"sync_cursor": 99}""")
+        f.runToTip(102L)
+        def rows(root: String, c: String) =
+          spark.read.parquet(s"$root/$c").drop("batch")
+            .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+        for (c <- Seq("payments", "poc_receipts")) {
+          assert(rows(s"$dir/sink", c) === rows(s"$fdir/sink", c),
+            s"collection $c diverged under RocksDB state store")
+          assert(rows(s"$dir/sink", c).nonEmpty, s"collection $c empty")
+        }
+      }
+    } finally {
+      prior.fold(spark.conf.unset(providerKey))(
+        spark.conf.set(providerKey, _))
+      spark.conf.unset(changelogKey)
+    }
+  }
+
+  test("empty-tail epoch: partition names, retention, and refresh " +
+    "trigger follow the committed offset range, matching the driver " +
+    "loop") {
+    import graft.streaming.{HeliumFollower, HeliumStreamFollower}
+    // a tip block the node serves with ZERO transactions: the final
+    // (101, 103] epoch carries data only from height 102, so a
+    // data-max partition name would commit batch=102 and compute the
+    // retention cutoff / refresh trigger one height short of the
+    // committed offset 103
+    val emptyTip = Map(103L ->
+      ("""{"hash":"bh103","height":103,"prev_hash":"bh102",""" +
+        """"time":1600000400,"transactions":[]}"""))
+    def partitions(root: String): Seq[String] =
+      Option(new java.io.File(root).list()).fold(Seq.empty[String])(
+        _.filter(_.startsWith("batch=")).sorted.toSeq)
+    def rows(root: String): Seq[String] =
+      spark.read.parquet(root).drop("batch")
+        .collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    val (sParts, sRows) =
+      StubNode.withServer(extraBlocks = emptyTip) { endpoint =>
+        val dir = Files.createTempDirectory("hsf-tail").toString
+        val q = HeliumStreamFollower.writer(spark, endpoint,
+          s"$dir/sink", s"$dir/ckpt", startHeight = 99L,
+          maxHeightsPerTrigger = 2L, numPartitions = 2,
+          maxRetries = 2, sleepMs = 0L,
+          receiptRetentionBlocks = Some(1L),
+          inventoryHeight = () => Some(0L),
+          onInventoryRefresh = () => (),
+          inventoryLag = 1L).start()
+        try q.processAllAvailable() finally q.stop()
+        (partitions(s"$dir/sink/payments"), rows(s"$dir/sink/payments"))
+      }
+    val (lParts, lRows) = StubNode.withServer(extraBlocks = emptyTip) {
+      endpoint =>
+        val dir = Files.createTempDirectory("hsf-tail-loop").toString
+        val f = new HeliumFollower(spark,
+          new RpcTxnSource(new JsonRpcClient(endpoint),
+            maxRetries = 2, sleepMs = 0, sleep = _ => ()),
+          s"$dir/sink", s"$dir/checkpoint.json", batchSize = 2L,
+          receiptRetentionBlocks = Some(1L),
+          inventoryHeight = () => Some(0L),
+          onInventoryRefresh = () => (),
+          inventoryLag = 1L)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/checkpoint.json"),
+          """{"sync_cursor": 99}""")
+        f.runToTip(103L)
+        (partitions(s"$dir/sink/payments"), rows(s"$dir/sink/payments"))
+    }
+    // the final epoch's partition must be batch=103 (the committed
+    // offset end) on BOTH paths, not the data max 102
+    assert(sParts === lParts, "partition names diverged")
+    assert(sParts.contains("batch=103"),
+      s"empty-tail epoch not named by its offset end: $sParts")
+    assert(sRows === lRows, "payment rows diverged")
+  }
+
   test("uncapped: the whole backlog arrives in one micro-batch") {
     StubNode.withServer() { endpoint =>
       val ckpt = Files.createTempDirectory("hbs-ckpt2").toString

@@ -17,19 +17,27 @@ import graft.sources.HeliumFixtures
   */
 object StubNode {
   def withServer[A](flaky: Map[String, Int] = Map.empty,
-                    tipCap: Long = Long.MaxValue)(
+                    tipCap: Long = Long.MaxValue,
+                    extraBlocks: Map[Long, String] = Map.empty)(
       f: String => A): A =
-    withServerImports(flaky, tipCap) { (endpoint, _) => f(endpoint) }
+    withServerImports(flaky, tipCap, extraBlocks) { (endpoint, _) =>
+      f(endpoint)
+    }
 
   /** Variant that also records ArangoDB-style bulk-import POSTs
     * (path incl. query string, raw body bytes) so specs can assert the
     * exact wire shape the sink produced. `tipCap` clamps the
     * block_height answer below the fixture maximum — a node whose tip
     * has not advanced yet (the capstone kill/restart spec).
+    * `extraBlocks` extends the served chain past the shared fixtures
+    * (e.g. a tip block with an empty transaction list — the empty-tail
+    * epoch case the offset-derived partition naming must survive).
     */
   def withServerImports[A](flaky: Map[String, Int] = Map.empty,
-                           tipCap: Long = Long.MaxValue)(
+                           tipCap: Long = Long.MaxValue,
+                           extraBlocks: Map[Long, String] = Map.empty)(
       f: (String, java.util.Queue[(String, String)]) => A): A = {
+    val blocks = HeliumFixtures.blockJsonByHeight ++ extraBlocks
     val mapper = new ObjectMapper
     val flakyRemaining = new java.util.concurrent.ConcurrentHashMap[String, Integer]
     flaky.foreach { case (k, v) => flakyRemaining.put(k, v) }
@@ -69,11 +77,10 @@ object StubNode {
       val id = req.get("id").asLong()
       val result: Either[Int, String] = req.get("method").asText() match {
         case "block_height" =>
-          Right(math.min(HeliumFixtures.blockJsonByHeight.keys.max,
-            tipCap).toString)
+          Right(math.min(blocks.keys.max, tipCap).toString)
         case "block_get" =>
           val h = req.get("params").get("height").asLong()
-          HeliumFixtures.blockJsonByHeight.get(h).toRight(-100)
+          blocks.get(h).toRight(-100)
         case "transaction_get" =>
           val hash = req.get("params").get("hash").asText()
           val left = flakyRemaining.getOrDefault(hash, 0)
