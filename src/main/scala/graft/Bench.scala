@@ -19,11 +19,15 @@ object Bench {
     // noop sink: forces FULL evaluation of every output column.
     // count() would let Catalyst prune the projections away and time
     // an empty scan for map-only queries.
+    // Failures are tracked by name, not swallowed: a query that throws
+    // "scores" its fast-fail wall time, which would otherwise read as a
+    // speedup (r11: 11 broken queries at 0.1 s masked a contract break).
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       System.gc() // isolate queries from each other's garbage
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case _: Throwable => failed += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // The harness records only the last 2000 chars of stdout (measured:
@@ -83,6 +87,8 @@ object Bench {
       .foreach { case (k, v) =>
         println(f"WARN bench-budget: $k = ${v}%.1fs is ${v / total * 100}%.0f%% of the ${total}%.1fs suite")
       }
+    if (failed.nonEmpty)
+      println(s"WARN bench-failed: ${failed.mkString(",")}")
     // Printed AFTER spark.stop() (and with build.sbt's showSuccess off)
     // so this is the final line on stdout.
     println(json)

@@ -10,10 +10,11 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   /** Apply engine-required configs to a builder.
     *
-    *  - nanosAsLong: the driver's events.parquet carries
-    *    INT64 TIMESTAMP(NANOS), which Spark 4 otherwise refuses
-    *    (PARQUET_TYPE_ILLEGAL). Reading nanos as LongType is also the
-    *    deterministic choice for oracle comparison (no µs truncation).
+    *  - nanosAsLong: parquet written as INT64 TIMESTAMP(NANOS) —
+    *    which Spark 4 otherwise refuses (PARQUET_TYPE_ILLEGAL) —
+    *    reads as a raw ns long. Kept on so that encoding stays
+    *    readable alongside µs-TIMESTAMP files; Tables.tsUs normalizes
+    *    whichever representation arrives to epoch µs at the boundary.
     *  - UTC session time zone: oracle (DuckDB) parity.
     *  - AQE on: runtime shuffle-partition coalescing + skew-join
     *    handling — the local[32] stand-in for what matters at 100 TB.

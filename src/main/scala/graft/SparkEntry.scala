@@ -137,15 +137,17 @@ object SparkEntry {
       Relational.orderBookends(t(s, dir, "orders"))),
     // §2.3 extension: as-of (latest-before) temporal join.
     "a01_asof_join" -> ((s, dir) => {
-      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("ts_us"), col("event_type"))
+      val ev = t(s, dir, "events")
+      val e = ev.select(col("event_id"), col("user_id"),
+        Tables.tsUs(ev).as("ts_us"), col("event_type"))
       AsOf.asofJoin(e.filter(col("event_type") === "click"),
         e.filter(col("event_type") === "purchase"))
     }),
     // §2.3 extension: banded range join (1h look-back count).
     "a02_range_join" -> ((s, dir) => {
-      val e = t(s, dir, "events").select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("ts_us"), col("event_type"))
+      val ev = t(s, dir, "events")
+      val e = ev.select(col("event_id"), col("user_id"),
+        Tables.tsUs(ev).as("ts_us"), col("event_type"))
       AsOf.rangeCountJoin(e.filter(col("event_type") === "purchase"),
         e.filter(col("event_type") === "click"), 3600000000L)
     }),
@@ -171,11 +173,13 @@ object SparkEntry {
     // P5/S8/T7: retention-window filter on event time. Compared in µs:
     // DuckDB truncates parquet ns-timestamps to µs on read, so µs is the
     // finest cross-engine-deterministic granularity.
-    "g04_retention" -> ((s, dir) =>
+    "g04_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
       GraphEtl.retentionFilter(
-        t(s, dir, "events").select(col("event_id"),
-          expr("ts div 1000").as("ts"), col("event_type")),
-        7L * 24 * 3600 * 1000000L)),
+        ev.select(col("event_id"),
+          Tables.tsUs(ev).as("ts"), col("event_type")),
+        7L * 24 * 3600 * 1000000L)
+    }),
     // O5/A4: content-key dedup (insert-ignore semantics, deterministic).
     "g05_dedup_key" -> ((s, dir) =>
       GraphEtl.dedupByContentKey(t(s, dir, "events"))),

@@ -64,7 +64,7 @@ final class Follower(spark: SparkSession, sourceDir: String,
   def transformBatch(batch: DataFrame): DataFrame = {
     val docs = batch.select(
       col("event_id"), col("event_type"), col("user_id"),
-      expr("ts div 1000").as("ts_us"))
+      graft.Tables.tsUs(batch).as("ts_us"))
     docs
       .withColumn("_key",
         GraphEtl.contentKey(docs, Seq("event_id", "event_type", "user_id")))

@@ -17,12 +17,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
-  /** Event-time column from the raw ns-long `ts` (events.parquet is
-    * INT64 TIMESTAMP(NANOS), read as long — see Sessions.tuned).
-    * Truncates ns→µs, the finest cross-engine-deterministic unit.
+  /** Event-time TIMESTAMP from whatever physical encoding `ts` arrives
+    * in — delegates unit normalization to [[graft.Tables.tsUs]] (ns-long
+    * / TIMESTAMP / TIMESTAMP_NTZ all land on epoch µs).
     */
-  def eventTime(ts: Column): Column =
-    timestamp_micros((ts.cast("long") / lit(1000L)).cast("long"))
+  def eventTime(df: DataFrame): Column =
+    timestamp_micros(graft.Tables.tsUs(df))
 
   /** Tumbling-window stats. `exactDistinct = true` adds an exact
     * per-window user count (batch / complete-mode only — exact
@@ -39,8 +39,7 @@ object StreamingOps {
     */
   def tumblingWindowStats(events: DataFrame, duration: String,
                           exactDistinct: Boolean): DataFrame = {
-    val withTime = events.withColumn("event_time",
-      timestamp_micros(expr("ts div 1000")))
+    val withTime = events.withColumn("event_time", eventTime(events))
     val stats =
       if (exactDistinct)
         withTime
@@ -67,7 +66,7 @@ object StreamingOps {
   def slidingWindowStats(events: DataFrame, duration: String,
                          slide: String): DataFrame =
     events
-      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withColumn("event_time", eventTime(events))
       // same two-stage exact-distinct shape as tumblingWindowStats
       .groupBy(window(col("event_time"), duration, slide), col("user_id"))
       .agg(count(lit(1)).as("_n"))
@@ -83,7 +82,7 @@ object StreamingOps {
     */
   def tumblingWindowStream(events: DataFrame, duration: String,
                            lateness: String): DataFrame =
-    events.withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+    events.withColumn("event_time", eventTime(events))
       .withWatermark("event_time", lateness)
       .groupBy(window(col("event_time"), duration))
       .agg(count(lit(1)).as("n_events"))
@@ -109,11 +108,11 @@ object StreamingOps {
                          latenessSeconds: Long): DataFrame = {
     val p = probe.select(col("user_id"),
       col("event_id").as("probe_id"),
-      timestamp_micros(expr("ts div 1000")).as("probe_time"))
+      eventTime(probe).as("probe_time"))
       .withWatermark("probe_time", s"$latenessSeconds seconds")
     val b = build.select(col("user_id").as("b_user"),
       col("event_id").as("build_id"),
-      timestamp_micros(expr("ts div 1000")).as("build_time"))
+      eventTime(build).as("build_time"))
       .withWatermark("build_time",
         s"${latenessSeconds + windowSeconds} seconds")
     p.join(b,
@@ -141,11 +140,11 @@ object StreamingOps {
                               latenessSeconds: Long): DataFrame = {
     val p = probe.select(col("user_id"),
       col("event_id").as("probe_id"),
-      timestamp_micros(expr("ts div 1000")).as("probe_time"))
+      eventTime(probe).as("probe_time"))
       .withWatermark("probe_time", s"$latenessSeconds seconds")
     val b = build.select(col("user_id").as("b_user"),
       col("event_id").as("build_id"),
-      timestamp_micros(expr("ts div 1000")).as("build_time"))
+      eventTime(build).as("build_time"))
       .withWatermark("build_time",
         s"${latenessSeconds + windowSeconds} seconds")
     p.join(b,
@@ -173,7 +172,7 @@ object StreamingOps {
       .orderBy(col("ts_us"), col("event_id"))
     events
       .select(col("event_id"), col("user_id"),
-        expr("ts div 1000").as("ts_us"))
+        graft.Tables.tsUs(events).as("ts_us"))
       .withColumn("new_session",
         when(lag(col("ts_us"), 1).over(w).isNull ||
           col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L)
@@ -204,7 +203,7 @@ object StreamingOps {
 
   /** Batch anchor of [[streamingDedupFirst]]: first event per
     * (user_id, event_type) key, where "first" is pinned to the
-    * deterministic (ts, event_id) order — in a stream that has event
+    * deterministic (ts_us, event_id) order — in a stream that has event
     * ordering per key, replaying the batch through
     * streamingDedupFirst yields exactly this set (spec-checked). The
     * n_events count makes the collapse auditable.
@@ -215,17 +214,16 @@ object StreamingOps {
     */
   def dedupFirstBatch(events: DataFrame): DataFrame =
     events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        graft.Tables.tsUs(events).as("ts_us"), col("value"))
       .groupBy(col("user_id"), col("event_type"))
       .agg(min_by(
-        struct(col("event_id"), col("ts").cast("long").as("ts"),
-          col("value")),
-        struct(col("ts").cast("long"), col("event_id"))).as("_f"),
+        struct(col("event_id"), col("ts_us"), col("value")),
+        struct(col("ts_us"), col("event_id"))).as("_f"),
         count(lit(1)).as("n_events"))
       .select(col("user_id"), col("event_type"),
         col("_f.event_id").as("first_event_id"),
-        // integer ns→µs (Column `/` is double division — 1.7e18 ns
-        // epochs exceed a double's 2^53 integer range)
-        expr("_f.ts div 1000").as("first_ts_us"),
+        col("_f.ts_us").as("first_ts_us"),
         col("_f.value").as("first_value"),
         col("n_events"))
 
@@ -256,7 +254,7 @@ object StreamingOps {
     */
   def resampleForwardFill(events: DataFrame,
                           bucketUs: Long = 3600000000L): DataFrame = {
-    val us = expr("ts div 1000")
+    val us = graft.Tables.tsUs(events)
     val bucketed = events
       .select(col("user_id"), (us - (us % bucketUs)).as("bucket_us"),
         us.as("ts_us"), col("event_id"), col("value"))
@@ -306,7 +304,7 @@ object StreamingOps {
                       numPartitions: Int = 32): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val parted = events
-      .select(col("event_id"), expr("ts div 1000").as("ts_us"))
+      .select(col("event_id"), graft.Tables.tsUs(events).as("ts_us"))
       .repartitionByRange(numPartitions, col("event_id").asc)
       .withColumn("_pid", spark_partition_id())
     val wLocal = W.partitionBy(col("_pid")).orderBy(col("event_id"))

@@ -89,7 +89,7 @@ class StreamingOpsSpec extends SparkSpec {
     val gi = StreamingOps.sessionize(ev, 30L * 60 * 1000000)
     val sw = ev
       .select(col("user_id"), col("event_id"),
-        timestamp_micros(expr("ts div 1000")).as("t"))
+        StreamingOps.eventTime(ev).as("t"))
       .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
       .agg(count(lit(1)).as("n_events"))
     assert(sw.count() === gi.count())
