@@ -135,6 +135,22 @@ object SparkEntry {
     // §2.5: first/nth/last value over the full partition frame.
     "q34_bookends" -> ((s, dir) =>
       Relational.orderBookends(t(s, dir, "orders"))),
+    // §2.11 SQL-text surface: the native kernels reached through
+    // spark.sql(...) via the injectFunction registrations
+    // (GraftFunctions) — same codegen'd expressions as the Column API,
+    // gated against the same DuckDB mirrors (d04's simhash, the
+    // foldSum dot).
+    "q36_sql_kernels" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT d.doc_id,
+        |  graft_simhash(transform(split(d.text, ' '),
+        |    x -> CAST(conv(substring(md5(x), 1, 15), 16, 10) AS BIGINT)))
+        |    AS simhash,
+        |  graft_dot(CAST(e.embedding AS ARRAY<DOUBLE>),
+        |            CAST(e.embedding AS ARRAY<DOUBLE>)) AS self_dot
+        |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+        |""".stripMargin)
+    }),
     // §2.3 extension: as-of (latest-before) temporal join.
     "a01_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -326,6 +342,15 @@ object SparkEntry {
     // Re-ranked recall — what exact rescoring recovers at a given k'.
     "s21_rerank_recall" -> ((s, dir) =>
       Similarity.annRecallIvfPqRerank(t(s, dir, "embeddings"), 10, 3)),
+    // s19/s21 over the clustered-geometry sensitivity fixture: recall
+    // runs ≳0.7 there, so a 0.05 regression is unambiguous (the
+    // near-uniform driver embeddings bury it in the 0.2-0.5 band).
+    "s24_clustered_res_recall" -> ((s, dir) =>
+      Similarity.annRecallIvfPqResidual(
+        Similarity.clusteredEmbeddings(t(s, dir, "embeddings")), 10, 3)),
+    "s25_clustered_rerank_recall" -> ((s, dir) =>
+      Similarity.annRecallIvfPqRerank(
+        Similarity.clusteredEmbeddings(t(s, dir, "embeddings")), 10, 3)),
     // Stopword-profile language ID.
     "t01_langid" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents"))),
@@ -605,6 +630,10 @@ object SparkEntry {
     // Loss-accounting funnel: docs/tokens surviving each p01 stage.
     "p14_corpus_funnel" -> ((s, dir) =>
       Pipeline.corpusFunnel(t(s, dir, "documents"))),
+    // p14 with span-granularity exact-substring masking (d22) in
+    // place of the doc-drop stage: tokens-removed vs docs-dropped.
+    "p15_corpus_funnel_masked" -> ((s, dir) =>
+      Pipeline.corpusFunnelMasked(t(s, dir, "documents"))),
     // Dedup summary: cluster-size histogram over d08's clusters.
     "d18_cluster_hist" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -917,6 +946,89 @@ object SparkEntry {
        |    AND qt.code = c2.code
        |  GROUP BY p.q_id, b.vec_id, cd.centdot)""".stripMargin
 
+  /** Clustered-embedding base CTE (mirrors
+    * Similarity.clusteredEmbeddings): same `n` shape as embCte, so the
+    * s19/s21 oracle tails run over it unchanged. All-integer
+    * Gaussian-mixture generator — cluster id, center dims, and four
+    * Irwin–Hall noise uniforms from independent hash streams, one
+    * final ÷40000.0 — so both engines produce bit-identical doubles.
+    */
+  private lazy val gmCte: String = {
+    def u(t: Int) =
+      s"${h60(s"'gmn$t|' || vec_id::VARCHAR || '|' || j::VARCHAR")} % 1001"
+    s"""WITH e0 AS (SELECT vec_id, label,
+       |  ${h60("'gm|' || vec_id::VARCHAR")} % 128 AS gc FROM embeddings),
+       |e AS (SELECT vec_id, label,
+       |  [((${h60("'gmc|' || gc::VARCHAR || '|' || j::VARCHAR")} % 2001
+       |      - 1000) * 40
+       |    + (${u(1)} + ${u(2)} + ${u(3)} + ${u(4)}
+       |       - 2000) * 20)::DOUBLE / 40000.0
+       |   FOR j IN range(1, 65)] AS v FROM e0),
+       |n AS (SELECT vec_id, label, v,
+       |  sqrt(${foldSum("[x*x FOR x IN v]")}) AS nrm FROM e)
+       |""".stripMargin
+  }
+
+  /** s19's oracle body after the base `n` CTE (brute top-3 + the
+    * residual IVF-PQ chain, per-query recall) — shared with the
+    * clustered-fixture twin s24 (gmCte base, same chain).
+    */
+  private lazy val ivfPqResRecallTail: String =
+    s""", q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id < 10),
+       |bscored AS (SELECT a.q_id, b.vec_id AS nbr_id,
+       |  $pairDot / (a.nrm * b.nrm) AS sim
+       | FROM (SELECT q_id, v, nrm FROM q) a
+       | CROSS JOIN n b WHERE b.vec_id <> a.q_id),
+       |brute AS (SELECT q_id, nbr_id FROM (
+       | SELECT *, row_number() OVER (PARTITION BY q_id
+       |   ORDER BY sim DESC, nbr_id) AS rk FROM bscored)
+       | WHERE rk <= 3),
+       |$ivfCte,
+       |$ivfPqResCte,
+       |ipq AS (SELECT q_id, nbr_id FROM (
+       | SELECT *, row_number() OVER (PARTITION BY q_id
+       |   ORDER BY approx_dot DESC, nbr_id) AS rk FROM pscored)
+       | WHERE rk <= 3)
+       |SELECT b.q_id AS q_id, count(i.nbr_id) AS n_hit,
+       | count(i.nbr_id)::DOUBLE / count(*) AS recall
+       |FROM brute b LEFT JOIN ipq i
+       | ON i.q_id = b.q_id AND i.nbr_id = b.nbr_id
+       |GROUP BY b.q_id""".stripMargin
+
+  /** s21's oracle body after the base `n` CTE (brute top-3 + the
+    * k′ = 9 shortlist + exact re-rank, per-query recall) — shared with
+    * the clustered-fixture twin s25 (gmCte base, same chain).
+    */
+  private lazy val ivfPqRerankRecallTail: String =
+    s""", q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id < 10),
+       |bscored AS (SELECT a.q_id, b.vec_id AS nbr_id,
+       |  $pairDot / (a.nrm * b.nrm) AS sim
+       | FROM (SELECT q_id, v, nrm FROM q) a
+       | CROSS JOIN n b WHERE b.vec_id <> a.q_id),
+       |brute AS (SELECT q_id, nbr_id FROM (
+       | SELECT *, row_number() OVER (PARTITION BY q_id
+       |   ORDER BY sim DESC, nbr_id) AS rk FROM bscored)
+       | WHERE rk <= 3),
+       |$ivfCte,
+       |$ivfPqResCte,
+       |short AS (SELECT q_id, nbr_id FROM (
+       | SELECT *, row_number() OVER (PARTITION BY q_id
+       |   ORDER BY approx_dot DESC, nbr_id) AS rk FROM pscored)
+       | WHERE rk <= 9),
+       |rescored AS (SELECT s.q_id, s.nbr_id,
+       |  $pairDot / (a.nrm * b.nrm) AS sim
+       | FROM short s JOIN n a ON a.vec_id = s.q_id
+       | JOIN n b ON b.vec_id = s.nbr_id),
+       |rr AS (SELECT q_id, nbr_id FROM (
+       | SELECT *, row_number() OVER (PARTITION BY q_id
+       |   ORDER BY sim DESC, nbr_id) AS rk FROM rescored)
+       | WHERE rk <= 3)
+       |SELECT b.q_id AS q_id, count(i.nbr_id) AS n_hit,
+       | count(i.nbr_id)::DOUBLE / count(*) AS recall
+       |FROM brute b LEFT JOIN rr i
+       | ON i.q_id = b.q_id AND i.nbr_id = b.nbr_id
+       |GROUP BY b.q_id""".stripMargin
+
   /** Component-min connected components over the LSH candidate pairs
     * as a recursive CTE — shared by d08 (fixpoint propagation) and d11
     * (pointer jumping): both Spark forms converge to the identical
@@ -1163,6 +1275,20 @@ object SparkEntry {
          |SELECT doc_id,
          |$simhash64Sql AS simhash
          |FROM hs""".stripMargin,
+    // q36 mirror: d04's simhash + the foldSum self-dot, joined on
+    // doc_id = vec_id.
+    "q36_sql_kernels" ->
+      s"""WITH hs AS (SELECT doc_id,
+         |  [${h60("x")} FOR x IN string_split(text, ' ')] AS hs
+         | FROM documents),
+         |sh AS (SELECT doc_id,
+         |$simhash64Sql AS simhash
+         |FROM hs),
+         |sd AS (SELECT vec_id,
+         |  ${foldSum("[x*x FOR x IN v]")} AS self_dot
+         | FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))
+         |SELECT sh.doc_id, sh.simhash, sd.self_dot
+         |FROM sh JOIN sd ON sd.vec_id = sh.doc_id""".stripMargin,
     "d09_simhash_pairs" -> {
       val bands = (0 until 4).map(i =>
         s"'b$i:' || ((simhash >> ${16 * i}) & 65535)::VARCHAR")
@@ -1331,6 +1457,80 @@ object SparkEntry {
          |UNION ALL
          |SELECT 4, 'neardup_canonical', count(*),
          |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM fin""".stripMargin
+    },
+    // p14's funnel with d22's span mask as stage 3: the mask CTEs
+    // (positional 5-windows, duplicated starts, kept positions) feed
+    // masked word arrays w2 into the SAME minhash/band/cluster chain,
+    // and stages 3/4 count len(w2) — tokens removed, no docs dropped.
+    "p15_corpus_funnel_masked" -> {
+      import graft.functions.Canon.{AffineA, AffineB, MersenneP => P}
+      val sigs = (0 until 8).map(s =>
+        s"  list_min([(h * ${AffineA(s)} + ${AffineB(s)}) % $P FOR h IN hs]) AS m$s")
+        .mkString(",\n")
+      val bands = (0 until 4).map(j =>
+        s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
+      s"""WITH RECURSIVE w0 AS (SELECT doc_id, text,
+         |  string_split(text, ' ') AS w FROM documents),
+         |q AS (SELECT doc_id, text, w, len(w) AS n_tokens
+         |  FROM w0 WHERE len(w) >= 30),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+         |surv AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+         |hwt AS (SELECT doc_id, w, [${h60("x")} % $P FOR x IN w] AS hw
+         |  FROM surv),
+         |sst AS (SELECT doc_id,
+         |  [{'s': i, 'h': ((((hw[i]*31 + hw[i+1])*31 + hw[i+2])*31
+         |     + hw[i+3])*31 + hw[i+4]) % $P}
+         |   FOR i IN range(1, len(hw)-3)] AS sh FROM hwt),
+         |xx AS (SELECT doc_id, e.s AS s, e.h AS sh FROM
+         |  (SELECT doc_id, unnest(sh) AS e FROM sst)),
+         |dup5 AS (SELECT sh FROM xx GROUP BY sh HAVING count(*) > 1),
+         |st AS (SELECT doc_id, list(s ORDER BY s) AS starts
+         |  FROM xx JOIN dup5 USING (sh) GROUP BY doc_id),
+         |mw AS (SELECT surv.doc_id, surv.n_tokens, list_transform(
+         |    list_filter(range(1, len(surv.w)+1), p ->
+         |      len(list_filter(coalesce(st.starts, []),
+         |        q2 -> q2 <= p AND p < q2 + 5)) = 0),
+         |    p -> surv.w[p]) AS w2
+         |  FROM surv LEFT JOIN st ON surv.doc_id = st.doc_id),
+         |hw2 AS (SELECT doc_id, [${h60("x")} % $P FOR x IN w2] AS hw
+         |  FROM mw),
+         |hb AS (SELECT doc_id,
+         |  [((hw[i]*31 + hw[i+1])*31 + hw[i+2]) % $P
+         |   FOR i IN range(1, len(hw)-1)] AS hs FROM hw2),
+         |sig AS (SELECT doc_id,
+         |$sigs
+         | FROM hb),
+         |banded AS (SELECT doc_id,
+         |  unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig WHERE m0 IS NOT NULL),
+         |$cappedCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM capped a JOIN capped b
+         |  ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM sym),
+         |reach(node, lab) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node),
+         |clusters AS (SELECT node AS doc_id, min(lab) AS rep
+         |  FROM reach GROUP BY node),
+         |dropped AS (SELECT doc_id FROM clusters WHERE doc_id <> rep)
+         |SELECT 0 AS stage, 'raw' AS stage_name, count(*) AS n_docs,
+         |  CAST(coalesce(sum(len(w)), 0) AS BIGINT) AS n_tokens FROM w0
+         |UNION ALL
+         |SELECT 1, 'quality_gate', count(*),
+         |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM q
+         |UNION ALL
+         |SELECT 2, 'exact_dedup', count(*),
+         |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT) FROM surv
+         |UNION ALL
+         |SELECT 3, 'window_mask', count(*),
+         |  CAST(coalesce(sum(len(w2)), 0) AS BIGINT) FROM mw
+         |UNION ALL
+         |SELECT 4, 'neardup_canonical', count(*),
+         |  CAST(coalesce(sum(len(w2)), 0) AS BIGINT) FROM mw
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
     },
     "p02_hash_split" ->
       s"""WITH b AS (SELECT lang,
@@ -2583,37 +2783,10 @@ object SparkEntry {
     },
     // annRecallIvfPqRerank mirror: s11's brute CTEs + the s20 chain
     // (s18 shortlist at k' = 9 + exact rescore), compared per query.
-    "s21_rerank_recall" -> {
-      embCte +
-        s""", q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id < 10),
-           |bscored AS (SELECT a.q_id, b.vec_id AS nbr_id,
-           |  $pairDot / (a.nrm * b.nrm) AS sim
-           | FROM (SELECT q_id, v, nrm FROM q) a
-           | CROSS JOIN n b WHERE b.vec_id <> a.q_id),
-           |brute AS (SELECT q_id, nbr_id FROM (
-           | SELECT *, row_number() OVER (PARTITION BY q_id
-           |   ORDER BY sim DESC, nbr_id) AS rk FROM bscored)
-           | WHERE rk <= 3),
-           |$ivfCte,
-           |$ivfPqResCte,
-           |short AS (SELECT q_id, nbr_id FROM (
-           | SELECT *, row_number() OVER (PARTITION BY q_id
-           |   ORDER BY approx_dot DESC, nbr_id) AS rk FROM pscored)
-           | WHERE rk <= 9),
-           |rescored AS (SELECT s.q_id, s.nbr_id,
-           |  $pairDot / (a.nrm * b.nrm) AS sim
-           | FROM short s JOIN n a ON a.vec_id = s.q_id
-           | JOIN n b ON b.vec_id = s.nbr_id),
-           |rr AS (SELECT q_id, nbr_id FROM (
-           | SELECT *, row_number() OVER (PARTITION BY q_id
-           |   ORDER BY sim DESC, nbr_id) AS rk FROM rescored)
-           | WHERE rk <= 3)
-           |SELECT b.q_id AS q_id, count(i.nbr_id) AS n_hit,
-           | count(i.nbr_id)::DOUBLE / count(*) AS recall
-           |FROM brute b LEFT JOIN rr i
-           | ON i.q_id = b.q_id AND i.nbr_id = b.nbr_id
-           |GROUP BY b.q_id""".stripMargin
-    },
+    "s21_rerank_recall" -> (embCte + ivfPqRerankRecallTail),
+    // s21's chain over the clustered-geometry fixture (gmCte): the
+    // high-recall sensitivity twin — see clusteredEmbeddings scaladoc.
+    "s25_clustered_rerank_recall" -> (gmCte + ivfPqRerankRecallTail),
     // annRecallProbeCurve mirror: brute + ivfCte's refined centroids
     // and assignment; probe ranks kept to 8 (probes8, the shared
     // centSim ORDER BY), candidates fanned over the threshold VALUES
@@ -2700,29 +2873,9 @@ object SparkEntry {
     },
     // annRecallIvfPqResidual mirror: s11's brute CTEs + the s18
     // residual chain, compared per query.
-    "s19_ivfpq_res_recall" -> {
-      embCte +
-        s""", q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id < 10),
-           |bscored AS (SELECT a.q_id, b.vec_id AS nbr_id,
-           |  $pairDot / (a.nrm * b.nrm) AS sim
-           | FROM (SELECT q_id, v, nrm FROM q) a
-           | CROSS JOIN n b WHERE b.vec_id <> a.q_id),
-           |brute AS (SELECT q_id, nbr_id FROM (
-           | SELECT *, row_number() OVER (PARTITION BY q_id
-           |   ORDER BY sim DESC, nbr_id) AS rk FROM bscored)
-           | WHERE rk <= 3),
-           |$ivfCte,
-           |$ivfPqResCte,
-           |ipq AS (SELECT q_id, nbr_id FROM (
-           | SELECT *, row_number() OVER (PARTITION BY q_id
-           |   ORDER BY approx_dot DESC, nbr_id) AS rk FROM pscored)
-           | WHERE rk <= 3)
-           |SELECT b.q_id AS q_id, count(i.nbr_id) AS n_hit,
-           | count(i.nbr_id)::DOUBLE / count(*) AS recall
-           |FROM brute b LEFT JOIN ipq i
-           | ON i.q_id = b.q_id AND i.nbr_id = b.nbr_id
-           |GROUP BY b.q_id""".stripMargin
-    },
+    "s19_ivfpq_res_recall" -> (embCte + ivfPqResRecallTail),
+    // s19's chain over the clustered-geometry fixture (gmCte).
+    "s24_clustered_res_recall" -> (gmCte + ivfPqResRecallTail),
     // enrichStream mirror: the plain dim equi-join.
     "st07_stream_static" ->
       """SELECT event_id, user_id, event_type, c_nationkey

@@ -563,4 +563,72 @@ object Pipeline {
         col("s.stage_name").as("stage_name"),
         col("s.n_docs").as("n_docs"), col("s.n_tokens").as("n_tokens"))
   }
+
+  /** [[corpusFunnel]] with the exact-substring stage acting at SPAN
+    * granularity ([[Dedup.windowDupMask]]) instead of dropping whole
+    * documents: every duplicated `k`-window span is removed FROM its
+    * document (tokens fall, docs survive), and near-dup canonical
+    * selection then runs over the MASKED text — the Lee et al. 2022
+    * configuration where exact-substring dedup cleans the corpus
+    * rather than gating it. Side-by-side with p14 this answers the
+    * curation trade-off directly: stage 3 here loses ONLY tokens
+    * (n_docs equals stage 2 by construction) where p14's doc-drop
+    * loses whole documents; stage 4 shows how span removal changes
+    * what the near-dup pass sees (masked rehashes can collapse into
+    * clusters verbatim docs would not).
+    *
+    * Scale shape: d22's three-shuffle mask plan, materialized once —
+    * it feeds both the minhash chain and the per-doc token accounting;
+    * the funnel aggregate is corpusFunnel's one-pass conditional-sum
+    * over doc_id-keyed flag joins. Nothing new beyond the d22 + LSH
+    * costs.
+    */
+  def corpusFunnelMasked(documents: DataFrame,
+                         minTokens: Int = 30): DataFrame = {
+    val toks = documents.withColumn("n_tokens",
+      size(Canon.words(col("text"))).cast("long"))
+    val q = toks.filter(col("n_tokens") >= minTokens)
+    val keep = q.groupBy(md5(col("text")).as("_k"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), lit(1).as("_ex"))
+    val surv = q.join(keep.select(col("doc_id")), Seq("doc_id"),
+      "left_semi")
+    val masked = Dedup.windowDupMask(surv)
+      .select(col("doc_id"), col("n_masked"), col("text_masked"))
+      .materialized // feeds the near-dup chain AND the token accounting
+    val dropIds = Dedup.dupClusters(
+        Dedup.lshCandidatePairs(Dedup.minhashSignature(
+          masked.select(col("doc_id"), col("text_masked").as("text")))))
+      .filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id"), lit(1).as("_nd"))
+    val marked = toks
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") >= minTokens).as("_q"))
+      .join(keep, Seq("doc_id"), "left")
+      .join(masked.select(col("doc_id"), col("n_masked")),
+        Seq("doc_id"), "left")
+      .join(dropIds, Seq("doc_id"), "left")
+    // post-mask token count; n_masked is defined exactly on the
+    // exact-dedup survivors the mask ran over
+    val mtok = col("n_tokens") - coalesce(col("n_masked"), lit(0L))
+    def dt(cond: Column, tokens: Column, d: String, t: String) = Seq(
+      count(when(cond, lit(1))).as(d),
+      coalesce(sum(when(cond, tokens)), lit(0L)).as(t))
+    val aggs = dt(lit(true), col("n_tokens"), "d0", "t0") ++
+      dt(col("_q"), col("n_tokens"), "d1", "t1") ++
+      dt(col("_ex").isNotNull, col("n_tokens"), "d2", "t2") ++
+      dt(col("_ex").isNotNull, mtok, "d3", "t3") ++
+      dt(col("_ex").isNotNull && col("_nd").isNull, mtok, "d4", "t4")
+    def row(i: Int, name: String) = struct(
+      lit(i).as("stage"), lit(name).as("stage_name"),
+      col(s"d$i").as("n_docs"), col(s"t$i").as("n_tokens"))
+    marked.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(
+        row(0, "raw"), row(1, "quality_gate"),
+        row(2, "exact_dedup"), row(3, "window_mask"),
+        row(4, "neardup_canonical"))).as("s"))
+      .select(col("s.stage").as("stage"),
+        col("s.stage_name").as("stage_name"),
+        col("s.n_docs").as("n_docs"), col("s.n_tokens").as("n_tokens"))
+  }
 }

@@ -830,6 +830,54 @@ object Similarity {
         (col("n_hit").cast("double") / col("k_total")).as("recall"))
   }
 
+  /** Deterministic Gaussian-mixture embedding VIEW over the corpus
+    * ids — the clustered-geometry sensitivity fixture for the ANN
+    * recall dials (s24/s25). The driver's embeddings are near-uniform,
+    * where IVF-PQ recall sits in the noisy 0.2–0.5 band and a real
+    * regression hides inside run-to-run variation; real embedding
+    * corpora are CLUSTERED, where the residual/re-rank machinery is
+    * designed to shine. This view replaces each vector with
+    * center[c] + noise: cluster c = hash60("gm|id") mod nClusters,
+    * center dim j = (hash60("gmc|c|j") mod 2001 − 1000), noise = an
+    * Irwin–Hall sum of four hash-uniforms (approximately Gaussian),
+    * scaled to ±noiseScale/2 % of the center range. ALL arithmetic is
+    * exact int64 until a single final ÷40000.0, so the view hash-gates
+    * bit-for-bit in the DuckDB oracle.
+    *
+    * Parameter choice (swept at sf0.001, all 500-vector SFs behave
+    * alike): tiny clusters (nClusters = 128 → ~4 members) make each
+    * cluster its own neighbor set, and mid-scale noise (noiseScale =
+    * 20 → residual ≈ half the center scale) puts the within-cluster
+    * ordering at a magnitude the residual PQ CAN resolve — tighter
+    * noise (the 5%-scale first cut) buries the true order below
+    * quantization resolution and recall collapses toward
+    * k/cluster-size. At (128, 20): residual 0.733, re-rank 1.000
+    * (SURVEY §8.2), where a 0.05 drop is an unambiguous regression.
+    *
+    * Scale shape: row-local (one projection over the corpus scan —
+    * the generator is a stand-in for any real clustered embedding
+    * column; the gates exercise the SEARCH plans, not the generator).
+    */
+  def clusteredEmbeddings(embeddings: DataFrame, nClusters: Int = 128,
+                          dim: Int = 64,
+                          noiseScale: Int = 20): DataFrame = {
+    val withC = embeddings.select(col("vec_id"), col("label"),
+      (Canon.hash60(concat(lit("gm|"), col("vec_id"))) % nClusters)
+        .as("_gc"))
+    val vals = transform(sequence(lit(1), lit(dim)), j => {
+      val center =
+        Canon.hash60(concat(lit("gmc|"), col("_gc"), lit("|"), j)) %
+          2001L - 1000L
+      val noise = (1 to 4).map(t =>
+        Canon.hash60(concat(lit(s"gmn$t|"), col("vec_id"), lit("|"), j))
+          % 1001L)
+        .reduce(_ + _) - 2000L
+      (center * lit(40L) + noise * lit(noiseScale.toLong))
+        .cast("double") / lit(40000.0d)
+    })
+    withC.select(col("vec_id"), col("label"), vals.as("embedding"))
+  }
+
   /** Hash-seeded PQ codebook: the `nCodes` vectors ranking lowest by
     * the `pqseed|` content hash, cell-sorted into one broadcast row —
     * the same deterministic sampling as knnIvfDeterministic's
