@@ -875,7 +875,14 @@ object Similarity {
       (center * lit(40L) + noise * lit(noiseScale.toLong))
         .cast("double") / lit(40000.0d)
     })
+    // materialized ONCE: the recall chains reference the embeddings
+    // frame many times (brute baseline, IVF assignment, codebook
+    // training, query/rescore probes), and the generator costs
+    // 5·dim md5s per row per evaluation — measured 9.9 s vs the 2.2 s
+    // s19 baseline at sf0.1 un-materialized. The view is narrow
+    // (vec_id + 64 doubles), so the seam is cheap at any corpus size.
     withC.select(col("vec_id"), col("label"), vals.as("embedding"))
+      .materialized
   }
 
   /** Hash-seeded PQ codebook: the `nCodes` vectors ranking lowest by

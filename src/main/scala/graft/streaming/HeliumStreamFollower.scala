@@ -59,6 +59,19 @@ object HeliumStreamFollower {
     * absorbs (every document carries its content-hash `_key`) — the
     * HTTP sink inherits T5 from the key discipline, not from any
     * sink-side transaction.
+    *
+    * KNOWN parity divergence (pinned by spec, documented by design):
+    * when every block of an epoch fails block_get (a node pruned or
+    * persistently erroring below its own tip), retry-then-skip leaves
+    * an EMPTY envelope — indistinguishable here from a served range
+    * whose blocks carry no transactions. With `epochHi` from the
+    * offsets WAL this path commits an empty `batch=hi` partition and
+    * runs retention/refresh housekeeping (the engine committed the
+    * range, so the cursor semantics say it is processed), while the
+    * driver loop's fetchRange sees no block and commits NOTHING for
+    * the same range. Both are defensible cursor readings; the
+    * streamed one is preferred because an epoch the WAL committed
+    * must never be silently un-processed on restart replay.
     */
   def commitBatch(env: DataFrame, sinkDir: String, batchId: Long,
                   importTarget: Option[GraphSink.ImportTarget] = None,
@@ -152,7 +165,16 @@ object HeliumStreamFollower {
     require(lines.length == 3 && lines.head.startsWith("v"),
       s"unexpected offsets WAL shape at $path " +
         s"(${lines.length} non-empty lines)")
-    lines(2).trim.toLong
+    val raw = lines(2).trim
+    // fail fast WITH the offending content: a void offset line ('-')
+    // or an OffsetSeqLog format change must name itself, not surface
+    // as a bare NumberFormatException (ADVICE r11)
+    try raw.toLong
+    catch { case e: NumberFormatException =>
+      throw new IllegalStateException(
+        s"offsets WAL at $path: expected a decimal height on the " +
+          s"offset line, got '$raw' (void offset or format change?)", e)
+    }
   }
 
   /** The configured query, trigger left to the caller (production

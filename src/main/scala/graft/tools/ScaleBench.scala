@@ -74,6 +74,23 @@ object ScaleBench {
     "st06_dedup_first", "st08_gap_fill", "st09_lateness",
     "q24_lag_lead", "q25_running_sum")
 
+  /** Fourth axis (r12, VERDICT r10 #3): the composed ANN ladder —
+    * raw-PQ IVFADC (s16), residual IVFADC (s18), and the re-ranked
+    * pipeline (s20). Each composes index build (corpus-linear: cell
+    * assignment + PQ encode are row-local projections off one scan,
+    * codebook refinement one bounded aggregate) with search (a
+    * broadcast of nQueries·k′ into the corpus scan + per-query top-k)
+    * — so the claim under test is LINEAR-at-worst growth in corpus
+    * size at fixed query load, with the sub-second tiers dominated by
+    * fixed job overhead (the amortization shape the iterative family
+    * showed). Amplified embeddings are identical vectors ×10 under
+    * salted ids: cell membership and shortlist candidate counts grow
+    * uniformly 10× — the cost variable — while recall semantics are
+    * irrelevant to a timing probe.
+    */
+  val annFamily: Seq[String] = Seq(
+    "s16_knn_ivfpq", "s18_knn_ivfpq_res", "s20_knn_rerank")
+
   private val Copies = 10
   private val KeyOffset = 10000000L // > any sf0.1 key; multiple of 10
 
@@ -150,7 +167,9 @@ object ScaleBench {
     val names = args.toSeq.drop(1) match {
       case Seq("corpus") => corpusFamily
       case Seq("stream") => streamFamily
-      case Seq("all") => family ++ corpusFamily ++ streamFamily
+      case Seq("ann") => annFamily
+      case Seq("all") =>
+        family ++ corpusFamily ++ streamFamily ++ annFamily
       case _ => family
     }
     val results = tiers.map { case (label, dir) =>

@@ -224,12 +224,18 @@ class HeliumBlockStreamSpec extends SparkSpec {
       "inventory refresh trigger never fired")
   }
 
-  test("capstone under RocksDB + changelog checkpointing: kill/restart " +
-    "byte parity is provider-independent") {
+  test("capstone kill/restart byte parity with the production " +
+    "RocksDB conf set (this query keeps no streaming state — the " +
+    "provider's stateful behavior is pinned in StreamingOpsSpec)") {
     import graft.streaming.{HeliumFollower, HeliumStreamFollower}
     // the production state-store config (Sessions.tuned
     // rocksdbStateStore = true), set per-query — the conf keys are
-    // read at stream start, the StreamingOpsSpec discipline
+    // read at stream start, the StreamingOpsSpec discipline. The
+    // follower's dropDuplicates runs batch-locally inside
+    // foreachBatch, so no state store is instantiated here (ADVICE
+    // r11): this pins that the production conf is HARMLESS to the
+    // follower, not that RocksDB state works — StreamingOpsSpec's
+    // flatMapGroupsWithState test owns that claim.
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val changelogKey = "spark.sql.streaming.stateStore.rocksdb." +
       "changelogCheckpointing.enabled"
@@ -331,6 +337,51 @@ class HeliumBlockStreamSpec extends SparkSpec {
     assert(sParts.contains("batch=103"),
       s"empty-tail epoch not named by its offset end: $sParts")
     assert(sRows === lRows, "payment rows diverged")
+  }
+
+  test("whole-epoch block_get failure: the streamed path commits the " +
+    "WAL-named empty partition, the driver loop commits nothing " +
+    "(the documented commitBatch divergence)") {
+    import graft.streaming.{HeliumFollower, HeliumStreamFollower}
+    // tip advanced to 103 but block_get(103) permanently fails: with
+    // 1-height epochs the final (102, 103] epoch's every block fails,
+    // retry-then-skip yields an empty envelope
+    def partitions(root: String): Seq[String] =
+      Option(new java.io.File(root).list()).fold(Seq.empty[String])(
+        _.filter(_.startsWith("batch=")).sorted.toSeq)
+    val sParts = StubNode.withServer(prunedHeights = Set(103L)) {
+      endpoint =>
+        val dir = Files.createTempDirectory("hsf-pruned").toString
+        val q = HeliumStreamFollower.writer(spark, endpoint,
+          s"$dir/sink", s"$dir/ckpt", startHeight = 99L,
+          maxHeightsPerTrigger = 1L, numPartitions = 2,
+          maxRetries = 2, sleepMs = 0L).start()
+        try q.processAllAvailable() finally q.stop()
+        partitions(s"$dir/sink/payments")
+    }
+    // the engine committed (102, 103], so the epoch IS processed:
+    // an empty batch=103 partition, never a silent gap
+    assert(sParts.contains("batch=103"),
+      s"WAL-committed failed epoch left no partition: $sParts")
+    val lParts = StubNode.withServer(prunedHeights = Set(103L)) {
+      endpoint =>
+        val dir = Files.createTempDirectory("hsf-pruned-loop").toString
+        val f = new HeliumFollower(spark,
+          new RpcTxnSource(new JsonRpcClient(endpoint),
+            maxRetries = 2, sleepMs = 0, sleep = _ => ()),
+          s"$dir/sink", s"$dir/checkpoint.json", batchSize = 1L)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$dir/checkpoint.json"),
+          """{"sync_cursor": 99}""")
+        f.runToTip(103L)
+        partitions(s"$dir/sink/payments")
+    }
+    // the driver loop stops short: no batch=103 — the divergence the
+    // commitBatch scaladoc documents
+    assert(!lParts.contains("batch=103"),
+      s"driver loop unexpectedly committed the failed epoch: $lParts")
+    assert(sParts.filterNot(_ == "batch=103") === lParts,
+      "paths diverged beyond the documented empty-epoch case")
   }
 
   test("uncapped: the whole backlog arrives in one micro-batch") {

@@ -18,10 +18,11 @@ import graft.sources.HeliumFixtures
 object StubNode {
   def withServer[A](flaky: Map[String, Int] = Map.empty,
                     tipCap: Long = Long.MaxValue,
-                    extraBlocks: Map[Long, String] = Map.empty)(
+                    extraBlocks: Map[Long, String] = Map.empty,
+                    prunedHeights: Set[Long] = Set.empty)(
       f: String => A): A =
-    withServerImports(flaky, tipCap, extraBlocks) { (endpoint, _) =>
-      f(endpoint)
+    withServerImports(flaky, tipCap, extraBlocks, prunedHeights) {
+      (endpoint, _) => f(endpoint)
     }
 
   /** Variant that also records ArangoDB-style bulk-import POSTs
@@ -32,10 +33,15 @@ object StubNode {
     * `extraBlocks` extends the served chain past the shared fixtures
     * (e.g. a tip block with an empty transaction list — the empty-tail
     * epoch case the offset-derived partition naming must survive).
+    * `prunedHeights` count toward the block_height tip but block_get
+    * for them PERMANENTLY answers −100 — a node that has pruned (or
+    * persistently errors below) its own tip, the whole-epoch-failure
+    * edge the retry-then-skip path turns into an empty envelope.
     */
   def withServerImports[A](flaky: Map[String, Int] = Map.empty,
                            tipCap: Long = Long.MaxValue,
-                           extraBlocks: Map[Long, String] = Map.empty)(
+                           extraBlocks: Map[Long, String] = Map.empty,
+                           prunedHeights: Set[Long] = Set.empty)(
       f: (String, java.util.Queue[(String, String)]) => A): A = {
     val blocks = HeliumFixtures.blockJsonByHeight ++ extraBlocks
     val mapper = new ObjectMapper
@@ -77,10 +83,12 @@ object StubNode {
       val id = req.get("id").asLong()
       val result: Either[Int, String] = req.get("method").asText() match {
         case "block_height" =>
-          Right(math.min(blocks.keys.max, tipCap).toString)
+          Right(math.min(
+            (blocks.keys ++ prunedHeights).max, tipCap).toString)
         case "block_get" =>
           val h = req.get("params").get("height").asLong()
-          blocks.get(h).toRight(-100)
+          if (prunedHeights(h)) Left(-100)
+          else blocks.get(h).toRight(-100)
         case "transaction_get" =>
           val hash = req.get("params").get("hash").asText()
           val left = flakyRemaining.getOrDefault(hash, 0)
