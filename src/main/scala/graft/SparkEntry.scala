@@ -391,6 +391,11 @@ object SparkEntry {
     "st03_sliding_window" -> ((s, dir) =>
       graft.streaming.StreamingOps.slidingWindowStats(
         t(s, dir, "events"), "1 hour", "30 minutes")),
+    // Spark-native session_window (engine-managed merge; the
+    // unbounded-deployment twin of st02's gaps-and-islands).
+    "st10_session_window" -> ((s, dir) =>
+      graft.streaming.StreamingOps.sessionWindowStats(
+        t(s, dir, "events"), "30 minutes")),
     // Stream-stream interval join, batch anchor (unified-API contract:
     // same plan as the watermarked streaming run in StreamingOpsSpec).
     "st04_interval_join" -> ((s, dir) => {
@@ -2048,6 +2053,24 @@ object SparkEntry {
         |SELECT user_id, session_id, min(ts_us) AS session_start,
         | max(ts_us) AS session_end, count(*) AS n_events
         |FROM g GROUP BY user_id, session_id""".stripMargin,
+    // sessionWindowStats mirror: session_window merges [t, t+gap)
+    // windows with EXCLUSIVE ends, so a new session opens at
+    // diff >= gap (st02's gaps-and-islands uses strict >), and the
+    // reported end is last-event + gap (the eviction point).
+    "st10_session_window" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |  FROM events),
+        |f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+        |    OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END
+        |    AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id)),
+        |g AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        |SELECT user_id, min(ts_us) AS session_start,
+        | max(ts_us) + 1800000000 AS session_end, count(*) AS n_events
+        |FROM g GROUP BY user_id, sid""".stripMargin,
     "q24_lag_lead" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         | lag(o_orderkey, 1) OVER w AS prev_orderkey,

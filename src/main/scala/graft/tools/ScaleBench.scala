@@ -72,7 +72,7 @@ object ScaleBench {
     "st01_tumbling_window", "st02_sessionize", "st03_sliding_window",
     "st04_interval_join", "st05_interval_join_outer",
     "st06_dedup_first", "st08_gap_fill", "st09_lateness",
-    "q24_lag_lead", "q25_running_sum")
+    "st10_session_window", "q24_lag_lead", "q25_running_sum")
 
   /** Fourth axis (r12, VERDICT r10 #3): the composed ANN ladder —
     * raw-PQ IVFADC (s16), residual IVFADC (s18), and the re-ranked

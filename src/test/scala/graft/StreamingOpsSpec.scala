@@ -83,22 +83,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("native session_window agrees with gaps-and-islands sessionize") {
+  test("native session_window (st10) agrees with gaps-and-islands " +
+    "sessionize on membership, and runs unbounded") {
     import org.apache.spark.sql.functions._
     val ev = table("events")
     val gi = StreamingOps.sessionize(ev, 30L * 60 * 1000000)
-    val sw = ev
-      .select(col("user_id"), col("event_id"),
-        StreamingOps.eventTime(ev).as("t"))
-      .groupBy(col("user_id"), session_window(col("t"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"))
+    val sw = StreamingOps.sessionWindowStats(ev, "30 minutes")
     assert(sw.count() === gi.count())
     val giStarts = gi.select(col("user_id"), col("session_start"))
       .as[(Long, Long)].collect().toSet
-    val swStarts = sw.select(col("user_id"),
-      expr("unix_micros(session_window.start)"))
+    val swStarts = sw.select(col("user_id"), col("session_start"))
       .as[(Long, Long)].collect().toSet
     assert(swStarts === giStarts)
+    // end convention: last event + gap, never the last event time
+    assert(sw.filter(col("session_end") <= col("session_start")).isEmpty)
+
+    // the same function over an unbounded source (complete mode):
+    // engine-managed session merge, no batch-side window machinery
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.sessionWindowStats(mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    try {
+      mem.addData(Ev(1, 0L, 10), Ev(2, hourNs / 4, 10),
+        Ev(3, 3 * hourNs, 10))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT session_start, n_events FROM sess ORDER BY session_start")
+        .as[(Long, Long)].collect()
+      // events at 0 and 15min merge (diff < 1h); the 3h event opens
+      // a second session
+      assert(got === Array((0L, 2L), (3L * 3600000000L, 1L)))
+    } finally q.stop()
   }
 
   test("intervalJoinStream matches the batch range join and evicts state") {
