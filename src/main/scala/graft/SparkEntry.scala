@@ -600,6 +600,10 @@ object SparkEntry {
     // Span-level variant: mask (remove) duplicated-window positions.
     "d22_window_dup_mask" -> ((s, dir) =>
       Dedup.windowDupMask(t(s, dir, "documents"))),
+    // Ingest-order LSH suppression: bucket-min algebra, no pair set —
+    // the online dedup filter's exact batch anchor.
+    "d23_incremental_dedup" -> ((s, dir) =>
+      Dedup.incrementalLshDedup(t(s, dir, "documents"))),
     // Easy-to-hard curriculum position (two-stage global rank).
     "p13_curriculum" -> ((s, dir) =>
       Pipeline.curriculumOrder(t(s, dir, "documents"))),
@@ -1272,6 +1276,22 @@ object SparkEntry {
            |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |FROM capped a JOIN capped b
            | ON a.bk = b.bk AND a.doc_id < b.doc_id""".stripMargin
+    },
+    // incrementalLshDedup mirror: bucket-min, per-doc earliest
+    // occupant, kept iff self; short docs (no bands) trivially kept.
+    "d23_incremental_dedup" -> {
+      val bands = (0 until 4).map(j =>
+        s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
+      minhashCte +
+        s""", banded AS (SELECT doc_id,
+           | unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig WHERE m0 IS NOT NULL),
+           |mins AS (SELECT bk, min(doc_id) AS mn FROM banded GROUP BY bk),
+           |earliest AS (SELECT b.doc_id, min(m.mn) AS e
+           |  FROM banded b JOIN mins m USING (bk) GROUP BY b.doc_id)
+           |SELECT d.doc_id,
+           | coalesce(e.e = d.doc_id, TRUE) AS kept,
+           | CASE WHEN e.e < d.doc_id THEN e.e END AS first_dup_of
+           |FROM documents d LEFT JOIN earliest e ON e.doc_id = d.doc_id""".stripMargin
     },
     "d04_simhash" ->
       s"""WITH hs AS (SELECT doc_id,

@@ -91,21 +91,27 @@ object Dedup {
     * (oversized buckets are skipped — standard practice; keep it above
     * any real bucket size when oracle-comparing).
     */
-  def lshCandidatePairs(sig: DataFrame, maxBucket: Int = 1000): DataFrame = {
+  /** (doc_id, band_key) rows of an 8-seed signature — 4 bands of 2
+    * rows, short-doc degenerate bands dropped. Docs shorter than the
+    * shingle width have an all-null signature; concat_ws skips nulls,
+    * so without a guard every such doc would share one degenerate
+    * band key and pair with all others. The guard filters the four
+    * CONSTANT degenerate keys on the exploded bk attribute — NOT
+    * `m0 IS NOT NULL` on sig: predicate pushdown would substitute
+    * m0's defining expression below the projection and re-inline the
+    * md5 array per reference (measured 25× on the whole LSH family).
+    */
+  private def bandedKeys(sig: DataFrame): DataFrame = {
     val bandKeys = (0 until 4).map { j =>
       md5(concat_ws("|", lit(j), col(s"m${2 * j}"), col(s"m${2 * j + 1}")))
     }
-    // Docs shorter than the shingle width have an all-null signature;
-    // concat_ws skips nulls, so without a guard every such doc would
-    // share one degenerate band key and pair with all others. The
-    // guard filters the four CONSTANT degenerate keys on the exploded
-    // bk attribute — NOT `m0 IS NOT NULL` on sig: predicate pushdown
-    // would substitute m0's defining expression below the projection
-    // and re-inline the md5 array per reference (measured 25× on the
-    // whole LSH family).
-    val banded = sig
+    sig
       .select(col("doc_id"), explode(array(bandKeys: _*)).as("bk"))
       .filter(!col("bk").isin(degenerateBandKeys: _*))
+  }
+
+  def lshCandidatePairs(sig: DataFrame, maxBucket: Int = 1000): DataFrame = {
+    val banded = bandedKeys(sig)
     val buckets = banded
       .groupBy(col("bk"))
       .agg(sort_array(collect_set(col("doc_id"))).as("docs"))
@@ -120,6 +126,47 @@ object Dedup {
       .select(explode(pairs).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
+  }
+
+  /** Incremental (arrival-order) LSH near-dup SUPPRESSION — the
+    * ingest-time form of the d03 candidate machinery: documents
+    * arrive in doc_id order and a document is suppressed iff any
+    * earlier-arrived document occupies one of its LSH band buckets.
+    * Every seen document registers its buckets whether kept or not
+    * (the standard online-index practice: dup-of-dup chains collapse
+    * to the FIRST arrival, and the index stays insertion-cheap), so
+    * the batch anchor is exact bucket-min algebra: per bucket the
+    * earliest occupant, per doc the earliest occupant across its
+    * buckets; kept iff that is the doc itself. Output per document:
+    * (doc_id, kept, first_dup_of — the earliest bucket-sharing doc
+    * when suppressed, NULL otherwise). Short docs (no valid bands)
+    * are trivially kept.
+    *
+    * Scale shape — the reason this exists NEXT TO d03 rather than as
+    * a filter over it: no pair set is ever materialized. d03's
+    * in-bucket pair expansion is quadratic in bucket size (hence its
+    * maxBucket cap); here a hot bucket contributes ONE min per
+    * bucket — two map-side-combinable aggregates over the 4-rows/doc
+    * banded table, linear in the corpus with no cap needed, which is
+    * the shape an ingest filter must have at 100 TB/day. The online
+    * replay itself is the same algebra applied per arrival
+    * (spec-pinned against a sequential replay and the
+    * streamingDedupFirst per-bucket state path).
+    */
+  def incrementalLshDedup(documents: DataFrame): DataFrame = {
+    // materialized: read by the bucket-min aggregate AND the probe
+    // join below — un-checkpointed, the per-word md5 + shingle chain
+    // would run twice (the d05 lesson)
+    val banded = bandedKeys(minhashSignature(documents)).materialized
+    val mins = banded.groupBy(col("bk")).agg(min(col("doc_id")).as("_mn"))
+    val earliest = banded.join(mins, Seq("bk"))
+      .groupBy(col("doc_id")).agg(min(col("_mn")).as("_earliest"))
+    documents.select(col("doc_id"))
+      .join(earliest, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_earliest") === col("doc_id"), lit(true)).as("kept"),
+        when(col("_earliest") < col("doc_id"), col("_earliest"))
+          .as("first_dup_of"))
   }
 
   /** SimHash (64-bit): bit b is the sign of Σ_tokens (±1 by bit b of

@@ -36,6 +36,75 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall { case (a, b) => a < b })
   }
 
+  test("incrementalLshDedup: batch anchor equals a sequential online " +
+    "replay; short docs trivially kept; streaming per-bucket state " +
+    "path agrees") {
+    val corpus = docs.union(Seq(
+      (5L, "the quick brown fox jumps over the lazy dog", "s0"), // dup of 0
+      (6L, "yo hi", "s2") // too short for a shingle: no bands, kept
+    ).toDF("doc_id", "text", "source"))
+    val out = Dedup.incrementalLshDedup(corpus)
+      .as[(Long, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    // sequential online replay over independently re-derived buckets:
+    // first occupant of each bucket wins, every arrival registers
+    val bk = Dedup.minhashSignature(corpus)
+      .select(col("doc_id"), explode(array((0 until 4).map { j =>
+        md5(concat_ws("|", lit(j), col(s"m${2 * j}"),
+          col(s"m${2 * j + 1}")))
+      }: _*)).as("bk"))
+      .as[(Long, String)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSeq).toMap
+    val degenerate = (0 until 4).map { j =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }.toSet
+    val firstOccupant = scala.collection.mutable.Map.empty[String, Long]
+    val replay = corpus.select(col("doc_id")).as[Long].collect().sorted
+      .map { id =>
+        val buckets = bk.getOrElse(id, Seq.empty)
+          .filterNot(degenerate)
+        val earlier = buckets.flatMap(firstOccupant.get).filter(_ < id)
+        buckets.foreach(b =>
+          if (!firstOccupant.contains(b)) firstOccupant(b) = id)
+        id -> ((earlier.isEmpty,
+          if (earlier.isEmpty) None else Some(earlier.min)))
+      }.toMap
+    assert(out === replay)
+    assert(out(5L) === ((false, Some(0L)))) // dup-of-dup → FIRST arrival
+    assert(out(6L) === ((true, None)))      // no bands → kept
+
+    // unbounded path: streamingDedupFirst keyed per bucket IS the
+    // online index — replaying its (bucket → first doc) table through
+    // the same algebra reproduces the batch verdicts
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, Long)]
+    val q = graft.streaming.StreamingOps.streamingDedupFirst(mem.toDS())
+      .writeStream.format("memory").queryName("lsh_idx")
+      .outputMode("append").start()
+    try {
+      // strict arrival order: one doc's buckets per micro-batch
+      corpus.select(col("doc_id")).as[Long].collect().sorted.foreach {
+        id =>
+          val rows = bk.getOrElse(id, Seq.empty).filterNot(degenerate)
+            .map(b => (b, id))
+          if (rows.nonEmpty) { mem.addData(rows: _*); q.processAllAvailable() }
+      }
+      val first = spark.sql("SELECT * FROM lsh_idx")
+        .as[(String, Long)].collect().toMap
+      val streamed = corpus.select(col("doc_id")).as[Long].collect()
+        .map { id =>
+          val earlier = bk.getOrElse(id, Seq.empty).filterNot(degenerate)
+            .flatMap(first.get).filter(_ < id)
+          id -> ((earlier.isEmpty,
+            if (earlier.isEmpty) None else Some(earlier.min)))
+        }.toMap
+      assert(streamed === out)
+    } finally q.stop()
+  }
+
   test("docs shorter than the shingle width never become LSH candidates") {
     val short = Seq(
       (10L, "one two", "s0"), (11L, "three four", "s0"), // < 3 words
