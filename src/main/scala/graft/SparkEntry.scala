@@ -643,6 +643,9 @@ object SparkEntry {
     // place of the doc-drop stage: tokens-removed vs docs-dropped.
     "p15_corpus_funnel_masked" -> ((s, dir) =>
       Pipeline.corpusFunnelMasked(t(s, dir, "documents"))),
+    // Token-balanced output sharding (serpentine LPT, two-stage rank).
+    "p16_balanced_shards" -> ((s, dir) =>
+      Pipeline.balancedShards(t(s, dir, "documents"))),
     // Dedup summary: cluster-size histogram over d08's clusters.
     "d18_cluster_hist" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1557,6 +1560,19 @@ object SparkEntry {
          |  CAST(coalesce(sum(len(w2)), 0) AS BIGINT) FROM mw
          |  WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin
     },
+    // balancedShards mirror: global (n_tokens DESC, md5, doc_id) rank,
+    // serpentine deal over 64 shards.
+    "p16_balanced_shards" ->
+      """WITH b AS (SELECT doc_id,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |  md5(text) AS tb FROM documents),
+        |r AS (SELECT doc_id, n_tokens, row_number() OVER (
+        |    ORDER BY n_tokens DESC, tb, doc_id) - 1 AS r0 FROM b)
+        |SELECT doc_id,
+        | CAST(CASE WHEN (r0 // 64) % 2 = 0 THEN r0 % 64
+        |   ELSE 63 - (r0 % 64) END AS INT) AS shard,
+        | n_tokens
+        |FROM r""".stripMargin,
     "p02_hash_split" ->
       s"""WITH b AS (SELECT lang,
          |  ${h60("md5(text)")} % 100 AS bucket FROM documents)

@@ -473,6 +473,56 @@ object Pipeline {
         (col("_off") + col("_r")).as("curriculum_pos"))
   }
 
+  /** Token-BALANCED output sharding — the writer-planning step before
+    * a training corpus is materialized: assign every document to one
+    * of `numShards` output shards so shard token totals are nearly
+    * equal (skewed shards straggle the downstream reader exactly like
+    * skewed partitions straggle a stage). Deterministic serpentine
+    * LPT: documents ordered (n_tokens DESC, content hash, doc_id) and
+    * dealt boustrophedon — rank r goes to shard (r−1) mod S on even
+    * passes and S−1−((r−1) mod S) on odd passes — the classic
+    * near-optimal greedy for balanced sums without any sequential
+    * state (the true LPT's running-min heap is inherently serial;
+    * serpentine dealing is rank algebra, embarrassingly parallel, and
+    * within a top-document of optimal balance).
+    *
+    * Scale: the global rank is the two-stage template (t06/q35/p13 —
+    * range-repartition on the order key, per-partition rank, prefix
+    * offsets from the tiny counts table; no partition-less window, no
+    * single-task sort); the shard assignment is row-local arithmetic
+    * on the rank. Output: (doc_id, shard, n_tokens).
+    */
+  def balancedShards(documents: DataFrame, numShards: Int = 64,
+                     numPartitions: Int = 32): DataFrame = {
+    val base = documents.select(col("doc_id"),
+      size(Canon.words(col("text"))).cast("long").as("n_tokens"),
+      md5(col("text")).as("_tb"))
+      .materialized // the range sampler evaluates its child twice
+    val parted = base
+      .repartitionByRange(numPartitions,
+        col("n_tokens").desc, col("_tb").asc, col("doc_id").asc)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid"))
+      .orderBy(col("n_tokens").desc, col("_tb"), col("doc_id"))
+    val local = parted.withColumn("_r", row_number().over(wLocal).cast("long"))
+    val counts = parted.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("_pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val offsets = counts.select(col("_pid"),
+      coalesce(sum(col("_cnt")).over(wOff), lit(0L)).as("_off"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("_r0", col("_off") + col("_r") - 1L)
+      // integer division (Column `/` is double division)
+      .select(col("doc_id"),
+        when(expr(s"_r0 div ${numShards}L") % 2 === 0,
+          col("_r0") % numShards)
+          .otherwise(lit(numShards - 1) - col("_r0") % numShards)
+          .cast("int").as("shard"),
+        col("n_tokens"))
+  }
+
   /** Corpus mixture report ("data card"): per (lang, source) cell, doc
     * and token counts plus each cell's share of the corpus — the table
     * a mixture plan (p04/p07) is tuned against and the first thing a

@@ -152,6 +152,28 @@ class PipelineSpec extends SparkSpec {
     assert(rep === out)
   }
 
+  test("balancedShards: serpentine deal balances token sums, " +
+    "partition-independent") {
+    val docs = table("documents")
+    val out = Pipeline.balancedShards(docs, numShards = 8)
+    // every doc assigned exactly once, shards dense in [0, 8)
+    assert(out.count() === docs.count())
+    val sums = out.groupBy("shard").agg(
+      org.apache.spark.sql.functions.sum("n_tokens").as("t"))
+      .as[(Int, Long)].collect().toMap
+    assert(sums.keySet === (0 until 8).toSet)
+    // serpentine LPT on size-sorted docs: near-equal shard totals
+    // (the bound is loose — the guarantee under test is "no straggler
+    // shard", not optimality)
+    val mx = sums.values.max.toDouble
+    val mn = sums.values.min.toDouble
+    assert(mx / mn <= 1.25, s"shard imbalance $mx/$mn")
+    // deterministic under any input partitioning
+    val rep = Pipeline.balancedShards(docs.repartition(7), numShards = 8)
+      .as[(Long, Int, Long)].collect().sorted
+    assert(rep === out.as[(Long, Int, Long)].collect().sorted)
+  }
+
   test("corpusReport: cell counts and corpus shares") {
     val docs = Seq(
       (0L, "a b c", "en", "web"), (1L, "d e", "en", "web"),
