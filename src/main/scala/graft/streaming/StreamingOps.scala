@@ -209,6 +209,26 @@ object StreamingOps {
         unix_micros(col("session_window.end")).as("session_end"),
         col("n_events"))
 
+  /** Watermarked streaming form of [[sessionWindowStats]] — the
+    * production deployment shape: append mode emits a session only
+    * once the watermark passes its end (last-event + gap), at which
+    * point the engine evicts its one merged-window state row. Late
+    * events beyond `lateness` are dropped rather than re-opening a
+    * closed session — the bounded-state contract; batch runs ignore
+    * the watermark and reduce to sessionWindowStats exactly.
+    */
+  def sessionWindowStream(events: DataFrame, gap: String,
+                          lateness: String): DataFrame =
+    events
+      .withColumn("event_time", eventTime(events))
+      .withWatermark("event_time", lateness)
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        unix_micros(col("session_window.end")).as("session_end"),
+        col("n_events"))
+
   /** Stream-static enrichment join: every stream row picks up the
     * columns of its dimension row — the lookup shape of a follower
     * pipeline (enrich events with account/customer attributes as they

@@ -118,6 +118,32 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindowStream (append mode): a session is emitted once " +
+    "the watermark passes its end, then its state is gone") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingOps.sessionWindowStream(mem.toDF(), "1 hour",
+      lateness = "0 seconds")
+      .writeStream.format("memory").queryName("sessap")
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, 0L, 10), Ev(2, hourNs / 4, 10))
+      q.processAllAvailable()
+      // session [0, 15min+1h) still open: nothing emitted yet
+      assert(spark.sql("SELECT * FROM sessap").isEmpty)
+      // an event far past the session end advances the watermark:
+      // the first session finalizes and its state is evicted
+      mem.addData(Ev(3, 5 * hourNs, 10))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT session_start, session_end, n_events FROM sessap")
+        .as[(Long, Long, Long)].collect()
+      assert(got === Array(
+        (0L, hourNs / 4 / 1000 + 3600000000L, 2L)))
+      assert(q.lastProgress.stateOperators.nonEmpty)
+    } finally q.stop()
+  }
+
   test("intervalJoinStream matches the batch range join and evicts state") {
     // batch anchor: same semantics as AsOf.rangeCountJoin (a02) on
     // the events table — count build matches per probe
