@@ -311,6 +311,13 @@ object SparkEntry {
     // Binary sign-sketch + Hamming top-k (the 64x-compression path).
     "s09_binary_hamming" -> ((s, dir) =>
       Similarity.knnBinaryHamming(t(s, dir, "embeddings"), 10, 3)),
+    // SQ8 search: int8-reconstructed candidates, exact queries — the
+    // 8x-compression middle rung between raw (s01) and PQ (s06).
+    "s26_knn_sq8" -> ((s, dir) =>
+      Similarity.knnSq8(t(s, dir, "embeddings"), 10, 3)),
+    // SQ8 recall dial (expected near-1: int8 error is tiny).
+    "s27_sq8_recall" -> ((s, dir) =>
+      Similarity.annRecallSq8(t(s, dir, "embeddings"), 10, 3)),
     // IVF-PQ (IVFADC): coarse cell blocking x ADC table scoring.
     "s16_knn_ivfpq" -> ((s, dir) =>
       Similarity.knnIvfPq(t(s, dir, "embeddings"), 10, 3)),
@@ -1998,6 +2005,65 @@ object SparkEntry {
         |   ELSE floor(x * 127.0 / scale + 0.5)::BIGINT END FOR x IN v],
         |   ',') AS q_csv
         |FROM s""".stripMargin,
+    // knnSq8 mirror: s04's scale + round-trip reconstruction, then
+    // the s01 brute scorer over reconstructed candidates vs exact
+    // queries (asymmetric SQ search).
+    "s26_knn_sq8" ->
+      (embCte +
+        s""", sq AS (SELECT vec_id, v,
+           |  list_reduce(list_prepend(0.0, [abs(x) FOR x IN v]),
+           |    (a, b) -> greatest(a, b)) AS scale FROM n),
+           |r AS (SELECT vec_id,
+           |  [CASE WHEN scale = 0 THEN 0.0
+           |    ELSE floor(x * 127.0 / scale + 0.5) * scale / 127.0 END
+           |   FOR x IN v] AS rv FROM sq),
+           |rn AS (SELECT vec_id, rv,
+           |  sqrt(${foldSum("[x*x FOR x IN rv]")}) AS rnrm FROM r),
+           |q AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm FROM n
+           |  WHERE vec_id < 10),
+           |scored AS (SELECT a.q_id, b.vec_id AS nbr_id,
+           |  ${foldSum("[a.qv[i] * b.rv[i] FOR i IN range(1, len(a.qv)+1)]")}
+           |    / (a.qnrm * b.rnrm) AS sim
+           | FROM q a CROSS JOIN rn b WHERE b.vec_id <> a.q_id)
+           |SELECT q_id, nbr_id, sim, "rank" FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
+           |WHERE "rank" <= 3""".stripMargin),
+    // annRecallSq8 mirror: the s26 set ∩ the brute set, per query.
+    "s27_sq8_recall" ->
+      (embCte +
+        s""", sq AS (SELECT vec_id, v,
+           |  list_reduce(list_prepend(0.0, [abs(x) FOR x IN v]),
+           |    (a, b) -> greatest(a, b)) AS scale FROM n),
+           |r AS (SELECT vec_id,
+           |  [CASE WHEN scale = 0 THEN 0.0
+           |    ELSE floor(x * 127.0 / scale + 0.5) * scale / 127.0 END
+           |   FOR x IN v] AS rv FROM sq),
+           |rn AS (SELECT vec_id, rv,
+           |  sqrt(${foldSum("[x*x FOR x IN rv]")}) AS rnrm FROM r),
+           |q AS (SELECT vec_id AS q_id, v AS qv, qnrm FROM (
+           |  SELECT vec_id, v, nrm AS qnrm FROM n WHERE vec_id < 10)),
+           |bscored AS (SELECT a.q_id, b.vec_id AS nbr_id,
+           |  $pairDot / (a.nrm * b.nrm) AS sim
+           | FROM (SELECT q_id, qv AS v, qnrm AS nrm FROM q) a
+           | CROSS JOIN n b WHERE b.vec_id <> a.q_id),
+           |brute AS (SELECT q_id, nbr_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY sim DESC, nbr_id) AS rk FROM bscored)
+           | WHERE rk <= 3),
+           |ascored AS (SELECT a.q_id, b.vec_id AS nbr_id,
+           |  ${foldSum("[a.qv[i] * b.rv[i] FOR i IN range(1, len(a.qv)+1)]")}
+           |    / (a.qnrm * b.rnrm) AS sim
+           | FROM q a CROSS JOIN rn b WHERE b.vec_id <> a.q_id),
+           |sq8 AS (SELECT q_id, nbr_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY sim DESC, nbr_id) AS rk FROM ascored)
+           | WHERE rk <= 3)
+           |SELECT b.q_id AS q_id, count(i.nbr_id) AS n_hit,
+           | count(i.nbr_id)::DOUBLE / count(*) AS recall
+           |FROM brute b LEFT JOIN sq8 i
+           | ON i.q_id = b.q_id AND i.nbr_id = b.nbr_id
+           |GROUP BY b.q_id""".stripMargin),
     "t01_langid" -> {
       val profs = graft.operators.TextAnalysis.langProfiles
       val scores = profs.map { case (lang, stops) =>

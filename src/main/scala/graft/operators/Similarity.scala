@@ -993,6 +993,68 @@ object Similarity {
               .cast("long"))), ",").as("q_csv"))
   }
 
+  /** SQ8 (scalar-quantization) search — the middle rung of the
+    * compression ladder the repo now measures end to end: raw (s01,
+    * 8 bytes/dim) → SQ8 (this, 1 byte/dim + one scale) → PQ (s06,
+    * m codes/vector) → binary (s09, 1 bit/dim). Candidates are stored
+    * as [[quantizeInt8]]'s per-vector max-abs int8 codes and
+    * reconstructed ROW-LOCALLY at scan time (x̂ = q·scale/127);
+    * queries stay exact (asymmetric distance — the standard SQ search
+    * form: quantizing the query would double the error for zero
+    * storage win). Scoring is then s01's broadcast-scan cosine over
+    * the reconstructed values, so the plan shape is knnBrute's — the
+    * compression changes WHAT is scanned (8× smaller at dim 64),
+    * never the join geometry.
+    *
+    * Rounding is mirrored bit-for-bit with s04/the oracle
+    * (floor(x·127/scale + 0.5), zero-vector guard), so the
+    * reconstruction — and therefore the ranking — hash-gates.
+    */
+  def knnSq8(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val e = prepared(embeddings)
+    val scaled = e.select(col("vec_id"), col("v"), col("nrm"),
+      aggregate(col("v"), lit(0.0d), (acc, x) => greatest(acc, abs(x)))
+        .as("scale"))
+    val recon = scaled.select(col("vec_id"),
+      transform(col("v"), x =>
+        when(col("scale") === 0.0d, lit(0.0d))
+          .otherwise(
+            floor(x * lit(127.0d) / col("scale") + lit(0.5d))
+              .cast("double") * col("scale") / lit(127.0d))).as("rv"))
+      .withColumn("rnrm", sqrt(Canon.dot(col("rv"), col("rv"))))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val scored = recon.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        Canon.cosine(Canon.dot(col("qv"), col("rv")),
+          col("qnrm"), col("rnrm")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Recall@k of the SQ8 path vs the exact baseline — the ladder's
+    * missing dial between s11 (cell loss) and s17/s19 (PQ loss):
+    * int8's per-component error is tiny, so this measures HIGH (the
+    * "compression is nearly free until PQ" point a deployment sizes
+    * storage from).
+    */
+  def annRecallSq8(embeddings: DataFrame, nQueries: Int,
+                   k: Int): DataFrame = {
+    val exact = knnBrute(embeddings, nQueries, k)
+      .select(col("q_id"), col("nbr_id"))
+    val approx = knnSq8(embeddings, nQueries, k)
+      .select(col("q_id").as("_q"), col("nbr_id").as("_n"))
+    exact.join(approx,
+      col("q_id") === col("_q") && col("nbr_id") === col("_n"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("k_exact"), count(col("_n")).as("n_hit"))
+      .select(col("q_id"), col("n_hit"),
+        (col("n_hit").cast("double") / col("k_exact")).as("recall"))
+  }
+
   /** Binary (sign-bit) quantization + Hamming top-k: each dim-64
     * vector compresses to ONE long (bit i = sign of component i — the
     * 64× memory lever past int8 and PQ), and search ranks candidates

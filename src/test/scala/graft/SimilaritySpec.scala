@@ -388,6 +388,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rr >= res - 1e-9, "exact re-ranking must not lose recall")
   }
 
+  test("knnSq8: reconstructed cosines track exact, recall near 1, " +
+    "partition-independent") {
+    val base = table("embeddings")
+    val sq8 = Similarity.knnSq8(base, 10, 3)
+      .select(col("q_id"), col("nbr_id"), col("sim"))
+      .as[(Long, Long, Double)].collect()
+    // per-pair: the int8 round-trip moves a cosine by at most ~1/127
+    // per normalized component — in aggregate far under 0.05
+    val exact = Similarity.knnBrute(base, 10, 500)
+      .select(col("q_id"), col("nbr_id"), col("sim"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    sq8.foreach { case (q, n, s) =>
+      assert(math.abs(s - exact((q, n))) <= 0.05,
+        s"pair ($q,$n): sq8 $s vs exact ${exact((q, n))}")
+    }
+    val recall = Similarity.annRecallSq8(base, 10, 3)
+      .agg(avg(col("recall"))).as[Double].head()
+    assert(recall >= 0.8, s"sq8 recall $recall below the floor")
+    val rep = Similarity.knnSq8(base.repartition(7), 10, 3)
+      .select(col("q_id"), col("nbr_id"))
+      .as[(Long, Long)].collect().sorted
+    assert(rep === sq8.map(r => (r._1, r._2)).sorted)
+  }
+
   test("quantizeInt8: bounded reconstruction error, zero-vector safe") {
     val emb = Seq(
       (0L, Array(0.5f, -1.0f, 0.25f), 0),
