@@ -2155,15 +2155,17 @@ object SparkEntry {
         |SELECT user_id, session_id, min(ts_us) AS session_start,
         | max(ts_us) AS session_end, count(*) AS n_events
         |FROM g GROUP BY user_id, session_id""".stripMargin,
-    // sessionWindowStats mirror: session_window merges [t, t+gap)
-    // windows with EXCLUSIVE ends, so a new session opens at
-    // diff >= gap (st02's gaps-and-islands uses strict >), and the
-    // reported end is last-event + gap (the eviction point).
+    // sessionWindowStats mirror: Spark's session_window MERGES two
+    // windows when the next event's start <= the current session end
+    // (UpdatingSessionsIterator), so events exactly gap apart still
+    // merge — a new session opens only at diff > gap, the SAME strict
+    // boundary as st02's gaps-and-islands. Only the reported end
+    // differs: last-event + gap (the eviction point).
     "st10_session_window" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
         |  FROM events),
         |f AS (SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
-        |    OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END
+        |    OR ts_us - lag(ts_us) OVER w > 1800000000 THEN 1 ELSE 0 END
         |    AS new_session
         |  FROM e WINDOW w AS (PARTITION BY user_id
         |    ORDER BY ts_us, event_id)),

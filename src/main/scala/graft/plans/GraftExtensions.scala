@@ -75,7 +75,10 @@ object GraftFunctions {
   private def fd(name: String, usage: String)(
       builder: Seq[Expression] => Expression) =
     (new FunctionIdentifier(name),
-      new ExpressionInfo("graft.functions", name, usage),
+      // 5-arg form: (className, db, name, usage, extended) — the
+      // 3-arg form is (className, db, name) and would register the
+      // usage text AS the function name, garbling DESCRIBE FUNCTION.
+      new ExpressionInfo("graft.functions", null, name, usage, ""),
       builder)
 
   val all: Seq[(FunctionIdentifier, ExpressionInfo,

@@ -186,14 +186,15 @@ object StreamingOps {
 
   /** Spark-NATIVE session windows ([[sessionize]]'s engine-managed
     * twin): `session_window` merges each event's [t, t+gap) window
-    * with any overlapping successor, so a session CLOSES when the
-    * next same-user event arrives at ≥ gap after the previous one —
-    * note the boundary differs from sessionize's gaps-and-islands by
-    * exactly the diff == gap case (strict `>` opens a new session
-    * there; the window form's exclusive end already has). Output end
-    * is last-event + gap (the watermark-eviction point), not the last
-    * event time — the two forms agree on session MEMBERSHIP
-    * (spec-pinned) but report different end conventions, both kept
+    * with any successor whose start is <= the current session end
+    * (UpdatingSessionsIterator expands on touch), so two same-user
+    * events exactly gap apart still MERGE — a session closes only
+    * when the next event arrives strictly more than gap later, the
+    * SAME boundary as sessionize's gaps-and-islands strict `>`.
+    * Session MEMBERSHIP is therefore identical to [[sessionize]] at
+    * every diff, including diff == gap. Output end is last-event +
+    * gap (the watermark-eviction point), not the last event time —
+    * the two forms report different end conventions, both kept
     * because the native form is the one that runs UNBOUNDED: with a
     * watermark upstream, state per open session is one merged window
     * row, evicted at watermark ≥ end — the at-scale sessionization

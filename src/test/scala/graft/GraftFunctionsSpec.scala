@@ -71,6 +71,13 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(sql === api)
   }
 
+  test("DESCRIBE FUNCTION shows the function name and usage intact") {
+    val desc = spark.sql("DESCRIBE FUNCTION graft_dot")
+      .as[String].collect().mkString("\n")
+    assert(desc.contains("Function: graft_dot"))
+    assert(desc.contains("left-fold dot product")) // usage, not name slot
+  }
+
   test("constant kernel parameters must be integer literals") {
     val err = intercept[Exception] {
       spark.sql("SELECT graft_simhash(array(1L), CAST(id AS INT)) " +

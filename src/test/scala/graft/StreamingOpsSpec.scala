@@ -118,6 +118,22 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session boundary at diff == gap: BOTH forms merge (strict >)") {
+    // Spark's session_window expands when the next start <= current
+    // end (UpdatingSessionsIterator), so events exactly gap apart
+    // merge — same strict-> boundary as sessionize. Pin it so a
+    // coarser-ts testdata regen can't silently diverge the st10
+    // oracle mirror.
+    val atGap = Seq(Ev(1, 0L, 10), Ev(2, hourNs, 10)).toDF()
+    assert(StreamingOps.sessionize(atGap, 3600L * 1000000).count() === 1)
+    assert(StreamingOps.sessionWindowStats(atGap, "1 hour").count() === 1)
+    val pastGap =
+      Seq(Ev(1, 0L, 10), Ev(2, hourNs + 1000L, 10)).toDF() // gap + 1us
+    assert(StreamingOps.sessionize(pastGap, 3600L * 1000000).count() === 2)
+    assert(
+      StreamingOps.sessionWindowStats(pastGap, "1 hour").count() === 2)
+  }
+
   test("sessionWindowStream (append mode): a session is emitted once " +
     "the watermark passes its end, then its state is gone") {
     implicit val sqlCtx = spark.sqlContext
