@@ -91,6 +91,11 @@ object SparkEntry {
     // estimates; accuracy spec-asserted vs exact).
     "q20_approx_distinct" -> ((s, dir) =>
       Relational.approxDistinctCounts(t(s, dir, "lineitem"))),
+    // q20's hash-gated error contract: |approx − exact|/exact ≤ 5·rsd
+    // emitted as 0/1; the oracle mirrors with exact distinct + literal
+    // 1, so sketch drift past the bound hash-fails.
+    "q20b_approx_distinct_err" -> ((s, dir) =>
+      Relational.approxDistinctError(t(s, dir, "lineitem"))),
     // TPC-H Q3 shape: 3-way join + filtered agg + top-k.
     "q21_shipping_priority" -> ((s, dir) =>
       Relational.shippingPriority(t(s, dir, "customer"),
@@ -611,6 +616,11 @@ object SparkEntry {
     // the online dedup filter's exact batch anchor.
     "d23_incremental_dedup" -> ((s, dir) =>
       Dedup.incrementalLshDedup(t(s, dir, "documents"))),
+    // The stream the d23 verdicts drive: kept documents only (what
+    // the ingest filter emits); per-bucket state path spec-pinned.
+    "st11_ingest_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingOps.ingestDedupBatch(
+        t(s, dir, "documents"))),
     // Easy-to-hard curriculum position (two-stage global rank).
     "p13_curriculum" -> ((s, dir) =>
       Pipeline.curriculumOrder(t(s, dir, "documents"))),
@@ -788,6 +798,23 @@ object SparkEntry {
        |$sigs
        | FROM hb)
        |""".stripMargin
+  }
+
+  /** Arrival-order LSH suppression verdict CTE (the d23 bucket-min
+    * algebra: per-bucket earliest occupant, per-doc earliest across
+    * its buckets) — SHARED by the d23 and st11 mirrors so the two
+    * gates can never drift apart.
+    */
+  private val lshEarliestCte: String = {
+    val bands = (0 until 4).map(j =>
+      s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
+    minhashCte +
+      s""", banded AS (SELECT doc_id,
+         | unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig WHERE m0 IS NOT NULL),
+         |mins AS (SELECT bk, min(doc_id) AS mn FROM banded GROUP BY bk),
+         |earliest AS (SELECT b.doc_id, min(m.mn) AS e
+         |  FROM banded b JOIN mins m USING (bk) GROUP BY b.doc_id)
+         |""".stripMargin
   }
 
   /** Shared embedding CTE with norms (vec_id, label, v, nrm). */
@@ -1197,6 +1224,14 @@ object SparkEntry {
         | count(DISTINCT l_suppkey) AS n_supps,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // The sketch value is engine-specific, but the error CONTRACT is
+    // not: the oracle's exact side + literal 1 hash-matches iff the
+    // Spark side's |approx − exact|/exact stayed within bound.
+    "q20b_approx_distinct_err" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_exact,
+        | CAST(1 AS BIGINT) AS within_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q21_shipping_priority" ->
       """SELECT o_orderkey, o_orderdate,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
@@ -1289,20 +1324,21 @@ object SparkEntry {
     },
     // incrementalLshDedup mirror: bucket-min, per-doc earliest
     // occupant, kept iff self; short docs (no bands) trivially kept.
-    "d23_incremental_dedup" -> {
-      val bands = (0 until 4).map(j =>
-        s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
-      minhashCte +
-        s""", banded AS (SELECT doc_id,
-           | unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig WHERE m0 IS NOT NULL),
-           |mins AS (SELECT bk, min(doc_id) AS mn FROM banded GROUP BY bk),
-           |earliest AS (SELECT b.doc_id, min(m.mn) AS e
-           |  FROM banded b JOIN mins m USING (bk) GROUP BY b.doc_id)
-           |SELECT d.doc_id,
-           | coalesce(e.e = d.doc_id, TRUE) AS kept,
-           | CASE WHEN e.e < d.doc_id THEN e.e END AS first_dup_of
-           |FROM documents d LEFT JOIN earliest e ON e.doc_id = d.doc_id""".stripMargin
-    },
+    // (SHARED tail with st11 — edit lshEarliestCte once, both move.)
+    "d23_incremental_dedup" ->
+      (lshEarliestCte +
+        """SELECT d.doc_id,
+          | coalesce(e.e = d.doc_id, TRUE) AS kept,
+          | CASE WHEN e.e < d.doc_id THEN e.e END AS first_dup_of
+          |FROM documents d LEFT JOIN earliest e ON e.doc_id = d.doc_id""".stripMargin),
+    // ingestDedupBatch mirror: the kept half of the d23 verdicts,
+    // joined back to the document payload.
+    "st11_ingest_dedup" ->
+      (lshEarliestCte +
+        """SELECT d.doc_id, d.source,
+          | octet_length(encode(d.text))::BIGINT AS text_bytes
+          |FROM documents d LEFT JOIN earliest e ON e.doc_id = d.doc_id
+          |WHERE coalesce(e.e = d.doc_id, TRUE)""".stripMargin),
     "d04_simhash" ->
       s"""WITH hs AS (SELECT doc_id,
          |  [${h60("x")} FOR x IN string_split(text, ' ')] AS hs

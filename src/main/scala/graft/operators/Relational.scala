@@ -283,6 +283,27 @@ object Relational {
       .agg(approx_count_distinct(col("l_partkey"), rsd).as("n_parts_approx"),
         count(lit(1)).as("n_rows"))
 
+  /** [[approxDistinctCounts]]'s hash-gated ERROR CONTRACT (q20's
+    * companion): the sketch estimate itself is engine-specific, but
+    * `|approx − exact| / exact ≤ bound` is not — emit it as 0/1 next
+    * to the exact count, which an exact-only oracle mirrors with a
+    * literal 1. A sketch drift past the bound flips the bit and fails
+    * the hash gate. Default bound = 5× the requested rsd (HLL++'s rsd
+    * is one standard deviation; 5σ never fires on a healthy sketch,
+    * any implementation regression does). Both aggregates are
+    * map-side partial; the exact half is the same shuffle q19 already
+    * pays, priced here only to certify the sketch.
+    */
+  def approxDistinctError(lineitem: DataFrame, rsd: Double = 0.02,
+                          bound: Double = 0.1): DataFrame =
+    lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_exact"),
+        approx_count_distinct(col("l_partkey"), rsd).as("approx"))
+      .select(col("l_returnflag"), col("n_exact"),
+        (abs(col("approx") - col("n_exact")) <= col("n_exact") * bound)
+          .cast("long").as("within_bound"))
+
   /** lag/lead offsets (§2.5): previous/next order per customer plus the
     * inter-order gap in days. One shuffle on the partition key; the
     * per-partition sort is the whole cost at any scale.

@@ -273,6 +273,26 @@ object StreamingOps {
         col("_f.value").as("first_value"),
         col("n_events"))
 
+  /** Batch anchor of the ingest-time LSH dedup STREAM (st11 —
+    * [[dedupFirstBatch]]'s corpus-level twin): what the online filter
+    * EMITS, i.e. the documents that survive arrival-order near-dup
+    * suppression, with their payload size. The suppression verdict is
+    * [[graft.operators.Dedup.incrementalLshDedup]]'s bucket-min
+    * algebra (see its scaladoc for the no-pair-set scale argument);
+    * the unbounded form keeps the per-bucket first-occupant index in
+    * [[streamingDedupFirst]] state keyed by band bucket, and the
+    * DedupSpec replay pins streamed verdicts ≡ this anchor
+    * doc-for-doc. Left-semi join: the verdict side carries only
+    * doc_id, so no payload column is ever shuffled twice.
+    */
+  def ingestDedupBatch(documents: DataFrame): DataFrame =
+    documents
+      .join(graft.operators.Dedup.incrementalLshDedup(documents)
+        .filter(col("kept")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"),
+        length(col("text").cast("binary")).cast("long").as("text_bytes"))
+
   /** Time-bucket resample with FORWARD FILL: per (user, fixed bucket),
     * event count and last observed value, with empty buckets
     * materialized on a dense per-user grid and filled from the most

@@ -102,6 +102,12 @@ class DedupSpec extends SparkSpec {
             if (earlier.isEmpty) None else Some(earlier.min)))
         }.toMap
       assert(streamed === out)
+
+      // st11's batch anchor emits exactly the docs the streamed
+      // verdicts keep (the ingest filter's output contract)
+      val st11 = graft.streaming.StreamingOps.ingestDedupBatch(corpus)
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(st11 === streamed.filter(_._2._1).keySet)
     } finally q.stop()
   }
 

@@ -29,6 +29,20 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("q20b error contract: within_bound is 1 everywhere, and the " +
+    "bound actually bites") {
+    val li = table("lineitem")
+    val ok = graft.operators.Relational.approxDistinctError(li)
+      .select("within_bound").collect().map(_.getLong(0))
+    assert(ok.nonEmpty && ok.forall(_ == 1L))
+    // sanity that the gate CAN fail: an absurdly tight bound flips it
+    val tight = graft.operators.Relational
+      .approxDistinctError(li, rsd = 0.02, bound = 0.0)
+      .select("within_bound").collect().map(_.getLong(0))
+    assert(tight.exists(_ == 0L),
+      "bound=0 should fail unless the sketch is exact by coincidence")
+  }
+
   test("every registered query evaluates non-empty at sf0.001") {
     // Legitimately empty at tiny SF: every customer has an order
     // (q10), the cursor window starts past the 1000-event table (g06),
