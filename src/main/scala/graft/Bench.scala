@@ -2,9 +2,31 @@ package graft
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** Fixture-only calibration queries (they read no sf-scaled
+    * testdata — BASELINE.md §3.1): their medians separate machine
+    * state from code regressions in round-over-round comparisons, so
+    * they ride in the stdout JSON line even though the full per-query
+    * median map only fits the file artifact.
+    */
+  private val calibrationSet = Seq(
+    "h01_payment_v1_edges", "h02_payment_v2_edges", "h03_receipt_edges",
+    "h04_account_vertices", "h05_gateway_inventory", "h06_hotspot_density",
+    "q30_null_semantics", "j01_jsonl_docs", "st07_stream_static")
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2)
+    else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Per-query medians of `reps` runs in ONE JVM (warm tables, warm
+    // codegen) — the agreed round-over-round instrument after two
+    // rounds were muddied by machine noise (r11's 367 s anomaly; r12
+    // burned five full runs re-establishing the number).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = Sessions.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
@@ -23,13 +45,21 @@ object Bench {
     // "scores" its fast-fail wall time, which would otherwise read as a
     // speedup (r11: 11 broken queries at 0.1 s masked a contract break).
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      System.gc() // isolate queries from each other's garbage
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => failed += name }
-      name -> (System.nanoTime() - t0) / 1e9
+    val runs: Seq[Map[String, Double]] = (1 to reps).map { rep =>
+      SparkEntry.queries.map { case (name, fn) =>
+        System.gc() // isolate queries from each other's garbage
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => if (rep == 1) failed += name }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
+    // Run 1 keeps the historical single-shot semantics ("value",
+    // "queries") so round-over-round totals stay comparable; the
+    // medians ride beside them.
+    val results = runs.head
+    val medians: Map[String, Double] =
+      results.keys.map(k => k -> median(runs.map(_(k)))).toMap
     // The harness records only the last 2000 chars of stdout (measured:
     // BENCH_r05's `tail` is exactly 2000 and the 2169-char full-precision
     // line lost its head → parsed:null). The stdout line must therefore
@@ -38,8 +68,12 @@ object Bench {
     // stripped — "0.5" not "0.500"), then the sf dir shortened to its
     // basename, then (last resort, never yet needed) the query keys cut
     // to their unique id prefix ("g10_pagerank" → "g10"). The FULL
-    // 3-decimal, full-name line always goes to BENCH_LOCAL.json.
+    // 3-decimal, full-name line always goes to BENCH_LOCAL.json —
+    // including the full per-query median map, which can NEVER fit the
+    // stdout window next to the single-shot map (2 × ~170 entries);
+    // stdout carries median_total + the calibration-set medians instead.
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val medianTotal = if (medians.nonEmpty) medians.values.sum else 0.0
     def fmt(v: Double, dp: Int, strip: Boolean): String = {
       val s = s"%.${dp}f".formatLocal(java.util.Locale.ROOT, v)
       if (!strip) s
@@ -48,13 +82,20 @@ object Bench {
         if (t.isEmpty || t == "-") "0" else t
       }
     }
-    def line(dp: Int, strip: Boolean, sf: String,
-             key: String => String, marker: String = ""): String = {
-      val qs = results.map { case (k, v) =>
+    def qmap(m: Map[String, Double], dp: Int, strip: Boolean,
+             key: String => String): String =
+      m.map { case (k, v) =>
         "\"" + key(k) + "\":" + fmt(v, dp, strip)
       }.mkString("{", ",", "}")
+    def line(dp: Int, strip: Boolean, sf: String,
+             key: String => String, marker: String = ""): String = {
       s"""{"metric":"total","value":${fmt(total, 3, strip = false)},""" +
-        s""""unit":"sec"$marker,"queries":$qs,"sf":"$sf"}"""
+        s""""unit":"sec"$marker,"reps":$reps,""" +
+        s""""median_total":${fmt(medianTotal, 3, strip = false)},""" +
+        s""""medians_cal":${qmap(
+          medians.view.filterKeys(calibrationSet.contains).toMap,
+          dp, strip, key)},""" +
+        s""""queries":${qmap(results, dp, strip, key)},"sf":"$sf"}"""
     }
     val sfShort = Paths.get(sfDir).getFileName.toString
     // The id-prefix tiers shorten "g10_pagerank" → "g10": the prefix
@@ -73,19 +114,25 @@ object Bench {
       line(1, strip = true, sfShort, idKey, idMark))
     val json = candidates.find(_.length <= 1990).getOrElse(full)
     // Belt and braces for the harness parse: also persist the FULL line
-    // to a file (BENCH_LOCAL.json or args(0)).
+    // (with the complete per-query median map) to a file
+    // (BENCH_LOCAL.json or args(0)).
+    val fullFile =
+      full.dropRight(1) +
+        s""","medians":${qmap(medians, 3, strip = false, identity)}}"""
     val outPath = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
-    try Files.writeString(Paths.get(outPath), full + "\n")
+    try Files.writeString(Paths.get(outPath), fullFile + "\n")
     catch { case _: Throwable => () }
     spark.stop()
     // Budget guard: any single query above 25% of the suite is the
     // next t10 — flag it in-band so it can't sit unnoticed for two
     // rounds again. Printed BEFORE the JSON line (which must stay the
     // final, whole line inside the harness's 2000-char stdout tail).
-    results.filter { case (_, v) => total > 0 && v > 0.25 * total }
+    // Guarded on MEDIANS: a one-off GC stall can't trip it, a real
+    // regression can't hide behind one lucky run.
+    medians.filter { case (_, v) => medianTotal > 0 && v > 0.25 * medianTotal }
       .foreach { case (k, v) =>
-        println(f"WARN bench-budget: $k = ${v}%.1fs is ${v / total * 100}%.0f%% of the ${total}%.1fs suite")
+        println(f"WARN bench-budget: $k median ${v}%.1fs is ${v / medianTotal * 100}%.0f%% of the ${medianTotal}%.1fs suite")
       }
     if (failed.nonEmpty)
       println(s"WARN bench-failed: ${failed.mkString(",")}")
