@@ -57,7 +57,13 @@ object ScaleBench {
     */
   val corpusFamily: Seq[String] = Seq(
     "d03_lsh_pairs", "d05_ngram_jaccard", "t09_tfidf_terms",
-    "t10_boilerplate", "p01_corpus_pipeline", "s03_knn_ivf")
+    "t10_boilerplate", "p01_corpus_pipeline", "s03_knn_ivf",
+    // r13 entrants (VERDICT r12 #3): d23's whole reason to exist is
+    // its linear no-pair-set ingest shape — measured, not argued;
+    // st11 is its emitted-stream anchor (adds the left-semi payload
+    // join); p16's two-stage global rank is the balanced-shard
+    // assignment a 100 TB repack would run.
+    "d23_incremental_dedup", "st11_ingest_dedup", "p16_balanced_shards")
 
   /** Third axis (late r10): the event-time window family. Its scale
     * risk is per-key WINDOW/JOIN STATE — salted user ids grow the key
@@ -89,7 +95,11 @@ object ScaleBench {
     * irrelevant to a timing probe.
     */
   val annFamily: Seq[String] = Seq(
-    "s16_knn_ivfpq", "s18_knn_ivfpq_res", "s20_knn_rerank")
+    "s16_knn_ivfpq", "s18_knn_ivfpq_res", "s20_knn_rerank",
+    // r13 entrants (VERDICT r12 #3): the SQ8 rung — full-dimension
+    // int8 scan (s26) and its recall dial vs the exact baseline (s27,
+    // which also prices the brute-force ground-truth pass).
+    "s26_knn_sq8", "s27_sq8_recall")
 
   private val Copies = 10
   private val KeyOffset = 10000000L // > any sf0.1 key; multiple of 10

@@ -19,11 +19,11 @@ object StubNode {
   def withServer[A](flaky: Map[String, Int] = Map.empty,
                     tipCap: Long = Long.MaxValue,
                     extraBlocks: Map[Long, String] = Map.empty,
-                    prunedHeights: Set[Long] = Set.empty)(
+                    prunedHeights: Set[Long] = Set.empty,
+                    extraPayloads: Map[String, String] = Map.empty)(
       f: String => A): A =
-    withServerImports(flaky, tipCap, extraBlocks, prunedHeights) {
-      (endpoint, _) => f(endpoint)
-    }
+    withServerImports(flaky, tipCap, extraBlocks, prunedHeights,
+      extraPayloads) { (endpoint, _) => f(endpoint) }
 
   /** Variant that also records ArangoDB-style bulk-import POSTs
     * (path incl. query string, raw body bytes) so specs can assert the
@@ -41,9 +41,11 @@ object StubNode {
   def withServerImports[A](flaky: Map[String, Int] = Map.empty,
                            tipCap: Long = Long.MaxValue,
                            extraBlocks: Map[Long, String] = Map.empty,
-                           prunedHeights: Set[Long] = Set.empty)(
+                           prunedHeights: Set[Long] = Set.empty,
+                           extraPayloads: Map[String, String] = Map.empty)(
       f: (String, java.util.Queue[(String, String)]) => A): A = {
     val blocks = HeliumFixtures.blockJsonByHeight ++ extraBlocks
+    val payloads = HeliumFixtures.payloadByHash ++ extraPayloads
     val mapper = new ObjectMapper
     val flakyRemaining = new java.util.concurrent.ConcurrentHashMap[String, Integer]
     flaky.foreach { case (k, v) => flakyRemaining.put(k, v) }
@@ -93,7 +95,7 @@ object StubNode {
           val hash = req.get("params").get("hash").asText()
           val left = flakyRemaining.getOrDefault(hash, 0)
           if (left > 0) { flakyRemaining.put(hash, left - 1); Left(-100) }
-          else HeliumFixtures.payloadByHash.get(hash).toRight(-100)
+          else payloads.get(hash).toRight(-100)
         case _ => Left(-32601)
       }
       val body = result match {
@@ -110,8 +112,14 @@ object StubNode {
 
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", handle _)
+    // Concurrent handling (the default null executor serializes every
+    // request on the dispatch thread): a real node serves parallel
+    // fetches, and FollowerBench's executor fan-out must measure the
+    // pipeline, not a single-threaded stub.
+    val pool = java.util.concurrent.Executors.newCachedThreadPool()
+    server.setExecutor(pool)
     server.start()
     try f(s"http://127.0.0.1:${server.getAddress.getPort}/", imports)
-    finally server.stop(0)
+    finally { server.stop(0); pool.shutdown() }
   }
 }
