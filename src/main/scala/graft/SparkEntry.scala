@@ -3187,13 +3187,19 @@ object SparkEntry {
         |FROM b GROUP BY g""".stripMargin,
     // kcorePeel mirror: g11's edge CTE + the 3 peel rounds unrolled
     // verbatim (degree agg → keep set → both-endpoint restriction).
+    // MATERIALIZED is load-bearing, not a hint: DuckDB inlines plain
+    // CTEs per reference, and each round reads its predecessor 3×, so
+    // the unrolled chain re-evaluates the wedge join ~3^rounds times —
+    // fine at sf0.01, a >300 s / 57 GB spill at sf0.1 (r13 scale
+    // sanity); materialized it is 0.7 s with identical output.
     "g15_kcore" -> {
       val edges =
-        """os AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
-          |  FROM lineitem),
+        """os AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+          |  l_suppkey AS s FROM lineitem),
           |ok AS (SELECT o FROM os GROUP BY o HAVING count(*) <= 100),
-          |osk AS (SELECT os.o, os.s FROM os JOIN ok USING (o)),
-          |e0 AS (SELECT x.s AS a, y.s AS b FROM osk x JOIN osk y
+          |osk AS MATERIALIZED (SELECT os.o, os.s FROM os JOIN ok USING (o)),
+          |e0 AS MATERIALIZED (SELECT x.s AS a, y.s AS b
+          |  FROM osk x JOIN osk y
           |  ON x.o = y.o AND x.s < y.s
           |  GROUP BY 1, 2 HAVING count(*) >= 5)""".stripMargin
       val rounds = (1 to 3).map { r =>
@@ -3202,8 +3208,8 @@ object SparkEntry {
            |d$r AS (SELECT v, count(*) AS deg FROM (
            |  SELECT a AS v FROM $prev UNION ALL SELECT b FROM $prev)
            |  GROUP BY v),
-           |k$r AS (SELECT v FROM d$r WHERE deg >= 2),
-           |e$r AS (SELECT a, b FROM $prev
+           |k$r AS MATERIALIZED (SELECT v FROM d$r WHERE deg >= 2),
+           |e$r AS MATERIALIZED (SELECT a, b FROM $prev
            |  WHERE a IN (SELECT v FROM k$r)
            |  AND b IN (SELECT v FROM k$r))""".stripMargin
       }.mkString
