@@ -96,6 +96,12 @@ object SparkEntry {
     // 1, so sketch drift past the bound hash-fails.
     "q20b_approx_distinct_err" -> ((s, dir) =>
       Relational.approxDistinctError(t(s, dir, "lineitem"))),
+    // The quantile sketch's hash-gated error contract (q20b's sibling;
+    // q29/q35 are the exact forms): percentile_approx's returned
+    // member re-ranked against its group, `|rank − 0.5·N| ≤ N/accuracy`
+    // as 0/1; oracle mirrors with count(*) + literal 1.
+    "q37_approx_quantile_err" -> ((s, dir) =>
+      Relational.approxQuantileError(t(s, dir, "lineitem"))),
     // TPC-H Q3 shape: 3-way join + filtered agg + top-k.
     "q21_shipping_priority" -> ((s, dir) =>
       Relational.shippingPriority(t(s, dir, "customer"),
@@ -1230,6 +1236,12 @@ object SparkEntry {
     "q20b_approx_distinct_err" ->
       """SELECT l_returnflag,
         | count(DISTINCT l_partkey) AS n_exact,
+        | CAST(1 AS BIGINT) AS within_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // Same contract-mirror shape as q20b: the sketch value is
+    // engine-specific, the rank guarantee is not.
+    "q37_approx_quantile_err" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
         | CAST(1 AS BIGINT) AS within_bound
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q21_shipping_priority" ->

@@ -304,6 +304,41 @@ object Relational {
         (abs(col("approx") - col("n_exact")) <= col("n_exact") * bound)
           .cast("long").as("within_bound"))
 
+  /** percentile_approx's hash-gated ERROR CONTRACT — the quantile
+    * sibling of [[approxDistinctError]] (q29/q35 are the exact
+    * forms). Spark's sketch (Greenwald–Khanna summaries) returns a
+    * MEMBER of the group whose rank is within eps·N of the target
+    * rank, eps = 1/accuracy. The estimate itself is engine-specific
+    * (summary-merge order follows task scheduling), but that rank
+    * guarantee is portable: re-rank the returned value against the
+    * group in one pass and emit `rank window overlaps target ± eps·N`
+    * as 0/1 beside the group row count; an exact-only oracle mirrors
+    * with a literal 1. The returned value's rank is the interval
+    * [nLt+1, nLe] (ties), so the check is the two one-sided gaps with
+    * +1 row of slack for rank rounding at group edges. Cost: one
+    * map-side-partial sketch pass + a 1-row-per-group broadcast back
+    * into a second counting pass — no sort, no per-group window, no
+    * value materialization, which is exactly why this is the 100 TB
+    * form (q29's exact median buffers every group member).
+    */
+  def approxQuantileError(lineitem: DataFrame, accuracy: Int = 100,
+                          boundScale: Double = 1.0): DataFrame = {
+    val v = money(col("l_extendedprice"))
+    val apx = lineitem.groupBy(col("l_returnflag"))
+      .agg(percentile_approx(v, lit(0.5), lit(accuracy)).as("apx"))
+    val epsN = lit(boundScale) * col("n_rows") / lit(accuracy.toDouble)
+    lineitem
+      .join(broadcast(apx), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(v < col("apx"), 1L).otherwise(0L)).as("nLt"),
+        sum(when(v <= col("apx"), 1L).otherwise(0L)).as("nLe"))
+      .select(col("l_returnflag"), col("n_rows"),
+        ((col("nLt") + lit(1L) - lit(0.5) * col("n_rows") <= epsN + lit(1.0))
+          && (lit(0.5) * col("n_rows") - col("nLe") <= epsN + lit(1.0)))
+          .cast("long").as("within_bound"))
+  }
+
   /** lag/lead offsets (§2.5): previous/next order per customer plus the
     * inter-order gap in days. One shuffle on the partition key; the
     * per-partition sort is the whole cost at any scale.

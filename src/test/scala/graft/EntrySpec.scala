@@ -43,6 +43,23 @@ class EntrySpec extends SparkSpec {
       "bound=0 should fail unless the sketch is exact by coincidence")
   }
 
+  test("q37 quantile error contract: within_bound is 1 everywhere, " +
+    "and the bound actually bites") {
+    val li = table("lineitem")
+    val ok = graft.operators.Relational.approxQuantileError(li)
+      .select("within_bound").collect().map(_.getLong(0))
+    assert(ok.nonEmpty && ok.forall(_ == 1L))
+    // boundScale=0 leaves only the ±1-rank rounding slack: the GK
+    // summary at accuracy=100 is compressed well past exact-median
+    // resolution on these group sizes, so some group must fail —
+    // unless the sketch lands exactly on the median by coincidence.
+    val tight = graft.operators.Relational
+      .approxQuantileError(li, accuracy = 100, boundScale = 0.0)
+      .select("within_bound").collect().map(_.getLong(0))
+    assert(tight.exists(_ == 0L),
+      "boundScale=0 should fail unless the sketch is exact by coincidence")
+  }
+
   test("every registered query evaluates non-empty at sf0.001") {
     // Legitimately empty at tiny SF: every customer has an order
     // (q10), the cursor window starts past the 1000-event table (g06),
