@@ -102,6 +102,13 @@ object SparkEntry {
     // as 0/1; oracle mirrors with count(*) + literal 1.
     "q37_approx_quantile_err" -> ((s, dir) =>
       Relational.approxQuantileError(t(s, dir, "lineitem"))),
+    // The frequency sketch's contract (the third sketch rung): one
+    // global count-min over l_suppkey probed at the exact top-20 keys
+    // via the native CmsEstimateL decoder; `exact ≤ est ≤ exact +
+    // 5·eps·N` as 0/1 — CMS can only overestimate, and its counter
+    // merges are order-deterministic, unlike HLL/GK.
+    "q38_heavy_hitter_err" -> ((s, dir) =>
+      Relational.heavyHitterError(t(s, dir, "lineitem"))),
     // TPC-H Q3 shape: 3-way join + filtered agg + top-k.
     "q21_shipping_priority" -> ((s, dir) =>
       Relational.shippingPriority(t(s, dir, "customer"),
@@ -1244,6 +1251,11 @@ object SparkEntry {
       """SELECT l_returnflag, count(*) AS n_rows,
         | CAST(1 AS BIGINT) AS within_bound
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q38_heavy_hitter_err" ->
+      """SELECT l_suppkey, count(*) AS n_exact,
+        | CAST(1 AS BIGINT) AS within_bound
+        |FROM lineitem GROUP BY l_suppkey
+        |ORDER BY n_exact DESC, l_suppkey ASC LIMIT 20""".stripMargin,
     "q21_shipping_priority" ->
       """SELECT o_orderkey, o_orderdate,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *

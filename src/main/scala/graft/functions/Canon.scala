@@ -142,6 +142,15 @@ object Canon {
       graft.functions.SimHashBits(
         org.apache.spark.sql.GraftSqlBridge.expression(hashes), bits))
 
+  /** Point estimate of a BIGINT key against a serialized
+    * count-min sketch (the `count_min_sketch` aggregate's binary).
+    */
+  def cmsEstimate(sketch: Column, key: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.CmsEstimateL(
+        org.apache.spark.sql.GraftSqlBridge.expression(sketch),
+        org.apache.spark.sql.GraftSqlBridge.expression(key)))
+
   /** Float32 embedding column widened to array<double> (exact). */
   def asDouble(emb: Column): Column = emb.cast("array<double>")
 

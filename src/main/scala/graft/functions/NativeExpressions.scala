@@ -455,3 +455,48 @@ case class MaxRunLengthL(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(
       newChild: Expression): MaxRunLengthL = copy(child = newChild)
 }
+
+/** Point estimate against a serialized count-min sketch:
+  * `CmsEstimateL(sketch, key)` deserializes Spark's own
+  * `org.apache.spark.util.sketch.CountMinSketch` wire format (the
+  * binary the `count_min_sketch` aggregate emits) and returns
+  * `estimateCount(key)` for a BIGINT key. Eval-only, deliberately no
+  * codegen: the probe side is a handful of rows joined against a
+  * 1-row broadcast sketch (q38's top-k certification pass), never a
+  * corpus scan — deserialization cost is bounded by caching the last
+  * sketch by reference (per-task instance, single-threaded eval).
+  * Unlike HLL (q20b) and GK quantiles (q37), CMS counters merge by
+  * plain addition, so the estimate is MERGE-ORDER DETERMINISTIC at
+  * any parallelism given a fixed seed — and can only overestimate.
+  */
+case class CmsEstimateL(left: Expression, right: Expression)
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary, bigint), got ($l, $r)")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cms_estimate"
+
+  @transient private var cachedBytes: Array[Byte] = _
+  @transient private var cachedSketch:
+    org.apache.spark.util.sketch.CountMinSketch = _
+
+  override def nullSafeEval(sk: Any, key: Any): Any = {
+    val bytes = sk.asInstanceOf[Array[Byte]]
+    if (!(bytes eq cachedBytes)) {
+      cachedSketch =
+        org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes)
+      cachedBytes = bytes
+    }
+    cachedSketch.estimateCount(key.asInstanceOf[java.lang.Long])
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsEstimateL =
+    copy(left = newLeft, right = newRight)
+}

@@ -339,6 +339,42 @@ object Relational {
           .cast("long").as("within_bound"))
   }
 
+  /** Count-min-sketch heavy-hitter ERROR CONTRACT — the third rung of
+    * the sketch family ([[approxDistinctError]] certifies HLL,
+    * [[approxQuantileError]] the GK quantile summary). One global CMS
+    * over `l_suppkey` (fixed-size, mergeable — THE frequency sketch a
+    * 100 TB pipeline ships to the driver instead of a full count
+    * table), probed at the exact top-`k` keys via the native
+    * [[graft.functions.CmsEstimateL]] decoder. CMS counters merge by
+    * plain addition, so unlike the other two sketches the estimate is
+    * MERGE-ORDER DETERMINISTIC given the fixed seed, and the
+    * structural half of the contract — estimates can only
+    * OVERESTIMATE — holds with certainty, not probability: the gate
+    * checks `exact ≤ est ≤ exact + boundScale·eps·N` per key, the
+    * oracle mirrors top-k + literal 1. Cost: one map-side-partial
+    * sketch aggregate + the q06 top-k + a 1-row broadcast into a
+    * k-row probe — nothing data-sized crosses the wire.
+    */
+  def heavyHitterError(lineitem: DataFrame, k: Int = 20,
+                       eps: Double = 0.0001,
+                       boundScale: Double = 5.0): DataFrame = {
+    val sk = lineitem.agg(
+      count_min_sketch(col("l_suppkey"), lit(eps), lit(0.99), lit(42))
+        .as("sk"),
+      count(lit(1)).as("n_total"))
+    val top = lineitem.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("l_suppkey").asc)
+      .limit(k)
+    val est = graft.functions.Canon.cmsEstimate(col("sk"), col("l_suppkey"))
+    top.crossJoin(broadcast(sk))
+      .select(col("l_suppkey"), col("n_exact"),
+        (est >= col("n_exact") &&
+          est <= col("n_exact") +
+            lit(boundScale) * lit(eps) * col("n_total"))
+          .cast("long").as("within_bound"))
+  }
+
   /** lag/lead offsets (§2.5): previous/next order per customer plus the
     * inter-order gap in days. One shuffle on the partition key; the
     * per-partition sort is the whole cost at any scale.

@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
-import graft.functions.{DotProductDbl, KeptUncoveredPositionsI,
-  MaxRunLengthL, PqEncodeI, SimHashBits, SortedIntersectCountL}
+import graft.functions.{CmsEstimateL, DotProductDbl,
+  KeptUncoveredPositionsI, MaxRunLengthL, PqEncodeI, SimHashBits,
+  SortedIntersectCountL}
 
 /** Optimizer rule: recognize the declarative dot-product pattern
   *
@@ -118,6 +119,12 @@ object GraftFunctions {
       arity("graft_kept_uncovered", args, 3)
       KeptUncoveredPositionsI(args(0), args(1),
         litInt(args(2), "graft_kept_uncovered", "k"))
+    },
+    fd("graft_cms_estimate",
+      "graft_cms_estimate(binary, bigint) - point estimate of a key " +
+        "against a count_min_sketch aggregate's binary") { args =>
+      arity("graft_cms_estimate", args, 2)
+      CmsEstimateL(args(0), args(1))
     })
 }
 

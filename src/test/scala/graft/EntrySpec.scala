@@ -60,6 +60,29 @@ class EntrySpec extends SparkSpec {
       "boundScale=0 should fail unless the sketch is exact by coincidence")
   }
 
+  test("q38 heavy-hitter contract: within_bound is 1 everywhere, " +
+    "estimates never underestimate, and collisions actually bite") {
+    val li = table("lineitem")
+    val ok = graft.operators.Relational.heavyHitterError(li)
+      .select("within_bound").collect().map(_.getLong(0))
+    assert(ok.nonEmpty && ok.forall(_ == 1L))
+    // The overestimate-only property is structural (counters only
+    // add): it must hold at ANY width, even one forcing collisions.
+    val coarse = graft.operators.Relational
+      .heavyHitterError(li, eps = 0.5, boundScale = 1e9)
+      .select("within_bound").collect().map(_.getLong(0))
+    assert(coarse.forall(_ == 1L),
+      "overestimate-only must hold even with a ~4-cell-wide sketch")
+    // ...and at that width the fixture's ~10 suppkeys MUST collide
+    // somewhere, so demanding est == exact (boundScale=0) has to
+    // fail: the gate can fail.
+    val tight = graft.operators.Relational
+      .heavyHitterError(li, eps = 0.5, boundScale = 0.0)
+      .select("within_bound").collect().map(_.getLong(0))
+    assert(tight.exists(_ == 0L),
+      "a ~4-cell sketch over ~10 keys should collide somewhere")
+  }
+
   test("every registered query evaluates non-empty at sf0.001") {
     // Legitimately empty at tiny SF: every customer has an order
     // (q10), the cursor window starts past the 1000-event table (g06),

@@ -71,6 +71,21 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(sql === api)
   }
 
+  test("graft_cms_estimate SQL text equals Canon.cmsEstimate and " +
+    "reads count_min_sketch's binary") {
+    val df = spark.sql(
+      "SELECT count_min_sketch(v, CAST(0.01 AS DOUBLE), " +
+        "CAST(0.99 AS DOUBLE), 42) AS sk " +
+        "FROM (SELECT CAST(id % 3 AS BIGINT) AS v FROM range(30))")
+    df.createOrReplaceTempView("gf_cms")
+    val api = df.select(Canon.cmsEstimate(col("sk"), lit(0L)))
+      .as[Long].head()
+    val sql = spark.sql(
+      "SELECT graft_cms_estimate(sk, 0L) FROM gf_cms").as[Long].head()
+    assert(sql === api)
+    assert(api === 10L) // 10 exact occurrences, wide sketch: no collision
+  }
+
   test("DESCRIBE FUNCTION shows the function name and usage intact") {
     val desc = spark.sql("DESCRIBE FUNCTION graft_dot")
       .as[String].collect().mkString("\n")
