@@ -676,6 +676,11 @@ object SparkEntry {
     // Token-balanced output sharding (serpentine LPT, two-stage rank).
     "p16_balanced_shards" -> ((s, dir) =>
       Pipeline.balancedShards(t(s, dir, "documents"))),
+    // Z-order repack planning: Morton interleave of (partkey,
+    // suppkey), equal cut into 32 files, per-file min/max stats (the
+    // data-skipping footers). Two-stage rank; row-local bit algebra.
+    "p17_zorder_layout" -> ((s, dir) =>
+      Pipeline.zorderLayout(t(s, dir, "lineitem"))),
     // Dedup summary: cluster-size histogram over d08's clusters.
     "d18_cluster_hist" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1640,6 +1645,36 @@ object SparkEntry {
         |   ELSE 63 - (r0 % 64) END AS INT) AS shard,
         | n_tokens
         |FROM r""".stripMargin,
+    // zorderLayout mirror: the SAME unrolled 16-term Morton
+    // interleave (integer shift-mask algebra — no floats), the same
+    // global (zval, orderkey, linenumber) rank, the same
+    // (rank−1)·S div N cut.
+    "p17_zorder_layout" -> {
+      val z = (0 until 16).map(i =>
+        s"((pb >> $i) & 1) * ${1L << (2 * i)} + " +
+          s"((sb >> $i) & 1) * ${1L << (2 * i + 1)}")
+        .mkString(" + ")
+      s"""WITH s AS (SELECT min(l_partkey) AS pkmn,
+         |  max(l_partkey) AS pkmx, min(l_suppkey) AS skmn,
+         |  max(l_suppkey) AS skmx FROM lineitem),
+         |b AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |  ((l_partkey - pkmn) * 65535) //
+         |    (CASE WHEN pkmx > pkmn THEN pkmx - pkmn ELSE 1 END) AS pb,
+         |  ((l_suppkey - skmn) * 65535) //
+         |    (CASE WHEN skmx > skmn THEN skmx - skmn ELSE 1 END) AS sb
+         | FROM lineitem, s),
+         |z AS (SELECT l_orderkey, l_linenumber, l_partkey,
+         |  l_suppkey, CAST($z AS BIGINT) AS zval FROM b),
+         |r AS (SELECT *, row_number() OVER (
+         |    ORDER BY zval, l_orderkey, l_linenumber) AS rn,
+         |  count(*) OVER () AS n FROM z)
+         |SELECT CAST(((rn - 1) * 32) // n AS BIGINT) AS shard,
+         | count(*) AS n_rows,
+         | min(zval) AS z_min, max(zval) AS z_max,
+         | min(l_partkey) AS partkey_min, max(l_partkey) AS partkey_max,
+         | min(l_suppkey) AS suppkey_min, max(l_suppkey) AS suppkey_max
+         |FROM r GROUP BY 1""".stripMargin
+    },
     "p02_hash_split" ->
       s"""WITH b AS (SELECT lang,
          |  ${h60("md5(text)")} % 100 AS bucket FROM documents)

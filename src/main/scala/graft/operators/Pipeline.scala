@@ -523,6 +523,88 @@ object Pipeline {
         col("n_tokens"))
   }
 
+  /** Z-order (Morton-curve) layout planning — the data-skipping
+    * repack a lakehouse runs so point/range queries on EITHER of two
+    * keys prune most files (Delta/Iceberg `OPTIMIZE ZORDER BY`): sort
+    * by the bit-interleave of the two dimensions, cut the order into
+    * `numShards` equal output files, and report each file's per-key
+    * min/max — exactly the footer stats a scan planner prunes with.
+    * Each dimension is first min–max bucketed onto the full 16-bit
+    * range (one tiny stats aggregate, broadcast back): interleaving
+    * RAW keys puts the wider dim's high bits above all of the narrow
+    * dim's bits, so the narrow dim never clusters — bucketing is what
+    * makes the curve actually interlock the two dims, and it is what
+    * production repacks do. The z-value then fits comfortably in a
+    * BIGINT and the interleave is 16 unrolled shift-mask terms on
+    * both the Spark and oracle side — identical integer algebra, no
+    * floats anywhere.
+    *
+    * Scale: the z-value is row-local arithmetic; the global cut uses
+    * the two-stage rank template (range-repartition on z, local rank,
+    * prefix offsets off the tiny counts table — no partition-less
+    * window); the shard id is rank algebra (`(rank−1)·S div N`, sizes
+    * within 1 row of equal); the stats are one map-side-partial
+    * aggregate. N arrives as a 1-row broadcast (the scalar-subquery
+    * class). Nothing data-sized is ever globally sorted on one task —
+    * at 100 TB this is the same plan, just wider.
+    */
+  def zorderLayout(lineitem: DataFrame, numShards: Int = 32,
+                   numPartitions: Int = 32): DataFrame = {
+    val bits = 16
+    def interleave(x: Column, y: Column): Column =
+      (0 until bits).map { i =>
+        (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+          (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+      }.reduce(_ + _)
+    val stats = lineitem.agg(
+      min(col("l_partkey")).as("_pkmn"), max(col("l_partkey")).as("_pkmx"),
+      min(col("l_suppkey")).as("_skmn"), max(col("l_suppkey")).as("_skmx"))
+    def bucket(x: String, mn: String, mx: String): Column =
+      expr(s"(($x - $mn) * 65535L) div " +
+        s"(CASE WHEN $mx > $mn THEN $mx - $mn ELSE 1L END)")
+    val base = lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(stats))
+      .withColumn("zval",
+        interleave(bucket("l_partkey", "_pkmn", "_pkmx"),
+          bucket("l_suppkey", "_skmn", "_skmx")))
+      .drop("_pkmn", "_pkmx", "_skmn", "_skmx")
+      .materialized // the range sampler evaluates its child twice
+    val parted = base
+      .repartitionByRange(numPartitions, col("zval").asc,
+        col("l_orderkey").asc, col("l_linenumber").asc)
+      .withColumn("_pid", spark_partition_id())
+      // pinned ONCE: three consumers (ranks, counts, total) read this
+      // frame, and the range sampler re-draws boundaries per
+      // evaluation — un-pinned, ranks and offsets can come from
+      // DIFFERENT boundary draws (observed at sf0.01: overlapping
+      // shard ranges and a rank past N)
+      .materialized
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid"))
+      .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+    val local = parted.withColumn("_r", row_number().over(wLocal).cast("long"))
+    val counts = parted.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("_pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val offsets = counts.select(col("_pid"),
+      coalesce(sum(col("_cnt")).over(wOff), lit(0L)).as("_off"))
+    val total = counts.agg(sum(col("_cnt")).as("_n"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      .join(broadcast(total))
+      .withColumn("shard",
+        expr(s"((_off + _r - 1L) * ${numShards}L) div _n").cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("zval")).as("z_min"), max(col("zval")).as("z_max"),
+        min(col("l_partkey")).as("partkey_min"),
+        max(col("l_partkey")).as("partkey_max"),
+        min(col("l_suppkey")).as("suppkey_min"),
+        max(col("l_suppkey")).as("suppkey_max"))
+  }
+
   /** Corpus mixture report ("data card"): per (lang, source) cell, doc
     * and token counts plus each cell's share of the corpus — the table
     * a mixture plan (p04/p07) is tuned against and the first thing a

@@ -174,6 +174,38 @@ class PipelineSpec extends SparkSpec {
     assert(rep === out.as[(Long, Int, Long)].collect().sorted)
   }
 
+  test("zorderLayout: contiguous z-ranges, shard sizes within one " +
+    "row, per-shard key spans beat the global span, " +
+    "partition-independent") {
+    val li = table("lineitem")
+    val out = Pipeline.zorderLayout(li, numShards = 8)
+      .orderBy("shard")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    // (shard, n_rows, z_min, z_max, pk_min, pk_max, sk_min, sk_max)
+    assert(out.map(_._1).toSeq === (0L until 8L))
+    assert(out.map(_._2).sum === li.count())
+    // the (rank−1)·S div N cut gives sizes within one row of equal
+    assert(out.map(_._2).max - out.map(_._2).min <= 1L)
+    // shards are contiguous, non-overlapping z-ranges
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"z-ranges overlap: $a vs $b")
+    }
+    // the point of the layout: per-file key spans (what footer-stat
+    // pruning sees) are much tighter than the global span, on BOTH
+    // dimensions at once
+    val pkSpan = out.map(r => r._6 - r._5).sum.toDouble / out.length
+    val skSpan = out.map(r => r._8 - r._7).sum.toDouble / out.length
+    val pkAll = out.map(_._6).max - out.map(_._5).min
+    val skAll = out.map(_._8).max - out.map(_._7).min
+    assert(pkSpan < 0.8 * pkAll, s"partkey span $pkSpan vs global $pkAll")
+    assert(skSpan < 0.8 * skAll, s"suppkey span $skSpan vs global $skAll")
+    // deterministic under any input partitioning
+    val rep = Pipeline.zorderLayout(li.repartition(7), numShards = 8)
+      .orderBy("shard")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rep === out)
+  }
+
   test("corpusReport: cell counts and corpus shares") {
     val docs = Seq(
       (0L, "a b c", "en", "web"), (1L, "d e", "en", "web"),
