@@ -101,6 +101,26 @@ object ScaleBench {
     // which also prices the brute-force ground-truth pass).
     "s26_knn_sq8", "s27_sq8_recall")
 
+  /** Fifth axis (r13): the sketch-certification family beside their
+    * exact twins, plus the z-order global rank. The claim under test
+    * is the sketches' reason to exist — a sketch aggregate ships a
+    * FIXED-SIZE buffer per partition regardless of data, so its cost
+    * curve must flatten against the exact form's as key cardinality
+    * and row count grow (q19's exact distinct shuffles every distinct
+    * key; q29's exact median buffers every group member). The
+    * contract gates (q20b/q37/q38) price sketch + exact together —
+    * their growth tracks the exact half, which is the honest cost of
+    * certification, not of the sketch. p17 rides here because its
+    * scale risk is different from every other axis: a global
+    * total-order cut (the two-stage rank) plus a row-local 32-term
+    * bit interleave over the widest table.
+    */
+  val sketchFamily: Seq[String] = Seq(
+    "q19_distinct_counts", "q20_approx_distinct",
+    "q20b_approx_distinct_err", "q29_median",
+    "q37_approx_quantile_err", "q38_heavy_hitter_err",
+    "p17_zorder_layout")
+
   private val Copies = 10
   private val KeyOffset = 10000000L // > any sf0.1 key; multiple of 10
 
@@ -178,8 +198,10 @@ object ScaleBench {
       case Seq("corpus") => corpusFamily
       case Seq("stream") => streamFamily
       case Seq("ann") => annFamily
+      case Seq("sketch") => sketchFamily
       case Seq("all") =>
-        family ++ corpusFamily ++ streamFamily ++ annFamily
+        family ++ corpusFamily ++ streamFamily ++ annFamily ++
+          sketchFamily
       case _ => family
     }
     val results = tiers.map { case (label, dir) =>
