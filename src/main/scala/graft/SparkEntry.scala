@@ -681,6 +681,23 @@ object SparkEntry {
     // data-skipping footers). Two-stage rank; row-local bit algebra.
     "p17_zorder_layout" -> ((s, dir) =>
       Pipeline.zorderLayout(t(s, dir, "lineitem"))),
+    // CDC changelog → SCD2 version table (lakehouse MERGE/CDF
+    // compaction): one key shuffle + per-key sort; version/valid_to/
+    // is_current share one window frame. The sort-free latest-wins
+    // snapshot is Pipeline.cdcSnapshot (spec-pinned ≡ is_current).
+    "p18_cdc_upsert" -> ((s, dir) =>
+      Pipeline.cdcUpsert(t(s, dir, "events"))),
+    // Sketch-only contamination estimate (4th decontamination rung):
+    // one HLL sketch per corpus + inclusion–exclusion overlap — no
+    // shingle ever crosses between the two sides. Exact counts ride
+    // along only to certify; within_bound hash-gates the estimate
+    // against the published 1.04/√2^lgK HLL error (q20b pattern).
+    "d24_sketch_overlap" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.sketchOverlap(
+        docs.filter(col("doc_id") % 7 =!= 0),
+        docs.filter(col("doc_id") % 7 === 0))
+    }),
     // Dedup summary: cluster-size histogram over d08's clusters.
     "d18_cluster_hist" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1674,6 +1691,41 @@ object SparkEntry {
          | min(l_partkey) AS partkey_min, max(l_partkey) AS partkey_max,
          | min(l_suppkey) AS suppkey_min, max(l_suppkey) AS suppkey_max
          |FROM r GROUP BY 1""".stripMargin
+    },
+    // cdcUpsert mirror: identical (ts, event_id) total order; the
+    // open-version sentinel is the same µs literal on both engines.
+    "p18_cdc_upsert" ->
+      s"""SELECT user_id, event_id, event_type, value,
+         | CAST(row_number() OVER w AS BIGINT) AS version,
+         | epoch_us(ts) AS valid_from_us,
+         | coalesce(epoch_us(lead(ts) OVER w),
+         |   ${graft.operators.Pipeline.ScdOpenEndUs}) AS valid_to_us,
+         | (lead(ts) OVER w IS NULL) AS is_current
+         |FROM events
+         |WINDOW w AS (PARTITION BY user_id
+         |  ORDER BY ts, event_id)""".stripMargin,
+    // sketchOverlap mirror (q20b contract pattern): d10's shingle
+    // CTEs → the three EXACT distinct counts + literal 1; the HLL
+    // estimates stay engine-side, gated through within_bound.
+    "d24_sketch_overlap" -> {
+      import graft.functions.Canon.{MersenneP => P}
+      val poly = (1 until 5).foldLeft("hw[i]") {
+        (acc, j) => s"($acc*31 + hw[i+$j])"
+      } + s" % $P"
+      s"""WITH w AS (SELECT doc_id,
+         |  [${h60("x")} % $P FOR x IN string_split(text, ' ')] AS hw
+         | FROM documents),
+         |s AS (SELECT doc_id,
+         |  list_distinct([$poly FOR i IN range(1, len(hw)-3)]) AS sh
+         | FROM w),
+         |b AS (SELECT DISTINCT unnest(sh) AS sh FROM s
+         |  WHERE doc_id % 7 <> 0),
+         |e AS (SELECT DISTINCT unnest(sh) AS sh FROM s
+         |  WHERE doc_id % 7 = 0)
+         |SELECT (SELECT count(*) FROM b) AS n_batch_exact,
+         | (SELECT count(*) FROM e) AS n_bench_exact,
+         | (SELECT count(*) FROM b JOIN e USING (sh)) AS n_overlap_exact,
+         | CAST(1 AS BIGINT) AS within_bound""".stripMargin
     },
     "p02_hash_split" ->
       s"""WITH b AS (SELECT lang,

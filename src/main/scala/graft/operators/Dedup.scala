@@ -968,4 +968,60 @@ object Dedup {
       .select(col("size"), col("n_clusters"),
         (col("size") * col("n_clusters")).as("n_docs"),
         ((col("size") - 1) * col("n_clusters")).as("n_removable"))
+
+  /** Sketch-only contamination ESTIMATE — the fourth decontamination
+    * rung, and the only one that moves NO shingle data between the
+    * two corpora at all. [[decontaminate]] semi-joins the exact
+    * shingle sets; [[bloomDecontaminate]] broadcasts a fixed bitmap
+    * one way; this ships one Datasketches HLL sketch PER CORPUS
+    * (~2^lgConfigK bytes, built map-side by `hll_sketch_agg`, merged
+    * by register-max — order-insensitive, so the estimate is a pure
+    * function of the input sets) and estimates the distinct-shingle
+    * overlap by inclusion–exclusion:
+    * `|A∩B| ≈ est(A) + est(B) − est(A∪B)`. That is the 100 TB
+    * cross-datacenter form: two corpora that never co-locate can
+    * still answer "how contaminated is the batch vs the benchmark"
+    * by exchanging kilobytes.
+    *
+    * Gate shape (the q20b error-contract pattern): the estimate is
+    * engine-specific (DuckDB has no Datasketches mirror), so the
+    * emitted row carries the EXACT three counts — computed here only
+    * to certify the sketch — plus `within_bound` = whether the
+    * estimated overlap is within `boundScale · rse · (estA+estB+estU)`
+    * of the exact overlap, where `rse = 1.04/√2^lgConfigK` is the
+    * published HLL relative standard error. The oracle mirrors the
+    * exact counts (d10's shingle CTEs) + literal 1; sketch drift past
+    * the bound hash-FAILS. The bound uses the ESTIMATED magnitudes,
+    * not the exact ones, because at 100 TB the exact ones are what
+    * you are avoiding computing.
+    */
+  def sketchOverlap(batch: DataFrame, benchmark: DataFrame,
+                    k: Int = 5, lgConfigK: Int = 14,
+                    boundScale: Double = 5.0): DataFrame = {
+    def shingleSet(d: DataFrame): DataFrame =
+      d.select(transform(Canon.words(col("text")),
+          w => Canon.hashP(w)).as("hw"))
+        .select(explode(array_distinct(
+          Canon.shingleHashes(col("hw"), k))).as("sh"))
+        .distinct()
+    val a = shingleSet(batch)
+    val b = shingleSet(benchmark)
+    val skA = a.agg(count(lit(1)).as("n_batch_exact"),
+      hll_sketch_agg(col("sh"), lgConfigK).as("sk_a"))
+    val skB = b.agg(count(lit(1)).as("n_bench_exact"),
+      hll_sketch_agg(col("sh"), lgConfigK).as("sk_b"))
+    val overlap = a.join(b, Seq("sh"))
+      .agg(count(lit(1)).as("n_overlap_exact"))
+    val rse = 1.04 / math.sqrt((1L << lgConfigK).toDouble)
+    val estA = hll_sketch_estimate(col("sk_a")).cast("double")
+    val estB = hll_sketch_estimate(col("sk_b")).cast("double")
+    val estU = hll_sketch_estimate(
+      hll_union(col("sk_a"), col("sk_b"))).cast("double")
+    skA.crossJoin(skB).crossJoin(overlap)
+      .select(col("n_batch_exact"), col("n_bench_exact"),
+        col("n_overlap_exact"),
+        (abs(estA + estB - estU - col("n_overlap_exact").cast("double"))
+          <= lit(boundScale * rse) * (estA + estB + estU))
+          .cast("long").as("within_bound"))
+  }
 }

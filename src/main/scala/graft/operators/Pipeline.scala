@@ -763,4 +763,65 @@ object Pipeline {
         col("s.stage_name").as("stage_name"),
         col("s.n_docs").as("n_docs"), col("s.n_tokens").as("n_tokens"))
   }
+
+  /** Sentinel `valid_to_us` for an open (current) SCD2 version:
+    * 9999-12-31T23:59:59.999999Z in µs — a literal on both engines,
+    * chosen over NULL because a NULL BIGINT round-trips through the
+    * oracle's pandas path as float64 NaN and poisons the whole
+    * column's rendering.
+    */
+  val ScdOpenEndUs: Long = 253402300799999999L
+
+  /** CDC changelog → SCD2 version table (the lakehouse `MERGE INTO` /
+    * change-data-feed compaction, Kimball type-2 dimension): each
+    * change row becomes a version with a half-open validity interval
+    * `[valid_from_us, valid_to_us)`, `valid_to_us` = the next
+    * version's start ([[ScdOpenEndUs]] for the current one). Ordering
+    * inside a key is (ts, event_id) — the event id breaks equal-ts
+    * ties deterministically, the same total order st02 pins.
+    *
+    * Scale shape: ONE shuffle on the key + the per-key sort the
+    * interval semantics inherently require; `version`, `valid_to_us`
+    * and `is_current` all ride the SAME window frame (one sort, three
+    * projections — lead/row_number over an already-sorted partition
+    * are O(1) per row). The no-sort half is [[cdcSnapshot]]: when only
+    * the LATEST state per key is wanted (the common read), max_by
+    * skips the sort entirely — PipelineSpec pins snapshot ≡ the
+    * is_current slice of this table.
+    */
+  def cdcUpsert(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events.select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), graft.Tables.tsUs(events).as("ts_us"))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from_us", col("ts_us"))
+      .withColumn("valid_to_us",
+        coalesce(lead(col("ts_us"), 1).over(w), lit(ScdOpenEndUs)))
+      .withColumn("is_current", lead(col("ts_us"), 1).over(w).isNull)
+      .drop("ts_us")
+  }
+
+  /** Latest-wins CDC compaction WITHOUT the sort: one map-side-
+    * combinable max_by per column keyed on the same (ts, event_id)
+    * total order [[cdcUpsert]] sorts by — the struct comparison makes
+    * the tiebreak explicit. This is the plan to run when the history
+    * is not needed: a single hash-aggregate shuffle, no window, no
+    * per-key sort, which at 100 TB of changelog is the difference
+    * between a scan-speed compaction and a sort-bound one.
+    */
+  def cdcSnapshot(events: DataFrame): DataFrame = {
+    val tsUs = graft.Tables.tsUs(events)
+    val ord = struct(tsUs, col("event_id"))
+    events.groupBy(col("user_id"))
+      .agg(max_by(col("event_id"), ord).as("event_id"),
+        max_by(col("event_type"), ord).as("event_type"),
+        max_by(col("value"), ord).as("value"),
+        max_by(tsUs, ord).as("valid_from_us"),
+        count(lit(1)).cast("long").as("version"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("version"), col("valid_from_us"),
+        lit(ScdOpenEndUs).as("valid_to_us"), lit(true).as("is_current"))
+  }
 }

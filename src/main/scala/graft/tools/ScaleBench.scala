@@ -78,7 +78,11 @@ object ScaleBench {
     "st01_tumbling_window", "st02_sessionize", "st03_sliding_window",
     "st04_interval_join", "st05_interval_join_outer",
     "st06_dedup_first", "st08_gap_fill", "st09_lateness",
-    "st10_session_window", "q24_lag_lead", "q25_running_sum")
+    "st10_session_window", "q24_lag_lead", "q25_running_sum",
+    // r13 late entrant: the SCD2 window — salted users grow the KEY
+    // space 10× while per-key history length (the sort cost inside a
+    // partition) stays constant, the cluster growth direction.
+    "p18_cdc_upsert")
 
   /** Fourth axis (r12, VERDICT r10 #3): the composed ANN ladder —
     * raw-PQ IVFADC (s16), residual IVFADC (s18), and the re-ranked
@@ -119,7 +123,12 @@ object ScaleBench {
     "q19_distinct_counts", "q20_approx_distinct",
     "q20b_approx_distinct_err", "q29_median",
     "q37_approx_quantile_err", "q38_heavy_hitter_err",
-    "p17_zorder_layout")
+    "p17_zorder_layout",
+    // r13 late entrant: the HLL overlap estimate prices TWO sketch
+    // builds + the exact certification join — its growth tracks the
+    // exact intersection (the half a production run would drop),
+    // while the sketch halves stay fixed-size per partition.
+    "d24_sketch_overlap")
 
   private val Copies = 10
   private val KeyOffset = 10000000L // > any sf0.1 key; multiple of 10

@@ -478,4 +478,35 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(out === Array((2L, 2L, 4L, 2L), (3L, 1L, 3L, 2L)))
   }
+
+  test("sketchOverlap: exact counts + HLL estimate inside the bound; " +
+    "a zero bound flips the gate") {
+    // 30 batch docs, 10 bench docs; bench docs 0-4 are verbatim
+    // copies of batch docs 0-4 → a real shingle overlap, while the
+    // rest of each side is disjoint vocabulary.
+    def txt(side: String, i: Int) =
+      (0 until 12).map(j => s"${side}_${i}_w$j").mkString(" ")
+    val batch = (0 until 30).map(i => (i.toLong, txt("a", i)))
+      .toDF("doc_id", "text")
+    val bench = ((0 until 5).map(i => (100L + i, txt("a", i))) ++
+      (5 until 10).map(i => (100L + i, txt("b", i))))
+      .toDF("doc_id", "text")
+    val out = Dedup.sketchOverlap(batch, bench)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length === 1)
+    val (nA, nB, nOv, ok) = out.head
+    // 12 words → 8 distinct 5-shingles per doc, all globally distinct
+    assert(nA === 30L * 8)
+    assert(nB === 10L * 8)
+    assert(nOv === 5L * 8) // exactly the 5 copied docs' shingles
+    assert(ok === 1L)
+    // the gate CAN fail: at lgK=4 (16 registers, dense, real
+    // estimation error on 240 items) a zero error budget rejects —
+    // at the default lgK the sketch is still in sparse/exact mode
+    // here, so the flip needs a genuinely lossy sketch
+    val strict = Dedup.sketchOverlap(batch, bench, lgConfigK = 4,
+        boundScale = 0.0)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(strict._4 === 0L)
+  }
 }

@@ -256,4 +256,46 @@ class PipelineSpec extends SparkSpec {
     assert(out.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
     assert(out.map(_._4).sliding(2).forall(p => p(0) >= p(1)))
   }
+
+  test("cdcUpsert: SCD2 interval chain, tie-broken by event_id; " +
+    "cdcSnapshot equals the sort-free is_current slice") {
+    // ns-long ts (the Tables.tsUs LongType arm); user 7 has an exact
+    // ts tie between events 2 and 3 — event_id must break it.
+    val ev = Seq(
+      (1L, 1000000000L, 7L, "signup", 1.0),
+      (2L, 2000000000L, 7L, "purchase", 2.0),
+      (3L, 2000000000L, 7L, "error", 3.0), // tied ts, higher id → later
+      (4L, 3000000000L, 7L, "purchase", 4.0),
+      (5L, 5000000000L, 8L, "signup", 5.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val scd = Pipeline.cdcUpsert(ev)
+      .select("user_id", "version", "event_id", "valid_from_us",
+        "valid_to_us", "is_current")
+      .as[(Long, Long, Long, Long, Long, Boolean)]
+      .collect().sortBy(r => (r._1, r._2))
+    // user 7: versions 1..4 in (ts, event_id) order
+    assert(scd.filter(_._1 == 7L).map(_._3).toSeq === Seq(1L, 2L, 3L, 4L))
+    // half-open chain: each valid_to is the next valid_from
+    scd.groupBy(_._1).values.foreach { vs =>
+      val s = vs.sortBy(_._2)
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 === b._4)
+        case _ =>
+      }
+      // exactly one open current version per key, the last one
+      assert(s.count(_._6) === 1)
+      assert(s.last._6 && s.last._5 === Pipeline.ScdOpenEndUs)
+      assert(s.map(_._2).toSeq === (1L to s.length.toLong))
+    }
+    // the tied pair: event 2 precedes event 3, and the tie makes
+    // version 2's interval empty ([2s, 2s) in µs)
+    val tied = scd.filter(r => r._1 == 7L && (r._3 == 2L || r._3 == 3L))
+    assert(tied.map(r => (r._3, r._4, r._5)).toSeq ===
+      Seq((2L, 2000000L, 2000000L), (3L, 2000000L, 3000000L)))
+    // snapshot (one hash agg, no sort) ≡ the is_current slice
+    val snap = Pipeline.cdcSnapshot(ev)
+    val cur = Pipeline.cdcUpsert(ev).filter($"is_current")
+      .select(snap.columns.map(org.apache.spark.sql.functions.col): _*)
+    assert(snap.except(cur).isEmpty && cur.except(snap).isEmpty)
+  }
 }
