@@ -634,6 +634,12 @@ object SparkEntry {
     "st11_ingest_dedup" -> ((s, dir) =>
       graft.streaming.StreamingOps.ingestDedupBatch(
         t(s, dir, "documents"))),
+    // Batch anchor of the streaming latest-wins CDC compaction: the
+    // sort-free max_by snapshot (p18's is_current slice); the
+    // unbounded form is StreamingOps.streamingLatestWins, spec-pinned
+    // stream ≡ batch ≡ sequential replay (st06/st11 discipline).
+    "st12_cdc_snapshot" -> ((s, dir) =>
+      Pipeline.cdcSnapshot(t(s, dir, "events"))),
     // Easy-to-hard curriculum position (two-stage global rank).
     "p13_curriculum" -> ((s, dir) =>
       Pipeline.curriculumOrder(t(s, dir, "documents"))),
@@ -1692,6 +1698,21 @@ object SparkEntry {
          | min(l_suppkey) AS suppkey_min, max(l_suppkey) AS suppkey_max
          |FROM r GROUP BY 1""".stripMargin
     },
+    // cdcSnapshot mirror: p18's window CTE filtered to the open
+    // version — DuckDB takes the sorted route to the same rows the
+    // Spark side reaches with one sortless max_by aggregate.
+    "st12_cdc_snapshot" ->
+      s"""WITH v AS (SELECT user_id, event_id, event_type, value,
+         |  CAST(row_number() OVER w AS BIGINT) AS version,
+         |  epoch_us(ts) AS valid_from_us,
+         |  lead(ts) OVER w AS nxt
+         | FROM events
+         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, event_id, event_type, value, version,
+         | valid_from_us,
+         | ${graft.operators.Pipeline.ScdOpenEndUs} AS valid_to_us,
+         | TRUE AS is_current
+         |FROM v WHERE nxt IS NULL""".stripMargin,
     // cdcUpsert mirror: identical (ts, event_id) total order; the
     // open-version sentinel is the same µs literal on both engines.
     "p18_cdc_upsert" ->

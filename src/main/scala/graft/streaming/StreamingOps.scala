@@ -413,4 +413,46 @@ object StreamingOps {
             state.update(true)
             rows.take(1)
           })(org.apache.spark.sql.Encoders.scalaBoolean, outEnc)
+
+  /** Per-key running CDC state for [[streamingLatestWins]]: the
+    * current winner under the (ts_us, event_id) total order plus the
+    * change count (= the batch form's `version`).
+    */
+  case class CdcRow(userId: Long, tsUs: Long, eventId: Long,
+                    eventType: String, value: Double)
+  case class CdcState(tsUs: Long, eventId: Long, eventType: String,
+                      value: Double, n: Long)
+
+  /** Streaming latest-wins CDC compaction — the UNBOUNDED twin of
+    * [[graft.operators.Pipeline.cdcSnapshot]] (st12's spec-pinned
+    * stream form, the st06/st11 batch≡stream discipline): state per
+    * key is ONE CdcState row (constant per key — bounded by keys, not
+    * by history, so no watermark is needed for correctness), updated
+    * by the same (ts_us, event_id) max the batch max_by takes; each
+    * micro-batch emits the key's refreshed snapshot row (update-mode
+    * semantics: downstream upserts by user_id). Replaying any arrival
+    * order converges to the batch snapshot because max over a total
+    * order is commutative — StreamingOpsSpec pins stream ≡ batch ≡
+    * per-event sequential replay.
+    */
+  def streamingLatestWins(rows: org.apache.spark.sql.Dataset[CdcRow])
+      : org.apache.spark.sql.Dataset[(Long, Long, String, Double, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.userId)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[CdcRow], state: GroupState[CdcState]) => {
+          val merged = it.foldLeft(state.getOption.getOrElse(
+            CdcState(Long.MinValue, Long.MinValue, null, 0.0, 0L))) {
+            (s, r) =>
+              val newer = r.tsUs > s.tsUs ||
+                (r.tsUs == s.tsUs && r.eventId > s.eventId)
+              if (newer) CdcState(r.tsUs, r.eventId, r.eventType,
+                r.value, s.n + 1)
+              else s.copy(n = s.n + 1)
+          }
+          state.update(merged)
+          (key, merged.eventId, merged.eventType, merged.value,
+            merged.n, merged.tsUs)
+        })
+  }
 }

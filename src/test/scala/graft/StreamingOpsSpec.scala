@@ -391,4 +391,53 @@ class StreamingOpsSpec extends SparkSpec {
         .as[(Long, Long, Long, Boolean)].collect().sorted
     assert(run(1) === run(7))
   }
+
+  test("streamingLatestWins: stream final state ≡ batch cdcSnapshot " +
+    "≡ reversed-order sequential replay; late arrival counted, not won") {
+    import StreamingOps.CdcRow
+    implicit val sqlCtx = spark.sqlContext
+    val evs = Seq(
+      CdcRow(7L, 1000L, 1L, "signup", 1.0),
+      CdcRow(7L, 2000L, 2L, "purchase", 2.0),
+      CdcRow(7L, 2000L, 3L, "error", 3.0), // ts tie → event_id wins
+      CdcRow(7L, 1500L, 4L, "late", 4.0),  // late arrival: bumps the
+                                           // version, must not win
+      CdcRow(8L, 5000L, 5L, "signup", 5.0))
+
+    def streamFinal(batches: Seq[Seq[CdcRow]], name: String)
+        : Set[(Long, Long, String, Double, Long, Long)] = {
+      val mem = MemoryStream[CdcRow]
+      val q = StreamingOps.streamingLatestWins(mem.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        // update mode appends one refreshed row per touched key per
+        // batch; the final state is the highest-version row per key
+        spark.sql(s"SELECT * FROM $name")
+          .as[(Long, Long, String, Double, Long, Long)].collect()
+          .groupBy(_._1).values.map(_.maxBy(_._5)).toSet
+      } finally q.stop()
+    }
+
+    val streamed = streamFinal(
+      Seq(Seq(evs(0), evs(1)), Seq(evs(2), evs(4)), Seq(evs(3))), "cdc_a")
+    // one event per micro-batch, reversed arrival — same fixpoint
+    val replayed = streamFinal(evs.reverse.map(Seq(_)), "cdc_b")
+    assert(streamed === replayed)
+
+    // batch anchor: cdcSnapshot over the same changes as an
+    // events-shaped DataFrame (ns-long ts = 1000 × the µs values)
+    val batchDf = evs.map(r =>
+        (r.eventId, r.tsUs * 1000L, r.userId, r.eventType, r.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val anchor = graft.operators.Pipeline.cdcSnapshot(batchDf)
+      .select("user_id", "event_id", "event_type", "value", "version",
+        "valid_from_us")
+      .as[(Long, Long, String, Double, Long, Long)].collect().toSet
+    assert(streamed === anchor)
+    // the winner under the tie is the higher event_id, not the late row
+    assert(streamed.find(_._1 == 7L).get ===
+      ((7L, 3L, "error", 3.0, 4L, 2000L)))
+  }
 }
