@@ -693,6 +693,11 @@ object SparkEntry {
     // snapshot is Pipeline.cdcSnapshot (spec-pinned ≡ is_current).
     "p18_cdc_upsert" -> ((s, dir) =>
       Pipeline.cdcUpsert(t(s, dir, "events"))),
+    // p17's effectiveness dial: shards a stats-only pruner must scan
+    // under the z-order vs the natural layout, per diagonal box
+    // predicate — the measured payoff of the repack.
+    "p19_skipping_probe" -> ((s, dir) =>
+      Pipeline.skippingProbe(t(s, dir, "lineitem"))),
     // Sketch-only contamination estimate (4th decontamination rung):
     // one HLL sketch per corpus + inclusion–exclusion overlap — no
     // shingle ever crosses between the two sides. Exact counts ride
@@ -820,6 +825,42 @@ object SparkEntry {
   /** DuckDB: left-fold sum matching Canon.dot / Canon.rollingHash. */
   private def foldSum(products: String): String =
     s"list_reduce(list_prepend(0.0, $products), (acc, x) -> acc + x)"
+
+  /** DuckDB: the unrolled 16-term Morton interleave over bucketed
+    * columns `pb`/`sb` — shared by the p17 and p19 mirrors so the two
+    * gates cannot drift (mirrors Pipeline.zorderLayout's interleave).
+    */
+  private val zMorton: String = (0 until 16).map(i =>
+    s"((pb >> $i) & 1) * ${1L << (2 * i)} + " +
+      s"((sb >> $i) & 1) * ${1L << (2 * i + 1)}")
+    .mkString(" + ")
+
+  /** DuckDB: the p17 z-order shard-stats chain (same bucket /
+    * interleave / rank-cut algebra as Pipeline.zorderLayout), exposed
+    * as a CTE prefix ending in `zs` (shard → min/max footer stats).
+    */
+  private val zorderStatsCte: String =
+    s"""WITH s AS (SELECT min(l_partkey) AS pkmn,
+       |  max(l_partkey) AS pkmx, min(l_suppkey) AS skmn,
+       |  max(l_suppkey) AS skmx FROM lineitem),
+       |b AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |  ((l_partkey - pkmn) * 65535) //
+       |    (CASE WHEN pkmx > pkmn THEN pkmx - pkmn ELSE 1 END) AS pb,
+       |  ((l_suppkey - skmn) * 65535) //
+       |    (CASE WHEN skmx > skmn THEN skmx - skmn ELSE 1 END) AS sb
+       | FROM lineitem, s),
+       |z AS (SELECT l_orderkey, l_linenumber, l_partkey,
+       |  l_suppkey, CAST($zMorton AS BIGINT) AS zval FROM b),
+       |r AS (SELECT *, row_number() OVER (
+       |    ORDER BY zval, l_orderkey, l_linenumber) AS rn,
+       |  count(*) OVER () AS n FROM z),
+       |zs AS (SELECT CAST(((rn - 1) * 32) // n AS BIGINT) AS shard,
+       |  count(*) AS n_rows,
+       |  min(zval) AS z_min, max(zval) AS z_max,
+       |  min(l_partkey) AS partkey_min, max(l_partkey) AS partkey_max,
+       |  min(l_suppkey) AS suppkey_min, max(l_suppkey) AS suppkey_max
+       | FROM r GROUP BY 1)
+       |""".stripMargin
 
   /** Shared minhash-signature CTE (documents → doc_id, m0..m7):
     * one md5 per shingle reduced into Z_p, then the Canon affine
@@ -1672,32 +1713,39 @@ object SparkEntry {
     // interleave (integer shift-mask algebra — no floats), the same
     // global (zval, orderkey, linenumber) rank, the same
     // (rank−1)·S div N cut.
-    "p17_zorder_layout" -> {
-      val z = (0 until 16).map(i =>
-        s"((pb >> $i) & 1) * ${1L << (2 * i)} + " +
-          s"((sb >> $i) & 1) * ${1L << (2 * i + 1)}")
-        .mkString(" + ")
-      s"""WITH s AS (SELECT min(l_partkey) AS pkmn,
-         |  max(l_partkey) AS pkmx, min(l_suppkey) AS skmn,
-         |  max(l_suppkey) AS skmx FROM lineitem),
-         |b AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
-         |  ((l_partkey - pkmn) * 65535) //
-         |    (CASE WHEN pkmx > pkmn THEN pkmx - pkmn ELSE 1 END) AS pb,
-         |  ((l_suppkey - skmn) * 65535) //
-         |    (CASE WHEN skmx > skmn THEN skmx - skmn ELSE 1 END) AS sb
-         | FROM lineitem, s),
-         |z AS (SELECT l_orderkey, l_linenumber, l_partkey,
-         |  l_suppkey, CAST($z AS BIGINT) AS zval FROM b),
-         |r AS (SELECT *, row_number() OVER (
-         |    ORDER BY zval, l_orderkey, l_linenumber) AS rn,
-         |  count(*) OVER () AS n FROM z)
-         |SELECT CAST(((rn - 1) * 32) // n AS BIGINT) AS shard,
-         | count(*) AS n_rows,
-         | min(zval) AS z_min, max(zval) AS z_max,
-         | min(l_partkey) AS partkey_min, max(l_partkey) AS partkey_max,
-         | min(l_suppkey) AS suppkey_min, max(l_suppkey) AS suppkey_max
-         |FROM r GROUP BY 1""".stripMargin
-    },
+    "p17_zorder_layout" ->
+      (zorderStatsCte + "SELECT * FROM zs"),
+    // skippingProbe mirror: the SAME z-order stats chain (shared CTE
+    // with p17), the natural-order shard stats, and the diagonal
+    // predicate grid over the global key ranges.
+    "p19_skipping_probe" ->
+      (zorderStatsCte.trim + s""",
+         |nr AS (SELECT l_partkey, l_suppkey, row_number() OVER (
+         |    ORDER BY l_orderkey, l_linenumber) AS rn,
+         |  count(*) OVER () AS n FROM lineitem),
+         |ns AS (SELECT CAST(((rn - 1) * 32) // n AS BIGINT) AS shard,
+         |  min(l_partkey) AS partkey_min, max(l_partkey) AS partkey_max,
+         |  min(l_suppkey) AS suppkey_min, max(l_suppkey) AS suppkey_max
+         | FROM nr GROUP BY 1),
+         |p AS (SELECT q AS pred_id,
+         |  pkmn + ((pkmx - pkmn + 1) * q) // 8 AS pk_lo,
+         |  pkmn + ((pkmx - pkmn + 1) * (q + 1)) // 8 - 1 AS pk_hi,
+         |  skmn + ((skmx - skmn + 1) * q) // 8 AS sk_lo,
+         |  skmn + ((skmx - skmn + 1) * (q + 1)) // 8 - 1 AS sk_hi
+         | FROM range(8) AS t(q) CROSS JOIN s),
+         |zc AS (SELECT pred_id, CAST(sum(CASE WHEN
+         |    NOT (partkey_max < pk_lo OR partkey_min > pk_hi)
+         |    AND NOT (suppkey_max < sk_lo OR suppkey_min > sk_hi)
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS scan_zorder
+         | FROM p CROSS JOIN zs GROUP BY 1),
+         |nc AS (SELECT pred_id, CAST(sum(CASE WHEN
+         |    NOT (partkey_max < pk_lo OR partkey_min > pk_hi)
+         |    AND NOT (suppkey_max < sk_lo OR suppkey_min > sk_hi)
+         |   THEN 1 ELSE 0 END) AS BIGINT) AS scan_natural
+         | FROM p CROSS JOIN ns GROUP BY 1)
+         |SELECT pred_id, CAST(32 AS BIGINT) AS n_shards,
+         | scan_zorder, scan_natural
+         |FROM zc JOIN nc USING (pred_id)""".stripMargin),
     // cdcSnapshot mirror: p18's window CTE filtered to the open
     // version — DuckDB takes the sorted route to the same rows the
     // Spark side reaches with one sortless max_by aggregate.

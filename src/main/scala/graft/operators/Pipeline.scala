@@ -605,6 +605,93 @@ object Pipeline {
         max(col("l_suppkey")).as("suppkey_max"))
   }
 
+  /** Data-skipping effectiveness probe — p17's DIAL (the s11/s17
+    * discipline: an operator's payoff measured as a gated query, not
+    * argued). For a grid of `nPreds` diagonal box predicates over
+    * (l_partkey, l_suppkey) — equal integer eighths of each key's
+    * global range — count, per predicate, how many shards a
+    * stats-only pruner MUST scan (footer min/max interval overlaps
+    * the box on BOTH dims) under two layouts of the same table into
+    * the same `numShards` files: the [[zorderLayout]] repack versus
+    * the natural (l_orderkey, l_linenumber) order. The z-order wins
+    * exactly when both dims are selective, which is the case the
+    * repack exists for.
+    *
+    * Scale shape: everything beyond the two layout chains (each the
+    * proven two-stage-rank template) is algebra over two
+    * `numShards`-row stats tables crossed with an `nPreds`-row
+    * predicate grid — broadcast joins of bounded frames. At 100 TB
+    * the stats tables ARE the parquet footers; the probe itself
+    * never touches data.
+    */
+  def skippingProbe(lineitem: DataFrame, numShards: Int = 32,
+                    nPreds: Int = 8,
+                    numPartitions: Int = 32): DataFrame = {
+    val zs = zorderLayout(lineitem, numShards, numPartitions)
+      .select(col("shard"), col("partkey_min"), col("partkey_max"),
+        col("suppkey_min"), col("suppkey_max"))
+    // natural-order layout: same rank-cut shard assignment, ordered
+    // by the table's native (orderkey, linenumber) key
+    val base = lineitem
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"))
+    val parted = base
+      .repartitionByRange(numPartitions, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .withColumn("_pid", spark_partition_id())
+      // pinned for the same reason as zorderLayout's parted frame:
+      // the range sampler re-draws boundaries per evaluation
+      .materialized
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    val local = parted
+      .withColumn("_r", row_number().over(wLocal).cast("long"))
+    val counts = parted.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("_pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val offsets = counts.select(col("_pid"),
+      coalesce(sum(col("_cnt")).over(wOff), lit(0L)).as("_off"))
+    val total = counts.agg(sum(col("_cnt")).as("_n"))
+    val ns = local.join(broadcast(offsets), Seq("_pid"))
+      .join(broadcast(total))
+      .withColumn("shard",
+        expr(s"((_off + _r - 1L) * ${numShards}L) div _n").cast("long"))
+      .groupBy(col("shard"))
+      .agg(min(col("l_partkey")).as("partkey_min"),
+        max(col("l_partkey")).as("partkey_max"),
+        min(col("l_suppkey")).as("suppkey_min"),
+        max(col("l_suppkey")).as("suppkey_max"))
+    // diagonal predicate grid over the global key ranges
+    val stats = lineitem.agg(
+      min(col("l_partkey")).as("_pkmn"), max(col("l_partkey")).as("_pkmx"),
+      min(col("l_suppkey")).as("_skmn"), max(col("l_suppkey")).as("_skmx"))
+    val preds = lineitem.sparkSession.range(nPreds.toLong)
+      .select(col("id").as("pred_id")).join(broadcast(stats))
+      .select(col("pred_id"),
+        expr(s"_pkmn + ((_pkmx - _pkmn + 1L) * pred_id) div ${nPreds}L")
+          .as("pk_lo"),
+        expr(s"_pkmn + ((_pkmx - _pkmn + 1L) * (pred_id + 1)) div " +
+          s"${nPreds}L - 1L").as("pk_hi"),
+        expr(s"_skmn + ((_skmx - _skmn + 1L) * pred_id) div ${nPreds}L")
+          .as("sk_lo"),
+        expr(s"_skmn + ((_skmx - _skmn + 1L) * (pred_id + 1)) div " +
+          s"${nPreds}L - 1L").as("sk_hi"))
+    val mustScan: Column =
+      sum((not(col("partkey_max") < col("pk_lo") ||
+          col("partkey_min") > col("pk_hi")) &&
+        not(col("suppkey_max") < col("sk_lo") ||
+          col("suppkey_min") > col("sk_hi"))).cast("long"))
+    val scanZ = preds.crossJoin(broadcast(zs))
+      .groupBy(col("pred_id")).agg(mustScan.as("scan_zorder"))
+    val scanN = preds.crossJoin(broadcast(ns))
+      .groupBy(col("pred_id")).agg(mustScan.as("scan_natural"))
+    scanZ.join(scanN, Seq("pred_id"))
+      .select(col("pred_id"), lit(numShards.toLong).as("n_shards"),
+        col("scan_zorder"), col("scan_natural"))
+  }
+
   /** Corpus mixture report ("data card"): per (lang, source) cell, doc
     * and token counts plus each cell's share of the corpus — the table
     * a mixture plan (p04/p07) is tuned against and the first thing a

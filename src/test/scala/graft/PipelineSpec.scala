@@ -257,6 +257,34 @@ class PipelineSpec extends SparkSpec {
     assert(out.map(_._4).sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("skippingProbe: z-order layout prunes diagonal predicates the " +
+    "natural layout cannot; partition-independent") {
+    // diagonal key correlation (partkey ≈ suppkey ≈ i) written in a
+    // scrambled natural order: footer stats under the natural layout
+    // span the whole key range, the z-order layout localizes both dims
+    val n = 256
+    val rows = (0 until n).map { i =>
+      ((i * 37) % n + 1L, 1L, i.toLong, i.toLong)
+    }
+    val li = rows.toDF("l_orderkey", "l_linenumber",
+      "l_partkey", "l_suppkey")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.skippingProbe(df, numShards = 8, nPreds = 4,
+          numPartitions = 4)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val out = run(li)
+    assert(out.map(_._1) === (0L until 4L))
+    assert(out.forall(_._2 === 8L))
+    // every predicate selects SOME rows, so at least one shard scans
+    assert(out.forall(r => r._3 >= 1L && r._4 >= 1L))
+    // the z-order must beat the natural layout on every diagonal box,
+    // and the natural layout's scrambled footers prune ~nothing
+    assert(out.forall(r => r._3 < r._4))
+    assert(out.map(_._4).sum >= 8L * 3)
+    // two-stage-rank discipline: input partitioning must not matter
+    assert(run(li.repartition(7)) === out)
+  }
+
   test("cdcUpsert: SCD2 interval chain, tie-broken by event_id; " +
     "cdcSnapshot equals the sort-free is_current slice") {
     // ns-long ts (the Tables.tsUs LongType arm); user 7 has an exact
