@@ -709,6 +709,10 @@ object SparkEntry {
         docs.filter(col("doc_id") % 7 =!= 0),
         docs.filter(col("doc_id") % 7 === 0))
     }),
+    // Cross-source shingle-overlap matrix (the dataset-card audit):
+    // all source pairs, zeros included, shared-count + Jaccard.
+    "d25_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlapMatrix(t(s, dir, "documents"))),
     // Dedup summary: cluster-size histogram over d08's clusters.
     "d18_cluster_hist" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -1773,6 +1777,37 @@ object SparkEntry {
          |FROM events
          |WINDOW w AS (PARTITION BY user_id
          |  ORDER BY ts, event_id)""".stripMargin,
+    // sourceOverlapMatrix mirror: the same shingle CTEs keyed by
+    // source, all pairs via a totals self-join, zeros preserved.
+    "d25_source_overlap" -> {
+      import graft.functions.Canon.{MersenneP => P}
+      val poly = (1 until 5).foldLeft("hw[i]") {
+        (acc, j) => s"($acc*31 + hw[i+$j])"
+      } + s" % $P"
+      s"""WITH w AS (SELECT source,
+         |  [${h60("x")} % $P FOR x IN string_split(text, ' ')] AS hw
+         | FROM documents),
+         |s AS (SELECT source,
+         |  list_distinct([$poly FOR i IN range(1, len(hw)-3)]) AS sh
+         | FROM w),
+         |ps AS (SELECT DISTINCT source, unnest(sh) AS sh FROM s),
+         |tot AS (SELECT source, count(*) AS n_distinct FROM ps
+         |  GROUP BY 1),
+         |sh2 AS (SELECT a.source AS source_a, b.source AS source_b,
+         |  count(*) AS n_shared
+         | FROM ps a JOIN ps b
+         |  ON a.sh = b.sh AND a.source < b.source
+         | GROUP BY 1, 2)
+         |SELECT ta.source AS source_a, tb.source AS source_b,
+         | ta.n_distinct AS n_a, tb.n_distinct AS n_b,
+         | coalesce(n_shared, 0)::BIGINT AS n_shared,
+         | coalesce(n_shared, 0)::DOUBLE /
+         |  (ta.n_distinct + tb.n_distinct - coalesce(n_shared, 0))::DOUBLE
+         |  AS jaccard
+         |FROM tot ta JOIN tot tb ON ta.source < tb.source
+         |LEFT JOIN sh2 ON source_a = ta.source AND source_b = tb.source"""
+        .stripMargin
+    },
     // sketchOverlap mirror (q20b contract pattern): d10's shingle
     // CTEs → the three EXACT distinct counts + literal 1; the HLL
     // estimates stay engine-side, gated through within_bound.

@@ -995,6 +995,51 @@ object Dedup {
     * not the exact ones, because at 100 TB the exact ones are what
     * you are avoiding computing.
     */
+  /** Cross-source overlap matrix — the corpus-audit table a dataset
+    * card publishes (which sources duplicate which, before mixture
+    * weights are chosen): for every unordered source pair, the count
+    * of distinct `k`-shingles they share and the shingle-set Jaccard.
+    * All `|sources|·(|sources|−1)/2` pairs appear, zeros included —
+    * an audit that silently drops empty cells invites misreading.
+    *
+    * Scale shape: one distinct-reduce to (source, shingle) pairs
+    * (map-side partial, one shuffle); the self-join keys on the
+    * shingle hash and expands each row by AT MOST the number of
+    * sources carrying that shingle — bounded by the source dimension
+    * (a config-sized set), never by the corpus, so there is no
+    * all-pairs cliff; the totals frame is |sources| rows, broadcast.
+    * Jaccard is exact-int over exact-int in one double division
+    * (corpusReport's determinism discipline).
+    */
+  def sourceOverlapMatrix(documents: DataFrame, k: Int = 5): DataFrame = {
+    val pairs = documents
+      .select(col("source"),
+        transform(Canon.words(col("text")), w => Canon.hashP(w)).as("hw"))
+      .select(col("source"),
+        explode(array_distinct(Canon.shingleHashes(col("hw"), k))).as("sh"))
+      .distinct()
+    val totals = pairs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct"))
+    val shared = pairs.as("a")
+      .join(pairs.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    broadcast(totals.select(col("source").as("source_a"),
+        col("n_distinct").as("n_a")))
+      .join(broadcast(totals.select(col("source").as("source_b"),
+        col("n_distinct").as("n_b"))),
+        col("source_a") < col("source_b"))
+      .join(shared, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") -
+            coalesce(col("n_shared"), lit(0L))).cast("double"))
+          .as("jaccard"))
+  }
+
   def sketchOverlap(batch: DataFrame, benchmark: DataFrame,
                     k: Int = 5, lgConfigK: Int = 14,
                     boundScale: Double = 5.0): DataFrame = {

@@ -479,6 +479,27 @@ class DedupSpec extends SparkSpec {
     assert(out === Array((2L, 2L, 4L, 2L), (3L, 1L, 3L, 2L)))
   }
 
+  test("sourceOverlapMatrix: shared shingles per source pair, zeros " +
+    "kept, exact Jaccard") {
+    def txt(tag: String) = (0 until 12).map(j => s"${tag}_w$j").mkString(" ")
+    val docs = Seq(
+      (0L, txt("x"), "s1"),  // 8 shingles, copied into s2
+      (1L, txt("a"), "s1"),  // 8 shingles unique to s1
+      (2L, txt("x"), "s2"),  // the shared doc
+      (3L, txt("b"), "s3"),  // s3 shares nothing
+      (4L, txt("c"), "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = Dedup.sourceOverlapMatrix(docs)
+      .as[(String, String, Long, Long, Long, Double)]
+      .collect().sortBy(r => (r._1, r._2))
+    // all 3 unordered pairs present, zeros included
+    assert(out.map(r => (r._1, r._2)).toSeq ===
+      Seq(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    assert(out(0) === (("s1", "s2", 16L, 8L, 8L, 8.0 / 16.0)))
+    assert(out(1) === (("s1", "s3", 16L, 16L, 0L, 0.0)))
+    assert(out(2) === (("s2", "s3", 8L, 16L, 0L, 0.0)))
+  }
+
   test("sketchOverlap: exact counts + HLL estimate inside the bound; " +
     "a zero bound flips the gate") {
     // 30 batch docs, 10 bench docs; bench docs 0-4 are verbatim
