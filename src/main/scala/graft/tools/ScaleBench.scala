@@ -63,7 +63,12 @@ object ScaleBench {
     // st11 is its emitted-stream anchor (adds the left-semi payload
     // join); p16's two-stage global rank is the balanced-shard
     // assignment a 100 TB repack would run.
-    "d23_incremental_dedup", "st11_ingest_dedup", "p16_balanced_shards")
+    "d23_incremental_dedup", "st11_ingest_dedup", "p16_balanced_shards",
+    // late-r13 entrant: the shingle self-join's expansion is bounded
+    // by the source dimension; amplified copies rotate vocabulary, so
+    // shared shingles stay copy-local — the honest growth variable is
+    // the distinct (source, shingle) set, 10× per tier.
+    "d25_source_overlap")
 
   /** Third axis (late r10): the event-time window family. Its scale
     * risk is per-key WINDOW/JOIN STATE — salted user ids grow the key
@@ -79,10 +84,11 @@ object ScaleBench {
     "st04_interval_join", "st05_interval_join_outer",
     "st06_dedup_first", "st08_gap_fill", "st09_lateness",
     "st10_session_window", "q24_lag_lead", "q25_running_sum",
-    // r13 late entrant: the SCD2 window — salted users grow the KEY
-    // space 10× while per-key history length (the sort cost inside a
-    // partition) stays constant, the cluster growth direction.
-    "p18_cdc_upsert")
+    // r13 late entrants: the SCD2 window and its sortless snapshot —
+    // salted users grow the KEY space 10× while per-key history
+    // length (the sort / state cost per key) stays constant, the
+    // cluster growth direction.
+    "p18_cdc_upsert", "st12_cdc_snapshot")
 
   /** Fourth axis (r12, VERDICT r10 #3): the composed ANN ladder —
     * raw-PQ IVFADC (s16), residual IVFADC (s18), and the re-ranked
@@ -124,11 +130,13 @@ object ScaleBench {
     "q20b_approx_distinct_err", "q29_median",
     "q37_approx_quantile_err", "q38_heavy_hitter_err",
     "p17_zorder_layout",
-    // r13 late entrant: the HLL overlap estimate prices TWO sketch
+    // r13 late entrants: the HLL overlap estimate prices TWO sketch
     // builds + the exact certification join — its growth tracks the
     // exact intersection (the half a production run would drop),
-    // while the sketch halves stay fixed-size per partition.
-    "d24_sketch_overlap")
+    // while the sketch halves stay fixed-size per partition; the
+    // skipping probe prices the p17 chain twice (z-order + natural)
+    // plus footer-stats algebra that never touches data.
+    "d24_sketch_overlap", "p19_skipping_probe")
 
   private val Copies = 10
   private val KeyOffset = 10000000L // > any sf0.1 key; multiple of 10
