@@ -278,6 +278,15 @@ object SparkEntry {
     // kNN-graph construction: per-vector top-k within label blocks.
     "s08_knn_graph" -> ((s, dir) =>
       Similarity.knnGraph(t(s, dir, "embeddings"), 5)),
+    // NN-descent refinement of s08's label-blocked seed: two local-
+    // join rounds (≤ n·(2k)² candidates per round — linear at fixed
+    // k) recover the cross-block edges the seed cannot represent.
+    "s28_nn_descent" -> ((s, dir) =>
+      Similarity.nnDescent(t(s, dir, "embeddings"), 5)),
+    // s28's recall dial: seed vs descended recall@5 against the exact
+    // top-k for the vec_id % 50 query subset.
+    "s29_nn_descent_recall" -> ((s, dir) =>
+      Similarity.nnDescentRecall(t(s, dir, "embeddings"))),
     // Capstone: the §2.12 operators composed end to end.
     "p01_corpus_pipeline" -> ((s, dir) =>
       Pipeline.corpusPipeline(t(s, dir, "documents"))),
@@ -913,6 +922,80 @@ object SparkEntry {
 
   private val pairDot: String =
     foldSum("[a.v[i] * b.v[i] FOR i IN range(1, len(a.v)+1)]")
+
+  /** DuckDB: the NN-descent chain (s28/s29 mirrors, shared so the
+    * gates cannot drift) — embCte + the s08 label-blocked seed as
+    * `g0`, then `rounds` unrolled local-join rounds ending in
+    * `g<rounds>`. Every per-round CTE is MATERIALIZED: the chain
+    * references each round's graph 3× and DuckDB's per-reference
+    * CTE inlining is exponential in rounds (the g15 k-core lesson).
+    */
+  private def nnDescentCte(rounds: Int, k: Int = 5): String = {
+    val seed = embCte +
+      s""", x AS (SELECT label, unnest([{'d': i,
+         |    'q': floor(v[i] * 1000000)::BIGINT}
+         |  FOR i IN range(1, len(v)+1)]) AS s FROM e),
+         |cg AS (SELECT label, s.d::BIGINT AS dim,
+         |  sum(s.q)::BIGINT AS qsum, count(*) AS n_vecs
+         |  FROM x GROUP BY label, s.d),
+         |cent AS (SELECT label, dim,
+         |  qsum::DOUBLE / 1000000 / n_vecs AS centroid FROM cg),
+         |carr AS (SELECT label, list(centroid ORDER BY dim) AS cv
+         |  FROM cent GROUP BY label),
+         |csc AS (SELECT n.vec_id, c.label AS cand,
+         |  ${pairDot.replace("b.v[i]", "c.cv[i]").replace("a.v", "n.v")} /
+         |  (n.nrm * sqrt(${foldSum("[x*x FOR x IN c.cv]")})) AS sim
+         |  FROM n CROSS JOIN carr c),
+         |cells AS MATERIALIZED (SELECT vec_id, cand::BIGINT AS bk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY sim DESC, cand ASC) AS rk FROM csc)
+         |  WHERE rk = 1),
+         |lkeep AS (SELECT label FROM embeddings
+         |  GROUP BY label HAVING count(*) <= 10000),
+         |ckeep AS (SELECT bk FROM cells
+         |  GROUP BY bk HAVING count(*) <= 10000),
+         |cand0 AS MATERIALIZED (SELECT DISTINCT vec_id, nbr_id FROM (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id
+         |   FROM e a JOIN e b ON a.label = b.label
+         |    AND a.vec_id <> b.vec_id
+         |   WHERE a.label IN (SELECT label FROM lkeep)
+         |  UNION ALL
+         |  SELECT ca.vec_id, cb.vec_id AS nbr_id
+         |   FROM cells ca JOIN cells cb ON ca.bk = cb.bk
+         |    AND ca.vec_id <> cb.vec_id
+         |   WHERE ca.bk IN (SELECT bk FROM ckeep))),
+         |sc0 AS (SELECT c.vec_id, c.nbr_id,
+         |  $pairDot / (a.nrm * b.nrm) AS sim
+         | FROM cand0 c JOIN n a ON a.vec_id = c.vec_id
+         |  JOIN n b ON b.vec_id = c.nbr_id),
+         |g0 AS MATERIALIZED (SELECT vec_id, nbr_id, sim FROM (
+         | SELECT *, row_number() OVER (PARTITION BY vec_id
+         |   ORDER BY sim DESC, nbr_id) AS rk FROM sc0)
+         | WHERE rk <= $k)""".stripMargin
+    (1 to rounds).foldLeft(seed) { (acc, r) =>
+      acc + s""",
+         |rev$r AS (SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM (
+         |  SELECT vec_id, nbr_id, row_number() OVER (
+         |    PARTITION BY nbr_id ORDER BY sim DESC, vec_id ASC) AS rr
+         |  FROM g${r - 1}) WHERE rr <= $k),
+         |u$r AS MATERIALIZED (SELECT DISTINCT vec_id, nbr_id FROM (
+         |  SELECT vec_id, nbr_id FROM g${r - 1}
+         |  UNION ALL SELECT vec_id, nbr_id FROM rev$r)),
+         |cand$r AS MATERIALIZED (SELECT DISTINCT vec_id, nbr_id FROM (
+         |  SELECT p.nbr_id AS vec_id, q.nbr_id AS nbr_id
+         |   FROM u$r p JOIN u$r q ON p.vec_id = q.vec_id
+         |    AND p.nbr_id <> q.nbr_id
+         |  UNION ALL SELECT vec_id, nbr_id FROM g${r - 1})),
+         |sc$r AS (SELECT c.vec_id, c.nbr_id,
+         |  $pairDot / (a.nrm * b.nrm) AS sim
+         | FROM cand$r c JOIN n a ON a.vec_id = c.vec_id
+         |  JOIN n b ON b.vec_id = c.nbr_id),
+         |g$r AS MATERIALIZED (SELECT vec_id, nbr_id, sim FROM (
+         | SELECT *, row_number() OVER (PARTITION BY vec_id
+         |   ORDER BY sim DESC, nbr_id) AS rk FROM sc$r)
+         | WHERE rk <= $k)""".stripMargin
+    }
+  }
 
   /** Oracle mirror of Dedup.lshCandidatePairs' maxBucket=1000 guard
     * (ADVICE r2): buckets larger than the cap are skipped ENTIRELY on
@@ -2933,6 +3016,48 @@ object SparkEntry {
            | SELECT *, row_number() OVER (PARTITION BY vec_id
            |   ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
            |WHERE "rank" <= 5""".stripMargin),
+    // nnDescent mirror: the shared descent chain, final top-k rank.
+    "s28_nn_descent" ->
+      (nnDescentCte(2) +
+        s"""
+           |SELECT vec_id, nbr_id, sim, row_number() OVER (
+           |  PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS "rank"
+           |FROM g2""".stripMargin),
+    // nnDescentRecall mirror: same chain + the exact-truth pass over
+    // the query subset, hit counts against g0 (seed) and g2.
+    "s29_nn_descent_recall" ->
+      (nnDescentCte(2) +
+        s""",
+           |lsc AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+           |  $pairDot / (a.nrm * b.nrm) AS sim
+           | FROM n a JOIN n b ON a.label = b.label
+           |   AND a.vec_id <> b.vec_id
+           | WHERE a.label IN (SELECT label FROM lkeep)),
+           |lg AS MATERIALIZED (SELECT vec_id, nbr_id FROM (
+           | SELECT *, row_number() OVER (PARTITION BY vec_id
+           |   ORDER BY sim DESC, nbr_id) AS rk FROM lsc)
+           | WHERE rk <= 5),
+           |qv AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 = 0),
+           |trs AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+           |  $pairDot / (a.nrm * b.nrm) AS sim
+           | FROM qv a JOIN n b ON a.vec_id <> b.vec_id),
+           |tr AS MATERIALIZED (SELECT vec_id, nbr_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY sim DESC, nbr_id) AS rk FROM trs)
+           | WHERE rk <= 5),
+           |nq AS (SELECT count(*) AS n_queries FROM
+           |  (SELECT DISTINCT vec_id FROM qv)),
+           |hs AS (SELECT count(*) AS n_hits FROM tr
+           |  JOIN lg USING (vec_id, nbr_id)),
+           |hd AS (SELECT count(*) AS n_hits FROM tr
+           |  JOIN g2 USING (vec_id, nbr_id))
+           |SELECT 'seed' AS variant, n_queries, hs.n_hits AS n_hits,
+           | hs.n_hits::DOUBLE / (n_queries * 5)::DOUBLE AS recall
+           |FROM nq, hs
+           |UNION ALL
+           |SELECT 'descended', n_queries, hd.n_hits,
+           | hd.n_hits::DOUBLE / (n_queries * 5)::DOUBLE
+           |FROM nq, hd""".stripMargin),
     // bloomDecontaminate mirror: a bitmap bit is set iff its position
     // is in the benchmark's affine-position set, so the oracle tests
     // set membership directly — same k=5 polynomial, same affine

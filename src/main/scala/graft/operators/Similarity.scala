@@ -1149,6 +1149,128 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** NN-descent KNN-graph construction (Dong et al. 2011, WWW — the
+    * standard distributed KNN-graph builder): [[knnGraph]] can only
+    * ever link vectors sharing a label block, so true neighbors split
+    * across blocks are unreachable from it. The seed here is TWO
+    * cheap blockings — label blocks ∪ nearest-label-centroid cells
+    * ([[centroidAssign]]'s geometry-derived key, which plants
+    * cross-block bridges) — and each descent round then runs the
+    * LOCAL JOIN: for every pivot vector, propose all ordered pairs
+    * among its ≤2k current neighbors (k forward edges plus a
+    * DETERMINISTIC top-k cap of the reverse edges — the pynndescent
+    * reverse-sample discipline, here by (sim DESC, id ASC) so the cap
+    * is a pure function of the graph, not a random sample), score the
+    * proposals exactly, and keep each vector's top-k of old ∪
+    * proposed. Recall against the exact graph is MONOTONE in the
+    * rounds: a true top-k edge, once proposed, can only be displaced
+    * by another true top-k edge (s29 measures the gain over the
+    * label-only graph).
+    *
+    * Scale shape: per round the candidate volume is ≤ n·(2k)² rows —
+    * LINEAR in the corpus at fixed k, the whole point of NN-descent
+    * versus the O(n²) exact graph — and every stage is an equi-join
+    * or a two-stage per-key rank; `g` is pinned per round
+    * (Materialize seam) because it feeds the forward set, the
+    * reverse-cap window, AND the keep-union, and un-pinned lineage
+    * doubles per round (the d08 fixpoint discipline).
+    */
+  def nnDescent(embeddings: DataFrame, k: Int = 5, rounds: Int = 2,
+                maxBlock: Int = 10000): DataFrame = {
+    val e = prepared(embeddings)
+    def topK(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("nbr_id").asc)
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+    def scorePairs(cand: DataFrame): DataFrame = cand
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
+      .join(e.select(col("vec_id").as("nbr_id"), col("v").as("w"),
+        col("nrm").as("wnrm")), Seq("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"),
+        Canon.cosine(Canon.dot(col("v"), col("w")),
+          col("nrm"), col("wnrm")).as("sim"))
+    // Two-block seed: label blocks ∪ nearest-label-centroid cells.
+    // A single blocking key yields a component-confined graph the
+    // local join can NEVER escape (candidates are always pairs of an
+    // existing pivot's neighbors); the second, geometry-derived key
+    // plants the cross-block bridges descent then propagates. Both
+    // keys carry the same loud over-cap skip.
+    def blockPairs(keyed: DataFrame): DataFrame = {
+      val sizes = keyed.groupBy(col("bk")).agg(count(lit(1)).as("_bsz"))
+      val keep = sizes.filter(col("_bsz") <= maxBlock).select(col("bk"))
+      val kept = keyed.join(broadcast(keep), Seq("bk"), "left_semi")
+      kept.as("a").join(kept.as("b"),
+          col("a.bk") === col("b.bk") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"))
+    }
+    val byLabel = embeddings.select(col("vec_id"),
+      col("label").cast("long").as("bk"))
+    val byCell = centroidAssign(embeddings)
+      .select(col("vec_id"), col("pred_label").cast("long").as("bk"))
+    val seedCand = blockPairs(byLabel).union(blockPairs(byCell)).distinct()
+    var g = topK(scorePairs(seedCand))
+      .select(col("vec_id"), col("nbr_id"), col("sim")).materialized
+    (1 to rounds).foreach { _ =>
+      val wRev = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("nbr_id").asc)
+      val rev = g.select(col("nbr_id").as("vec_id"),
+          col("vec_id").as("nbr_id"), col("sim"))
+        .withColumn("_rr", row_number().over(wRev))
+        .filter(col("_rr") <= k).drop("_rr")
+      val u = g.select(col("vec_id"), col("nbr_id"))
+        .union(rev.select(col("vec_id"), col("nbr_id"))).distinct()
+      val cand = u.as("p").join(u.as("q"),
+          col("p.vec_id") === col("q.vec_id") &&
+            col("p.nbr_id") =!= col("q.nbr_id"))
+        .select(col("p.nbr_id").as("vec_id"), col("q.nbr_id").as("nbr_id"))
+        .union(g.select(col("vec_id"), col("nbr_id")))
+        .distinct()
+      g = topK(scorePairs(cand))
+        .select(col("vec_id"), col("nbr_id"), col("sim")).materialized
+    }
+    topK(g.select(col("vec_id"), col("nbr_id"), col("sim")))
+  }
+
+  /** s29 — [[nnDescent]]'s recall dial (the s11/s17 discipline): for
+    * the deterministic query subset `vec_id % 50 == 0`, recall@k of
+    * the label-blocked seed graph versus the descended graph against
+    * the EXACT top-k over the whole corpus. The seed's misses are
+    * structural (cross-block neighbors it cannot represent), so the
+    * descended variant must dominate it; the exact truth pass is
+    * queries×corpus, priced only here, never in the build.
+    */
+  def nnDescentRecall(embeddings: DataFrame, k: Int = 5,
+                      rounds: Int = 2): DataFrame = {
+    val e = prepared(embeddings).materialized
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val wT = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    val truth = q.as("a").join(e.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        Canon.cosine(Canon.dot(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")).as("sim"))
+      .withColumn("rank", row_number().over(wT))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("nbr_id")).materialized
+    val nQ = q.select(countDistinct(col("vec_id")).as("n_queries"))
+    def hits(graph: DataFrame, variant: String): DataFrame =
+      truth.join(graph.select(col("vec_id"), col("nbr_id")),
+          Seq("vec_id", "nbr_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nQ))
+        .select(lit(variant).as("variant"), col("n_queries"),
+          col("n_hits"),
+          (col("n_hits").cast("double") /
+            (col("n_queries") * k).cast("double")).as("recall"))
+    hits(knnGraph(embeddings, k), "seed")
+      .unionByName(hits(nnDescent(embeddings, k, rounds), "descended"))
+  }
+
   def labelCentroids(embeddings: DataFrame, scale: Long = 1000000L): DataFrame =
     embeddings
       .select(col("label"),

@@ -138,6 +138,13 @@ object ScaleBench {
     // plus footer-stats algebra that never touches data.
     "d24_sketch_overlap", "p19_skipping_probe")
 
+  /** r13 addendum to the ANN axis: the NN-descent graph build — per
+    * round ≤ n·(2k)² candidates, so the claim is corpus-LINEAR build
+    * cost at fixed k (the reason NN-descent replaces the O(n²) exact
+    * graph at scale).
+    */
+  val annExtra: Seq[String] = Seq("s28_nn_descent")
+
   private val Copies = 10
   private val KeyOffset = 10000000L // > any sf0.1 key; multiple of 10
 
@@ -214,11 +221,11 @@ object ScaleBench {
     val names = args.toSeq.drop(1) match {
       case Seq("corpus") => corpusFamily
       case Seq("stream") => streamFamily
-      case Seq("ann") => annFamily
+      case Seq("ann") => annFamily ++ annExtra
       case Seq("sketch") => sketchFamily
       case Seq("all") =>
         family ++ corpusFamily ++ streamFamily ++ annFamily ++
-          sketchFamily
+          annExtra ++ sketchFamily
       case _ => family
     }
     val results = tiers.map { case (label, dir) =>

@@ -513,4 +513,36 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Long, Double)].collect()
     assert(r2 === Array((0L, 0L, 0.0)))
   }
+
+  test("nnDescent: two-block seed + local join recover the " +
+    "cross-label edges knnGraph cannot represent") {
+    // label-only graph: 4's best option is its label-mate 3
+    // (opposite direction, cosine ≈ −1)
+    val blocked = Similarity.knnGraph(emb, k = 1)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(blocked(4L) === 3L)
+    // descent: the centroid-cell block {0,1,4} bridges the labels and
+    // the exact re-rank lands every vector on its true best neighbor
+    val out = Similarity.nnDescent(emb, k = 1, rounds = 1)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(out === Map(0L -> 4L, 1L -> 4L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
+    // partitioning must not change the graph
+    val out2 = Similarity.nnDescent(emb.repartition(7), k = 1, rounds = 1)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(out2 === out)
+  }
+
+  test("nnDescentRecall: descent lifts the query's recall@1 from 0 " +
+    "to 1 on the cross-label fixture") {
+    // query subset vec_id % 50 == 0 → vector 0; its exact top-1 is
+    // the cross-label vector 4
+    val out = Similarity.nnDescentRecall(emb, k = 1, rounds = 1)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("seed") === ((1L, 0L, 0.0)))
+    assert(out("descended") === ((1L, 1L, 1.0)))
+  }
 }
