@@ -287,6 +287,11 @@ object SparkEntry {
     // top-k for the vec_id % 50 query subset.
     "s29_nn_descent_recall" -> ((s, dir) =>
       Similarity.nnDescentRecall(t(s, dir, "embeddings"))),
+    // The dial on CLUSTERED geometry (s24/s25 discipline): descent
+    // exploits neighborhood structure the uniform fixture lacks.
+    "s30_clustered_descent_recall" -> ((s, dir) =>
+      Similarity.nnDescentRecall(
+        Similarity.clusteredEmbeddings(t(s, dir, "embeddings")))),
     // Capstone: the §2.12 operators composed end to end.
     "p01_corpus_pipeline" -> ((s, dir) =>
       Pipeline.corpusPipeline(t(s, dir, "documents"))),
@@ -930,8 +935,48 @@ object SparkEntry {
     * references each round's graph 3× and DuckDB's per-reference
     * CTE inlining is exponential in rounds (the g15 k-core lesson).
     */
-  private def nnDescentCte(rounds: Int, k: Int = 5): String = {
-    val seed = embCte +
+  /** s29/s30 shared oracle tail after [[nnDescentCte]]: the label-only
+    * seed graph, the exact-truth pass over the `vec_id % 50` query
+    * subset, and the two recall rows.
+    */
+  private lazy val descentRecallTail: String =
+    s""",
+       |lkeep AS (SELECT label FROM embeddings
+       |  GROUP BY label HAVING count(*) <= 10000),
+       |lsc AS (SELECT a.vec_id, b.vec_id AS nbr_id,
+       |  $pairDot / (a.nrm * b.nrm) AS sim
+       | FROM n a JOIN n b ON a.label = b.label
+       |   AND a.vec_id <> b.vec_id
+       | WHERE a.label IN (SELECT label FROM lkeep)),
+       |lg AS MATERIALIZED (SELECT vec_id, nbr_id FROM (
+       | SELECT *, row_number() OVER (PARTITION BY vec_id
+       |   ORDER BY sim DESC, nbr_id) AS rk FROM lsc)
+       | WHERE rk <= 5),
+       |qv AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 = 0),
+       |trs AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+       |  $pairDot / (a.nrm * b.nrm) AS sim
+       | FROM qv a JOIN n b ON a.vec_id <> b.vec_id),
+       |tr AS MATERIALIZED (SELECT vec_id, nbr_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, nbr_id) AS rk FROM trs)
+       | WHERE rk <= 5),
+       |nq AS (SELECT count(*) AS n_queries FROM
+       |  (SELECT DISTINCT vec_id FROM qv)),
+       |hs AS (SELECT count(*) AS n_hits FROM tr
+       |  JOIN lg USING (vec_id, nbr_id)),
+       |hd AS (SELECT count(*) AS n_hits FROM tr
+       |  JOIN g4 USING (vec_id, nbr_id))
+       |SELECT 'seed' AS variant, n_queries, hs.n_hits AS n_hits,
+       | hs.n_hits::DOUBLE / (n_queries * 5)::DOUBLE AS recall
+       |FROM nq, hs
+       |UNION ALL
+       |SELECT 'descended', n_queries, hd.n_hits,
+       | hd.n_hits::DOUBLE / (n_queries * 5)::DOUBLE
+       |FROM nq, hd""".stripMargin
+
+  private def nnDescentCte(rounds: Int, k: Int = 5,
+                           base: String = embCte): String = {
+    val seed = base +
       s""", x AS (SELECT label, unnest([{'d': i,
          |    'q': floor(v[i] * 1000000)::BIGINT}
          |  FOR i IN range(1, len(v)+1)]) AS s FROM e),
@@ -950,20 +995,38 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY vec_id
          |    ORDER BY sim DESC, cand ASC) AS rk FROM csc)
          |  WHERE rk = 1),
-         |lkeep AS (SELECT label FROM embeddings
-         |  GROUP BY label HAVING count(*) <= 10000),
-         |ckeep AS (SELECT bk FROM cells
-         |  GROUP BY bk HAVING count(*) <= 10000),
+         |lrk AS (SELECT vec_id, label AS bk,
+         |  row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn,
+         |  count(*) OVER (PARTITION BY label) AS b FROM e),
+         |crk AS (SELECT vec_id, bk,
+         |  row_number() OVER (PARTITION BY bk ORDER BY vec_id) AS rn,
+         |  count(*) OVER (PARTITION BY bk) AS b FROM cells),
+         |hrk AS (SELECT vec_id, 0 AS bk,
+         |  row_number() OVER (ORDER BY
+         |    ${h60("vec_id::VARCHAR")} % ${graft.functions.Canon.MersenneP},
+         |    vec_id) AS rn,
+         |  count(*) OVER () AS b FROM e),
          |cand0 AS MATERIALIZED (SELECT DISTINCT vec_id, nbr_id FROM (
-         |  SELECT a.vec_id, b.vec_id AS nbr_id
-         |   FROM e a JOIN e b ON a.label = b.label
-         |    AND a.vec_id <> b.vec_id
-         |   WHERE a.label IN (SELECT label FROM lkeep)
+         |  SELECT a.vec_id, t.vec_id AS nbr_id FROM
+         |   (SELECT x.*, g.j FROM lrk x
+         |     CROSS JOIN generate_series(1, ${2 * k}) g(j)
+         |    WHERE g.j <= least(${2 * k}, x.b - 1)) a
+         |   JOIN lrk t ON t.bk = a.bk
+         |    AND t.rn = (a.rn - 1 + a.j) % a.b + 1
          |  UNION ALL
-         |  SELECT ca.vec_id, cb.vec_id AS nbr_id
-         |   FROM cells ca JOIN cells cb ON ca.bk = cb.bk
-         |    AND ca.vec_id <> cb.vec_id
-         |   WHERE ca.bk IN (SELECT bk FROM ckeep))),
+         |  SELECT a.vec_id, t.vec_id AS nbr_id FROM
+         |   (SELECT x.*, g.j FROM crk x
+         |     CROSS JOIN generate_series(1, ${2 * k}) g(j)
+         |    WHERE g.j <= least(${2 * k}, x.b - 1)) a
+         |   JOIN crk t ON t.bk = a.bk
+         |    AND t.rn = (a.rn - 1 + a.j) % a.b + 1
+         |  UNION ALL
+         |  SELECT a.vec_id, t.vec_id AS nbr_id FROM
+         |   (SELECT x.*, g.j FROM hrk x
+         |     CROSS JOIN generate_series(1, ${2 * k}) g(j)
+         |    WHERE g.j <= least(${2 * k}, x.b - 1)) a
+         |   JOIN hrk t ON t.bk = a.bk
+         |    AND t.rn = (a.rn - 1 + a.j) % a.b + 1)),
          |sc0 AS (SELECT c.vec_id, c.nbr_id,
          |  $pairDot / (a.nrm * b.nrm) AS sim
          | FROM cand0 c JOIN n a ON a.vec_id = c.vec_id
@@ -3018,46 +3081,18 @@ object SparkEntry {
            |WHERE "rank" <= 5""".stripMargin),
     // nnDescent mirror: the shared descent chain, final top-k rank.
     "s28_nn_descent" ->
-      (nnDescentCte(2) +
+      (nnDescentCte(4) +
         s"""
            |SELECT vec_id, nbr_id, sim, row_number() OVER (
            |  PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS "rank"
-           |FROM g2""".stripMargin),
+           |FROM g4""".stripMargin),
     // nnDescentRecall mirror: same chain + the exact-truth pass over
-    // the query subset, hit counts against g0 (seed) and g2.
+    // the query subset, hit counts against the label-only graph
+    // (seed) and g4 — the tail is shared with s30's clustered base.
     "s29_nn_descent_recall" ->
-      (nnDescentCte(2) +
-        s""",
-           |lsc AS (SELECT a.vec_id, b.vec_id AS nbr_id,
-           |  $pairDot / (a.nrm * b.nrm) AS sim
-           | FROM n a JOIN n b ON a.label = b.label
-           |   AND a.vec_id <> b.vec_id
-           | WHERE a.label IN (SELECT label FROM lkeep)),
-           |lg AS MATERIALIZED (SELECT vec_id, nbr_id FROM (
-           | SELECT *, row_number() OVER (PARTITION BY vec_id
-           |   ORDER BY sim DESC, nbr_id) AS rk FROM lsc)
-           | WHERE rk <= 5),
-           |qv AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 50 = 0),
-           |trs AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
-           |  $pairDot / (a.nrm * b.nrm) AS sim
-           | FROM qv a JOIN n b ON a.vec_id <> b.vec_id),
-           |tr AS MATERIALIZED (SELECT vec_id, nbr_id FROM (
-           |  SELECT *, row_number() OVER (PARTITION BY vec_id
-           |    ORDER BY sim DESC, nbr_id) AS rk FROM trs)
-           | WHERE rk <= 5),
-           |nq AS (SELECT count(*) AS n_queries FROM
-           |  (SELECT DISTINCT vec_id FROM qv)),
-           |hs AS (SELECT count(*) AS n_hits FROM tr
-           |  JOIN lg USING (vec_id, nbr_id)),
-           |hd AS (SELECT count(*) AS n_hits FROM tr
-           |  JOIN g2 USING (vec_id, nbr_id))
-           |SELECT 'seed' AS variant, n_queries, hs.n_hits AS n_hits,
-           | hs.n_hits::DOUBLE / (n_queries * 5)::DOUBLE AS recall
-           |FROM nq, hs
-           |UNION ALL
-           |SELECT 'descended', n_queries, hd.n_hits,
-           | hd.n_hits::DOUBLE / (n_queries * 5)::DOUBLE
-           |FROM nq, hd""".stripMargin),
+      (nnDescentCte(4) + descentRecallTail),
+    "s30_clustered_descent_recall" ->
+      (nnDescentCte(4, 5, gmCte) + descentRecallTail),
     // bloomDecontaminate mirror: a bitmap bit is set iff its position
     // is in the benchmark's affine-position set, so the oracle tests
     // set membership directly — same k=5 polynomial, same affine

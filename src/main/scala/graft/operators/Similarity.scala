@@ -1155,7 +1155,9 @@ object Similarity {
     * across blocks are unreachable from it. The seed here is TWO
     * cheap blockings — label blocks ∪ nearest-label-centroid cells
     * ([[centroidAssign]]'s geometry-derived key, which plants
-    * cross-block bridges) — and each descent round then runs the
+    * cross-block bridges) — RING-sampled within each block so the
+    * seed is O(n·k) whatever the block sizes (see ringPairs below) —
+    * and each descent round then runs the
     * LOCAL JOIN: for every pivot vector, propose all ordered pairs
     * among its ≤2k current neighbors (k forward edges plus a
     * DETERMINISTIC top-k cap of the reverse edges — the pynndescent
@@ -1175,8 +1177,8 @@ object Similarity {
     * reverse-cap window, AND the keep-union, and un-pinned lineage
     * doubles per round (the d08 fixpoint discipline).
     */
-  def nnDescent(embeddings: DataFrame, k: Int = 5, rounds: Int = 2,
-                maxBlock: Int = 10000): DataFrame = {
+  def nnDescent(embeddings: DataFrame, k: Int = 5,
+                rounds: Int = 4): DataFrame = {
     val e = prepared(embeddings)
     def topK(scored: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("vec_id"))
@@ -1191,26 +1193,49 @@ object Similarity {
       .select(col("vec_id"), col("nbr_id"),
         Canon.cosine(Canon.dot(col("v"), col("w")),
           col("nrm"), col("wnrm")).as("sim"))
-    // Two-block seed: label blocks ∪ nearest-label-centroid cells.
-    // A single blocking key yields a component-confined graph the
-    // local join can NEVER escape (candidates are always pairs of an
-    // existing pivot's neighbors); the second, geometry-derived key
-    // plants the cross-block bridges descent then propagates. Both
-    // keys carry the same loud over-cap skip.
-    def blockPairs(keyed: DataFrame): DataFrame = {
-      val sizes = keyed.groupBy(col("bk")).agg(count(lit(1)).as("_bsz"))
-      val keep = sizes.filter(col("_bsz") <= maxBlock).select(col("bk"))
-      val kept = keyed.join(broadcast(keep), Seq("bk"), "left_semi")
-      kept.as("a").join(kept.as("b"),
-          col("a.bk") === col("b.bk") &&
-            col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"))
+    // Two-block RING seed: label blocks ∪ nearest-label-centroid
+    // cells. A single blocking key yields a component-confined graph
+    // the local join can NEVER escape (candidates are always pairs of
+    // an existing pivot's neighbors); the second, geometry-derived
+    // key plants the cross-block bridges descent then propagates.
+    // Within a block each vector pairs with only its `2k` RING
+    // successors in id order (wrap-around) — the deterministic analog
+    // of NN-descent's random init, and the difference between an
+    // O(Σ blocksize²) seed and an O(n·k) one: a full within-block
+    // self-join goes quadratic the moment block sizes grow with the
+    // corpus (measured: 4.5 s → 116 s on a 10× tier whose label
+    // blocks grew 10×), while the ring stays corpus-linear no matter
+    // how blocks are shaped, and descent recovers what the sparser
+    // seed misses.
+    def ringPairs(keyed: DataFrame, w: Int): DataFrame = {
+      val wn = Window.partitionBy(col("bk"))
+        .orderBy(col("ord"), col("vec_id"))
+      val szs = keyed.groupBy(col("bk")).agg(count(lit(1)).as("_b"))
+      val r = keyed.withColumn("rn", row_number().over(wn).cast("long"))
+        .join(broadcast(szs), Seq("bk")).filter(col("_b") > 1)
+      val fan = r.withColumn("j",
+          explode(sequence(lit(1L), least(lit(w.toLong), col("_b") - 1L))))
+        .withColumn("trn", (col("rn") - 1L + col("j")) % col("_b") + 1L)
+      fan.join(r.select(col("bk"), col("rn").as("trn"),
+          col("vec_id").as("nbr_id")), Seq("bk", "trn"))
+        .select(col("vec_id"), col("nbr_id"))
     }
     val byLabel = embeddings.select(col("vec_id"),
-      col("label").cast("long").as("bk"))
+      col("label").cast("long").as("bk"), col("vec_id").as("ord"))
     val byCell = centroidAssign(embeddings)
-      .select(col("vec_id"), col("pred_label").cast("long").as("bk"))
-    val seedCand = blockPairs(byLabel).union(blockPairs(byCell)).distinct()
+      .select(col("vec_id"), col("pred_label").cast("long").as("bk"),
+        col("vec_id").as("ord"))
+    // The third ring is GLOBAL in md5-of-id order — the deterministic
+    // analog of NN-descent's random init. The two locality rings give
+    // descent good gradients but no reach beyond their blocks'
+    // transitive closure; the hash ring's pseudo-random long-range
+    // links are what let the local join escape locality, exactly the
+    // role random initial neighbors play in the published algorithm.
+    val byHash = embeddings.select(col("vec_id"), lit(0L).as("bk"),
+      Canon.hashP(col("vec_id").cast("string")).as("ord"))
+    val seedCand = ringPairs(byLabel, 2 * k)
+      .union(ringPairs(byCell, 2 * k))
+      .union(ringPairs(byHash, 2 * k)).distinct()
     var g = topK(scorePairs(seedCand))
       .select(col("vec_id"), col("nbr_id"), col("sim")).materialized
     (1 to rounds).foreach { _ =>
@@ -1243,7 +1268,7 @@ object Similarity {
     * queries×corpus, priced only here, never in the build.
     */
   def nnDescentRecall(embeddings: DataFrame, k: Int = 5,
-                      rounds: Int = 2): DataFrame = {
+                      rounds: Int = 4): DataFrame = {
     val e = prepared(embeddings).materialized
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id"), col("v"), col("nrm"))
