@@ -654,6 +654,13 @@ object SparkEntry {
     // stream ≡ batch ≡ sequential replay (st06/st11 discipline).
     "st12_cdc_snapshot" -> ((s, dir) =>
       Pipeline.cdcSnapshot(t(s, dir, "events"))),
+    // Bounded-state exact dedup (the dropDuplicatesWithinWatermark
+    // state contract): horizon-spaced greedy keep per key via ONE
+    // hash exchange + secondary-sorted per-key scan; streaming twin
+    // spec-pinned stream ≡ batch ≡ sequential replay.
+    "st13_horizon_dedup" -> ((s, dir) =>
+      graft.streaming.StreamingOps.horizonDedupBatch(
+        t(s, dir, "events"))),
     // Easy-to-hard curriculum position (two-stage global rank).
     "p13_curriculum" -> ((s, dir) =>
       Pipeline.curriculumOrder(t(s, dir, "documents"))),
@@ -750,6 +757,14 @@ object SparkEntry {
         GraphEtl.paymentEdges(t(s, dir, "orders"), t(s, dir, "lineitem")),
         element_at(split(col("v"), "/"), 1) === "accounts" &&
           element_at(split(col("v"), "/"), 2).cast("long") % 10 === 0)),
+    // HITS hubs & authorities over the customer→supplier purchase
+    // graph (integer fixed point, per-side max normalization; the
+    // mutual-reinforcement centrality beside g10's random walk).
+    "g19_hits" -> ((s, dir) =>
+      GraphEtl.hitsScores(
+        t(s, dir, "orders").join(t(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("s")))),
     // Degree assortativity (rational Pearson over symmetric edge
     // ends) of the customer–supplier purchase graph: bipartite
     // hub-and-spoke, so the mixing signal is real (the co-supplier
@@ -1911,6 +1926,30 @@ object SparkEntry {
          | ${graft.operators.Pipeline.ScdOpenEndUs} AS valid_to_us,
          | TRUE AS is_current
          |FROM v WHERE nxt IS NULL""".stripMargin,
+    // horizonDedupBatch mirror: greedy horizon-spaced selection is a
+    // per-key recurrence (each verdict depends on the previous KEPT
+    // ts), so the oracle advances each key's frontier one kept event
+    // per recursion round — the d08 fixpoint-recursion discipline with
+    // a LATERAL next-event probe; UNION dedup terminates the walk.
+    "st13_horizon_dedup" ->
+      """WITH RECURSIVE ev AS (
+        | SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+        |  value,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY epoch_us(ts), event_id) AS rn
+        | FROM events),
+        |kept(user_id, event_type, ts_us, event_id, value) AS (
+        | SELECT user_id, event_type, ts_us, event_id, value
+        | FROM ev WHERE rn = 1
+        | UNION
+        | SELECT nxt.* FROM kept k, LATERAL (
+        |   SELECT e.user_id, e.event_type, e.ts_us, e.event_id, e.value
+        |   FROM ev e
+        |   WHERE e.user_id = k.user_id AND e.event_type = k.event_type
+        |     AND e.ts_us > k.ts_us + 86400000000
+        |   ORDER BY e.ts_us, e.event_id LIMIT 1) nxt)
+        |SELECT user_id, event_type, ts_us, event_id, value
+        |FROM kept""".stripMargin,
     // cdcUpsert mirror: identical (ts, event_id) total order; the
     // open-version sentinel is the same µs literal on both engines.
     "p18_cdc_upsert" ->
@@ -2066,6 +2105,34 @@ object SparkEntry {
            |r0 AS (SELECT v, CAST(seed * 1000000 AS BIGINT) AS rank FROM v),
            |$rounds
            |SELECT v AS vertex, rank FROM r3""".stripMargin
+    },
+    // hitsScores mirror: two unrolled mutual-reinforcement rounds
+    // with per-side max normalization — all integer algebra (DuckDB's
+    // HUGEINT sums carry the same exact values; final scores CAST to
+    // BIGINT per the §8.4 canonicalization rule).
+    "g19_hits" -> {
+      val rounds = (1 to 2).map { i =>
+        val prevH = if (i == 1) "h0" else s"h${i - 1}"
+        s"""ra$i AS (SELECT s, sum(h) AS ra
+           | FROM e JOIN $prevH USING (c) GROUP BY s),
+           |a$i AS (SELECT s,
+           |  (ra * 1000000) // (SELECT max(ra) FROM ra$i) AS a
+           | FROM ra$i),
+           |rh$i AS (SELECT c, sum(a) AS rh
+           | FROM e JOIN a$i USING (s) GROUP BY c),
+           |h$i AS (SELECT c,
+           |  (rh * 1000000) // (SELECT max(rh) FROM rh$i) AS h
+           | FROM rh$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+         | FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |h0 AS (SELECT DISTINCT c, 1000000 AS h FROM e),
+         |$rounds
+         |SELECT 'hub' AS side, c AS node_id, CAST(h AS BIGINT) AS score
+         |FROM h2
+         |UNION ALL
+         |SELECT 'auth' AS side, s AS node_id, CAST(a AS BIGINT) AS score
+         |FROM a2""".stripMargin
     },
     // truncatedRecall mirror: the s01 CTE run twice — full dims and
     // the v[1:16] slice (norms re-derived on the slice) — then the

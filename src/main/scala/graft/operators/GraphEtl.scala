@@ -561,4 +561,51 @@ object GraphEtl {
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
       .select(col("v").as("vertex"), col("deg"))
   }
+
+  /** HITS hubs & authorities (Kleinberg's mutual reinforcement) over a
+    * directed bipartite edge list (`c` = hub side, `s` = authority
+    * side) — the centrality family's second member beside the random
+    * walk (g10 PageRank / g18 PPR): auth(s) = Σ hub(c) over in-edges,
+    * hub(c) = Σ auth(s) over out-edges, normalized each half-step.
+    * Deterministic INTEGER fixed point (scores in millionths,
+    * div-truncated — the g10 discipline: float HITS is
+    * summation-order-dependent and could not hash-gate), normalizing
+    * by the per-side MAX rather than the L2 norm (no sqrt, stays in
+    * exact integer algebra; scores land in [0, 1e6] with the top
+    * hub/authority pinned at exactly 1e6 each round).
+    *
+    * Shape at 100 TB: per round, two equi-joins + two
+    * map-side-partial sum aggregates over a once-materialized
+    * distinct edge list; each per-side max is a 1-row broadcast (the
+    * scalar-subquery BNLJ class); per-round Materialize keeps every
+    * compiled plan one-iteration shallow (the g10 lesson). Sums are
+    * bounded by SCALE · max-degree · SCALE — inside long range until
+    * ~9e6-degree hubs; a larger graph would lift the sums to
+    * decimal(38,0) like g17.
+    */
+  def hitsScores(edges: DataFrame, iters: Int = 2): DataFrame = {
+    val SCALE = 1000000L
+    val e = edges.select(col("c"), col("s")).distinct().materialized
+    var hub = e.select(col("c")).distinct()
+      .select(col("c"), lit(SCALE).as("h"))
+    var auth: DataFrame = null
+    (1 to iters).foreach { i =>
+      val ra = e.join(hub, "c").groupBy(col("s"))
+        .agg(sum(col("h")).as("ra"))
+      auth = ra
+        .crossJoin(broadcast(ra.agg(max(col("ra")).as("am"))))
+        .select(col("s"), expr(s"(ra * $SCALE) div am").as("a"))
+        .materialized
+      val rh = e.join(auth, "s").groupBy(col("c"))
+        .agg(sum(col("a")).as("rh"))
+      hub = rh
+        .crossJoin(broadcast(rh.agg(max(col("rh")).as("hm"))))
+        .select(col("c"), expr(s"(rh * $SCALE) div hm").as("h"))
+      if (i < iters) hub = hub.materialized
+    }
+    hub.select(lit("hub").as("side"), col("c").as("node_id"),
+        col("h").as("score"))
+      .unionByName(auth.select(lit("auth").as("side"),
+        col("s").as("node_id"), col("a").as("score")))
+  }
 }

@@ -455,4 +455,86 @@ object StreamingOps {
             merged.n, merged.tsUs)
         })
   }
+
+  /** One keyed event for the horizon-dedup pair (st13). */
+  case class HorizonEvent(user_id: Long, event_type: String,
+                          ts_us: Long, event_id: Long, value: Double)
+
+  /** Horizon-spaced exact dedup, batch anchor (st13) — the
+    * BOUNDED-STATE streaming dedup contract
+    * (`dropDuplicatesWithinWatermark`'s state rule): per
+    * (user_id, event_type) key, in the st02 (ts_us, event_id) total
+    * order, an event is KEPT iff its ts_us lies strictly past the last
+    * kept event's ts_us + horizonUs (the first event always keeps); a
+    * kept event arms a suppression window that duplicates inside it do
+    * NOT extend, and the first event past it re-arms. st06 keeps one
+    * event per key FOREVER (state = the whole key set — unbounded
+    * retention at 100 TB/day key cardinality); here state per key is
+    * one timestamp that is evictable the moment the watermark passes
+    * kept_ts + horizon (any later event keeps regardless), so the
+    * state store is bounded by keys ACTIVE within one horizon — the
+    * only exact-dedup form deployable against an unbounded key stream.
+    *
+    * Scale shape: greedy spaced selection is inherently sequential per
+    * key (each verdict depends on the previous KEPT timestamp — max/sum
+    * prefix monoids don't apply, so no two-stage window template), which
+    * makes this the repo's one legitimate `flatMapSortedGroups` site:
+    * ONE hash exchange on the key, Spark's secondary sort delivers each
+    * group ordered by (ts_us, event_id) with no per-group buffering,
+    * and the scan is O(group) with O(1) state — exactly the loop the
+    * streaming form runs per micro-batch. Millions of keys parallelize
+    * across tasks; no global or single-task sort anywhere.
+    */
+  def horizonDedupBatch(events: DataFrame,
+                        horizonUs: Long = 86400000000L): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id"), col("event_type"),
+        graft.Tables.tsUs(events).as("ts_us"), col("event_id"),
+        col("value"))
+      .as[HorizonEvent]
+      .groupByKey(e => (e.user_id, e.event_type))
+      .flatMapSortedGroups(col("ts_us"), col("event_id")) {
+        case (_, rows) =>
+          var lastKept = Long.MinValue // MinValue + horizon stays < 0
+          rows.filter { e =>
+            val keep = lastKept == Long.MinValue ||
+              e.ts_us > lastKept + horizonUs
+            if (keep) lastKept = e.ts_us
+            keep
+          }
+      }
+      .toDF()
+  }
+
+  /** Streaming form of [[horizonDedupBatch]] (st13's unbounded twin,
+    * the st06/st11/st12 batch≡stream discipline): state per
+    * (user_id, event_type) is the last KEPT ts (one long); a batch's
+    * rows are folded in the (ts_us, event_id) order, kept rows are
+    * emitted and re-arm the window. With an upstream watermark the
+    * state is droppable at lastKept + horizon (the eviction argument in
+    * the batch scaladoc); the spec replays the corpus through this in
+    * event-time order and pins stream ≡ batch ≡ sequential replay.
+    */
+  def streamingHorizonDedup(rows: org.apache.spark.sql.Dataset[HorizonEvent],
+                            horizonUs: Long = 86400000000L)
+      : org.apache.spark.sql.Dataset[HorizonEvent] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(e => (e.user_id, e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (_: (Long, String), it: Iterator[HorizonEvent],
+         state: GroupState[Long]) => {
+          var lastKept = state.getOption.getOrElse(Long.MinValue)
+          val kept = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            .filter { e =>
+              val keep = lastKept == Long.MinValue ||
+                e.ts_us > lastKept + horizonUs
+              if (keep) lastKept = e.ts_us
+              keep
+            }
+          state.update(lastKept)
+          kept.iterator
+        })
+  }
 }

@@ -185,4 +185,26 @@ class GraphEtlSpec extends SparkSpec {
     assert(out(3L) === ((3L, 1L, 2.0 / 6)))
     assert(out(4L) === ((1L, 0L, 0.0)))
   }
+
+  test("hitsScores: hand-checked two-round fixed point; top hub and " +
+    "authority pinned at SCALE; partition-independent") {
+    // c1 → {s1, s2, s3}, c2 → {s1}: c1 is the hub, s1 the authority.
+    // Round 1: ra = (2e6, 1e6, 1e6) → a1 = (1e6, 5e5, 5e5);
+    //   rh = (2e6, 1e6) → h1 = (1e6, 5e5).
+    // Round 2: ra = (1.5e6, 1e6, 1e6) → a2 = (1e6, 666666, 666666);
+    //   rh = (2333332, 1e6) → h2 = (1e6, 428571) — div-truncated.
+    val edges = Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L))
+      .toDF("c", "s")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      GraphEtl.hitsScores(df)
+        .as[(String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val out = run(edges)
+    assert(out(("hub", 1L)) === 1000000L)
+    assert(out(("hub", 2L)) === 428571L)
+    assert(out(("auth", 10L)) === 1000000L)
+    assert(out(("auth", 20L)) === 666666L)
+    assert(out(("auth", 30L)) === 666666L)
+    assert(run(edges.repartition(7)) === out)
+  }
 }

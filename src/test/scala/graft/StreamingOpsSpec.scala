@@ -440,4 +440,65 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed.find(_._1 == 7L).get ===
       ((7L, 3L, "error", 3.0, 4L, 2000L)))
   }
+
+  test("horizonDedupBatch: greedy horizon spacing, suppression does " +
+    "not extend, keys independent; stream ≡ batch ≡ one-event replay") {
+    import StreamingOps.HorizonEvent
+    val H = 100L
+    // user 7 / "a": t=0 kept; 50,100 suppressed (≤ 0+H); 101 kept
+    // (re-arm); 150 suppressed — the window did NOT slide to 100+H;
+    // 250 kept. user 7 / "b" and user 8 are independent keys.
+    val evs = Seq(
+      HorizonEvent(7L, "a", 0L, 1L, 1.0),
+      HorizonEvent(7L, "a", 50L, 2L, 2.0),
+      HorizonEvent(7L, "a", 100L, 3L, 3.0),
+      HorizonEvent(7L, "a", 101L, 4L, 4.0),
+      HorizonEvent(7L, "a", 150L, 5L, 5.0),
+      HorizonEvent(7L, "a", 250L, 6L, 6.0),
+      HorizonEvent(7L, "b", 50L, 7L, 7.0),
+      HorizonEvent(8L, "a", 60L, 8L, 8.0))
+    val expected = Set(1L, 4L, 6L, 7L, 8L)
+
+    // batch anchor over an events-shaped frame (ns-long ts)
+    val batchDf = evs.map(e =>
+        (e.event_id, e.ts_us * 1000L, e.user_id, e.event_type, e.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batch = StreamingOps.horizonDedupBatch(batchDf, H)
+      .select("event_id").as[Long].collect().toSet
+    assert(batch === expected)
+
+    // stream twin: event-time-ordered batches, then one-event-per-batch
+    implicit val sqlCtx = spark.sqlContext
+    def streamKept(batches: Seq[Seq[HorizonEvent]], name: String)
+        : Set[Long] = {
+      val mem = MemoryStream[HorizonEvent]
+      val q = StreamingOps.streamingHorizonDedup(mem.toDS(), H)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.sql(s"SELECT event_id FROM $name").as[Long].collect().toSet
+      } finally q.stop()
+    }
+    val ordered = evs.sortBy(e => (e.ts_us, e.event_id))
+    assert(streamKept(Seq(ordered.take(4), ordered.drop(4)), "hz_a")
+      === expected)
+    assert(streamKept(ordered.map(Seq(_)), "hz_b") === expected)
+  }
+
+  test("horizonDedupBatch: ts tie keeps only the lower event_id; " +
+    "boundary ts == kept + H is suppressed") {
+    import StreamingOps.HorizonEvent
+    val evs = Seq(
+      HorizonEvent(1L, "x", 10L, 2L, 0.0),
+      HorizonEvent(1L, "x", 10L, 1L, 0.0), // tie: id 1 first, keeps
+      HorizonEvent(1L, "x", 110L, 3L, 0.0), // == 10 + H: suppressed
+      HorizonEvent(1L, "x", 111L, 4L, 0.0)) // > 10 + H: kept
+    val df = evs.map(e =>
+        (e.event_id, e.ts_us * 1000L, e.user_id, e.event_type, e.value))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val kept = StreamingOps.horizonDedupBatch(df, 100L)
+      .select("event_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L))
+  }
 }
