@@ -292,6 +292,10 @@ object SparkEntry {
     "s30_clustered_descent_recall" -> ((s, dir) =>
       Similarity.nnDescentRecall(
         Similarity.clusteredEmbeddings(t(s, dir, "embeddings")))),
+    // MMR-diversified retrieval: greedy relevance-vs-novelty
+    // re-ranking of the exact shortlist (three unrolled steps).
+    "s31_mmr_select" -> ((s, dir) =>
+      Similarity.mmrSelect(t(s, dir, "embeddings"))),
     // Capstone: the §2.12 operators composed end to end.
     "p01_corpus_pipeline" -> ((s, dir) =>
       Pipeline.corpusPipeline(t(s, dir, "documents"))),
@@ -661,6 +665,10 @@ object SparkEntry {
     "st13_horizon_dedup" -> ((s, dir) =>
       graft.streaming.StreamingOps.horizonDedupBatch(
         t(s, dir, "events"))),
+    // Epoch-capped mixture plan: max total budget under √-law targets
+    // with at most 3 passes per language; binding language flagged.
+    "p20_mixture_solver" -> ((s, dir) =>
+      Pipeline.mixtureSolver(t(s, dir, "documents"))),
     // Easy-to-hard curriculum position (two-stage global rank).
     "p13_curriculum" -> ((s, dir) =>
       Pipeline.curriculumOrder(t(s, dir, "documents"))),
@@ -2265,6 +2273,25 @@ object SparkEntry {
         |  n_docs::DOUBLE / td AS share_docs,
         |  n_tokens::DOUBLE / tt AS share_tokens
         |FROM cells, tot""".stripMargin,
+    // mixtureSolver mirror: same language aggregate, ⌊√⌋ weights,
+    // and integer min/div algebra; HUGEINT intermediates carry the
+    // same exact values, final columns CAST to BIGINT (§8.4).
+    "p20_mixture_solver" ->
+      """WITH avail AS (SELECT lang,
+        |  sum(len(string_split(text, ' ')))::BIGINT AS avail
+        | FROM documents GROUP BY lang HAVING avail > 0),
+        |w AS (SELECT lang, avail,
+        |  CAST(floor(sqrt(avail::DOUBLE)) AS BIGINT) AS w FROM avail),
+        |tot AS (SELECT sum(w)::BIGINT AS bigw FROM w),
+        |capped AS (SELECT lang, avail, w, bigw,
+        |  (3 * avail * bigw) // w AS cap_n FROM w, tot),
+        |n AS (SELECT min(cap_n) AS n_total FROM capped)
+        |SELECT lang, avail, w AS weight,
+        | CAST((n_total * w) // bigw AS BIGINT) AS planned,
+        | CAST(((n_total * w) // bigw) * 1000000 // avail AS BIGINT)
+        |   AS epochs_1e6,
+        | cap_n = n_total AS is_binding
+        |FROM capped, n""".stripMargin,
     // dupClustersShortcut converges to the SAME component-min labels,
     // so the d08 recursive-CTE oracle applies verbatim.
     "d11_dup_clusters_fast" -> dupClustersOracleSql,
@@ -3160,6 +3187,58 @@ object SparkEntry {
       (nnDescentCte(4) + descentRecallTail),
     "s30_clustered_descent_recall" ->
       (nnDescentCte(4, 5, gmCte) + descentRecallTail),
+    // mmrSelect mirror: the s01 shortlist chain carrying candidate
+    // vectors, the bounded candidate-candidate sim self-join, and the
+    // same three unrolled greedy steps (λ = 1/2, ties on nbr_id).
+    "s31_mmr_select" ->
+      (embCte +
+        s""", q AS (SELECT vec_id AS q_id, v, nrm FROM n WHERE vec_id < 10),
+           |scored AS (SELECT a.q_id, b.vec_id AS nbr_id,
+           |  $pairDot / (a.nrm * b.nrm) AS rel,
+           |  b.v AS cv, b.nrm AS cnrm
+           | FROM (SELECT q_id, v, nrm FROM q) a
+           | CROSS JOIN n b WHERE b.vec_id <> a.q_id),
+           |short AS (SELECT * FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY rel DESC, nbr_id) AS rnk FROM scored)
+           | WHERE rnk <= 9),
+           |cc AS (SELECT x.q_id, x.nbr_id AS ca, y.nbr_id AS cb,
+           |  ${foldSum("[x.cv[i] * y.cv[i] FOR i IN range(1, len(x.cv)+1)]")}
+           |   / (x.cnrm * y.cnrm) AS sim
+           | FROM short x JOIN short y
+           | ON x.q_id = y.q_id AND x.nbr_id <> y.nbr_id),
+           |sel1 AS (SELECT q_id, nbr_id, rel, rel AS score FROM (
+           | SELECT q_id, nbr_id, rel, row_number() OVER (
+           |   PARTITION BY q_id ORDER BY rel DESC, nbr_id) AS rn
+           | FROM short) WHERE rn = 1),
+           |r1 AS (SELECT s.q_id, s.nbr_id, s.rel, c.sim AS ms1
+           | FROM short s
+           | JOIN sel1 t ON s.q_id = t.q_id AND s.nbr_id <> t.nbr_id
+           | JOIN cc c ON c.q_id = s.q_id AND c.ca = s.nbr_id
+           |   AND c.cb = t.nbr_id),
+           |sel2 AS (SELECT q_id, nbr_id, rel,
+           |  0.5 * rel - 0.5 * ms1 AS score FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY 0.5 * rel - 0.5 * ms1 DESC, nbr_id) AS rn
+           | FROM r1) WHERE rn = 1),
+           |r2 AS (SELECT r.q_id, r.nbr_id, r.rel,
+           |  greatest(r.ms1, c.sim) AS ms2
+           | FROM r1 r
+           | JOIN sel2 t ON r.q_id = t.q_id AND r.nbr_id <> t.nbr_id
+           | JOIN cc c ON c.q_id = r.q_id AND c.ca = r.nbr_id
+           |   AND c.cb = t.nbr_id),
+           |sel3 AS (SELECT q_id, nbr_id, rel,
+           |  0.5 * rel - 0.5 * ms2 AS score FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY 0.5 * rel - 0.5 * ms2 DESC, nbr_id) AS rn
+           | FROM r2) WHERE rn = 1)
+           |SELECT q_id, CAST(1 AS BIGINT) AS sel_rank, nbr_id, rel,
+           | score FROM sel1
+           |UNION ALL
+           |SELECT q_id, CAST(2 AS BIGINT), nbr_id, rel, score FROM sel2
+           |UNION ALL
+           |SELECT q_id, CAST(3 AS BIGINT), nbr_id, rel, score FROM sel3"""
+        .stripMargin),
     // bloomDecontaminate mirror: a bitmap bit is set iff its position
     // is in the benchmark's affine-position set, so the oracle tests
     // set membership directly — same k=5 polynomial, same affine

@@ -911,4 +911,47 @@ object Pipeline {
         col("value"), col("version"), col("valid_from_us"),
         lit(ScdOpenEndUs).as("valid_to_us"), lit(true).as("is_current"))
   }
+
+  /** Epoch-capped mixture solver (p20) — the planning step between
+    * the data card (p12) and the samplers (p04/p07): given
+    * per-language availability T_l (tokens) and √-law target weights
+    * w_l = ⌊√T_l⌋ (p07's temperature-flattening story in exact
+    * integers), find the LARGEST total token budget N every language
+    * can fill its target share w_l/W of from at most `epochCap`
+    * passes over its data — N = min_l ⌊epochCap · T_l · W / w_l⌋ —
+    * and emit the per-language plan: planned tokens ⌊N·w_l/W⌋,
+    * achieved epochs in millionths (planned·1e6 div T_l, ≤
+    * epochCap·1e6 by construction), and the binding language(s) — the
+    * mixture's bottleneck, i.e. what to collect more of before the
+    * next scale-up. All integer algebra (the g10/g19 determinism
+    * discipline); the one sqrt is IEEE-correctly-rounded in both
+    * engines (the s15 precedent). Long arithmetic holds to ~1e17
+    * token-weight products; a true 100 TB corpus lifts the three
+    * products to decimal(38,0) like g17.
+    *
+    * Scale shape: ONE map-side-combinable corpus aggregate down to
+    * the language dimension (config-sized); everything downstream is
+    * algebra on that tiny frame crossed with 1-row broadcasts of W
+    * and N (the scalar-subquery class).
+    */
+  def mixtureSolver(documents: DataFrame, epochCap: Int = 3): DataFrame = {
+    val avail = documents
+      .select(col("lang"),
+        size(Canon.words(col("text"))).cast("long").as("n"))
+      .groupBy(col("lang")).agg(sum(col("n")).as("avail"))
+      .filter(col("avail") > 0L)
+      .select(col("lang"), col("avail"),
+        floor(sqrt(col("avail").cast("double"))).cast("long").as("w"))
+      .materialized
+    val tot = avail.agg(sum(col("w")).as("bigw"))
+    val capped = avail.crossJoin(broadcast(tot))
+      .withColumn("cap_n", expr(s"($epochCap * avail * bigw) div w"))
+    val n = capped.agg(min(col("cap_n")).as("n_total"))
+    capped.crossJoin(broadcast(n))
+      .select(col("lang"), col("avail"), col("w").as("weight"),
+        expr("(n_total * w) div bigw").as("planned"),
+        expr("((n_total * w) div bigw) * 1000000 div avail")
+          .as("epochs_1e6"),
+        (col("cap_n") === col("n_total")).as("is_binding"))
+  }
 }

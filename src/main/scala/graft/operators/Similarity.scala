@@ -1426,4 +1426,85 @@ object Similarity {
       .select(col("q_id"), col("n_hit"),
         (col("n_hit").cast("double") / col("k_exact")).as("recall"))
   }
+
+  /** MMR-diversified top-k retrieval (Carbonell & Goldstein 1998) —
+    * the RAG re-ranking stage after any ANN search: from each query's
+    * exact top-`kCand` shortlist, greedily select 3 results maximizing
+    * `λ·rel − (1−λ)·max_sim_to_already_selected` (λ = 1/2), so the
+    * second and third picks trade relevance for novelty instead of
+    * returning three near-copies of the best hit (the redundancy
+    * failure a deduped-but-clustered corpus still exhibits at
+    * retrieval time). First pick = pure relevance; ties on the lower
+    * neighbor id at every step (the repo's double-ordering
+    * discipline: both engines rank the same IEEE values).
+    *
+    * Scale shape: the shortlist is the s20 broadcast-equi-join class
+    * (nQueries·kCand rows — the corpus is touched only by the
+    * relevance scan); candidate-candidate sims are a self-join
+    * BOUNDED by kCand² per query, and the three unrolled greedy steps
+    * are joins over ≤ nQueries·kCand rows each. Nothing downstream of
+    * the shortlist is corpus-sized. The greedy recurrence itself is
+    * sequential (selection i depends on 1..i−1), so it is unrolled —
+    * the d08/g10 fixed-rounds discipline — and the oracle mirrors the
+    * same three steps.
+    */
+  def mmrSelect(embeddings: DataFrame, nQueries: Int = 10,
+                kCand: Int = 9): DataFrame = {
+    val e = prepared(embeddings)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        Canon.cosine(Canon.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("rel"),
+        col("v").as("cv"), col("nrm").as("cnrm"))
+    val wRel = Window.partitionBy(col("q_id"))
+      .orderBy(col("rel").desc, col("nbr_id").asc)
+    val short = scored.withColumn("rank", row_number().over(wRel))
+      .filter(col("rank") <= kCand).materialized
+    // candidate-candidate sims: ≤ kCand² rows per query, never corpus²
+    val lhs = short.select(col("q_id"), col("nbr_id").as("ca"),
+      col("cv").as("va"), col("cnrm").as("na"))
+    val rhs = short.select(col("q_id"), col("nbr_id").as("cb"),
+      col("cv").as("vb"), col("cnrm").as("nb"))
+    val cc = lhs.join(rhs, Seq("q_id")).filter(col("ca") =!= col("cb"))
+      .select(col("q_id"), col("ca"), col("cb"),
+        Canon.cosine(Canon.dot(col("va"), col("vb")),
+          col("na"), col("nb")).as("sim"))
+      .materialized
+    def pick(cands: DataFrame, score: Column): DataFrame = {
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(score.desc, col("nbr_id").asc)
+      cands.withColumn("score", score)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1).drop("_rn")
+    }
+    val ccSel = cc.select(col("q_id").as("_cq"), col("ca"), col("cb"),
+      col("sim"))
+    val cand = short.select(col("q_id"), col("nbr_id"), col("rel"))
+    val sel1 = pick(cand, col("rel"))
+    val r1 = cand
+      .join(sel1.select(col("q_id"), col("nbr_id").as("s1")), "q_id")
+      .filter(col("nbr_id") =!= col("s1"))
+      .join(ccSel, col("q_id") === col("_cq") &&
+        col("nbr_id") === col("ca") && col("s1") === col("cb"))
+      .select(col("q_id"), col("nbr_id"), col("rel"),
+        col("sim").as("ms1"))
+    val sel2 = pick(r1, lit(0.5d) * col("rel") - lit(0.5d) * col("ms1"))
+    val r2 = r1
+      .join(sel2.select(col("q_id"), col("nbr_id").as("s2")), "q_id")
+      .filter(col("nbr_id") =!= col("s2"))
+      .join(ccSel, col("q_id") === col("_cq") &&
+        col("nbr_id") === col("ca") && col("s2") === col("cb"))
+      .select(col("q_id"), col("nbr_id"), col("rel"),
+        greatest(col("ms1"), col("sim")).as("ms2"))
+    val sel3 = pick(r2, lit(0.5d) * col("rel") - lit(0.5d) * col("ms2"))
+    sel1.select(col("q_id"), lit(1L).as("sel_rank"), col("nbr_id"),
+        col("rel"), col("score"))
+      .unionByName(sel2.select(col("q_id"), lit(2L).as("sel_rank"),
+        col("nbr_id"), col("rel"), col("score")))
+      .unionByName(sel3.select(col("q_id"), lit(3L).as("sel_rank"),
+        col("nbr_id"), col("rel"), col("score")))
+  }
 }

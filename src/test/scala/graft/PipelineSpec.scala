@@ -326,4 +326,22 @@ class PipelineSpec extends SparkSpec {
       .select(snap.columns.map(org.apache.spark.sql.functions.col): _*)
     assert(snap.except(cur).isEmpty && cur.except(snap).isEmpty)
   }
+
+  test("mixtureSolver: hand-checked plan — scarce language binds at " +
+    "exactly the epoch cap, abundant language under-fills") {
+    // en: 100 tokens → w=10; de: 400 tokens → w=20; W=30; cap=3.
+    // cap_n: en (3·100·30)//10 = 900, de (3·400·30)//20 = 1800 →
+    // N=900, en binding. planned: en 900·10//30=300, de 600.
+    // epochs: en 300e6//100 = 3.0e6 (exactly the cap), de 1.5e6.
+    val docs = Seq(
+      (1L, Seq.fill(60)("w").mkString(" "), "s", "en"),
+      (2L, Seq.fill(40)("w").mkString(" "), "s", "en"),
+      (3L, Seq.fill(400)("w").mkString(" "), "s", "de")
+    ).toDF("doc_id", "text", "source", "lang")
+    val out = Pipeline.mixtureSolver(docs)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    assert(out("en") === ((100L, 10L, 300L, 3000000L, true)))
+    assert(out("de") === ((400L, 20L, 600L, 1500000L, false)))
+  }
 }

@@ -545,4 +545,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out("seed") === ((1L, 0L, 0.0)))
     assert(out("descended") === ((1L, 1L, 1.0)))
   }
+
+  test("mmrSelect: second pick trades relevance for novelty (the " +
+    "near-copy of the top hit drops to third); partition-independent") {
+    // query 0 = x̂; candidates: 10 and 11 are near-copies along x
+    // (rel ≈ 0.995 / 0.993, mutual sim ≈ 0.9998), 12 is diverse at
+    // rel 0.6. Pure relevance ranks (10, 11, 12); MMR keeps 10, then
+    // prefers 12 (0.5·(0.6 − 0.597) > 0.5·(0.993 − 0.9998)), then 11.
+    val mmrEmb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (10L, Array(1.0f, 0.10f, 0.0f, 0.0f), 0),
+      (11L, Array(1.0f, 0.12f, 0.0f, 0.0f), 0),
+      (12L, Array(0.6f, 0.0f, 0.8f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.mmrSelect(df, nQueries = 1, kCand = 3)
+        .orderBy("sel_rank")
+        .as[(Long, Long, Long, Double, Double)].collect()
+    val out = run(mmrEmb)
+    assert(out.map(_._3) === Array(10L, 12L, 11L))
+    assert(out(0)._5 === out(0)._4) // first pick scores pure relevance
+    assert(out(1)._5 > 0.0 && out(2)._5 < 0.0)
+    assert(run(mmrEmb.repartition(5)) === out)
+  }
 }
