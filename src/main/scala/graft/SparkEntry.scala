@@ -633,6 +633,11 @@ object SparkEntry {
     "m08_vision_tokens" -> ((s, dir) =>
       Multimodal.visionTokens(
         Multimodal.decodeMeta(t(s, dir, "documents")))),
+    // Interleaved image+text packing: p06's layout at the combined
+    // text+vision token granularity (vision tokens compete with text
+    // for the context window).
+    "m09_multimodal_pack" -> ((s, dir) =>
+      Multimodal.multimodalPack(t(s, dir, "documents"))),
     // Positional duplicated-window fraction (exact-substring dedup's
     // measurement pass; catches in-document repetition too).
     "d20_window_dup" -> ((s, dir) =>
@@ -3949,6 +3954,30 @@ object SparkEntry {
          |  (width // 32) * (height // 32) + 1 AS vision_tokens,
          |  (width // 32) * (height // 32) + 1 <= 64 AS fits_budget
          |FROM meta""".stripMargin,
+    // multimodalPack mirror: the m02 stub-dims CTE feeding m08's
+    // patch arithmetic, joined into p06's shard/ord running-sum
+    // layout over the combined token count.
+    "m09_multimodal_pack" ->
+      s"""WITH h AS (SELECT doc_id, ${h60("text")} AS h FROM documents),
+         |vis AS (SELECT doc_id,
+         |  ((64 + h % 193) // 32) * ((64 + (h // 193) % 129) // 32) + 1
+         |    AS vision_tokens FROM h),
+         |b AS (SELECT doc_id,
+         |  len(string_split(text, ' '))::BIGINT AS text_tokens,
+         |  ${h60("md5('mpack|' || text)")} % 64 AS shard,
+         |  ${h60("md5(text)")} AS ord FROM documents),
+         |j AS (SELECT b.doc_id, b.shard, b.ord, b.text_tokens,
+         |  v.vision_tokens, b.text_tokens + v.vision_tokens AS n_tokens
+         | FROM b JOIN vis v ON b.doc_id = v.doc_id),
+         |c AS (SELECT *, coalesce(sum(n_tokens) OVER (
+         |   PARTITION BY shard ORDER BY ord, doc_id
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |   0)::BIGINT AS tok_start FROM j)
+         |SELECT doc_id, shard, text_tokens, vision_tokens, n_tokens,
+         | tok_start // 2048 AS seq_id, tok_start % 2048 AS tok_offset,
+         | (tok_start + n_tokens - 1) // 2048 - tok_start // 2048 + 1
+         |   AS n_seqs_spanned
+         |FROM c""".stripMargin,
     // importanceWeights mirror: same u|/b| hashed feature streams,
     // bucket counts with target filter, and the EXACT fixed-point
     // per-feature ratio (ct+1)*1e6 // (cr+1) — integer floor division

@@ -228,4 +228,48 @@ object Multimodal {
           .otherwise(lit("portrait")).as("orientation"),
         bucket.as("bucket"))
   }
+
+  /** Interleaved image+text context packing (m09) — p06's
+    * concat-and-chunk layout at the COMBINED token granularity: each
+    * document's context cost is its text tokens plus its vision
+    * tokens (m08's ViT patch grid + CLS over the decoded dims —
+    * vision tokens compete with text for the same context window,
+    * which is why a multimodal trainer cannot pack on text length
+    * alone), laid out into `seqLen`-token training windows in
+    * deterministic content-hash order (shard + in-shard order keyed
+    * off the text md5, p06's convention with an "mpack|" salt).
+    *
+    * Scale shape: the decode metadata is doc-keyed and joins the
+    * token frame on doc_id (one equi-join, AQE-broadcast when the
+    * decoded side is filtered small); the layout itself is p06's
+    * per-shard running sum — the parallel unit is the shard, sized to
+    * the cluster, never a single global window.
+    */
+  def multimodalPack(documents: DataFrame, patch: Int = 32,
+                     seqLen: Long = 2048L, numShards: Int = 64)
+      : DataFrame = {
+    import graft.functions.Canon
+    val vis = visionTokens(decodeMeta(documents), patch)
+      .select(col("doc_id"), col("vision_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    documents
+      .select(col("doc_id"),
+        size(Canon.words(col("text"))).cast("long").as("text_tokens"),
+        (Canon.hash60(md5(concat(lit("mpack|"), col("text"))))
+          % numShards).as("shard"),
+        Canon.hash60(md5(col("text"))).as("ord"))
+      .join(vis, "doc_id")
+      .withColumn("n_tokens", col("text_tokens") + col("vision_tokens"))
+      .withColumn("tok_start",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("text_tokens"),
+        col("vision_tokens"), col("n_tokens"),
+        expr(s"tok_start div ${seqLen}L").as("seq_id"),
+        (col("tok_start") % seqLen).as("tok_offset"),
+        (expr(s"(tok_start + n_tokens - 1) div ${seqLen}L")
+          - expr(s"tok_start div ${seqLen}L") + 1L).as("n_seqs_spanned"))
+  }
 }

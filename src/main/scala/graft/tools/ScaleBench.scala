@@ -45,7 +45,11 @@ object ScaleBench {
   val family: Seq[String] = Seq(
     "g10_pagerank", "g11_triangles", "g12_wcc", "g13_edge_jaccard",
     "g14_bfs_hops", "g15_kcore", "g16_local_cc", "g17_assortativity",
-    "g18_ppr", "d08_dup_clusters", "d11_dup_clusters_fast")
+    "g18_ppr", "d08_dup_clusters", "d11_dup_clusters_fast",
+    // r13 session-2 entrant: two joins + two aggregates per HITS
+    // round over a once-materialized edge list — the g10 shape with
+    // a per-side 1-row max broadcast.
+    "g19_hits")
 
   /** Second axis (late r10): the corpus-heavy single-pass family —
     * LSH candidate generation, pair verification, the two corpus-pass
@@ -64,6 +68,10 @@ object ScaleBench {
     // join); p16's two-stage global rank is the balanced-shard
     // assignment a 100 TB repack would run.
     "d23_incremental_dedup", "st11_ingest_dedup", "p16_balanced_shards",
+    // r13 session-2 entrant: one corpus aggregate down to the
+    // language dimension, then pure broadcast algebra — the flattest
+    // curve the axis should contain.
+    "p20_mixture_solver",
     // late-r13 entrant: the shingle self-join's expansion is bounded
     // by the source dimension; amplified copies rotate vocabulary, so
     // shared shingles stay copy-local — the honest growth variable is
@@ -88,7 +96,11 @@ object ScaleBench {
     // salted users grow the KEY space 10× while per-key history
     // length (the sort / state cost per key) stays constant, the
     // cluster growth direction.
-    "p18_cdc_upsert", "st12_cdc_snapshot")
+    "p18_cdc_upsert", "st12_cdc_snapshot",
+    // r13 session-2 entrant: the bounded-state horizon dedup — one
+    // key exchange + secondary-sorted linear scan; salted users grow
+    // the key space, per-key scan length stays constant.
+    "st13_horizon_dedup")
 
   /** Fourth axis (r12, VERDICT r10 #3): the composed ANN ladder —
     * raw-PQ IVFADC (s16), residual IVFADC (s18), and the re-ranked
@@ -109,7 +121,10 @@ object ScaleBench {
     // r13 entrants (VERDICT r12 #3): the SQ8 rung — full-dimension
     // int8 scan (s26) and its recall dial vs the exact baseline (s27,
     // which also prices the brute-force ground-truth pass).
-    "s26_knn_sq8", "s27_sq8_recall")
+    "s26_knn_sq8", "s27_sq8_recall",
+    // r13 session-2 entrant: MMR re-ranking — the corpus appears only
+    // in the relevance scan; all greedy steps are shortlist-sized.
+    "s31_mmr_select")
 
   /** Fifth axis (r13): the sketch-certification family beside their
     * exact twins, plus the z-order global rank. The claim under test

@@ -90,4 +90,37 @@ class MultimodalSpec extends SparkSpec {
       ("landscape", "4:3"), ("landscape", "3:2"), ("landscape", "2:1"),
       ("landscape", "1:1")))
   }
+
+  test("multimodalPack: combined cost = text + vision tokens; " +
+    "per-shard layout gapless; spanning math exact at a small seqLen") {
+    val docs = (0L until 20L).map(i =>
+        (i, Seq.fill(5 + (i % 7).toInt)(s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val seqLen = 50L
+    val out = Multimodal.multimodalPack(docs, seqLen = seqLen,
+        numShards = 4)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+    val vis = Multimodal.visionTokens(Multimodal.decodeMeta(docs))
+      .select("doc_id", "vision_tokens")
+      .as[(Long, Long)].collect().toMap
+    assert(out.length === 20)
+    out.foreach { case (id, _, txt, v, n, _, _, _) =>
+      assert(v === vis(id) && n === txt + v)
+    }
+    // within each shard: tok_start (= seq_id·seqLen + offset) chains
+    // gaplessly, and n_seqs_spanned counts the windows the doc crosses
+    out.groupBy(_._2).values.foreach { shard =>
+      val rows = shard.map { case (_, _, _, _, n, sid, off, span) =>
+        (sid * seqLen + off, n, span)
+      }.sortBy(_._1)
+      rows.zip(rows.scanLeft(0L)(_ + _._2)).foreach {
+        case ((start, n, span), expectedStart) =>
+          assert(start === expectedStart)
+          assert(span === (start + n - 1) / seqLen - start / seqLen + 1)
+      }
+      // the fixture's docs exceed one window per shard, so at least
+      // one doc must span a boundary
+      assert(rows.map(_._3).max >= 2L)
+    }
+  }
 }
