@@ -716,6 +716,10 @@ object SparkEntry {
     // Token-balanced output sharding (serpentine LPT, two-stage rank).
     "p16_balanced_shards" -> ((s, dir) =>
       Pipeline.balancedShards(t(s, dir, "documents"))),
+    // Per-shard integrity manifest: order-independent content
+    // checksum + token totals over p16's assignment.
+    "p21_shard_manifest" -> ((s, dir) =>
+      Pipeline.shardManifest(t(s, dir, "documents"))),
     // Z-order repack planning: Morton interleave of (partkey,
     // suppkey), equal cut into 32 files, per-file min/max stats (the
     // data-skipping footers). Two-stage rank; row-local bit algebra.
@@ -944,6 +948,21 @@ object SparkEntry {
          |  FROM banded b JOIN mins m USING (bk) GROUP BY b.doc_id)
          |""".stripMargin
   }
+
+  /** Shared p16 serpentine-LPT CTE (doc_id, shard, n_tokens) — used
+    * by the p16 and p21 mirrors so the layout and its manifest cannot
+    * drift.
+    */
+  private val balancedShardsCte: String =
+    """WITH b AS (SELECT doc_id,
+      |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+      |  md5(text) AS tb FROM documents),
+      |r AS (SELECT doc_id, n_tokens, row_number() OVER (
+      |    ORDER BY n_tokens DESC, tb, doc_id) - 1 AS r0 FROM b),
+      |shards AS (SELECT doc_id,
+      |  CAST(CASE WHEN (r0 // 64) % 2 = 0 THEN r0 % 64
+      |    ELSE 63 - (r0 % 64) END AS INT) AS shard,
+      |  n_tokens FROM r)""".stripMargin
 
   /** Shared embedding CTE with norms (vec_id, label, v, nrm). */
   private val embCte: String =
@@ -1877,16 +1896,20 @@ object SparkEntry {
     // balancedShards mirror: global (n_tokens DESC, md5, doc_id) rank,
     // serpentine deal over 64 shards.
     "p16_balanced_shards" ->
-      """WITH b AS (SELECT doc_id,
-        |  len(string_split(text, ' '))::BIGINT AS n_tokens,
-        |  md5(text) AS tb FROM documents),
-        |r AS (SELECT doc_id, n_tokens, row_number() OVER (
-        |    ORDER BY n_tokens DESC, tb, doc_id) - 1 AS r0 FROM b)
-        |SELECT doc_id,
-        | CAST(CASE WHEN (r0 // 64) % 2 = 0 THEN r0 % 64
-        |   ELSE 63 - (r0 % 64) END AS INT) AS shard,
-        | n_tokens
-        |FROM r""".stripMargin,
+      (balancedShardsCte + "\nSELECT doc_id, shard, n_tokens FROM shards"),
+    // shardManifest mirror: the SHARED p16 serpentine CTE (layout and
+    // manifest cannot drift) + the hash60 checksum rolled up per
+    // shard — HUGEINT sum, one mod, final CAST BIGINT (§8.4).
+    "p21_shard_manifest" ->
+      (balancedShardsCte +
+        s""",
+           |h AS (SELECT doc_id, ${h60("text")} AS h FROM documents)
+           |SELECT shard, count(*) AS n_docs,
+           | sum(n_tokens)::BIGINT AS n_tokens,
+           | min(s.doc_id) AS min_doc_id, max(s.doc_id) AS max_doc_id,
+           | CAST(sum(h.h) % 1152921504606846976 AS BIGINT) AS checksum
+           |FROM shards s JOIN h ON s.doc_id = h.doc_id
+           |GROUP BY shard""".stripMargin),
     // zorderLayout mirror: the SAME unrolled 16-term Morton
     // interleave (integer shift-mask algebra — no floats), the same
     // global (zval, orderkey, linenumber) rank, the same

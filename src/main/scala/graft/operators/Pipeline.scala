@@ -523,6 +523,38 @@ object Pipeline {
         col("n_tokens"))
   }
 
+  /** Deterministic shard manifest (p21) — the integrity artifact the
+    * writer emits beside a packed corpus: per p16 shard, doc count,
+    * token total, doc_id span, and an ORDER-INDEPENDENT content
+    * checksum — the exact sum of per-doc hash60(text), folded mod
+    * 2^60 (commutative integer addition: any task/partition order
+    * yields the same manifest, where an md5-of-concatenation would
+    * need a total order and a single-task fold per shard).
+    * Re-running the pipeline on any cluster must reproduce this table
+    * bit-for-bit; a mismatch names the shard that diverged. SHARES
+    * [[balancedShards]]' assignment so the manifest can never drift
+    * from the layout it audits.
+    *
+    * Scale shape: p16's two-stage rank (already characterized), one
+    * doc_id equi-join to fetch the content hash, one
+    * map-side-combinable per-shard aggregate; checksum sums are exact
+    * in decimal(38,0) (HUGEINT on the oracle side) before the one
+    * final mod.
+    */
+  def shardManifest(documents: DataFrame, numShards: Int = 64)
+      : DataFrame =
+    balancedShards(documents, numShards)
+      .join(documents.select(col("doc_id"),
+        Canon.hash60(col("text")).as("_h")), "doc_id")
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        pmod(sum(col("_h").cast("decimal(38,0)")),
+          lit(1152921504606846976L).cast("decimal(38,0)"))
+          .cast("long").as("checksum"))
+
   /** Z-order (Morton-curve) layout planning — the data-skipping
     * repack a lakehouse runs so point/range queries on EITHER of two
     * keys prune most files (Delta/Iceberg `OPTIMIZE ZORDER BY`): sort

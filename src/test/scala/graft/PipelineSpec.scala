@@ -327,6 +327,31 @@ class PipelineSpec extends SparkSpec {
     assert(snap.except(cur).isEmpty && cur.except(snap).isEmpty)
   }
 
+  test("shardManifest: totals cover the corpus exactly once; " +
+    "checksum is partition-order-independent and content-sensitive") {
+    val docs = (0L until 50L).map(i =>
+        (i, Seq.fill(3 + (i % 5).toInt)(s"tok$i").mkString(" "), "s", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Pipeline.shardManifest(df, numShards = 4)
+        .as[(Int, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    val out = run(docs)
+    assert(out.map(_._2).sum === 50L) // every doc in exactly one shard
+    assert(out.map(_._3).sum ===
+      (0L until 50L).map(i => 3 + (i % 5)).sum)
+    assert(run(docs.repartition(7)) === out)
+    // flipping one document's content changes the manifest (the md5
+    // tiebreak may also reseat same-length docs, so the assertion is
+    // sensitivity, not locality) while the corpus totals hold
+    val flipped = docs.withColumn("text",
+      org.apache.spark.sql.functions.when($"doc_id" === 7L,
+        org.apache.spark.sql.functions.regexp_replace($"text", "tok7", "kot7"))
+        .otherwise($"text"))
+    val out2 = run(flipped)
+    assert(out2.map(r => (r._2, r._3)).toSeq.map(_._1).sum === 50L)
+    assert(out2.map(_._6).toSeq !== out.map(_._6).toSeq)
+  }
+
   test("mixtureSolver: hand-checked plan — scarce language binds at " +
     "exactly the epoch cap, abundant language under-fills") {
     // en: 100 tokens → w=10; de: 400 tokens → w=20; W=30; cap=3.
