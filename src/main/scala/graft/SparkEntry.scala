@@ -720,6 +720,10 @@ object SparkEntry {
     // checksum + token totals over p16's assignment.
     "p21_shard_manifest" -> ((s, dir) =>
       Pipeline.shardManifest(t(s, dir, "documents"))),
+    // SCD2 time travel: entity state at four grid instants from the
+    // version intervals (AS OF TIMESTAMP without history replay).
+    "p22_time_travel" -> ((s, dir) =>
+      Pipeline.timeTravelGrid(t(s, dir, "events"))),
     // Z-order repack planning: Morton interleave of (partkey,
     // suppkey), equal cut into 32 files, per-file min/max stats (the
     // data-skipping footers). Two-stage rank; row-local bit algebra.
@@ -1986,6 +1990,26 @@ object SparkEntry {
         |   ORDER BY e.ts_us, e.event_id LIMIT 1) nxt)
         |SELECT user_id, event_type, ts_us, event_id, value
         |FROM kept""".stripMargin,
+    // timeTravelGrid mirror: p18's version CTE + the min/max-derived
+    // 4-instant grid + the same interval predicate.
+    "p22_time_travel" ->
+      s"""WITH v AS (SELECT user_id, event_id, event_type, value,
+         |  CAST(row_number() OVER w AS BIGINT) AS version,
+         |  epoch_us(ts) AS valid_from_us,
+         |  coalesce(epoch_us(lead(ts) OVER w),
+         |    ${graft.operators.Pipeline.ScdOpenEndUs}) AS valid_to_us
+         | FROM events
+         | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+         | FROM events),
+         |g AS (SELECT CAST(i AS BIGINT) AS grid_i,
+         |  mn + ((mx - mn) * i) // 4 AS grid_ts_us
+         | FROM b, (SELECT unnest([1, 2, 3, 4]) AS i))
+         |SELECT grid_i, grid_ts_us, user_id, event_id, event_type,
+         | value, version
+         |FROM v JOIN g
+         |ON valid_from_us <= grid_ts_us AND grid_ts_us < valid_to_us"""
+        .stripMargin,
     // cdcUpsert mirror: identical (ts, event_id) total order; the
     // open-version sentinel is the same µs literal on both engines.
     "p18_cdc_upsert" ->

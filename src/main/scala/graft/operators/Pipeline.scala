@@ -922,6 +922,40 @@ object Pipeline {
       .drop("ts_us")
   }
 
+  /** SCD2 time-travel snapshots (p22) — the lakehouse
+    * "AS OF TIMESTAMP" audit read over [[cdcUpsert]]'s version table:
+    * the full entity state at each of `gridPoints` deterministic
+    * instants spanning the changelog (min_ts + i·span/grid, integer
+    * µs) — "what did the table look like at time g", answered from
+    * version intervals without replaying history. An instant selects
+    * per user the unique version with valid_from ≤ g < valid_to
+    * (equal-ts ties produce empty [t, t) intervals that can never
+    * match, so the p18 ordering keeps the answer well-defined); users
+    * whose first change postdates g are absent — as they were then.
+    *
+    * Scale shape: the version table is p18's single windowed
+    * exchange; the grid is a `gridPoints`-row broadcast crossed into
+    * it with a row-local interval predicate (the bounded-broadcast
+    * BNLJ class) — no second data-sized shuffle, no per-instant scan.
+    */
+  def timeTravelGrid(events: DataFrame, gridPoints: Int = 4)
+      : DataFrame = {
+    val tsUs = graft.Tables.tsUs(events)
+    val bounds = events.agg(min(tsUs).as("mn"), max(tsUs).as("mx"))
+    val grid = bounds
+      .select(explode(sequence(lit(1), lit(gridPoints))).as("gi"),
+        col("mn"), col("mx"))
+      .select(col("gi").cast("long").as("grid_i"),
+        (col("mn") + expr(s"((mx - mn) * gi) div $gridPoints"))
+          .as("grid_ts_us"))
+    cdcUpsert(events)
+      .join(broadcast(grid),
+        col("valid_from_us") <= col("grid_ts_us") &&
+          col("grid_ts_us") < col("valid_to_us"))
+      .select(col("grid_i"), col("grid_ts_us"), col("user_id"),
+        col("event_id"), col("event_type"), col("value"), col("version"))
+  }
+
   /** Latest-wins CDC compaction WITHOUT the sort: one map-side-
     * combinable max_by per column keyed on the same (ts, event_id)
     * total order [[cdcUpsert]] sorts by — the struct comparison makes

@@ -327,6 +327,27 @@ class PipelineSpec extends SparkSpec {
     assert(snap.except(cur).isEmpty && cur.except(snap).isEmpty)
   }
 
+  test("timeTravelGrid: each instant sees exactly the versions " +
+    "active then; pre-first-change users absent; boundary instant " +
+    "sees the new version") {
+    // µs times — user 7 changes at 0 and 100, user 8 at 40.
+    // mn=0, mx=100 → grid instants 25, 50, 75, 100.
+    val ev = Seq(
+      (1L, 0L, 7L, "a", 1.0),
+      (2L, 100L, 7L, "b", 2.0),
+      (3L, 40L, 8L, "c", 3.0)
+    ).map { case (id, us, u, t, v) => (id, us * 1000L, u, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = Pipeline.timeTravelGrid(ev)
+      .select("grid_i", "grid_ts_us", "user_id", "version")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._3))
+    assert(out === Array(
+      (1L, 25L, 7L, 1L),
+      (2L, 50L, 7L, 1L), (2L, 50L, 8L, 1L),
+      (3L, 75L, 7L, 1L), (3L, 75L, 8L, 1L),
+      (4L, 100L, 7L, 2L), (4L, 100L, 8L, 1L)))
+  }
+
   test("shardManifest: totals cover the corpus exactly once; " +
     "checksum is partition-order-independent and content-sensitive") {
     val docs = (0L until 50L).map(i =>
