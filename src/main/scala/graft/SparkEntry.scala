@@ -296,6 +296,10 @@ object SparkEntry {
     // re-ranking of the exact shortlist (three unrolled steps).
     "s31_mmr_select" -> ((s, dir) =>
       Similarity.mmrSelect(t(s, dir, "embeddings"))),
+    // Embedding drift monitor: per-label fixed-point centroid
+    // distance between two deterministic corpus halves.
+    "s32_centroid_drift" -> ((s, dir) =>
+      Similarity.centroidDrift(t(s, dir, "embeddings"))),
     // Capstone: the §2.12 operators composed end to end.
     "p01_corpus_pipeline" -> ((s, dir) =>
       Pipeline.corpusPipeline(t(s, dir, "documents"))),
@@ -3076,6 +3080,33 @@ object SparkEntry {
         |SELECT label, dim, qsum::DOUBLE / 1000000 / n_vecs AS centroid,
         | n_vecs
         |FROM g""".stripMargin,
+    // centroidDrift mirror: s07's fixed-point component sums per
+    // parity half, the SAME positive-shifted floor division
+    // ((qsum + 1e7·n) // n − 1e7, so `//` ≡ Spark's `div` even on
+    // negative sums), exact drift_sq, one sqrt.
+    "s32_centroid_drift" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |x AS (SELECT vec_id, label,
+        |  unnest([{'d': i, 'q': floor(v[i] * 1000000)::BIGINT}
+        |    FOR i IN range(1, len(v)+1)]) AS s FROM e),
+        |ga AS (SELECT label, s.d AS dim,
+        |  (sum(s.q) + 10000000 * count(*)) // count(*) - 10000000 AS m,
+        |  count(*) AS n
+        | FROM x WHERE vec_id % 2 = 0 GROUP BY label, s.d),
+        |gb AS (SELECT label, s.d AS dim,
+        |  (sum(s.q) + 10000000 * count(*)) // count(*) - 10000000 AS m,
+        |  count(*) AS n
+        | FROM x WHERE vec_id % 2 = 1 GROUP BY label, s.d),
+        |j AS (SELECT ga.label, ga.m AS ma, gb.m AS mb,
+        |  ga.n AS na, gb.n AS nb
+        | FROM ga JOIN gb ON ga.label = gb.label AND ga.dim = gb.dim)
+        |SELECT label, CAST(max(na) AS BIGINT) AS n_a,
+        | CAST(max(nb) AS BIGINT) AS n_b,
+        | CAST(sum((ma - mb) * (ma - mb)) AS BIGINT) AS drift_sq,
+        | sqrt(CAST(sum((ma - mb) * (ma - mb)) AS BIGINT)::DOUBLE)
+        |   / 1000000 AS l2_drift
+        |FROM j GROUP BY label""".stripMargin,
     // boilerplateFrac mirror: k=3 shingle polynomial over word hashes
     // (as minhash's hb CTE), df computed WITH the containing doc
     // (df > 20 ⇔ at least 20 OTHER docs), left join + conditional

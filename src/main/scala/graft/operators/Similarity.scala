@@ -1507,4 +1507,54 @@ object Similarity {
       .unionByName(sel3.select(col("q_id"), lit(3L).as("sel_rank"),
         col("nbr_id"), col("rel"), col("score")))
   }
+
+  /** Embedding-distribution drift monitor (s32) — the QA check a
+    * corpus-refresh pipeline runs before re-using an ANN index or
+    * centroid table built on the previous snapshot: split the corpus
+    * into two deterministic halves (vec_id parity — in production,
+    * the old and new snapshot), compute per-label FIXED-POINT
+    * centroids on each half (s07's integer component sums → exact,
+    * partition-order-independent), and report the squared L2 drift
+    * between the halves' centroids per label. Drift ≈ 0 on an
+    * identically-distributed split; a label whose drift spikes names
+    * the cluster whose geometry moved (re-train the quantizer, s03's
+    * centroid seam, before recall silently decays).
+    *
+    * Determinism: half-centroid components are FLOOR-divided
+    * fixed-point means — computed as `(qsum + OFF·n) div n − OFF`
+    * (OFF = 1e7) so the numerator is always positive and Spark's
+    * truncating `div` equals DuckDB's flooring `//` even when a
+    * component sum is negative. drift_sq is then an exact long; the
+    * one double (`l2_drift`) is a single correctly-rounded sqrt + one
+    * division.
+    *
+    * Scale shape: two label×dim aggregates (map-side partial) + one
+    * label-keyed join over label×dim rows (dimension-bounded, never
+    * corpus-sized) + one per-label rollup.
+    */
+  def centroidDrift(embeddings: DataFrame,
+                    scale: Long = 1000000L): DataFrame = {
+    val Off = 10000000L
+    def halfMeans(half: DataFrame): DataFrame = half
+      .select(col("label"), posexplode(Canon.asDouble(col("embedding"))))
+      .select(col("label"), (col("pos") + 1).cast("long").as("dim"),
+        floor(col("col") * scale).cast("long").as("q"))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("q")).as("qsum"), count(lit(1)).as("n"))
+      .select(col("label"), col("dim"),
+        expr(s"(qsum + ${Off}L * n) div n - ${Off}L").as("m"), col("n"))
+    val a = halfMeans(embeddings.filter(col("vec_id") % 2 === 0))
+      .select(col("label"), col("dim"), col("m").as("ma"),
+        col("n").as("na"))
+    val b = halfMeans(embeddings.filter(col("vec_id") % 2 === 1))
+      .select(col("label"), col("dim"), col("m").as("mb"),
+        col("n").as("nb"))
+    a.join(b, Seq("label", "dim"))
+      .groupBy(col("label"))
+      .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+        sum((col("ma") - col("mb")) * (col("ma") - col("mb")))
+          .as("drift_sq"))
+      .select(col("label"), col("n_a"), col("n_b"), col("drift_sq"),
+        (sqrt(col("drift_sq").cast("double")) / scale).as("l2_drift"))
+  }
 }

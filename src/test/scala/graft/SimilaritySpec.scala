@@ -546,6 +546,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out("descended") === ((1L, 1L, 1.0)))
   }
 
+  test("centroidDrift: orthogonal halves measure √2, identical " +
+    "halves measure 0; negative components survive the floor division") {
+    val drift = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),  // even → half A
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),  // odd  → half B
+      (2L, Array(-0.5f, 0.5f, 0.0f, 0.0f), 1),
+      (3L, Array(-0.5f, 0.5f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.centroidDrift(df)
+        .as[(Int, Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val out = run(drift)
+    assert(out(0) ===
+      ((1L, 1L, 2000000000000L, math.sqrt(2000000000000.0) / 1000000)))
+    assert(out(1)._3 === 0L && out(1)._4 === 0.0)
+    assert(run(drift.repartition(5)) === out)
+  }
+
   test("mmrSelect: second pick trades relevance for novelty (the " +
     "near-copy of the top hit drops to third); partition-independent") {
     // query 0 = x̂; candidates: 10 and 11 are near-copies along x
