@@ -661,6 +661,10 @@ object SparkEntry {
     "st11_ingest_dedup" -> ((s, dir) =>
       graft.streaming.StreamingOps.ingestDedupBatch(
         t(s, dir, "documents"))),
+    // Prefix-filtered EXACT Jaccard join (AllPairs/SSJoin): zero
+    // false negatives at τ = 4/5, candidates keyed by rarest tokens.
+    "d26_prefix_join" -> ((s, dir) =>
+      Dedup.prefixJaccardJoin(t(s, dir, "documents"))),
     // Batch anchor of the streaming latest-wins CDC compaction: the
     // sort-free max_by snapshot (p18's is_current slice); the
     // unbounded form is StreamingOps.streamingLatestWins, spec-pinned
@@ -1701,6 +1705,38 @@ object SparkEntry {
          |  len(list_distinct(a.dw || b.dw)) AS jaccard
          | FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
          |WHERE jaccard >= 0.8""".stripMargin,
+    // prefixJaccardJoin mirror: same global-rarity order, the same
+    // (4n+4) // 5 prefix bound, prefix-prefix candidates, exact
+    // list_intersect verify under the cross-multiplied threshold.
+    "d26_prefix_join" -> {
+      val P = graft.functions.Canon.MersenneP
+      s"""WITH t AS (SELECT doc_id,
+         |  unnest(list_distinct([${h60("x")} % $P
+         |    FOR x IN string_split(text, ' ')])) AS h FROM documents),
+         |dfq AS (SELECT h, count(*) AS df FROM t GROUP BY h),
+         |rk AS (SELECT t.doc_id, t.h,
+         |  row_number() OVER (PARTITION BY t.doc_id
+         |    ORDER BY df, t.h) AS rnk,
+         |  count(*) OVER (PARTITION BY t.doc_id) AS nset
+         | FROM t JOIN dfq USING (h)),
+         |pfx AS (SELECT doc_id, h FROM rk
+         | WHERE rnk <= nset - (4 * nset + 4) // 5 + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM pfx a JOIN pfx b
+         | ON a.h = b.h AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id,
+         |  list_sort(list_distinct([${h60("x")} % $P
+         |    FOR x IN string_split(text, ' ')])) AS dw FROM documents),
+         |v AS (SELECT c.doc_a, c.doc_b,
+         |  len(list_intersect(sa.dw, sb.dw))::BIGINT AS inter,
+         |  len(sa.dw)::BIGINT AS sa, len(sb.dw)::BIGINT AS sb
+         | FROM cand c
+         | JOIN sets sa ON sa.doc_id = c.doc_a
+         | JOIN sets sb ON sb.doc_id = c.doc_b)
+         |SELECT doc_a, doc_b, inter, sa, sb,
+         | inter::DOUBLE / (sa + sb - inter) AS jaccard
+         |FROM v WHERE 5 * inter >= 4 * (sa + sb - inter)""".stripMargin
+    },
     "p01_corpus_pipeline" -> {
       import graft.functions.Canon.{AffineA, AffineB, MersenneP => P}
       val sigs = (0 until 8).map(s =>

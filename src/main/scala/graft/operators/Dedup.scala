@@ -309,6 +309,73 @@ object Dedup {
         >= threshold)
   }
 
+  /** Prefix-filtered EXACT Jaccard similarity join (d26) — the
+    * AllPairs/SSJoin family (Bayardo et al. 2007, Chaudhuri et al.
+    * 2006), the exact complement to d03's probabilistic LSH: every
+    * pair with word-set Jaccard ≥ τ = 4/5 is found with ZERO false
+    * negatives. Order each doc's distinct token hashes by GLOBAL
+    * rarity (df ASC, hash ASC — rarest first), keep only the first
+    * |s| − ⌈τ|s|⌉ + 1 as the doc's PREFIX, and join on prefix tokens:
+    * if a qualifying pair's globally-earliest common token sat past
+    * a's prefix, every common token would fit in a's ⌈τ|a|⌉ − 1
+    * suffix — contradicting the ≥ ⌈τ|a|⌉ overlap that J ≥ τ forces —
+    * so the earliest common token lies in BOTH prefixes and the join
+    * cannot miss. ⌈4|s|/5⌉ is computed as (4|s| + 4) div 5: exact
+    * integers, and the verify threshold is the cross-multiplied
+    * 5·i ≥ 4·(sa + sb − i) — no float compare anywhere in the
+    * decision path.
+    *
+    * Scale shape: candidates are keyed by RARE tokens only (the
+    * rarest ~1/5 of each set — hot stopword tokens never key the
+    * join, which is the published reason this beats naive
+    * token-joins); the verify is d05's zero-allocation sorted
+    * two-pointer intersect over once-materialized hash arrays. One
+    * df aggregate + one doc-partitioned rank + one equi-join + the
+    * bounded verify — vs LSH this trades ~2.4× more candidate keys
+    * for exactness (no τ-band tuning, no missed pairs).
+    */
+  def prefixJaccardJoin(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+        explode(array_distinct(transform(Canon.words(col("text")),
+          w => Canon.hashP(w)))).as("h"))
+      .materialized // feeds the df aggregate AND the rank join
+    val dfreq = toks.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("h"))
+    val wSize = Window.partitionBy(col("doc_id"))
+    val prefix = toks.join(dfreq, "h")
+      .withColumn("rnk", row_number().over(wRank))
+      .withColumn("nset", count(lit(1)).over(wSize))
+      .filter(col("rnk") <=
+        col("nset") - expr("(4 * nset + 4) div 5") + 1L)
+      .select(col("doc_id"), col("h"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = documents.select(col("doc_id"),
+        sort_array(array_distinct(transform(Canon.words(col("text")),
+          w => Canon.hashP(w)))).as("dw"))
+      .materialized
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("dw").as("wa")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("dw").as("wb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        Canon.sortedIntersectCount(col("wa"), col("wb")).cast("long")
+          .as("inter"),
+        size(col("wa")).cast("long").as("sa"),
+        size(col("wb")).cast("long").as("sb"))
+      .filter(lit(5L) * col("inter") >=
+        lit(4L) * (col("sa") + col("sb") - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("sa"),
+        col("sb"),
+        (col("inter").cast("double") /
+          (col("sa") + col("sb") - col("inter"))).as("jaccard"))
+  }
+
   /** Duplicate-cluster formation: connected components over the
     * candidate-pair graph, labeling every involved doc with the
     * minimum doc_id of its component (the canonical survivor). This

@@ -530,4 +530,37 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect().head
     assert(strict._4 === 0L)
   }
+
+  test("prefixJaccardJoin: finds exactly the brute-force ≥ 4/5 pair " +
+    "set (no false negatives, no false positives); partition-" +
+    "independent") {
+    // 1↔4 identical (J=1); 1↔2 share 9 of 11 distinct words
+    // (J = 9/11 ≈ 0.818 ≥ 0.8); 3 is disjoint; 5 shares 7 of 10
+    // with 1 (J = 7/13 ≈ 0.54 < 0.8)
+    val w = (1 to 10).map(i => s"w$i")
+    val pj = Seq(
+      (1L, w.mkString(" ")),
+      (2L, (w.drop(1) :+ "x1").mkString(" ")),
+      (3L, (1 to 10).map(i => s"z$i").mkString(" ")),
+      (4L, w.mkString(" ")),
+      (5L, (w.take(7) ++ Seq("y1", "y2", "y3")).mkString(" "))
+    ).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.prefixJaccardJoin(df)
+        .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val out = run(pj)
+    // brute-force truth over all 10 pairs
+    val sets = Map(1L -> w.toSet, 2L -> (w.drop(1) :+ "x1").toSet,
+      3L -> (1 to 10).map(i => s"z$i").toSet, 4L -> w.toSet,
+      5L -> (w.take(7) ++ Seq("y1", "y2", "y3")).toSet)
+    val truth = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      i = (sets(a) intersect sets(b)).size
+      u = (sets(a) union sets(b)).size
+      if 5 * i >= 4 * u
+    } yield (a, b)).toSet
+    assert(truth === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(out === truth)
+    assert(run(pj.repartition(7)) === out)
+  }
 }
