@@ -109,6 +109,10 @@ object SparkEntry {
     // merges are order-deterministic, unlike HLL/GK.
     "q38_heavy_hitter_err" -> ((s, dir) =>
       Relational.heavyHitterError(t(s, dir, "lineitem"))),
+    // Partial-aggregate merge gate: split-aggregate-merge must equal
+    // the direct aggregate (the incremental-rollup invariant).
+    "q39_merge_agg" -> ((s, dir) =>
+      Relational.mergedPartialAgg(t(s, dir, "lineitem"))),
     // TPC-H Q3 shape: 3-way join + filtered agg + top-k.
     "q21_shipping_priority" -> ((s, dir) =>
       Relational.shippingPriority(t(s, dir, "customer"),
@@ -310,6 +314,15 @@ object SparkEntry {
     "d08_dup_clusters" -> ((s, dir) =>
       Dedup.dupClusters(Dedup.lshCandidatePairs(
         Dedup.minhashSignature(t(s, dir, "documents"))))),
+    // Cluster-membership provenance: one row per duplicate cluster
+    // with size + the sorted member list as a deterministic string.
+    "d27_cluster_members" -> ((s, dir) =>
+      Dedup.dupClusters(Dedup.lshCandidatePairs(
+          Dedup.minhashSignature(t(s, dir, "documents"))))
+        .groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(transform(sort_array(collect_list(col("doc_id"))),
+            x => x.cast("string")), "|").as("members"))),
     // Same clusters via pointer-jumping (O(log n) rounds) — the
     // billion-edge path; identical output, same oracle as d08.
     "d11_dup_clusters_fast" -> ((s, dir) =>
@@ -1420,6 +1433,26 @@ object SparkEntry {
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    // mergedPartialAgg mirror IS the direct single-pass aggregate —
+    // the split/merge route must land on it bit-for-bit.
+    "q39_merge_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | count(*) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   / count(*) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+    // mergedPartialAgg mirror IS the direct single-pass aggregate —
+    // the split/merge route must land on it bit-for-bit.
+    "q39_merge_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty,
+        | count(*) AS n_rows,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   / count(*) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
     "q02_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
         | 'orders/' || CAST(l_orderkey AS VARCHAR) AS order_ref,
@@ -2387,6 +2420,15 @@ object SparkEntry {
     // dupClustersShortcut converges to the SAME component-min labels,
     // so the d08 recursive-CTE oracle applies verbatim.
     "d11_dup_clusters_fast" -> dupClustersOracleSql,
+    // clusterProvenance mirror: the d08 closure rolled up to one row
+    // per cluster; members as a sorted '|'-joined string (arrays
+    // canonicalize differently across the two readback paths).
+    "d27_cluster_members" ->
+      (dupClustersCte +
+        """
+          |SELECT cluster_rep, count(*) AS n_docs,
+          | array_to_string(list_sort(list(doc_id)), '|') AS members
+          |FROM clus GROUP BY cluster_rep""".stripMargin),
     "d07_dedup_vs_corpus" -> {
       val bands = (0 until 4).map(j =>
         s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")

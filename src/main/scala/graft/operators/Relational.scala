@@ -606,4 +606,32 @@ object Relational {
         max(col("n")).as("n"))
       .withColumnRenamed("g", "l_returnflag")
   }
+
+  /** Partial-aggregate MERGE gate (q39) — the invariant every
+    * incremental / streaming rollup rests on, pinned as a hash gate:
+    * aggregate two disjoint halves of lineitem separately (orderkey
+    * parity), MERGE the partials (sums of sums, counts of counts,
+    * avg re-derived from the merged sums — never avg-of-avgs), and
+    * the result must equal the DIRECT single-pass aggregate
+    * bit-for-bit — which is exactly what the oracle computes, so the
+    * equality IS the gate. This is the contract that makes map-side
+    * partial aggregation, AQE stage retries, and incremental view
+    * maintenance (yesterday's rollup + today's delta) all safe; a
+    * non-associative output column (a naive average, a float fold)
+    * hash-fails here first. Sums exact in decimal(18,2); the one
+    * double division divides exactly-converted operands.
+    */
+  def mergedPartialAgg(lineitem: DataFrame): DataFrame = {
+    def half(p: Int): DataFrame = lineitem
+      .filter(col("l_orderkey") % 2 === p)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+        count(lit(1)).as("cnt"))
+    half(0).unionByName(half(1))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("sq")).as("sqm"), sum(col("cnt")).as("n_rows"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sqm").cast("double").as("sum_qty"), col("n_rows"),
+        (col("sqm").cast("double") / col("n_rows")).as("avg_qty"))
+  }
 }

@@ -531,6 +531,25 @@ class DedupSpec extends SparkSpec {
     assert(strict._4 === 0L)
   }
 
+  test("cluster provenance rollup: members sorted, rep is the " +
+    "member minimum, sizes match the labeling") {
+    import org.apache.spark.sql.functions._
+    val labeled = Dedup.dupClusters(Dedup.lshCandidatePairs(
+      Dedup.minhashSignature(docs)))
+    val prov = labeled.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), "|").as("members"))
+      .as[(Long, Long, String)].collect()
+    assert(prov.nonEmpty)
+    prov.foreach { case (rep, n, members) =>
+      val ids = members.split('|').map(_.toLong)
+      assert(ids.length === n)
+      assert(ids.sorted.sameElements(ids))
+      assert(ids.min === rep)
+    }
+  }
+
   test("prefixJaccardJoin: finds exactly the brute-force ≥ 4/5 pair " +
     "set (no false negatives, no false positives); partition-" +
     "independent") {

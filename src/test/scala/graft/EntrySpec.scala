@@ -117,4 +117,36 @@ class EntrySpec extends SparkSpec {
       .as[(String, Double, Double, Double, Long)].collect()
     assert(rep === out)
   }
+
+  test("mergedPartialAgg: split-aggregate-merge equals the direct " +
+    "aggregate bit-for-bit; avg-of-avgs would not") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val li = table("lineitem")
+    val merged = graft.operators.Relational.mergedPartialAgg(li)
+      .orderBy("l_returnflag", "l_linestatus")
+      .as[(String, String, Double, Long, Double)].collect()
+    val direct = li
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sq").cast("double"), col("n"),
+        col("sq").cast("double") / col("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .as[(String, String, Double, Long, Double)].collect()
+    assert(merged === direct)
+    // the anti-pattern the gate exists to catch: mean of half-means
+    // (unweighted) diverges from the true mean on uneven halves
+    val halfMeans = Seq(0, 1).map(p =>
+      li.filter(col("l_orderkey") % 2 === p)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(avg(col("l_quantity")).as("a")))
+    val naive = halfMeans(0).unionByName(halfMeans(1))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(avg(col("a")).as("avg_naive"))
+      .orderBy("l_returnflag", "l_linestatus")
+      .as[(String, String, Double)].collect()
+    assert(naive.map(_._3).toSeq !== direct.map(_._5).toSeq)
+  }
 }
