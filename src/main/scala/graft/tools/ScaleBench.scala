@@ -68,10 +68,17 @@ object ScaleBench {
     // join); p16's two-stage global rank is the balanced-shard
     // assignment a 100 TB repack would run.
     "d23_incremental_dedup", "st11_ingest_dedup", "p16_balanced_shards",
-    // r13 session-2 entrant: one corpus aggregate down to the
-    // language dimension, then pure broadcast algebra — the flattest
-    // curve the axis should contain.
-    "p20_mixture_solver",
+    // r13 session-2 entrants: p20 is one corpus aggregate down to
+    // the language dimension (the flattest curve the axis should
+    // contain); p21 adds a doc-keyed join + per-shard rollup past
+    // p16's rank; d27 rolls the d08 closure up to cluster rows; d26
+    // is the axis's new stress case — an EXACT similarity join whose
+    // candidate set is keyed by rarest-token prefixes and whose
+    // OUTPUT is the true pair set (amplified copies rotate
+    // vocabulary, so pairs stay copy-local and growth tracks the
+    // per-copy duplicate structure ×10).
+    "p20_mixture_solver", "p21_shard_manifest", "d26_prefix_join",
+    "d27_cluster_members",
     // late-r13 entrant: the shingle self-join's expansion is bounded
     // by the source dimension; amplified copies rotate vocabulary, so
     // shared shingles stay copy-local — the honest growth variable is
@@ -97,10 +104,11 @@ object ScaleBench {
     // length (the sort / state cost per key) stays constant, the
     // cluster growth direction.
     "p18_cdc_upsert", "st12_cdc_snapshot",
-    // r13 session-2 entrant: the bounded-state horizon dedup — one
+    // r13 session-2 entrants: the bounded-state horizon dedup (one
     // key exchange + secondary-sorted linear scan; salted users grow
-    // the key space, per-key scan length stays constant.
-    "st13_horizon_dedup")
+    // the key space, per-key scan length stays constant) and the
+    // SCD2 time-travel read (p18's window + a 4-row broadcast grid).
+    "st13_horizon_dedup", "p22_time_travel")
 
   /** Fourth axis (r12, VERDICT r10 #3): the composed ANN ladder —
     * raw-PQ IVFADC (s16), residual IVFADC (s18), and the re-ranked
@@ -122,9 +130,11 @@ object ScaleBench {
     // int8 scan (s26) and its recall dial vs the exact baseline (s27,
     // which also prices the brute-force ground-truth pass).
     "s26_knn_sq8", "s27_sq8_recall",
-    // r13 session-2 entrant: MMR re-ranking — the corpus appears only
-    // in the relevance scan; all greedy steps are shortlist-sized.
-    "s31_mmr_select")
+    // r13 session-2 entrants: MMR re-ranking (the corpus appears
+    // only in the relevance scan; greedy steps are shortlist-sized)
+    // and the centroid-drift monitor (two label×dim map-side
+    // aggregates + a dimension-bounded join).
+    "s31_mmr_select", "s32_centroid_drift")
 
   /** Fifth axis (r13): the sketch-certification family beside their
     * exact twins, plus the z-order global rank. The claim under test
