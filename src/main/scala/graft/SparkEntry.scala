@@ -182,6 +182,10 @@ object SparkEntry {
         e.filter(col("event_type") === "purchase"))
     }),
     // §2.3 extension: banded range join (1h look-back count).
+    // Ordered behavioral funnel: earliest view → later click →
+    // later purchase per user; fixed-depth unrolled mins (no scan).
+    "a03_event_funnel" -> ((s, dir) =>
+      AsOf.eventFunnel(t(s, dir, "events"))),
     "a02_range_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val e = ev.select(col("event_id"), col("user_id"),
@@ -2911,6 +2915,27 @@ object SparkEntry {
         |SELECT event_id, user_id, ts_us, asof_event_id, asof_ts_us,
         | ts_us - asof_ts_us AS asof_gap_us
         |FROM f WHERE _side = 1""".stripMargin,
+    // eventFunnel mirror: the same three chained min aggregates with
+    // the strictly-after predicates and left-join stage rollup.
+    "a03_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        | FROM events),
+        |t1 AS (SELECT user_id, min(ts_us) AS t1_us FROM e
+        | WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts_us) AS t2_us
+        | FROM e JOIN t1 ON e.user_id = t1.user_id
+        | WHERE e.event_type = 'click' AND e.ts_us > t1.t1_us
+        | GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts_us) AS t3_us
+        | FROM e JOIN t2 ON e.user_id = t2.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts_us > t2.t2_us
+        | GROUP BY e.user_id)
+        |SELECT t1.user_id, t1_us, t2_us, t3_us,
+        | CAST(1 + (t2_us IS NOT NULL)::INT + (t3_us IS NOT NULL)::INT
+        |   AS BIGINT) AS stage
+        |FROM t1
+        |LEFT JOIN t2 ON t1.user_id = t2.user_id
+        |LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin,
     "a02_range_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |  event_type FROM events),

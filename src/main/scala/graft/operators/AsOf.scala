@@ -94,4 +94,41 @@ object AsOf {
       .select(col("event_id"), col("user_id"), col("ts_us"),
         coalesce(col("n_in_window"), lit(0L)).as("n_in_window"))
   }
+
+  /** Ordered event funnel (a03) — the behavioral-sequence query every
+    * product-analytics engine ships (and a training-data pipeline
+    * runs to find interaction sequences worth sampling): per user,
+    * the earliest `s1` event, the earliest `s2` STRICTLY AFTER it,
+    * and the earliest `s3` strictly after that — reaching stage k
+    * requires the stages in order, not mere co-occurrence (a purchase
+    * before the first view does not convert). Users without an `s1`
+    * are absent; stage = how far the user got (1–3).
+    *
+    * The sequential dependency is FIXED-DEPTH (3 stages), so it
+    * unrolls declaratively — the d08/g10 fixed-rounds discipline, no
+    * per-key scan needed: three pushdown-filtered scans, three
+    * map-side-combinable min aggregates, two user-keyed joins (all
+    * key-sized; nothing data-sized shuffles twice). A variable-depth
+    * pattern would be st13's flatMapSortedGroups class instead
+    * (DR-4).
+    */
+  def eventFunnel(events: DataFrame, s1: String = "view",
+                  s2: String = "click", s3: String = "purchase")
+      : DataFrame = {
+    val e = events.select(col("user_id"), col("event_type"),
+      graft.Tables.tsUs(events).as("ts_us"))
+    val t1 = e.filter(col("event_type") === s1)
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1_us"))
+    val t2 = e.filter(col("event_type") === s2)
+      .join(t1, "user_id").filter(col("ts_us") > col("t1_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t2_us"))
+    val t3 = e.filter(col("event_type") === s3)
+      .join(t2, "user_id").filter(col("ts_us") > col("t2_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t3_us"))
+    t1.join(t2, Seq("user_id"), "left")
+      .join(t3, Seq("user_id"), "left")
+      .select(col("user_id"), col("t1_us"), col("t2_us"), col("t3_us"),
+        (lit(1) + col("t2_us").isNotNull.cast("int")
+          + col("t3_us").isNotNull.cast("int")).cast("long").as("stage"))
+  }
 }

@@ -118,6 +118,27 @@ class EntrySpec extends SparkSpec {
     assert(rep === out)
   }
 
+  test("eventFunnel: stages require ORDER, not co-occurrence; " +
+    "missing first stage drops the user") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // µs → ns-long ts. user 1: full ordered funnel; user 2: purchase
+    // BEFORE its view → stage 1 despite all three types present;
+    // user 3: no view → absent; user 4: view+click → stage 2.
+    val ev = Seq(
+      (1L, 10L, 1L, "view"), (2L, 20L, 1L, "click"),
+      (3L, 30L, 1L, "purchase"),
+      (4L, 5L, 2L, "purchase"), (5L, 10L, 2L, "view"),
+      (6L, 8L, 2L, "click"),
+      (7L, 10L, 3L, "click"), (8L, 20L, 3L, "purchase"),
+      (9L, 10L, 4L, "view"), (10L, 15L, 4L, "click")
+    ).map { case (id, us, u, t) => (id, us * 1000L, u, t) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.AsOf.eventFunnel(ev)
+      .select("user_id", "stage").as[(Long, Long)].collect().toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L, 4L -> 2L))
+  }
+
   test("mergedPartialAgg: split-aggregate-merge equals the direct " +
     "aggregate bit-for-bit; avg-of-avgs would not") {
     import org.apache.spark.sql.functions._
