@@ -173,6 +173,32 @@ object SparkEntry {
         |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
         |""".stripMargin)
     }),
+    // Null-aware anti-join semantics gate: NOT IN over a subquery
+    // CONTAINING a NULL returns the empty set (x <> NULL is unknown)
+    // where NOT EXISTS keeps its rows — the classic decorrelation
+    // trap, pinned through Spark's SQL path (the null-aware case
+    // plans as a NullAwareAntiJoin BNLJ; the null-free case as a
+    // broadcast left-anti hash join). Output = the three counts side
+    // by side, so a planner that ever "optimizes" NOT IN into a plain
+    // anti join hash-fails here.
+    "q40_null_aware_antijoin" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT
+        | (SELECT count(*) FROM orders
+        |  WHERE o_custkey NOT IN
+        |   (SELECT c_custkey FROM customer WHERE c_acctbal < 0))
+        |   AS not_in_clean,
+        | (SELECT count(*) FROM orders
+        |  WHERE o_custkey NOT IN
+        |   (SELECT nullif(c_custkey, c_custkey) FROM customer
+        |    WHERE c_acctbal < 0))
+        |   AS not_in_with_null,
+        | (SELECT count(*) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |   WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0))
+        |   AS not_exists
+        |""".stripMargin)
+    }),
     // §2.3 extension: as-of (latest-before) temporal join.
     "a01_asof_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
@@ -2915,6 +2941,23 @@ object SparkEntry {
         |SELECT event_id, user_id, ts_us, asof_event_id, asof_ts_us,
         | ts_us - asof_ts_us AS asof_gap_us
         |FROM f WHERE _side = 1""".stripMargin,
+    // Null-aware anti-join mirror: DuckDB evaluates the same
+    // three-valued NOT IN logic — the with-null branch must be 0.
+    "q40_null_aware_antijoin" ->
+      """SELECT
+        | (SELECT count(*) FROM orders
+        |  WHERE o_custkey NOT IN
+        |   (SELECT c_custkey FROM customer WHERE c_acctbal < 0))
+        |   AS not_in_clean,
+        | (SELECT count(*) FROM orders
+        |  WHERE o_custkey NOT IN
+        |   (SELECT nullif(c_custkey, c_custkey) FROM customer
+        |    WHERE c_acctbal < 0))
+        |   AS not_in_with_null,
+        | (SELECT count(*) FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |   WHERE c.c_custkey = o.o_custkey AND c.c_acctbal < 0))
+        |   AS not_exists""".stripMargin,
     // eventFunnel mirror: the same three chained min aggregates with
     // the strictly-after predicates and left-join stage rollup.
     "a03_event_funnel" ->

@@ -118,6 +118,15 @@ class EntrySpec extends SparkSpec {
     assert(rep === out)
   }
 
+  test("q40: NOT IN with a null in the subquery is empty; the " +
+    "null-free form agrees with NOT EXISTS") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q40_null_aware_antijoin")(spark, sf0001)
+      .as[(Long, Long, Long)].collect().head
+    assert(out._2 === 0L)
+    assert(out._1 === out._3 && out._1 > 0L)
+  }
+
   test("eventFunnel: stages require ORDER, not co-occurrence; " +
     "missing first stage drops the user") {
     import org.apache.spark.sql.functions._
