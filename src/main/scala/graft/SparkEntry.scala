@@ -191,7 +191,8 @@ object SparkEntry {
         | (SELECT count(*) FROM orders
         |  WHERE o_custkey NOT IN
         |   (SELECT nullif(c_custkey, c_custkey) FROM customer
-        |    WHERE c_acctbal < 0))
+        |    WHERE c_acctbal < 0
+        |    UNION ALL SELECT NULL))
         |   AS not_in_with_null,
         | (SELECT count(*) FROM orders o
         |  WHERE NOT EXISTS (SELECT 1 FROM customer c
@@ -208,10 +209,6 @@ object SparkEntry {
         e.filter(col("event_type") === "purchase"))
     }),
     // §2.3 extension: banded range join (1h look-back count).
-    // Ordered behavioral funnel: earliest view → later click →
-    // later purchase per user; fixed-depth unrolled mins (no scan).
-    "a03_event_funnel" -> ((s, dir) =>
-      AsOf.eventFunnel(t(s, dir, "events"))),
     "a02_range_join" -> ((s, dir) => {
       val ev = t(s, dir, "events")
       val e = ev.select(col("event_id"), col("user_id"),
@@ -219,6 +216,10 @@ object SparkEntry {
       AsOf.rangeCountJoin(e.filter(col("event_type") === "purchase"),
         e.filter(col("event_type") === "click"), 3600000000L)
     }),
+    // Ordered behavioral funnel: earliest view → later click →
+    // later purchase per user; fixed-depth unrolled mins (no scan).
+    "a03_event_funnel" -> ((s, dir) =>
+      AsOf.eventFunnel(t(s, dir, "events"))),
 
     // --- Graph-ETL parity surface (SURVEY §2.1/§2.9/§2.10) ---
     // P2/F1/F5: payment-edge construction with content-hash _key.
@@ -347,12 +348,8 @@ object SparkEntry {
     // Cluster-membership provenance: one row per duplicate cluster
     // with size + the sorted member list as a deterministic string.
     "d27_cluster_members" -> ((s, dir) =>
-      Dedup.dupClusters(Dedup.lshCandidatePairs(
-          Dedup.minhashSignature(t(s, dir, "documents"))))
-        .groupBy(col("cluster_rep"))
-        .agg(count(lit(1)).as("n_docs"),
-          array_join(transform(sort_array(collect_list(col("doc_id"))),
-            x => x.cast("string")), "|").as("members"))),
+      Dedup.clusterMembers(Dedup.dupClusters(Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(t(s, dir, "documents")))))),
     // Same clusters via pointer-jumping (O(log n) rounds) — the
     // billion-edge path; identical output, same oracle as d08.
     "d11_dup_clusters_fast" -> ((s, dir) =>
@@ -699,15 +696,15 @@ object SparkEntry {
     // the online dedup filter's exact batch anchor.
     "d23_incremental_dedup" -> ((s, dir) =>
       Dedup.incrementalLshDedup(t(s, dir, "documents"))),
+    // Prefix-filtered EXACT Jaccard join (AllPairs/SSJoin): zero
+    // false negatives at τ = 4/5, candidates keyed by rarest tokens.
+    "d26_prefix_join" -> ((s, dir) =>
+      Dedup.prefixJaccardJoin(t(s, dir, "documents"))),
     // The stream the d23 verdicts drive: kept documents only (what
     // the ingest filter emits); per-bucket state path spec-pinned.
     "st11_ingest_dedup" -> ((s, dir) =>
       graft.streaming.StreamingOps.ingestDedupBatch(
         t(s, dir, "documents"))),
-    // Prefix-filtered EXACT Jaccard join (AllPairs/SSJoin): zero
-    // false negatives at τ = 4/5, candidates keyed by rarest tokens.
-    "d26_prefix_join" -> ((s, dir) =>
-      Dedup.prefixJaccardJoin(t(s, dir, "documents"))),
     // Batch anchor of the streaming latest-wins CDC compaction: the
     // sort-free max_by snapshot (p18's is_current slice); the
     // unbounded form is StreamingOps.streamingLatestWins, spec-pinned
@@ -1462,16 +1459,6 @@ object SparkEntry {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | count(*) AS n_rows
-        |FROM lineitem GROUP BY 1, 2""".stripMargin,
-    // mergedPartialAgg mirror IS the direct single-pass aggregate —
-    // the split/merge route must land on it bit-for-bit.
-    "q39_merge_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-        |   AS sum_qty,
-        | count(*) AS n_rows,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-        |   / count(*) AS avg_qty
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
     // mergedPartialAgg mirror IS the direct single-pass aggregate —
     // the split/merge route must land on it bit-for-bit.
@@ -2952,7 +2939,8 @@ object SparkEntry {
         | (SELECT count(*) FROM orders
         |  WHERE o_custkey NOT IN
         |   (SELECT nullif(c_custkey, c_custkey) FROM customer
-        |    WHERE c_acctbal < 0))
+        |    WHERE c_acctbal < 0
+        |    UNION ALL SELECT NULL))
         |   AS not_in_with_null,
         | (SELECT count(*) FROM orders o
         |  WHERE NOT EXISTS (SELECT 1 FROM customer c

@@ -354,9 +354,12 @@ object Dedup {
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sets = documents.select(col("doc_id"),
-        sort_array(array_distinct(transform(Canon.words(col("text")),
-          w => Canon.hashP(w)))).as("dw"))
+    // sorted sets rebuilt from the already-materialized toks (which
+    // are per-doc distinct by construction) — no second corpus scan,
+    // no second md5-per-word pass (review fix: d26 is the suite's
+    // heaviest query; re-tokenizing doubled its scan cost)
+    val sets = toks.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("h"))).as("dw"))
       .materialized
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("dw").as("wa")),
@@ -375,6 +378,20 @@ object Dedup {
         (col("inter").cast("double") /
           (col("sa") + col("sb") - col("inter"))).as("jaccard"))
   }
+
+  /** Cluster-membership provenance rollup (d27) — the audit trail
+    * behind d12's canonical picks and d16's weights: one row per
+    * duplicate cluster of a (doc_id, cluster_rep) labeling, with the
+    * size and the full SORTED member list as a '|'-joined string (a
+    * deterministic scalar; array columns canonicalize differently
+    * across the driver's two readback paths). One
+    * map-side-combinable aggregate; member lists are cluster-sized.
+    */
+  def clusterMembers(labeled: DataFrame): DataFrame =
+    labeled.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), "|").as("members"))
 
   /** Duplicate-cluster formation: connected components over the
     * candidate-pair graph, labeling every involved doc with the

@@ -1534,7 +1534,11 @@ object Similarity {
     */
   def centroidDrift(embeddings: DataFrame,
                     scale: Long = 1000000L): DataFrame = {
-    val Off = 10000000L
+    // positive-shift offset DERIVED from scale (review fix: a
+    // hardcoded 1e7 silently broke the floor-division guarantee for
+    // larger scales); components are unit-range, so means are
+    // ≥ -scale and 10·scale keeps every shifted numerator positive
+    val Off = 10L * scale
     def halfMeans(half: DataFrame): DataFrame = half
       .select(col("label"), posexplode(Canon.asDouble(col("embedding"))))
       .select(col("label"), (col("pos") + 1).cast("long").as("dim"),

@@ -534,12 +534,9 @@ class DedupSpec extends SparkSpec {
   test("cluster provenance rollup: members sorted, rep is the " +
     "member minimum, sizes match the labeling") {
     import org.apache.spark.sql.functions._
-    val labeled = Dedup.dupClusters(Dedup.lshCandidatePairs(
-      Dedup.minhashSignature(docs)))
-    val prov = labeled.groupBy(col("cluster_rep"))
-      .agg(count(lit(1)).as("n_docs"),
-        array_join(transform(sort_array(collect_list(col("doc_id"))),
-          x => x.cast("string")), "|").as("members"))
+    val prov = Dedup.clusterMembers(
+      Dedup.dupClusters(Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(docs))))
       .as[(Long, Long, String)].collect()
     assert(prov.nonEmpty)
     prov.foreach { case (rep, n, members) =>
