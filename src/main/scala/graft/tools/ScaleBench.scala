@@ -108,7 +108,11 @@ object ScaleBench {
     // key exchange + secondary-sorted linear scan; salted users grow
     // the key space, per-key scan length stays constant) and the
     // SCD2 time-travel read (p18's window + a 4-row broadcast grid).
-    "st13_horizon_dedup", "p22_time_travel")
+    "st13_horizon_dedup", "p22_time_travel",
+    // late session-2: the ordered funnel — three pushdown-filtered
+    // scans + three key-sized min aggregates; salted users grow the
+    // key space, per-user event counts stay constant.
+    "a03_event_funnel")
 
   /** Fourth axis (r12, VERDICT r10 #3): the composed ANN ladder —
     * raw-PQ IVFADC (s16), residual IVFADC (s18), and the re-ranked
