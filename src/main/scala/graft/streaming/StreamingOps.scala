@@ -456,6 +456,56 @@ object StreamingOps {
         })
   }
 
+  /** One keyed event for the streaming funnel (a03's unbounded twin). */
+  case class FunnelEvent(user_id: Long, event_type: String,
+                         ts_us: Long, event_id: Long)
+
+  /** Per-user funnel progress: stage reached (1–3) and the stage
+    * timestamps (−1 = not reached; a NULL long would not round-trip
+    * the update-mode sink tuple).
+    */
+  case class FunnelState(stage: Int, t1: Long, t2: Long, t3: Long)
+
+  /** Streaming form of [[graft.operators.AsOf.eventFunnel]] (the
+    * st06/st11/st12 batch≡stream discipline): state per user is the
+    * (stage, t1, t2, t3) quadruple — O(1) per user regardless of
+    * history; each micro-batch folds its rows in (ts_us, event_id)
+    * order through the staged transitions (first `s1` arms t1, first
+    * `s2` strictly after t1 arms t2, first `s3` strictly after t2
+    * arms t3) and emits the user's refreshed progress row
+    * (update-mode upsert by user_id). An event-time-ordered replay
+    * converges to the batch anchor exactly because each batch
+    * transition takes the EARLIEST qualifying event — the same min
+    * the unrolled batch aggregates take; the spec pins stream ≡
+    * batch ≡ one-event-per-batch replay.
+    */
+  def streamingFunnel(rows: org.apache.spark.sql.Dataset[FunnelEvent],
+                      s1: String = "view", s2: String = "click",
+                      s3: String = "purchase")
+      : org.apache.spark.sql.Dataset[(Long, Int, Long, Long, Long)] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[FunnelEvent],
+         state: GroupState[FunnelState]) => {
+          val next = it.toSeq.sortBy(e => (e.ts_us, e.event_id))
+            .foldLeft(state.getOption.getOrElse(
+              FunnelState(0, -1L, -1L, -1L))) { (st, e) =>
+              if (st.stage == 0 && e.event_type == s1)
+                FunnelState(1, e.ts_us, -1L, -1L)
+              else if (st.stage == 1 && e.event_type == s2 &&
+                e.ts_us > st.t1)
+                FunnelState(2, st.t1, e.ts_us, -1L)
+              else if (st.stage == 2 && e.event_type == s3 &&
+                e.ts_us > st.t2)
+                FunnelState(3, st.t1, st.t2, e.ts_us)
+              else st
+            }
+          state.update(next)
+          (key, next.stage, next.t1, next.t2, next.t3)
+        })
+  }
+
   /** One keyed event for the horizon-dedup pair (st13). */
   case class HorizonEvent(user_id: Long, event_type: String,
                           ts_us: Long, event_id: Long, value: Double)

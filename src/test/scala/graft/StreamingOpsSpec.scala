@@ -486,6 +486,50 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamKept(ordered.map(Seq(_)), "hz_b") === expected)
   }
 
+  test("streamingFunnel: stream final state ≡ batch eventFunnel ≡ " +
+    "one-event replay; out-of-order purchase never converts") {
+    import StreamingOps.FunnelEvent
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: full ordered funnel; user 2: purchase precedes view →
+    // stage 1; user 4: view+click → stage 2
+    val evs = Seq(
+      FunnelEvent(1L, "view", 10L, 1L), FunnelEvent(1L, "click", 20L, 2L),
+      FunnelEvent(1L, "purchase", 30L, 3L),
+      FunnelEvent(2L, "purchase", 5L, 4L), FunnelEvent(2L, "click", 8L, 6L),
+      FunnelEvent(2L, "view", 10L, 5L),
+      FunnelEvent(4L, "view", 10L, 9L), FunnelEvent(4L, "click", 15L, 10L))
+    def streamFinal(batches: Seq[Seq[FunnelEvent]], name: String)
+        : Map[Long, (Int, Long, Long, Long)] = {
+      val mem = MemoryStream[FunnelEvent]
+      val q = StreamingOps.streamingFunnel(mem.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.sql(s"SELECT * FROM $name")
+          .as[(Long, Int, Long, Long, Long)].collect()
+          .groupBy(_._1).view
+          .mapValues(rows => {
+            val r = rows.maxBy(_._2); (r._2, r._3, r._4, r._5)
+          }).toMap
+      } finally q.stop()
+    }
+    val ordered = evs.sortBy(e => (e.ts_us, e.event_id))
+    val streamed = streamFinal(Seq(ordered.take(4), ordered.drop(4)), "fn_a")
+    val replayed = streamFinal(ordered.map(Seq(_)), "fn_b")
+    assert(streamed === replayed)
+    // batch anchor over the events-shaped frame (ns-long ts)
+    val batchDf = evs.map(e =>
+        (e.event_id, e.ts_us * 1000L, e.user_id, e.event_type))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val anchor = graft.operators.AsOf.eventFunnel(batchDf)
+      .as[(Long, Long, Option[Long], Option[Long], Long)].collect()
+      .map(r => r._1 -> ((r._5.toInt, r._2, r._3.getOrElse(-1L),
+        r._4.getOrElse(-1L)))).toMap
+    assert(streamed === anchor)
+    assert(streamed(2L) === ((1, 10L, -1L, -1L)))
+  }
+
   test("horizonDedupBatch: ts tie keeps only the lower event_id; " +
     "boundary ts == kept + H is suppressed") {
     import StreamingOps.HorizonEvent
