@@ -87,13 +87,15 @@ object SparkEntry {
     // §2.4 A3/A4: exact distinct counts.
     "q19_distinct_counts" -> ((s, dir) =>
       Relational.distinctCounts(t(s, dir, "lineitem"))),
-    // §2.4: HLL++ sketch distinct (NO-ORACLE: engine-specific
-    // estimates; accuracy spec-asserted vs exact).
-    "q20_approx_distinct" -> ((s, dir) =>
-      Relational.approxDistinctCounts(t(s, dir, "lineitem"))),
-    // q20's hash-gated error contract: |approx − exact|/exact ≤ 5·rsd
-    // emitted as 0/1; the oracle mirrors with exact distinct + literal
-    // 1, so sketch drift past the bound hash-fails.
+    // §2.4: HLL++ sketch distinct, gated through its ERROR CONTRACT:
+    // |approx − exact|/exact ≤ 5·rsd emitted as 0/1 beside the exact
+    // count; the oracle mirrors with exact distinct + literal 1, so
+    // sketch drift past the bound hash-fails. The raw estimate is
+    // engine-specific and NOT hash-gateable — the former standalone
+    // q20 carried it as the artifact's one permanent `no_oracle` row,
+    // so it was folded in here (r13 verdict item 1):
+    // Relational.approxDistinctCounts remains the estimate-bearing
+    // form, accuracy spec-asserted vs exact in EntrySpec.
     "q20b_approx_distinct_err" -> ((s, dir) =>
       Relational.approxDistinctError(t(s, dir, "lineitem"))),
     // The quantile sketch's hash-gated error contract (q20b's sibling;
@@ -1023,6 +1025,12 @@ object SparkEntry {
        |n AS (SELECT vec_id, label, v,
        |  sqrt(${foldSum("[x*x FOR x IN v]")}) AS nrm FROM e)
        |""".stripMargin
+
+  /** s32's fixed-point scale + its derived positive-shift offset,
+    * read from the entry's constant so both engines move together.
+    */
+  private val DriftScale: Long = Similarity.DriftScale
+  private val DriftOff: Long = 10L * DriftScale
 
   private val pairDot: String =
     foldSum("[a.v[i] * b.v[i] FOR i IN range(1, len(a.v)+1)]")
@@ -3216,31 +3224,35 @@ object SparkEntry {
         |FROM g""".stripMargin,
     // centroidDrift mirror: s07's fixed-point component sums per
     // parity half, the SAME positive-shifted floor division
-    // ((qsum + 1e7·n) // n − 1e7, so `//` ≡ Spark's `div` even on
-    // negative sums), exact drift_sq, one sqrt.
+    // ((qsum + 10·scale·n) // n − 10·scale, so `//` ≡ Spark's `div`
+    // even on negative sums), exact drift_sq, one sqrt. The scale and
+    // its derived offset are INTERPOLATED from the entry's constant
+    // (Similarity.DriftScale) so a scale change moves both engines
+    // together (ADVICE r13: a hardcoded 1e6/1e7 pair gated only the
+    // default).
     "s32_centroid_drift" ->
-      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-        |  FROM embeddings),
-        |x AS (SELECT vec_id, label,
-        |  unnest([{'d': i, 'q': floor(v[i] * 1000000)::BIGINT}
-        |    FOR i IN range(1, len(v)+1)]) AS s FROM e),
-        |ga AS (SELECT label, s.d AS dim,
-        |  (sum(s.q) + 10000000 * count(*)) // count(*) - 10000000 AS m,
-        |  count(*) AS n
-        | FROM x WHERE vec_id % 2 = 0 GROUP BY label, s.d),
-        |gb AS (SELECT label, s.d AS dim,
-        |  (sum(s.q) + 10000000 * count(*)) // count(*) - 10000000 AS m,
-        |  count(*) AS n
-        | FROM x WHERE vec_id % 2 = 1 GROUP BY label, s.d),
-        |j AS (SELECT ga.label, ga.m AS ma, gb.m AS mb,
-        |  ga.n AS na, gb.n AS nb
-        | FROM ga JOIN gb ON ga.label = gb.label AND ga.dim = gb.dim)
-        |SELECT label, CAST(max(na) AS BIGINT) AS n_a,
-        | CAST(max(nb) AS BIGINT) AS n_b,
-        | CAST(sum((ma - mb) * (ma - mb)) AS BIGINT) AS drift_sq,
-        | sqrt(CAST(sum((ma - mb) * (ma - mb)) AS BIGINT)::DOUBLE)
-        |   / 1000000 AS l2_drift
-        |FROM j GROUP BY label""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |x AS (SELECT vec_id, label,
+         |  unnest([{'d': i, 'q': floor(v[i] * $DriftScale)::BIGINT}
+         |    FOR i IN range(1, len(v)+1)]) AS s FROM e),
+         |ga AS (SELECT label, s.d AS dim,
+         |  (sum(s.q) + $DriftOff * count(*)) // count(*) - $DriftOff AS m,
+         |  count(*) AS n
+         | FROM x WHERE vec_id % 2 = 0 GROUP BY label, s.d),
+         |gb AS (SELECT label, s.d AS dim,
+         |  (sum(s.q) + $DriftOff * count(*)) // count(*) - $DriftOff AS m,
+         |  count(*) AS n
+         | FROM x WHERE vec_id % 2 = 1 GROUP BY label, s.d),
+         |j AS (SELECT ga.label, ga.m AS ma, gb.m AS mb,
+         |  ga.n AS na, gb.n AS nb
+         | FROM ga JOIN gb ON ga.label = gb.label AND ga.dim = gb.dim)
+         |SELECT label, CAST(max(na) AS BIGINT) AS n_a,
+         | CAST(max(nb) AS BIGINT) AS n_b,
+         | CAST(sum((ma - mb) * (ma - mb)) AS BIGINT) AS drift_sq,
+         | sqrt(CAST(sum((ma - mb) * (ma - mb)) AS BIGINT)::DOUBLE)
+         |   / $DriftScale AS l2_drift
+         |FROM j GROUP BY label""".stripMargin,
     // boilerplateFrac mirror: k=3 shingle polynomial over word hashes
     // (as minhash's hb CTE), df computed WITH the containing doc
     // (df > 20 ⇔ at least 20 OTHER docs), left join + conditional

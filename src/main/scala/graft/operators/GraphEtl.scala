@@ -584,6 +584,8 @@ object GraphEtl {
     * decimal(38,0) like g17.
     */
   def hitsScores(edges: DataFrame, iters: Int = 2): DataFrame = {
+    require(iters >= 1,
+      s"hitsScores needs at least one iteration to define auth (got $iters)")
     val SCALE = 1000000L
     val e = edges.select(col("c"), col("s")).distinct().materialized
     var hub = e.select(col("c")).distinct()

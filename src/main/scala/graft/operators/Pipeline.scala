@@ -982,10 +982,15 @@ object Pipeline {
     * the data card (p12) and the samplers (p04/p07): given
     * per-language availability T_l (tokens) and √-law target weights
     * w_l = ⌊√T_l⌋ (p07's temperature-flattening story in exact
-    * integers), find the LARGEST total token budget N every language
-    * can fill its target share w_l/W of from at most `epochCap`
-    * passes over its data — N = min_l ⌊epochCap · T_l · W / w_l⌋ —
-    * and emit the per-language plan: planned tokens ⌊N·w_l/W⌋,
+    * integers), pick a FEASIBLE total token budget at which the
+    * scarcest language reaches the epoch cap —
+    * N = min_l ⌊epochCap · T_l · W / w_l⌋. Because the planned share
+    * ⌊N·w_l/W⌋ floors again, N is a lower envelope of the true
+    * maximum, not the maximum itself: a slightly larger N' can still
+    * satisfy ⌊N'·w_l/W⌋ ≤ epochCap·T_l for every l (floor slack;
+    * ADVICE r13), so "binding" means "at the cap under THIS budget
+    * rule", not "one more token overflows". Emit the per-language
+    * plan: planned tokens ⌊N·w_l/W⌋,
     * achieved epochs in millionths (planned·1e6 div T_l, ≤
     * epochCap·1e6 by construction), and the binding language(s) — the
     * mixture's bottleneck, i.e. what to collect more of before the

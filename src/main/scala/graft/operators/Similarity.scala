@@ -1532,8 +1532,15 @@ object Similarity {
     * label-keyed join over label×dim rows (dimension-bounded, never
     * corpus-sized) + one per-label rollup.
     */
+  /** [[centroidDrift]]'s default fixed-point scale — a named constant
+    * because the s32 DuckDB oracle interpolates it (and the derived
+    * 10·scale offset), so entry and oracle can never drift apart the
+    * way a pair of hardcoded literals can (ADVICE r13).
+    */
+  val DriftScale: Long = 1000000L
+
   def centroidDrift(embeddings: DataFrame,
-                    scale: Long = 1000000L): DataFrame = {
+                    scale: Long = DriftScale): DataFrame = {
     // positive-shift offset DERIVED from scale (review fix: a
     // hardcoded 1e7 silently broke the floor-division guarantee for
     // larger scales); components are unit-range, so means are
