@@ -312,27 +312,43 @@ object Dedup {
   /** Prefix-filtered EXACT Jaccard similarity join (d26) — the
     * AllPairs/SSJoin family (Bayardo et al. 2007, Chaudhuri et al.
     * 2006), the exact complement to d03's probabilistic LSH: every
-    * pair with word-set Jaccard ≥ τ = 4/5 is found with ZERO false
-    * negatives. Order each doc's distinct token hashes by GLOBAL
-    * rarity (df ASC, hash ASC — rarest first), keep only the first
-    * |s| − ⌈τ|s|⌉ + 1 as the doc's PREFIX, and join on prefix tokens:
-    * if a qualifying pair's globally-earliest common token sat past
-    * a's prefix, every common token would fit in a's ⌈τ|a|⌉ − 1
-    * suffix — contradicting the ≥ ⌈τ|a|⌉ overlap that J ≥ τ forces —
-    * so the earliest common token lies in BOTH prefixes and the join
-    * cannot miss. ⌈4|s|/5⌉ is computed as (4|s| + 4) div 5: exact
-    * integers, and the verify threshold is the cross-multiplied
-    * 5·i ≥ 4·(sa + sb − i) — no float compare anywhere in the
-    * decision path.
+    * pair with Jaccard ≥ τ = 4/5 over the HASHED token universe is
+    * found with ZERO false negatives. Exactness is scoped the same
+    * way d03/d05 scope theirs: sets are `hashP` token hashes (mod
+    * 2³¹−1), so token collisions — expected at ~65k distinct tokens
+    * per corpus — can merge distinct words, and hashed-set Jaccard
+    * can diverge from raw word-set Jaccard at scale. It is the
+    * PREFIX FILTER that is lossless (within that universe), not the
+    * hashing (ADVICE r13). Order each doc's distinct token hashes by
+    * GLOBAL rarity (df ASC, hash ASC — rarest first), keep only the
+    * first |s| − ⌈τ|s|⌉ + 1 as the doc's PREFIX, and join on prefix
+    * tokens: if a qualifying pair's globally-earliest common token
+    * sat past a's prefix, every common token would fit in a's
+    * ⌈τ|a|⌉ − 1 suffix — contradicting the ≥ ⌈τ|a|⌉ overlap that
+    * J ≥ τ forces — so the earliest common token lies in BOTH
+    * prefixes and the join cannot miss. ⌈4|s|/5⌉ is computed as
+    * (4|s| + 4) div 5: exact integers, and the verify threshold is
+    * the cross-multiplied 5·i ≥ 4·(sa + sb − i) — no float compare
+    * anywhere in the decision path.
+    *
+    * The join also carries Bayardo §3's LENGTH FILTER: J ≥ 4/5
+    * forces 9·i ≥ 4·(|a|+|b|) with i ≤ min(|a|,|b|), hence
+    * 5·min(|a|,|b|) ≥ 4·max(|a|,|b|) — so a prefix-token match
+    * between size-incompatible docs is discarded BEFORE the
+    * candidate pair exists (each prefix row carries its doc's set
+    * size; the predicate is exact integer algebra on the join). An
+    * exactness-preserving prune: any pair it drops, the theorem
+    * already excludes.
     *
     * Scale shape: candidates are keyed by RARE tokens only (the
     * rarest ~1/5 of each set — hot stopword tokens never key the
     * join, which is the published reason this beats naive
-    * token-joins); the verify is d05's zero-allocation sorted
-    * two-pointer intersect over once-materialized hash arrays. One
-    * df aggregate + one doc-partitioned rank + one equi-join + the
-    * bounded verify — vs LSH this trades ~2.4× more candidate keys
-    * for exactness (no τ-band tuning, no missed pairs).
+    * token-joins), then length-filtered in the join condition; the
+    * verify is d05's zero-allocation sorted two-pointer intersect
+    * over once-materialized hash arrays. One df aggregate + one
+    * doc-partitioned rank + one equi-join + the bounded verify — vs
+    * LSH this trades ~2.4× more candidate keys for exactness (no
+    * τ-band tuning, no missed pairs).
     */
   def prefixJaccardJoin(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"),
@@ -348,10 +364,13 @@ object Dedup {
       .withColumn("nset", count(lit(1)).over(wSize))
       .filter(col("rnk") <=
         col("nset") - expr("(4 * nset + 4) div 5") + 1L)
-      .select(col("doc_id"), col("h"))
+      .select(col("doc_id"), col("h"), col("nset"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+          // length filter: 5·min ≥ 4·max is NECESSARY for J ≥ 4/5
+          lit(5L) * least(col("a.nset"), col("b.nset")) >=
+            lit(4L) * greatest(col("a.nset"), col("b.nset")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // sorted sets rebuilt from the already-materialized toks (which
