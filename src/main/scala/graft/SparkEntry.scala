@@ -720,6 +720,13 @@ object SparkEntry {
     "st13_horizon_dedup" -> ((s, dir) =>
       graft.streaming.StreamingOps.horizonDedupBatch(
         t(s, dir, "events"))),
+    // The streaming funnel's state table, batch-anchored (st06/st12/
+    // st13 discipline): a03's stage mins recoded to the
+    // mapGroupsWithState tuple shape — stage-0 users present, −1
+    // sentinels; stream ≡ batch ≡ one-event replay spec-pinned.
+    "st14_funnel_state" -> ((s, dir) =>
+      graft.streaming.StreamingOps.funnelStateBatch(
+        t(s, dir, "events"))),
     // Epoch-capped mixture plan: max total budget under √-law targets
     // with at most 3 passes per language; binding language flagged.
     "p20_mixture_solver" -> ((s, dir) =>
@@ -2975,6 +2982,33 @@ object SparkEntry {
         |FROM t1
         |LEFT JOIN t2 ON t1.user_id = t2.user_id
         |LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin,
+    // funnelStateBatch mirror: the a03 funnel CTEs widened to ALL
+    // users (stage-0 keys present) with the −1 state sentinels.
+    "st14_funnel_state" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
+        | FROM events),
+        |t1 AS (SELECT user_id, min(ts_us) AS t1_us FROM e
+        | WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, min(e.ts_us) AS t2_us
+        | FROM e JOIN t1 ON e.user_id = t1.user_id
+        | WHERE e.event_type = 'click' AND e.ts_us > t1.t1_us
+        | GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, min(e.ts_us) AS t3_us
+        | FROM e JOIN t2 ON e.user_id = t2.user_id
+        | WHERE e.event_type = 'purchase' AND e.ts_us > t2.t2_us
+        | GROUP BY e.user_id),
+        |u AS (SELECT DISTINCT user_id FROM e)
+        |SELECT u.user_id,
+        | CAST(CASE WHEN t1_us IS NULL THEN 0 ELSE
+        |   1 + (t2_us IS NOT NULL)::INT + (t3_us IS NOT NULL)::INT
+        |  END AS BIGINT) AS stage,
+        | coalesce(t1_us, -1) AS t1_us,
+        | coalesce(t2_us, -1) AS t2_us,
+        | coalesce(t3_us, -1) AS t3_us
+        |FROM u
+        |LEFT JOIN t1 ON u.user_id = t1.user_id
+        |LEFT JOIN t2 ON u.user_id = t2.user_id
+        |LEFT JOIN t3 ON u.user_id = t3.user_id""".stripMargin,
     "a02_range_join" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
         |  event_type FROM events),

@@ -506,6 +506,38 @@ object StreamingOps {
         })
   }
 
+  /** Batch anchor of [[streamingFunnel]]'s STATE TABLE (st14) — the
+    * frame the update-mode sink converges to after an event-time-
+    * ordered replay, exactly as the st12/st13 anchors gate their
+    * streaming twins. This is [[graft.operators.AsOf.eventFunnel]]
+    * recoded to the state-tuple shape, with the two differences the
+    * state output has and the analytics form drops: users whose
+    * events never reach `s1` are PRESENT at stage 0 (mapGroupsWithState
+    * keeps state for every key that appeared — a03 omits them), and
+    * unreached stage timestamps carry the −1 sentinel (a NULL long
+    * would not round-trip the sink tuple). Convergence is exact
+    * because each stream transition takes the EARLIEST qualifying
+    * event in (ts_us, event_id) order — the same min the unrolled
+    * batch aggregates take; the spec pins stream ≡ this frame ≡
+    * one-event replay.
+    *
+    * Scale shape: a03's three pushdown-filtered min aggregates +
+    * key-sized joins, plus one distinct over the key column — all
+    * map-side-combinable, nothing data-sized shuffles twice.
+    */
+  def funnelStateBatch(events: DataFrame, s1: String = "view",
+                       s2: String = "click", s3: String = "purchase")
+      : DataFrame = {
+    val funnel = graft.operators.AsOf.eventFunnel(events, s1, s2, s3)
+    events.select(col("user_id")).distinct()
+      .join(funnel, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("stage"), lit(0L)).as("stage"),
+        coalesce(col("t1_us"), lit(-1L)).as("t1_us"),
+        coalesce(col("t2_us"), lit(-1L)).as("t2_us"),
+        coalesce(col("t3_us"), lit(-1L)).as("t3_us"))
+  }
+
   /** One keyed event for the horizon-dedup pair (st13). */
   case class HorizonEvent(user_id: Long, event_type: String,
                           ts_us: Long, event_id: Long, value: Double)

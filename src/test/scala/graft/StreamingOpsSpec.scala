@@ -491,13 +491,16 @@ class StreamingOpsSpec extends SparkSpec {
     import StreamingOps.FunnelEvent
     implicit val sqlCtx = spark.sqlContext
     // user 1: full ordered funnel; user 2: purchase precedes view →
-    // stage 1; user 4: view+click → stage 2
+    // stage 1; user 4: view+click → stage 2; user 5: click only,
+    // never views → stage 0 (present in the STATE table, absent from
+    // the a03 analytics frame)
     val evs = Seq(
       FunnelEvent(1L, "view", 10L, 1L), FunnelEvent(1L, "click", 20L, 2L),
       FunnelEvent(1L, "purchase", 30L, 3L),
       FunnelEvent(2L, "purchase", 5L, 4L), FunnelEvent(2L, "click", 8L, 6L),
       FunnelEvent(2L, "view", 10L, 5L),
-      FunnelEvent(4L, "view", 10L, 9L), FunnelEvent(4L, "click", 15L, 10L))
+      FunnelEvent(4L, "view", 10L, 9L), FunnelEvent(4L, "click", 15L, 10L),
+      FunnelEvent(5L, "click", 7L, 11L))
     def streamFinal(batches: Seq[Seq[FunnelEvent]], name: String)
         : Map[Long, (Int, Long, Long, Long)] = {
       val mem = MemoryStream[FunnelEvent]
@@ -526,8 +529,16 @@ class StreamingOpsSpec extends SparkSpec {
       .as[(Long, Long, Option[Long], Option[Long], Long)].collect()
       .map(r => r._1 -> ((r._5.toInt, r._2, r._3.getOrElse(-1L),
         r._4.getOrElse(-1L)))).toMap
-    assert(streamed === anchor)
+    // eventFunnel omits stage-0 users: the stream agrees on its keys
+    assert(streamed.filter(_._2._1 > 0) === anchor)
     assert(streamed(2L) === ((1, 10L, -1L, -1L)))
+    // the STATE-table anchor (st14's gated frame) matches the stream
+    // on EVERY key, including the never-viewed stage-0 user
+    val stateAnchor = StreamingOps.funnelStateBatch(batchDf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2.toInt, r._3, r._4, r._5))).toMap
+    assert(streamed === stateAnchor)
+    assert(stateAnchor(5L) === ((0, -1L, -1L, -1L)))
   }
 
   test("horizonDedupBatch: ts tie keeps only the lower event_id; " +
