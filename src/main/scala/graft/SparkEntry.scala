@@ -337,6 +337,19 @@ object SparkEntry {
     // distance between two deterministic corpus halves.
     "s32_centroid_drift" -> ((s, dir) =>
       Similarity.centroidDrift(t(s, dir, "embeddings"))),
+    // Graph-ANN beam search over the s28 NN-descent graph (HNSW/NSG
+    // style, fixed rounds): per dial query, final-frontier top-k.
+    "s33_graph_beam_search" -> ((s, dir) =>
+      Similarity.graphBeamSearch(t(s, dir, "embeddings"))),
+    // s33's recall dial: entry frontier vs beam-searched frontier
+    // against the exact corpus-wide top-k truth.
+    "s34_graph_beam_recall" -> ((s, dir) =>
+      Similarity.graphBeamRecall(t(s, dir, "embeddings"))),
+    // The dial on CLUSTERED geometry (s30 discipline): graph search
+    // exploits neighborhood structure the uniform fixture lacks.
+    "s35_clustered_beam_recall" -> ((s, dir) =>
+      Similarity.graphBeamRecall(
+        Similarity.clusteredEmbeddings(t(s, dir, "embeddings")))),
     // Capstone: the §2.12 operators composed end to end.
     "p01_corpus_pipeline" -> ((s, dir) =>
       Pipeline.corpusPipeline(t(s, dir, "documents"))),
@@ -1173,6 +1186,98 @@ object SparkEntry {
          | WHERE rk <= $k)""".stripMargin
     }
   }
+
+  /** s33/s34 shared oracle chain, appended after [[nnDescentCte]]
+    * (so `e`, `n`, `g<dr>` exist): the symmetrized search graph, the
+    * dial query set, the md5-order entry points, the scored entry
+    * frontier `bf0`, then `rounds` unrolled hop-union-score-rank
+    * rounds ending in `bf<rounds>`. Frontier CTEs MATERIALIZED for
+    * the same 3-reference reason as the descent rounds.
+    */
+  private def beamCte(beam: Int, rounds: Int, k: Int,
+                      descentRounds: Int): String = {
+    val base =
+      s""",
+         |skip AS (SELECT a.vec_id, t.vec_id AS nbr_id FROM
+         |  (SELECT x.vec_id, x.rn, x.b, (2 ** g.j)::BIGINT AS off
+         |    FROM hrk x CROSS JOIN generate_series(0, 62) g(j)
+         |   WHERE (2 ** g.j)::BIGINT <= x.b - 1) a
+         |  JOIN hrk t ON t.rn = (a.rn - 1 + a.off) % a.b + 1),
+         |gsym AS MATERIALIZED (SELECT DISTINCT vec_id, nbr_id FROM (
+         |  SELECT vec_id, nbr_id FROM g$descentRounds
+         |  UNION ALL
+         |  SELECT nbr_id AS vec_id, vec_id AS nbr_id
+         |  FROM g$descentRounds
+         |  UNION ALL SELECT vec_id, nbr_id FROM skip
+         |  UNION ALL
+         |  SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM skip)),
+         |qb AS (SELECT vec_id AS q_id, v, nrm FROM n
+         |  WHERE vec_id % 50 = 0),
+         |ent AS (SELECT vec_id AS cand_id FROM e
+         |  ORDER BY ${h60("vec_id::VARCHAR")} %
+         |    ${graft.functions.Canon.MersenneP}, vec_id LIMIT $beam),
+         |bc0 AS (SELECT q_id, cand_id FROM qb CROSS JOIN ent
+         |  WHERE cand_id <> q_id),
+         |bs0 AS (SELECT c.q_id, c.cand_id,
+         |  $pairDot / (a.nrm * b.nrm) AS sim
+         | FROM bc0 c JOIN qb a ON a.q_id = c.q_id
+         |  JOIN n b ON b.vec_id = c.cand_id),
+         |bf0 AS MATERIALIZED (SELECT q_id, cand_id, sim FROM (
+         | SELECT *, row_number() OVER (PARTITION BY q_id
+         |   ORDER BY sim DESC, cand_id) AS rk FROM bs0)
+         | WHERE rk <= $beam)""".stripMargin
+    (1 to rounds).foldLeft(base) { (acc, r) =>
+      acc + s""",
+         |bc$r AS (SELECT DISTINCT q_id, cand_id FROM (
+         |  SELECT q_id, cand_id FROM bf${r - 1}
+         |  UNION ALL
+         |  SELECT f.q_id, g.nbr_id AS cand_id FROM bf${r - 1} f
+         |   JOIN gsym g ON g.vec_id = f.cand_id)
+         | WHERE cand_id <> q_id),
+         |bs$r AS (SELECT c.q_id, c.cand_id,
+         |  $pairDot / (a.nrm * b.nrm) AS sim
+         | FROM bc$r c JOIN qb a ON a.q_id = c.q_id
+         |  JOIN n b ON b.vec_id = c.cand_id),
+         |bf$r AS MATERIALIZED (SELECT q_id, cand_id, sim FROM (
+         | SELECT *, row_number() OVER (PARTITION BY q_id
+         |   ORDER BY sim DESC, cand_id) AS rk FROM bs$r)
+         | WHERE rk <= $beam)""".stripMargin
+    }
+  }
+
+  /** s34 oracle tail after [[beamCte]]: the exact corpus-wide truth
+    * over the dial queries, top-k cuts of the entry and final
+    * frontiers, and the two recall rows.
+    */
+  private def beamRecallTail(rounds: Int, k: Int): String =
+    s""",
+       |btrs AS (SELECT a.q_id AS vec_id, b.vec_id AS nbr_id,
+       |  $pairDot / (a.nrm * b.nrm) AS sim
+       | FROM qb a JOIN n b ON b.vec_id <> a.q_id),
+       |btr AS MATERIALIZED (SELECT vec_id, nbr_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, nbr_id) AS rk FROM btrs)
+       | WHERE rk <= $k),
+       |bnq AS (SELECT count(*) AS n_queries FROM qb),
+       |bent AS (SELECT q_id AS vec_id, cand_id AS nbr_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, cand_id) AS rk FROM bf0)
+       | WHERE rk <= $k),
+       |bfin AS (SELECT q_id AS vec_id, cand_id AS nbr_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, cand_id) AS rk FROM bf$rounds)
+       | WHERE rk <= $k),
+       |bhe AS (SELECT count(*) AS n_hits FROM btr
+       |  JOIN bent USING (vec_id, nbr_id)),
+       |bhb AS (SELECT count(*) AS n_hits FROM btr
+       |  JOIN bfin USING (vec_id, nbr_id))
+       |SELECT 'entry' AS variant, n_queries, bhe.n_hits AS n_hits,
+       | bhe.n_hits::DOUBLE / (n_queries * $k)::DOUBLE AS recall
+       |FROM bnq, bhe
+       |UNION ALL
+       |SELECT 'beam', n_queries, bhb.n_hits,
+       | bhb.n_hits::DOUBLE / (n_queries * $k)::DOUBLE
+       |FROM bnq, bhb""".stripMargin
 
   /** Oracle mirror of Dedup.lshCandidatePairs' maxBucket=1000 guard
     * (ADVICE r2): buckets larger than the cap are skipped ENTIRELY on
@@ -3450,6 +3555,23 @@ object SparkEntry {
       (nnDescentCte(4) + descentRecallTail),
     "s30_clustered_descent_recall" ->
       (nnDescentCte(4, 5, gmCte) + descentRecallTail),
+    // graphBeamSearch mirror: the descent chain + the unrolled beam
+    // walk, final-frontier top-k with ranks.
+    "s33_graph_beam_search" ->
+      (nnDescentCte(4) + beamCte(16, 4, 5, 4) +
+        s"""
+           |SELECT q_id, cand_id AS nbr_id, sim, "rank" FROM (
+           | SELECT q_id, cand_id, sim, row_number() OVER (
+           |   PARTITION BY q_id ORDER BY sim DESC, cand_id)
+           |   AS "rank" FROM bf4)
+           |WHERE "rank" <= 5""".stripMargin),
+    // graphBeamRecall mirror: same chain + the exact truth pass and
+    // the entry/beam recall rows.
+    "s34_graph_beam_recall" ->
+      (nnDescentCte(4) + beamCte(16, 4, 5, 4) + beamRecallTail(4, 5)),
+    "s35_clustered_beam_recall" ->
+      (nnDescentCte(4, 5, gmCte) + beamCte(16, 4, 5, 4) +
+        beamRecallTail(4, 5)),
     // mmrSelect mirror: the s01 shortlist chain carrying candidate
     // vectors, the bounded candidate-candidate sim self-join, and the
     // same three unrolled greedy steps (λ = 1/2, ties on nbr_id).

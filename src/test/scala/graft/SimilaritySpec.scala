@@ -546,6 +546,39 @@ class SimilaritySpec extends SparkSpec {
     assert(out("descended") === ((1L, 1L, 1.0)))
   }
 
+  test("graphBeamSearch: finds the cross-label true neighbor on the " +
+    "tiny fixture; partition-independent; ranks contiguous") {
+    // query subset vec_id % 50 == 0 → vector 0; true top-1 is the
+    // cross-label vector 4 (cos ≈ 0.9996) — reachable only through
+    // graph edges, since the entry set is hash-ordered, not geometric
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.graphBeamSearch(df, k = 2, beam = 3, rounds = 2,
+          graphK = 1, descentRounds = 1)
+        .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    val out = run(emb)
+    assert(out.map(r => (r._1, r._2, r._4)).toSeq
+      === Seq((0L, 4L, 1), (0L, 1L, 2)))
+    // the walk's answer IS the exact brute-force answer here
+    val brute = Similarity.knnBrute(emb, 1, 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(out.map(r => (r._1, r._2, r._4)).toSeq
+      === brute.map(r => (r._1, r._2, r._4)).toSeq)
+    // physical partitioning must not change the search result
+    assert(run(emb.repartition(7)).toSeq === out.toSeq)
+  }
+
+  test("graphBeamRecall: beam dominates the entry frontier; entry row " +
+    "prices the starting points alone") {
+    val out = Similarity.graphBeamRecall(emb, k = 1, beam = 2,
+        rounds = 2, graphK = 1, descentRounds = 1)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("beam") === ((1L, 1L, 1.0)))
+    // frontier monotonicity: the searched recall can never be below
+    // the entry frontier's (the union keeps the best-so-far)
+    assert(out("beam")._3 >= out("entry")._3)
+  }
+
   test("centroidDrift: orthogonal halves measure √2, identical " +
     "halves measure 0; negative components survive the floor division") {
     val drift = Seq(
