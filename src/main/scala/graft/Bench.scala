@@ -116,9 +116,34 @@ object Bench {
     // Belt and braces for the harness parse: also persist the FULL line
     // (with the complete per-query median map) to a file
     // (BENCH_LOCAL.json or args(0)).
+    // Frozen per-query anchor (flat writer-controlled JSON; the regex
+    // reads only the map after the "medians" key, so the metadata
+    // fields can't contaminate it).
+    val baseline: Map[String, Double] = try {
+      val txt = Files.readString(Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
+          "BENCH_BASELINE.json")))
+      // the anchor is an sf0.1 run — a ratio against another SF's
+      // wall-clock is noise, so the guard disarms off-SF entirely
+      val sfOk = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == sfDir)
+      if (!sfOk) Map.empty
+      else {
+        val sect = txt.substring(txt.indexOf("\"medians\""))
+        """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+          .findAllMatchIn(sect)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+    val ratios: Map[String, Double] = medians.flatMap { case (k, v) =>
+      baseline.get(k).filter(_ > 0).map(b => k -> v / b)
+    }
     val fullFile =
       full.dropRight(1) +
-        s""","medians":${qmap(medians, 3, strip = false, identity)}}"""
+        s""","medians":${qmap(medians, 3, strip = false, identity)}""" +
+        (if (ratios.isEmpty) "}"
+         else s""","baseline_ratios":${
+           qmap(ratios, 2, strip = false, identity)}}""")
     val outPath = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
     try Files.writeString(Paths.get(outPath), fullFile + "\n")
@@ -134,6 +159,26 @@ object Bench {
       .foreach { case (k, v) =>
         println(f"WARN bench-budget: $k median ${v}%.1fs is ${v / medianTotal * 100}%.0f%% of the ${medianTotal}%.1fs suite")
       }
+    // Per-query regression guard vs the FROZEN anchor
+    // (BENCH_BASELINE.json = the r13 closing medians; VERDICT r13 #5:
+    // the scalar "2× of 136.6 s" bound degrades as the suite grows, so
+    // the anchor is per-query). A query >2× its frozen median AND >1 s
+    // absolute over it is flagged loudly; the absolute floor keeps
+    // 0.1 s→0.25 s scheduler noise out (the calibration queries all
+    // sit under it). Queries with no baseline row are new entrants —
+    // named in-band so a grown total is attributable, never silent.
+    if (baseline.nonEmpty) {
+      medians.foreach { case (k, v) =>
+        baseline.get(k).foreach { b =>
+          if (v > 2.0 * b && v - b > 1.0)
+            println(f"WARN bench-vs-baseline: $k median ${v}%.2fs is ${v / b}%.1fx its frozen r13 median ${b}%.2fs")
+        }
+      }
+      val newQ = medians.keySet -- baseline.keySet
+      if (newQ.nonEmpty)
+        println(s"INFO bench-new-queries (no frozen baseline): " +
+          newQ.toSeq.sorted.mkString(","))
+    }
     if (failed.nonEmpty)
       println(s"WARN bench-failed: ${failed.mkString(",")}")
     // Printed AFTER spark.stop() (and with build.sbt's showSuccess off)
