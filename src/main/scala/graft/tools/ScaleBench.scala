@@ -112,7 +112,10 @@ object ScaleBench {
     // late session-2: the ordered funnel — three pushdown-filtered
     // scans + three key-sized min aggregates; salted users grow the
     // key space, per-user event counts stay constant.
-    "a03_event_funnel")
+    "a03_event_funnel",
+    // r14: the funnel's state-table anchor — a03's aggregates plus
+    // one distinct over the key column; same growth direction.
+    "st14_funnel_state")
 
   /** Fourth axis (r12, VERDICT r10 #3): the composed ANN ladder —
     * raw-PQ IVFADC (s16), residual IVFADC (s18), and the re-ranked
@@ -172,7 +175,12 @@ object ScaleBench {
     * cost at fixed k (the reason NN-descent replaces the O(n²) exact
     * graph at scale).
     */
-  val annExtra: Seq[String] = Seq("s28_nn_descent")
+  val annExtra: Seq[String] = Seq("s28_nn_descent",
+    // r14: the beam search over that graph — build cost is s28's;
+    // the walk itself must stay QUERY-sized as the corpus grows
+    // (per round ≤ |Q|·beam·(2k+2·log₂n+1) candidates, the log from
+    // the skip fingers), which is the claim this row prices.
+    "s33_graph_beam_search")
 
   private val Copies = 10
   private val KeyOffset = 10000000L // > any sf0.1 key; multiple of 10
@@ -199,7 +207,12 @@ object ScaleBench {
         d.withColumn(t, translate(col(t), alphabet, rotated(c))))
     }.reduce(_ unionByName _)
 
-  private def writeAmplified(spark: SparkSession, srcDir: String,
+  /** Exposed for [[BuildTier]] (the r13 verdict's sf1eq ORACLE sanity
+    * pass needs the tier on disk past one JVM); still bench-only per
+    * DR-2 — correctness gates stay on the driver's shipped tiers, and
+    * the sf1eq check is a SUPPLEMENTARY overflow probe, not a gate.
+    */
+  def writeAmplified(spark: SparkSession, srcDir: String,
                              outDir: String): Unit = {
     def amp(name: String, keys: Seq[String], texts: Seq[String]): Unit =
       amplify(spark.read.parquet(s"$srcDir/$name.parquet"), keys, texts)

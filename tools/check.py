@@ -39,8 +39,12 @@ def canon_rows(df):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver tiers ship single files; Spark-written tiers (the DR-2
+        # sf1eq amplification) are part-file directories
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     dirs = {d for d in os.listdir(out_dir)
             if os.path.isdir(os.path.join(out_dir, d))}
