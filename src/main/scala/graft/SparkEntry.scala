@@ -350,6 +350,18 @@ object SparkEntry {
     "s35_clustered_beam_recall" -> ((s, dir) =>
       Similarity.graphBeamRecall(
         Similarity.clusteredEmbeddings(t(s, dir, "embeddings")))),
+    // Incremental graph maintenance (FreshDiskANN insert): old-corpus
+    // build + per-new-vector beam search + sim-reusing reverse patch.
+    "s36_incremental_graph" -> ((s, dir) =>
+      Similarity.incrementalGraphInsert(t(s, dir, "embeddings"))),
+    // s36's dial: reverse-patch reachability (old_nodes) and insert
+    // search quality (new_nodes) vs the exact full-corpus truth.
+    "s37_incremental_recall" -> ((s, dir) =>
+      Similarity.incrementalGraphRecall(t(s, dir, "embeddings"))),
+    // The incremental dial on CLUSTERED geometry (s30/s35 discipline).
+    "s38_clustered_incremental" -> ((s, dir) =>
+      Similarity.incrementalGraphRecall(
+        Similarity.clusteredEmbeddings(t(s, dir, "embeddings")))),
     // Capstone: the §2.12 operators composed end to end.
     "p01_corpus_pipeline" -> ((s, dir) =>
       Pipeline.corpusPipeline(t(s, dir, "documents"))),
@@ -1195,7 +1207,10 @@ object SparkEntry {
     * the same 3-reference reason as the descent rounds.
     */
   private def beamCte(beam: Int, rounds: Int, k: Int,
-                      descentRounds: Int): String = {
+                      descentRounds: Int,
+                      qbSql: String =
+                        "SELECT vec_id AS q_id, v, nrm FROM n" +
+                          " WHERE vec_id % 50 = 0"): String = {
     val base =
       s""",
          |skip AS (SELECT a.vec_id, t.vec_id AS nbr_id FROM
@@ -1211,8 +1226,7 @@ object SparkEntry {
          |  UNION ALL SELECT vec_id, nbr_id FROM skip
          |  UNION ALL
          |  SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM skip)),
-         |qb AS (SELECT vec_id AS q_id, v, nrm FROM n
-         |  WHERE vec_id % 50 = 0),
+         |qb AS ($qbSql),
          |ent AS (SELECT vec_id AS cand_id FROM e
          |  ORDER BY ${h60("vec_id::VARCHAR")} %
          |    ${graft.functions.Canon.MersenneP}, vec_id LIMIT $beam),
@@ -1244,6 +1258,84 @@ object SparkEntry {
          | WHERE rk <= $beam)""".stripMargin
     }
   }
+
+  /** The OLD-corpus variant of embCte (s36/s37): e/n — hence the
+    * descent chain, the ring seeds, hrk's fingers, and the beam
+    * entries — see only rows passing `pred`, mirroring the Spark side
+    * building its graph on the filtered frame.
+    */
+  private def embCteWhere(pred: String): String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |  FROM embeddings WHERE $pred),
+       |n AS (SELECT vec_id, label, v,
+       |  sqrt(${foldSum("[x*x FOR x IN v]")}) AS nrm FROM e)
+       |""".stripMargin
+
+  /** Full-corpus n-table beside a filtered chain (s36's insert batch
+    * reads its query vectors here; s37's truth pass runs here).
+    */
+  private val nAllCte: String =
+    s""",
+       |eall AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |nall AS (SELECT vec_id, label, v,
+       |  sqrt(${foldSum("[x*x FOR x IN v]")}) AS nrm FROM eall)""".stripMargin
+
+  /** s36/s37 shared tail after [[beamCte]] (whose qb must be the
+    * insert batch from nall): new forward edges from the final
+    * frontier, the sim-reusing reverse patch, the per-old-node top-k
+    * keep.
+    */
+  private def insertCte(beamRounds: Int, k: Int,
+                        descentRounds: Int): String =
+    s""",
+       |nfwd AS MATERIALIZED (SELECT q_id AS vec_id, cand_id AS nbr_id,
+       |  sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, cand_id) AS rk FROM bf$beamRounds)
+       | WHERE rk <= $k),
+       |rev AS (SELECT nbr_id AS vec_id, vec_id AS nbr_id, sim
+       | FROM nfwd),
+       |pat AS MATERIALIZED (SELECT vec_id, nbr_id, sim FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, nbr_id) AS rk FROM (
+       |   SELECT vec_id, nbr_id, sim FROM g$descentRounds
+       |   UNION ALL SELECT vec_id, nbr_id, sim FROM rev))
+       | WHERE rk <= $k)""".stripMargin
+
+  /** s37/s38 shared oracle tail after [[insertCte]]: the full-corpus
+    * exact truth over the mixed dial set (old %50=0, new %50=49) and
+    * the two per-node-class recall rows.
+    */
+  private lazy val incrementalRecallTail: String =
+    s""",
+       |q37 AS (SELECT vec_id, v, nrm FROM nall
+       |  WHERE vec_id % 50 = 0 OR vec_id % 50 = 49),
+       |itrs AS (SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+       |  $pairDot / (a.nrm * b.nrm) AS sim
+       | FROM q37 a JOIN nall b ON b.vec_id <> a.vec_id),
+       |itr AS MATERIALIZED (SELECT vec_id, nbr_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, nbr_id) AS rk FROM itrs)
+       | WHERE rk <= 5),
+       |gall AS (SELECT vec_id, nbr_id FROM pat
+       | UNION ALL SELECT vec_id, nbr_id FROM nfwd),
+       |iq AS (SELECT
+       |  CAST(sum((vec_id % 50 = 0)::INT) AS BIGINT) AS nq_old,
+       |  CAST(sum((vec_id % 50 = 49)::INT) AS BIGINT) AS nq_new
+       | FROM q37),
+       |ho AS (SELECT count(*) AS n_hits FROM itr
+       |  JOIN gall USING (vec_id, nbr_id) WHERE vec_id % 50 = 0),
+       |hn AS (SELECT count(*) AS n_hits FROM itr
+       |  JOIN gall USING (vec_id, nbr_id) WHERE vec_id % 50 = 49)
+       |SELECT 'old_nodes' AS variant, nq_old AS n_queries,
+       | ho.n_hits AS n_hits,
+       | ho.n_hits::DOUBLE / (nq_old * 5)::DOUBLE AS recall
+       |FROM iq, ho
+       |UNION ALL
+       |SELECT 'new_nodes', nq_new, hn.n_hits,
+       | hn.n_hits::DOUBLE / (nq_new * 5)::DOUBLE
+       |FROM iq, hn""".stripMargin
 
   /** s34 oracle tail after [[beamCte]]: the exact corpus-wide truth
     * over the dial queries, top-k cuts of the entry and final
@@ -1464,6 +1556,48 @@ object SparkEntry {
        |n AS (SELECT vec_id, label, v,
        |  sqrt(${foldSum("[x*x FOR x IN v]")}) AS nrm FROM e)
        |""".stripMargin
+  }
+
+  /** [[gmCte]] restricted to `pred` (s38: the clustered incremental
+    * chain's OLD corpus) — the filter sits on e0, BEFORE the v
+    * generator, which is equivalent because v is a pure function of
+    * (vec_id, gc); a separate builder rather than a gmCte parameter
+    * so the three veteran oracles' SQL stays byte-identical. The
+    * nall-side full table is [[gmAllCte]].
+    */
+  private def gmCteWhere(pred: String): String = {
+    def u(t: Int) =
+      s"${h60(s"'gmn$t|' || vec_id::VARCHAR || '|' || j::VARCHAR")} % 1001"
+    s"""WITH e0 AS (SELECT vec_id, label,
+       |  ${h60("'gm|' || vec_id::VARCHAR")} % 128 AS gc FROM embeddings
+       |  WHERE $pred),
+       |e AS (SELECT vec_id, label,
+       |  [((${h60("'gmc|' || gc::VARCHAR || '|' || j::VARCHAR")} % 2001
+       |      - 1000) * 40
+       |    + (${u(1)} + ${u(2)} + ${u(3)} + ${u(4)}
+       |       - 2000) * 20)::DOUBLE / 40000.0
+       |   FOR j IN range(1, 65)] AS v FROM e0),
+       |n AS (SELECT vec_id, label, v,
+       |  sqrt(${foldSum("[x*x FOR x IN v]")}) AS nrm FROM e)
+       |""".stripMargin
+  }
+
+  /** Clustered-generator analog of [[nAllCte]] (s38). */
+  private lazy val gmAllCte: String = {
+    def u(t: Int) =
+      s"${h60(s"'gmn$t|' || vec_id::VARCHAR || '|' || j::VARCHAR")} % 1001"
+    s""",
+       |eall0 AS (SELECT vec_id, label,
+       |  ${h60("'gm|' || vec_id::VARCHAR")} % 128 AS gc
+       |  FROM embeddings),
+       |eall AS (SELECT vec_id, label,
+       |  [((${h60("'gmc|' || gc::VARCHAR || '|' || j::VARCHAR")} % 2001
+       |      - 1000) * 40
+       |    + (${u(1)} + ${u(2)} + ${u(3)} + ${u(4)}
+       |       - 2000) * 20)::DOUBLE / 40000.0
+       |   FOR j IN range(1, 65)] AS v FROM eall0),
+       |nall AS (SELECT vec_id, label, v,
+       |  sqrt(${foldSum("[x*x FOR x IN v]")}) AS nrm FROM eall)""".stripMargin
   }
 
   /** s19's oracle body after the base `n` CTE (brute top-3 + the
@@ -3572,6 +3706,34 @@ object SparkEntry {
     "s35_clustered_beam_recall" ->
       (nnDescentCte(4, 5, gmCte) + beamCte(16, 4, 5, 4) +
         beamRecallTail(4, 5)),
+    // incrementalGraphInsert mirror: descent chain on the OLD corpus
+    // (embCteWhere — e/n, seeds, fingers, entries all old), the full
+    // nall table, beam walks for the insert batch, the reverse patch,
+    // and the union with ranks.
+    "s36_incremental_graph" ->
+      (nnDescentCte(4, 5, embCteWhere("vec_id % 10 <> 9")) + nAllCte +
+        beamCte(16, 4, 5, 4,
+          "SELECT vec_id AS q_id, v, nrm FROM nall WHERE vec_id % 10 = 9") +
+        insertCte(4, 5, 4) +
+        s"""
+           |SELECT vec_id, nbr_id, sim, row_number() OVER (
+           |  PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS "rank"
+           |FROM (SELECT * FROM pat UNION ALL SELECT * FROM nfwd)""".stripMargin),
+    // incrementalGraphRecall mirror: same chain + the full-corpus
+    // exact truth over the mixed dial set and the two recall rows.
+    "s37_incremental_recall" ->
+      (nnDescentCte(4, 5, embCteWhere("vec_id % 10 <> 9")) + nAllCte +
+        beamCte(16, 4, 5, 4,
+          "SELECT vec_id AS q_id, v, nrm FROM nall WHERE vec_id % 10 = 9") +
+        insertCte(4, 5, 4) + incrementalRecallTail),
+    // The clustered twin: the same chain over the gm generator (old
+    // corpus filtered BEFORE v generation — equivalent, v is a pure
+    // function of the id) with the clustered full table as nall.
+    "s38_clustered_incremental" ->
+      (nnDescentCte(4, 5, gmCteWhere("vec_id % 10 <> 9")) + gmAllCte +
+        beamCte(16, 4, 5, 4,
+          "SELECT vec_id AS q_id, v, nrm FROM nall WHERE vec_id % 10 = 9") +
+        insertCte(4, 5, 4) + incrementalRecallTail),
     // mmrSelect mirror: the s01 shortlist chain carrying candidate
     // vectors, the bounded candidate-candidate sim self-join, and the
     // same three unrolled greedy steps (λ = 1/2, ties on nbr_id).

@@ -1321,23 +1321,21 @@ object Similarity {
     * each feeds the hop, the union AND the re-rank, and un-pinned
     * lineage doubles per round.
     */
-  private def beamChain(embeddings: DataFrame, beam: Int, rounds: Int,
-                        graphK: Int, descentRounds: Int)
-      : (DataFrame, DataFrame) = {
-    val e = prepared(embeddings).materialized
-    val g = nnDescent(embeddings, graphK, descentRounds)
-      .select(col("vec_id"), col("nbr_id"))
-    // Long-range links: a pure kNN graph is CLUSTER-CONFINED (its
-    // symmetric closure rarely leaves a tight cluster — measured:
-    // beam recall 0.38 on the clustered fixture vs the descended
-    // graph's own 0.92), which is exactly why the published
-    // structures add long edges (HNSW's upper layers, DiskANN's
-    // random links). The deterministic analog here is Chord-style
-    // power-of-two fingers on the md5 ring: node at hash-rank rn
-    // links to ranks rn + 2^j (wrap) for every 2^j ≤ n − 1 — O(log n)
-    // fingers per node, O(log n) ring diameter, and a pure function
-    // of the id set. The rank is the nnDescent byHash window; at
-    // 100 TB it becomes the two-stage global rank template.
+  /** The SEARCH graph over corpus `e` for kNN edge list `g`: g
+    * symmetrized, plus long-range links. A pure kNN graph is
+    * CLUSTER-CONFINED (its symmetric closure rarely leaves a tight
+    * cluster — measured: beam recall 0.38 on the clustered fixture vs
+    * the descended graph's own 0.92), which is exactly why the
+    * published structures add long edges (HNSW's upper layers,
+    * DiskANN's random links). The deterministic analog here is
+    * Chord-style power-of-two fingers on the md5 ring: node at
+    * hash-rank rn links to ranks rn + 2^j (wrap) for every
+    * 2^j ≤ n − 1 — O(log n) fingers per node, O(log n) ring diameter,
+    * and a pure function of the id set. The rank is the nnDescent
+    * byHash window; at 100 TB it becomes the two-stage global rank
+    * template.
+    */
+  private def searchGraph(e: DataFrame, g: DataFrame): DataFrame = {
     val hrank = e
       .select(col("vec_id"),
         Canon.hashP(col("vec_id").cast("string")).as("_h"))
@@ -1354,14 +1352,21 @@ object Similarity {
       .join(hrank.select(col("rn").as("trn"),
         col("vec_id").as("nbr_id")), Seq("trn"))
       .select(col("vec_id"), col("nbr_id"))
-    val gsym = g.union(skip)
+    g.union(skip)
       .union(g.select(col("nbr_id").as("vec_id"), col("vec_id").as("nbr_id")))
       .union(skip.select(col("nbr_id").as("vec_id"),
         col("vec_id").as("nbr_id")))
       .distinct().materialized
-    val q = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qnrm")).materialized
+  }
+
+  /** The walk itself: `rounds` hop-union-score-rank rounds of query
+    * set `q` (q_id, qv, qnrm — MUST be pinned by the caller) over
+    * `gsym` within corpus `e`, starting from the `beam` earliest
+    * corpus vectors in md5 order. Returns (frontier₀, frontier_R).
+    */
+  private def beamWalk(e: DataFrame, gsym: DataFrame, q: DataFrame,
+                       beam: Int, rounds: Int)
+      : (DataFrame, DataFrame) = {
     val entries = e
       .select(col("vec_id").as("cand_id"),
         Canon.hashP(col("vec_id").cast("string")).as("_h"))
@@ -1393,6 +1398,19 @@ object Similarity {
       frontier = topB(score(cand)).materialized
     }
     (f0, frontier)
+  }
+
+  private def beamChain(embeddings: DataFrame, beam: Int, rounds: Int,
+                        graphK: Int, descentRounds: Int)
+      : (DataFrame, DataFrame) = {
+    val e = prepared(embeddings).materialized
+    val gsym = searchGraph(e,
+      nnDescent(embeddings, graphK, descentRounds)
+        .select(col("vec_id"), col("nbr_id")))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")).materialized
+    beamWalk(e, gsym, q, beam, rounds)
   }
 
   /** Graph-ANN beam search (s33) — the missing rung above the s28
@@ -1464,6 +1482,136 @@ object Similarity {
           (col("n_hits").cast("double") /
             (col("n_queries") * k).cast("double")).as("recall"))
     hits(f0, "entry").unionByName(hits(f, "beam"))
+  }
+
+  /** The s36/s37 shared chain — incremental KNN-graph maintenance,
+    * the FreshDiskANN insert discipline (Singh et al. 2021): a
+    * production corpus grows daily, and rebuilding the graph per
+    * batch prices the WHOLE corpus every time; the incremental path
+    * prices only the batch. The deterministic batch split is
+    * vec_id % 10 == 9 (10% insert batch; in production, the day's
+    * arrivals). Insert = (1) [[nnDescent]] builds the graph on the
+    * OLD corpus only; (2) each NEW vector [[beamWalk]]s that graph
+    * (the s33 search, with the old corpus's fingers) and keeps its
+    * top-k hits as its FORWARD edges; (3) the REVERSE PATCH: each
+    * forward edge (new → old, cosine symmetric so the sim is reused,
+    * never rescored) becomes an (old → new) candidate, and each old
+    * node keeps the top-k of its existing edges ∪ reverse candidates
+    * — without this step new content is UNREACHABLE from old nodes
+    * and silently absent from every graph-served answer (s37's
+    * old-node row measures exactly this reachability). Within-batch
+    * (new ↔ new) edges are deliberately absent from a single insert
+    * batch — successive batches see earlier inserts, and the dial
+    * prices the omission honestly.
+    *
+    * Returns (patchedOldGraph, newForwardEdges), both top-k per node.
+    *
+    * Scale shape: the build term prices the OLD corpus once (at a
+    * steady state it is amortized — the graph persists); the insert
+    * term is batch-sized (|B| beam walks + one top-k over n·k ∪ |B|·k
+    * edges); nothing corpus² anywhere.
+    */
+  private def incrementalParts(embeddings: DataFrame, k: Int,
+                               beam: Int, rounds: Int,
+                               descentRounds: Int)
+      : (DataFrame, DataFrame) = {
+    val eAll = prepared(embeddings).materialized
+    val eOld = eAll.filter(col("vec_id") % 10 =!= 9).materialized
+    val gOld = nnDescent(embeddings.filter(col("vec_id") % 10 =!= 9),
+        k, descentRounds)
+      .select(col("vec_id"), col("nbr_id"), col("sim")).materialized
+    val gsym = searchGraph(eOld,
+      gOld.select(col("vec_id"), col("nbr_id")))
+    val qNew = eAll.filter(col("vec_id") % 10 === 9)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")).materialized
+    val (_, fr) = beamWalk(eOld, gsym, qNew, beam, rounds)
+    val wQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    val newFwd = fr.withColumn("_rk", row_number().over(wQ))
+      .filter(col("_rk") <= k)
+      .select(col("q_id").as("vec_id"), col("cand_id").as("nbr_id"),
+        col("sim")).materialized // feeds the output AND the reverse patch
+    val rev = newFwd.select(col("nbr_id").as("vec_id"),
+      col("vec_id").as("nbr_id"), col("sim"))
+    val wN = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    val patched = gOld.unionByName(rev)
+      .withColumn("_rk", row_number().over(wN))
+      .filter(col("_rk") <= k).drop("_rk")
+    (patched, newFwd)
+  }
+
+  /** Incremental graph insert (s36): the maintained graph itself —
+    * patched old edges ∪ new forward edges, top-k per node with
+    * ranks. See [[incrementalParts]].
+    */
+  def incrementalGraphInsert(embeddings: DataFrame, k: Int = 5,
+                             beam: Int = 16, rounds: Int = 4,
+                             descentRounds: Int = 4): DataFrame = {
+    val (patched, newFwd) =
+      incrementalParts(embeddings, k, beam, rounds, descentRounds)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    patched.unionByName(newFwd)
+      .withColumn("rank", row_number().over(w))
+      .select(col("vec_id"), col("nbr_id"), col("sim"), col("rank"))
+  }
+
+  /** s36's recall dial (s37): the maintained graph's edges against
+    * the exact full-corpus top-k truth, split by node class — the
+    * `old_nodes` row (dial queries vec_id % 50 == 0, all in the old
+    * corpus) prices the REVERSE PATCH (can old nodes see the new
+    * content their true neighborhoods now contain?), the `new_nodes`
+    * row (vec_id % 50 == 49, all in the insert batch) prices the
+    * INSERT SEARCH (did the beam walk find each new vector's true
+    * neighbors?). The spec pins the parity claim against a full
+    * rebuild; this gate pins the absolute numbers.
+    */
+  def incrementalGraphRecall(embeddings: DataFrame, k: Int = 5,
+                             beam: Int = 16, rounds: Int = 4,
+                             descentRounds: Int = 4): DataFrame = {
+    val (patched, newFwd) =
+      incrementalParts(embeddings, k, beam, rounds, descentRounds)
+    val graph = patched.unionByName(newFwd)
+      .select(col("vec_id"), col("nbr_id"))
+    val eAll = prepared(embeddings).materialized
+    val q = eAll.filter(col("vec_id") % 50 === 0 ||
+        col("vec_id") % 50 === 49)
+      .select(col("vec_id"), col("v"), col("nrm")).materialized
+    val wT = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    val truth = q.as("a").join(eAll.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        Canon.cosine(Canon.dot(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")).as("sim"))
+      .withColumn("rank", row_number().over(wT))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("nbr_id")).materialized
+    def side(newNodes: Boolean, variant: String): DataFrame = {
+      val pred =
+        if (newNodes) col("vec_id") % 50 === 49
+        else col("vec_id") % 50 === 0
+      val nQ = q.filter(
+          if (newNodes) col("vec_id") % 50 === 49
+          else col("vec_id") % 50 === 0)
+        .select(countDistinct(col("vec_id")).as("n_queries"))
+      truth.filter(pred)
+        .join(graph, Seq("vec_id", "nbr_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nQ))
+        .select(lit(variant).as("variant"), col("n_queries"),
+          col("n_hits"),
+          // empty node class (possible on tiny fixtures) → recall 0,
+          // not an ANSI divide-by-zero
+          when(col("n_queries") > 0L,
+            col("n_hits").cast("double") /
+              (col("n_queries") * k).cast("double"))
+            .otherwise(lit(0.0d)).as("recall"))
+    }
+    side(newNodes = false, "old_nodes")
+      .unionByName(side(newNodes = true, "new_nodes"))
   }
 
   def labelCentroids(embeddings: DataFrame, scale: Long = 1000000L): DataFrame =

@@ -579,6 +579,52 @@ class SimilaritySpec extends SparkSpec {
     assert(out("beam")._3 >= out("entry")._3)
   }
 
+  // incremental fixture: old corpus = emb's five vectors (ids 0–4),
+  // insert batch = ids 9 and 19 (% 10 == 9). Vector 9 lands right on
+  // vector 0's direction (closer than 0's old best, vector 4);
+  // vector 19 lands in the y-axis direction next to vector 2.
+  private val embIns = (Seq(
+    (9L, Array(0.99f, 0.005f, 0.0f, 0.0f), 0),
+    (19L, Array(0.05f, 0.95f, 0.0f, 0.0f), 0)
+  ).toDF("vec_id", "embedding", "label")).unionByName(emb)
+
+  test("incrementalGraphInsert: exact forward edges when the walk " +
+    "covers the old corpus; reverse patch makes new content " +
+    "reachable; partition-independent") {
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.incrementalGraphInsert(df, k = 1, beam = 5,
+          rounds = 2, descentRounds = 1)
+        .as[(Long, Long, Double, Int)].collect()
+        .map(r => r._1 -> r._2).toMap
+    val out = run(embIns)
+    // with beam ≥ |old| the walk scores every old vector, so each new
+    // node's forward edge IS its exact nearest old neighbor
+    assert(out(9L) === 0L)
+    assert(out(19L) === 2L)
+    // the reverse patch: 0's old best was 4 (cos ≈ 0.9986); the new
+    // arrival 9 (cos ≈ 0.99999) replaces it. 2's old best was a
+    // label-mate at cos ≈ 0.11; 19 (cos ≈ 0.9986) replaces it — new
+    // content is reachable from old nodes, the FreshDiskANN property
+    assert(out(0L) === 9L)
+    assert(out(2L) === 19L)
+    // every node (5 old + 2 new) has exactly k = 1 edge
+    assert(out.size === 7)
+    assert(run(embIns.repartition(7)) === out)
+  }
+
+  test("incrementalGraphRecall: the patched old node sees its NEW " +
+    "true neighbor (recall 1 via the reverse patch alone)") {
+    // dial query: 0 (old, % 50 == 0) — its true top-1 over the FULL
+    // corpus is the new arrival 9, reachable ONLY through the patch;
+    // no % 50 == 49 ids exist in the fixture, so the new row is empty
+    val out = Similarity.incrementalGraphRecall(embIns, k = 1,
+        beam = 5, rounds = 2, descentRounds = 1)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("old_nodes") === ((1L, 1L, 1.0)))
+    assert(out("new_nodes")._1 === 0L) // no dial-new ids in fixture
+  }
+
   test("centroidDrift: orthogonal halves measure √2, identical " +
     "halves measure 0; negative components survive the floor division") {
     val drift = Seq(
