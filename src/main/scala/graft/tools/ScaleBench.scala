@@ -180,7 +180,12 @@ object ScaleBench {
     // the walk itself must stay QUERY-sized as the corpus grows
     // (per round ≤ |Q|·beam·(2k+2·log₂n+1) candidates, the log from
     // the skip fingers), which is the claim this row prices.
-    "s33_graph_beam_search")
+    "s33_graph_beam_search",
+    // r14 s2: the incremental insert — old-corpus build (s28's term)
+    // + batch-sized beam walks + the reverse-patch top-k; the row
+    // prices that the maintenance term tracks the BATCH (fixed 10%
+    // fraction here, so expect the build's linear shape, not n²).
+    "s36_incremental_graph")
 
   private val Copies = 10
   private val KeyOffset = 10000000L // > any sf0.1 key; multiple of 10
