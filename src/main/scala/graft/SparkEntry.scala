@@ -362,6 +362,21 @@ object SparkEntry {
     "s38_clustered_incremental" -> ((s, dir) =>
       Similarity.incrementalGraphRecall(
         Similarity.clusteredEmbeddings(t(s, dir, "embeddings")))),
+    // Metadata-filtered ANN search (pre-filter at the candidate
+    // stage): per-query top-k under a label-equality predicate.
+    "s39_filtered_ivf" -> ((s, dir) =>
+      Similarity.filteredIvfSearch(t(s, dir, "embeddings"), 10, 5)),
+    // The filtered-search strategy dial: pre-filter vs post-filter
+    // (unfiltered top-(expand·k) then predicate) vs exact filtered
+    // truth — n_found prices post-filter starvation.
+    "s40_filtered_recall" -> ((s, dir) =>
+      Similarity.filteredSearchRecall(t(s, dir, "embeddings"), 10, 5)),
+    // The filtered dial on CLUSTERED geometry (s30/s35/s38
+    // discipline): probe recall rises with cell/cluster alignment,
+    // post-filter starvation stays selectivity-bound.
+    "s41_clustered_filtered" -> ((s, dir) =>
+      Similarity.filteredSearchRecall(
+        Similarity.clusteredEmbeddings(t(s, dir, "embeddings")), 10, 5)),
     // Capstone: the §2.12 operators composed end to end.
     "p01_corpus_pipeline" -> ((s, dir) =>
       Pipeline.corpusPipeline(t(s, dir, "documents"))),
@@ -1432,6 +1447,64 @@ object SparkEntry {
        |     ORDER BY $centSim DESC, c.cell) AS rk
        |  FROM n a CROSS JOIN c WHERE a.vec_id < 10) WHERE rk <= 4)""".stripMargin
   }
+
+  /** Shared s40/s41 tail (appended after a generator CTE ending in
+    * `n`): the ivfCte chain, exact filtered truth (brute with the
+    * label predicate, target = q_id % 10), the pre-filter arm (s39's
+    * chain), the post-filter arm (unfiltered top-15 → predicate →
+    * re-rank ≤ 5), and one (n_found, n_hits, recall) row per arm.
+    */
+  private lazy val filteredRecallTail: String =
+    s""", $ivfCte,
+       |fq AS (SELECT vec_id AS q_id, vec_id % 10 AS tl,
+       |   v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+       |ftsc AS (SELECT a.q_id, b.vec_id AS nbr_id,
+       |  ${foldSum("[a.qv[i] * b.v[i] FOR i IN range(1, len(a.qv)+1)]")}
+       |   / (a.qnrm * b.nrm) AS sim
+       | FROM fq a JOIN n b ON b.vec_id <> a.q_id
+       |   AND b.label = a.tl),
+       |ftr AS (SELECT q_id, nbr_id FROM (
+       |  SELECT q_id, nbr_id, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, nbr_id) AS rk
+       |  FROM ftsc) WHERE rk <= 5),
+       |fpsc AS (SELECT p.q_id, b.vec_id AS nbr_id,
+       |  ${foldSum("[p.qv[i] * b.v[i] FOR i IN range(1, len(p.qv)+1)]")}
+       |   / (p.qnrm * b.nrm) AS sim
+       | FROM probes p JOIN asg b ON b.cell = p.cell
+       |   AND b.vec_id <> p.q_id
+       | JOIN n nb ON nb.vec_id = b.vec_id
+       |   AND nb.label = p.q_id % 10),
+       |fpre AS (SELECT q_id, nbr_id FROM (
+       |  SELECT q_id, nbr_id, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, nbr_id) AS rk
+       |  FROM fpsc) WHERE rk <= 5),
+       |fusc AS (SELECT p.q_id, b.vec_id AS nbr_id,
+       |  ${foldSum("[p.qv[i] * b.v[i] FOR i IN range(1, len(p.qv)+1)]")}
+       |   / (p.qnrm * b.nrm) AS sim
+       | FROM probes p JOIN asg b ON b.cell = p.cell
+       |   AND b.vec_id <> p.q_id),
+       |fuk AS (SELECT q_id, nbr_id, sim FROM (
+       |  SELECT q_id, nbr_id, sim, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, nbr_id) AS rk
+       |  FROM fusc) WHERE rk <= 15),
+       |fpost AS (SELECT q_id, nbr_id FROM (
+       |  SELECT u.q_id, u.nbr_id, row_number() OVER (
+       |    PARTITION BY u.q_id ORDER BY u.sim DESC, u.nbr_id)
+       |    AS rk
+       |  FROM fuk u JOIN n nb ON nb.vec_id = u.nbr_id
+       |    AND nb.label = u.q_id % 10) WHERE rk <= 5),
+       |fnp AS (SELECT count(*)::BIGINT AS n_found FROM fpre),
+       |fhp AS (SELECT count(*)::BIGINT AS n_hits FROM ftr
+       |  JOIN fpre USING (q_id, nbr_id)),
+       |fno AS (SELECT count(*)::BIGINT AS n_found FROM fpost),
+       |fho AS (SELECT count(*)::BIGINT AS n_hits FROM ftr
+       |  JOIN fpost USING (q_id, nbr_id))
+       |SELECT 'prefilter' AS variant, 10::BIGINT AS n_queries,
+       | fnp.n_found, fhp.n_hits,
+       | fhp.n_hits::DOUBLE / 50::DOUBLE AS recall FROM fnp, fhp
+       |UNION ALL
+       |SELECT 'postfilter', 10::BIGINT, fno.n_found, fho.n_hits,
+       | fho.n_hits::DOUBLE / 50::DOUBLE FROM fno, fho""".stripMargin
 
   /** Shared refined-PQ-codebook CTE chain (appended after embCte's
     * `n`): hash-seeded entries (cb0), seed-codebook assignment
@@ -2775,6 +2848,35 @@ object SparkEntry {
            | SELECT *, row_number() OVER (PARTITION BY q_id
            |   ORDER BY sim DESC, nbr_id) AS "rank" FROM scored)
            |WHERE "rank" <= 3""".stripMargin),
+    // Mirrors filteredIvfSearch: the shared ivfCte with the label
+    // predicate (target = q_id % 10) as a conjunct of the candidate
+    // join — labels come from `n` since the shared asg projects them
+    // away; k=5 final top-k.
+    "s39_filtered_ivf" ->
+      (embCte +
+        s""", $ivfCte,
+           |fsc AS (SELECT p.q_id, p.q_id % 10 AS target_label,
+           |  b.vec_id AS nbr_id,
+           |  ${foldSum("[p.qv[i] * b.v[i] FOR i IN range(1, len(p.qv)+1)]")}
+           |   / (p.qnrm * b.nrm) AS sim
+           | FROM probes p JOIN asg b ON b.cell = p.cell
+           |   AND b.vec_id <> p.q_id
+           | JOIN n nb ON nb.vec_id = b.vec_id
+           |   AND nb.label = p.q_id % 10)
+           |SELECT q_id, target_label, nbr_id, sim, "rank" FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY sim DESC, nbr_id) AS "rank" FROM fsc)
+           |WHERE "rank" <= 5""".stripMargin),
+    // Mirrors filteredSearchRecall: exact filtered truth (brute with
+    // the predicate), the pre-filter arm (s39's chain), the
+    // post-filter arm (unfiltered top-(3·5) then predicate then
+    // re-rank ≤ 5), and one (n_found, n_hits, recall) row per arm.
+    "s40_filtered_recall" -> (embCte + filteredRecallTail),
+    // The dial on CLUSTERED geometry (s30/s35/s38 discipline): cells
+    // align with the gm clusters so the pre-filter arm's probe recall
+    // rises, while post-filter starvation is selectivity-bound and
+    // does not — the gap is strategy-inherent, not index noise.
+    "s41_clustered_filtered" -> (gmCte + filteredRecallTail),
     // Mirrors pqCodes: the shared refined codebook (pqCbCte — seed
     // sampling + one fixed-point mean round), per-subspace squared-L2
     // argmin with lowest-code tie-break; 8 subspaces of width 8 over

@@ -406,6 +406,135 @@ object Similarity {
         (col("n_hit").cast("double") / col("k_total")).as("recall"))
   }
 
+  /** `prepared` keeping the metadata column the filtered search
+    * predicates on (the extra column rides through ivfCentroidArr /
+    * ivfRefineOnce untouched — both project the fields they need).
+    */
+  private def preparedLabeled(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), col("label"),
+      Canon.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(Canon.dot(col("v"), col("v"))))
+
+  /** Metadata-FILTERED ANN search — the `filter:` parameter every
+    * production vector store exposes (Filtered-DiskANN, Gollapudi et
+    * al. 2023): per-query top-k restricted to candidates satisfying a
+    * metadata predicate, here label equality with a per-query target
+    * (target = q_id mod nLabels — ~1/nLabels selectivity on the
+    * balanced fixture). Strategy is PRE-filtering: the predicate is a
+    * conjunct of the candidate join, applied BEFORE scoring and
+    * ranking, so the per-query top-k ranks only true candidates and
+    * fills k whenever the filtered population of the probed cells
+    * allows. Compare the post-filter arm of
+    * [[filteredSearchRecall]], which ranks first and filters after —
+    * the strategy that starves at selective predicates.
+    *
+    * Scale shape: identical to knnIvfDeterministic — row-local
+    * broadcast-argmax assignment, probe-cell equi-join, per-query
+    * top-k — plus one row-local equality conjunct on the join. At
+    * warehouse scale the label predicate additionally prunes the
+    * parquet scan under label partitioning/clustering (a pushed-down
+    * filter, which post-filtering structurally cannot use: its
+    * predicate only exists AFTER the unfiltered rank).
+    */
+  def filteredIvfSearch(embeddings: DataFrame, nQueries: Int, k: Int,
+                        nCells: Int = 16, nProbe: Int = 4,
+                        nLabels: Int = 10): DataFrame = {
+    val el = preparedLabeled(embeddings)
+    val centArr = ivfRefineOnce(el, ivfCentroidArr(el, nCells))
+    val indexed = el.join(broadcast(centArr))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        ivfSims.as("sims"))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        ivfBestCell(col("sims")).as("cell"))
+    val probes = el.filter(col("vec_id") < nQueries)
+      .join(broadcast(centArr))
+      .select(col("vec_id").as("q_id"),
+        pmod(col("vec_id"), lit(nLabels)).as("target_label"),
+        col("v").as("qv"), col("nrm").as("qnrm"), ivfSims.as("sims"))
+      .select(col("q_id"), col("target_label"), col("qv"), col("qnrm"),
+        explode(ivfProbeCells(col("sims"), nProbe)).as("qcell"))
+    val scored = indexed.join(broadcast(probes),
+      col("cell") === col("qcell") && col("vec_id") =!= col("q_id") &&
+        col("label") === col("target_label"))
+      .select(col("q_id"), col("target_label"),
+        col("vec_id").as("nbr_id"),
+        Canon.cosine(Canon.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** The filtered-search STRATEGY dial — the measurement behind the
+    * filtered-ANN index literature: pre-filter vs post-filter
+    * recall@k against the exact filtered truth (brute-force cosine
+    * top-k restricted to the predicate). The post-filter arm runs the
+    * UNFILTERED search at an expanded budget (expand·k), applies the
+    * predicate to the result, and keeps the best k survivors — the
+    * naive strategy every store falls back to without a filter-aware
+    * index. At ~1/nLabels selectivity the unfiltered top-(expand·k)
+    * holds only expand·k/nLabels expected matches, so for
+    * expand < nLabels post-filtering cannot even FILL k (`n_found`
+    * prices the starvation) while the pre-filter arm ranks the whole
+    * filtered candidate population of its probed cells. At 100 TB
+    * this table is what picks the strategy per predicate
+    * selectivity — re-tuned from the gated query, not a unit test
+    * (the s11/s29 dial discipline).
+    *
+    * Cost: dominated by the three searches (each the scale-shaped
+    * broadcast pattern); the compare is (nQueries·k)-row joins + two
+    * 1-row aggregates per arm.
+    */
+  def filteredSearchRecall(embeddings: DataFrame, nQueries: Int,
+                           k: Int, nCells: Int = 16, nProbe: Int = 4,
+                           expand: Int = 3, nLabels: Int = 10)
+      : DataFrame = {
+    val el = preparedLabeled(embeddings)
+    val q = el.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        pmod(col("vec_id"), lit(nLabels)).as("target_label"),
+        col("v").as("qv"), col("nrm").as("qnrm"))
+    val truth = el.join(broadcast(q),
+      col("vec_id") =!= col("q_id") &&
+        col("label") === col("target_label"))
+      .select(col("q_id"), col("vec_id").as("nbr_id"),
+        Canon.cosine(Canon.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("nbr_id"))
+      .materialized
+    val pre = filteredIvfSearch(embeddings, nQueries, k, nCells,
+      nProbe, nLabels)
+      .select(col("q_id"), col("nbr_id")).materialized
+    val un = knnIvfDeterministic(embeddings, nQueries, expand * k,
+      nCells, nProbe)
+      .select(col("q_id"), col("nbr_id"), col("sim"))
+    val post = embeddings.select(col("vec_id"), col("label"))
+      .join(broadcast(un), col("vec_id") === col("nbr_id"))
+      .filter(col("label") === pmod(col("q_id"), lit(nLabels)))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("nbr_id")).materialized
+    val nq = lit(nQueries).cast("long")
+    def armRow(name: String, arm: DataFrame): DataFrame = {
+      val found = arm.agg(count(lit(1)).cast("long").as("n_found"))
+      val hits = truth.join(arm, Seq("q_id", "nbr_id"))
+        .agg(count(lit(1)).cast("long").as("n_hits"))
+      found.crossJoin(hits)
+        .select(lit(name).as("variant"), nq.as("n_queries"),
+          col("n_found"), col("n_hits"),
+          (col("n_hits").cast("double") /
+            lit(nQueries.toLong * k).cast("double")).as("recall"))
+    }
+    armRow("prefilter", pre).unionByName(armRow("postfilter", post))
+  }
+
   /** ANN top-k: score only candidates in the query's sign bucket.
     * Recall vs knnBrute is the quality metric (spec-checked); the plan
     * scores ~1/2^bits of the corpus per query.

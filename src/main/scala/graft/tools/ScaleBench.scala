@@ -185,7 +185,12 @@ object ScaleBench {
     // + batch-sized beam walks + the reverse-patch top-k; the row
     // prices that the maintenance term tracks the BATCH (fixed 10%
     // fraction here, so expect the build's linear shape, not n²).
-    "s36_incremental_graph")
+    "s36_incremental_graph",
+    // r14 s3: the filtered search — knnIvfDeterministic's exact shape
+    // plus one row-local predicate conjunct on the probe join; the
+    // row prices that filtering adds NO growth term (the predicate
+    // only ever prunes the probed candidate set).
+    "s39_filtered_ivf")
 
   private val Copies = 10
   private val KeyOffset = 10000000L // > any sf0.1 key; multiple of 10

@@ -666,4 +666,48 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1)._5 > 0.0 && out(2)._5 < 0.0)
     assert(run(mmrEmb.repartition(5)) === out)
   }
+
+  // query 0 targets label 0 (0 % 2); ids 1–4 are near-identical
+  // wrong-label vectors that dominate any UNFILTERED ranking; 5 and 6
+  // are the true filtered answers at cosine 0.8 / 0.6.
+  private val femb = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (1L, Array(0.9f, 0.01f, 0.0f, 0.0f), 1),
+    (2L, Array(0.9f, 0.02f, 0.0f, 0.0f), 1),
+    (3L, Array(0.9f, 0.03f, 0.0f, 0.0f), 1),
+    (4L, Array(0.9f, 0.04f, 0.0f, 0.0f), 1),
+    (5L, Array(0.8f, 0.6f, 0.0f, 0.0f), 0),
+    (6L, Array(0.6f, 0.8f, 0.0f, 0.0f), 0)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("filteredIvfSearch: predicate-restricted top-k, exact under " +
+    "full probe, partition-independent") {
+    val out = Similarity.filteredIvfSearch(femb, 1, 2, nCells = 1,
+      nProbe = 1, nLabels = 2)
+      .orderBy("rank")
+      .select("q_id", "target_label", "nbr_id", "rank")
+      .as[(Long, Long, Long, Int)].collect()
+    // nCells = 1 probes the whole corpus: the filtered top-k is the
+    // exact filtered answer, and the four 0.999-cosine label-1
+    // vectors never appear
+    assert(out === Array((0L, 0L, 5L, 1), (0L, 0L, 6L, 2)))
+    val re = Similarity.filteredIvfSearch(femb.repartition(7), 1, 2,
+      nCells = 1, nProbe = 1, nLabels = 2)
+      .select("q_id", "nbr_id", "rank").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(re === Set((0L, 5L, 1), (0L, 6L, 2)))
+  }
+
+  test("filteredSearchRecall: pre-filter exact under full probe; " +
+    "post-filter starves when the unfiltered top-k is wrong-label") {
+    val rows = Similarity.filteredSearchRecall(femb, 1, 2, nCells = 1,
+      nProbe = 1, expand = 2, nLabels = 2)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows("prefilter") === (("prefilter", 1L, 2L, 2L, 1.0)))
+    // the unfiltered top-(expand·k) is exactly the four label-1
+    // vectors; the predicate then removes every row — the starvation
+    // n_found exists to price
+    assert(rows("postfilter") === (("postfilter", 1L, 0L, 0L, 0.0)))
+  }
 }
