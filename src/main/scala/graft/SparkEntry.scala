@@ -377,6 +377,11 @@ object SparkEntry {
     "s41_clustered_filtered" -> ((s, dir) =>
       Similarity.filteredSearchRecall(
         Similarity.clusteredEmbeddings(t(s, dir, "embeddings")), 10, 5)),
+    // The selectivity curve: both strategies at label ≤ {0,1,4}
+    // (10/20/50% selectivity) in one fanned pass — post-filter fill
+    // rises with selectivity, pre-filter stays probe-bound.
+    "s42_filtered_curve" -> ((s, dir) =>
+      Similarity.filteredStrategyCurve(t(s, dir, "embeddings"), 10, 5)),
     // Capstone: the §2.12 operators composed end to end.
     "p01_corpus_pipeline" -> ((s, dir) =>
       Pipeline.corpusPipeline(t(s, dir, "documents"))),
@@ -2877,6 +2882,70 @@ object SparkEntry {
     // rises, while post-filter starvation is selectivity-bound and
     // does not — the gap is strategy-inherent, not index noise.
     "s41_clustered_filtered" -> (gmCte + filteredRecallTail),
+    // Mirrors filteredStrategyCurve: the shared candidate pass fanned
+    // over the label ≤ {0,1,4} threshold grid, per-threshold truth /
+    // pre / post top-k, and grid-complete summary rows (coalesce 0
+    // keeps an arm's row when no survivor exists at a selectivity).
+    "s42_filtered_curve" ->
+      (embCte +
+        s""", $ivfCte,
+           |cg AS (SELECT unnest([0, 1, 4]) AS thr),
+           |csc AS (SELECT p.q_id, nb.label, b.vec_id AS nbr_id,
+           |  ${foldSum("[p.qv[i] * b.v[i] FOR i IN range(1, len(p.qv)+1)]")}
+           |   / (p.qnrm * b.nrm) AS sim
+           | FROM probes p JOIN asg b ON b.cell = p.cell
+           |   AND b.vec_id <> p.q_id
+           | JOIN n nb ON nb.vec_id = b.vec_id),
+           |bq AS (SELECT vec_id AS q_id, v AS qv, nrm AS qnrm
+           |  FROM n WHERE vec_id < 10),
+           |bsc AS (SELECT a.q_id, b.label, b.vec_id AS nbr_id,
+           |  ${foldSum("[a.qv[i] * b.v[i] FOR i IN range(1, len(a.qv)+1)]")}
+           |   / (a.qnrm * b.nrm) AS sim
+           | FROM bq a JOIN n b ON b.vec_id <> a.q_id),
+           |tr AS (SELECT thr, q_id, nbr_id FROM (
+           |  SELECT g.thr, s.q_id, s.nbr_id, row_number() OVER (
+           |    PARTITION BY g.thr, s.q_id
+           |    ORDER BY s.sim DESC, s.nbr_id) AS rk
+           |  FROM bsc s JOIN cg g ON s.label <= g.thr) WHERE rk <= 5),
+           |pre AS (SELECT thr, q_id, nbr_id FROM (
+           |  SELECT g.thr, s.q_id, s.nbr_id, row_number() OVER (
+           |    PARTITION BY g.thr, s.q_id
+           |    ORDER BY s.sim DESC, s.nbr_id) AS rk
+           |  FROM csc s JOIN cg g ON s.label <= g.thr) WHERE rk <= 5),
+           |u15 AS (SELECT q_id, label, nbr_id, sim FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY sim DESC, nbr_id) AS rk FROM csc)
+           |  WHERE rk <= 15),
+           |post AS (SELECT thr, q_id, nbr_id FROM (
+           |  SELECT g.thr, s.q_id, s.nbr_id, row_number() OVER (
+           |    PARTITION BY g.thr, s.q_id
+           |    ORDER BY s.sim DESC, s.nbr_id) AS rk
+           |  FROM u15 s JOIN cg g ON s.label <= g.thr) WHERE rk <= 5),
+           |ktot AS (SELECT thr, count(*)::BIGINT AS kt FROM tr
+           |  GROUP BY thr),
+           |prf AS (SELECT thr, count(*)::BIGINT AS nf FROM pre
+           |  GROUP BY thr),
+           |prh AS (SELECT thr, count(*)::BIGINT AS nh FROM tr
+           |  JOIN pre USING (thr, q_id, nbr_id) GROUP BY thr),
+           |pof AS (SELECT thr, count(*)::BIGINT AS nf FROM post
+           |  GROUP BY thr),
+           |poh AS (SELECT thr, count(*)::BIGINT AS nh FROM tr
+           |  JOIN post USING (thr, q_id, nbr_id) GROUP BY thr)
+           |SELECT (g.thr + 1)::BIGINT AS sel_labels,
+           | 'prefilter' AS variant,
+           | coalesce(prf.nf, 0)::BIGINT AS n_found,
+           | coalesce(prh.nh, 0)::BIGINT AS n_hits,
+           | coalesce(prh.nh, 0)::DOUBLE / ktot.kt::DOUBLE AS recall
+           |FROM cg g LEFT JOIN ktot ON ktot.thr = g.thr
+           | LEFT JOIN prf ON prf.thr = g.thr
+           | LEFT JOIN prh ON prh.thr = g.thr
+           |UNION ALL
+           |SELECT (g.thr + 1)::BIGINT, 'postfilter',
+           | coalesce(pof.nf, 0)::BIGINT, coalesce(poh.nh, 0)::BIGINT,
+           | coalesce(poh.nh, 0)::DOUBLE / ktot.kt::DOUBLE
+           |FROM cg g LEFT JOIN ktot ON ktot.thr = g.thr
+           | LEFT JOIN pof ON pof.thr = g.thr
+           | LEFT JOIN poh ON poh.thr = g.thr""".stripMargin),
     // Mirrors pqCodes: the shared refined codebook (pqCbCte — seed
     // sampling + one fixed-point mean round), per-subspace squared-L2
     // argmin with lowest-code tie-break; 8 subspaces of width 8 over

@@ -535,6 +535,98 @@ object Similarity {
     armRow("prefilter", pre).unionByName(armRow("postfilter", post))
   }
 
+  /** The filtered-search SELECTIVITY curve in one pass — the
+    * s22-probe-curve discipline applied to the strategy choice: both
+    * arms of [[filteredSearchRecall]] at every predicate selectivity
+    * in `thresholds` (predicate = label ≤ thr, selectivity
+    * (thr+1)/nLabels on the balanced fixture), against the exact
+    * filtered truth per threshold. Post-filter recall and fill rise
+    * with selectivity while pre-filter stays probe-bound — the
+    * crossover that decides the strategy per predicate, re-tuned at
+    * 100 TB from THIS table.
+    *
+    * One scored candidate pass, not |thresholds| searches: the probed
+    * candidate set is materialized once and fanned over the threshold
+    * grid row-locally (the s22 shape); per-(threshold, query) top-k
+    * windows run over bounded candidate counts. Both fills are
+    * monotone in the threshold by construction, and post-filter fill
+    * never exceeds pre-filter fill (its candidate set is the
+    * unfiltered top-(expand·k) ⊆ the probed set) — spec-pinned.
+    */
+  def filteredStrategyCurve(embeddings: DataFrame, nQueries: Int,
+                            k: Int, nCells: Int = 16, nProbe: Int = 4,
+                            expand: Int = 3,
+                            thresholds: Seq[Int] = Seq(0, 1, 4))
+      : DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val el = preparedLabeled(embeddings)
+    val centArr = ivfRefineOnce(el, ivfCentroidArr(el, nCells))
+    val indexed = el.join(broadcast(centArr))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        ivfSims.as("sims"))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        ivfBestCell(col("sims")).as("cell"))
+    val probes = el.filter(col("vec_id") < nQueries)
+      .join(broadcast(centArr))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"), ivfSims.as("sims"))
+      .select(col("q_id"), col("qv"), col("qnrm"),
+        explode(ivfProbeCells(col("sims"), nProbe)).as("qcell"))
+    val cand = indexed.join(broadcast(probes),
+      col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("label"), col("vec_id").as("nbr_id"),
+        Canon.cosine(Canon.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("sim"))
+      .materialized
+    val thArr = array(thresholds.map(lit): _*)
+    def topkPerThr(scored: DataFrame): DataFrame = scored
+      .select(col("q_id"), col("label"), col("nbr_id"), col("sim"),
+        explode(thArr).as("thr"))
+      .filter(col("label") <= col("thr"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("thr"), col("q_id"))
+          .orderBy(col("sim").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("thr"), col("q_id"), col("nbr_id"))
+    val bq = el.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm"))
+    val truth = topkPerThr(el.join(broadcast(bq),
+      col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("label"), col("vec_id").as("nbr_id"),
+        Canon.cosine(Canon.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("sim"))).materialized
+    val pre = topkPerThr(cand).materialized
+    val un = cand
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("sim").desc, col("nbr_id").asc)))
+      .filter(col("rank") <= expand * k)
+      .select(col("q_id"), col("label"), col("nbr_id"), col("sim"))
+    val post = topkPerThr(un).materialized
+    // per-threshold summary off a complete grid: an arm with zero
+    // survivors at a selectivity must still emit its row
+    val grid = thresholds.toDF("thr")
+    def armRows(name: String, arm: DataFrame): DataFrame = {
+      val found = arm.groupBy(col("thr"))
+        .agg(count(lit(1)).as("_nf"))
+      val hits = truth.join(arm, Seq("thr", "q_id", "nbr_id"))
+        .groupBy(col("thr")).agg(count(lit(1)).as("_nh"))
+      val ktot = truth.groupBy(col("thr"))
+        .agg(count(lit(1)).as("_kt"))
+      grid.join(ktot, Seq("thr"), "left")
+        .join(found, Seq("thr"), "left").join(hits, Seq("thr"), "left")
+        .select((col("thr") + 1).cast("long").as("sel_labels"),
+          lit(name).as("variant"),
+          coalesce(col("_nf"), lit(0L)).cast("long").as("n_found"),
+          coalesce(col("_nh"), lit(0L)).cast("long").as("n_hits"),
+          (coalesce(col("_nh"), lit(0L)).cast("double") /
+            col("_kt").cast("double")).as("recall"))
+    }
+    armRows("prefilter", pre).unionByName(armRows("postfilter", post))
+  }
+
   /** ANN top-k: score only candidates in the query's sign bucket.
     * Recall vs knnBrute is the quality metric (spec-checked); the plan
     * scores ~1/2^bits of the corpus per query.

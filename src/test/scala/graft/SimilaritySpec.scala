@@ -710,4 +710,25 @@ class SimilaritySpec extends SparkSpec {
     // n_found exists to price
     assert(rows("postfilter") === (("postfilter", 1L, 0L, 0L, 0.0)))
   }
+
+  test("filteredStrategyCurve: post-filter fill monotone in " +
+    "selectivity, never above pre-filter fill, exact at full probe") {
+    val rows = Similarity.filteredStrategyCurve(femb, 1, 2,
+      nCells = 1, nProbe = 1, expand = 2, thresholds = Seq(0, 1))
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    // thr 0 (label ≤ 0): truth {5,6}; full probe makes pre exact;
+    // post's unfiltered top-4 is the wrong-label flock → empty
+    assert(rows((1L, "prefilter")) === ((1L, "prefilter", 2L, 2L, 1.0)))
+    assert(rows((1L, "postfilter")) === ((1L, "postfilter", 0L, 0L, 0.0)))
+    // thr 1 (everything): truth = unfiltered top-2 = {1,2}; both
+    // strategies agree — the selectivity where post-filter is fine
+    assert(rows((2L, "prefilter")) === ((2L, "prefilter", 2L, 2L, 1.0)))
+    assert(rows((2L, "postfilter")) === ((2L, "postfilter", 2L, 2L, 1.0)))
+    // the monotone-fill theorems the scaladoc claims
+    for (v <- Seq("prefilter", "postfilter"))
+      assert(rows((1L, v))._3 <= rows((2L, v))._3)
+    for (s <- Seq(1L, 2L))
+      assert(rows((s, "postfilter"))._3 <= rows((s, "prefilter"))._3)
+  }
 }
