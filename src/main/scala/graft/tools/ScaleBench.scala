@@ -190,7 +190,12 @@ object ScaleBench {
     // plus one row-local predicate conjunct on the probe join; the
     // row prices that filtering adds NO growth term (the predicate
     // only ever prunes the probed candidate set).
-    "s39_filtered_ivf")
+    "s39_filtered_ivf",
+    // r14 s3: the selectivity curve — one materialized candidate pass
+    // + the brute truth, fanned over 3 thresholds; growth tracks the
+    // truth pass (queries × corpus), the honest cost of
+    // certification, while the strategy arms stay candidate-bounded.
+    "s42_filtered_curve")
 
   private val Copies = 10
   private val KeyOffset = 10000000L // > any sf0.1 key; multiple of 10
