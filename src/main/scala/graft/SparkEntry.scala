@@ -284,6 +284,11 @@ object SparkEntry {
     "g12_wcc" -> ((s, dir) =>
       GraphEtl.connectedComponents(
         GraphEtl.coSupplierEdges(t(s, dir, "lineitem")))),
+    // Synchronous label-propagation communities (3 fixed rounds,
+    // mode-of-neighbors with the count-then-label total order).
+    "g20_label_propagation" -> ((s, dir) =>
+      GraphEtl.labelPropagation(
+        GraphEtl.coSupplierEdges(t(s, dir, "lineitem")), 3)),
 
     // --- LLM-pipeline extension surface (SURVEY §2.12) ---
     // Exact dedup: content-hash groupBy, one shuffle.
@@ -716,6 +721,15 @@ object SparkEntry {
     // DSIR-style hashed n-gram importance weights (target = en slice).
     "t18_dsir_weights" -> ((s, dir) =>
       TextAnalysis.importanceWeights(t(s, dir, "documents"), "en")),
+    // Held-in add-one bigram perplexity (CCNet-style corpus-LM filter).
+    "t19_perplexity" -> ((s, dir) =>
+      TextAnalysis.perplexity(t(s, dir, "documents"))),
+    // Distributed BPE training: 5 greedy merges over the word vocab.
+    "t20_bpe_merges" -> ((s, dir) =>
+      TextAnalysis.bpeMerges(t(s, dir, "documents"), 5)),
+    // BPE application: per-doc token accounting under the learned vocab.
+    "t21_bpe_tokenize" -> ((s, dir) =>
+      TextAnalysis.bpeTokenize(t(s, dir, "documents"), 5)),
     // LSH banding calibration: analytic detection curve vs actual
     // candidate flags over all capped source-blocked pairs.
     "d19_lsh_curve" -> ((s, dir) =>
@@ -981,6 +995,40 @@ object SparkEntry {
   /** DuckDB: left-fold sum matching Canon.dot / Canon.rollingHash. */
   private def foldSum(products: String): String =
     s"list_reduce(list_prepend(0.0, $products), (acc, x) -> acc + x)"
+
+  /** DuckDB: the unrolled BPE training chain (TextAnalysis.bpeTrain) —
+    * seed vocab v0 (word counts + sentinel-spaced char string), then
+    * per round r: weighted adjacent-pair counts p_r, the 1-row argmax
+    * b_r ((count DESC, w1, w2) total order), and the merge application
+    * v_r via the SAME delimiter-consuming single-pass replace as the
+    * Spark side (LEFT JOIN ON true so an empty argmax is a no-op).
+    */
+  private def bpeCtes(rounds: Int): String = {
+    val seed =
+      """v0 AS (SELECT word, count(*)::BIGINT AS cnt,
+        |   ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS s
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |        FROM documents)
+        |  GROUP BY word)""".stripMargin
+    val blocks = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT p.w1 AS w1, p.w2 AS w2, cnt FROM (
+         |  SELECT cnt, unnest([{'w1': w[i], 'w2': w[i+1]}
+         |      FOR i IN range(1, len(w))]) AS p
+         |  FROM (SELECT cnt, string_split(trim(s), ' ') AS w
+         |        FROM v${r - 1})
+         |  WHERE len(w) >= 2)),
+         |b$r AS (SELECT $r AS merge_round, w1, w2,
+         |   sum(cnt)::BIGINT AS pair_count
+         |  FROM p$r GROUP BY w1, w2
+         |  ORDER BY pair_count DESC, w1, w2 LIMIT 1),
+         |v$r AS (SELECT word, cnt,
+         |   CASE WHEN b.w1 IS NULL THEN s
+         |        ELSE replace(s, ' ' || b.w1 || ' ' || b.w2 || ' ',
+         |                        ' ' || b.w1 || b.w2 || ' ') END AS s
+         |  FROM v${r - 1} LEFT JOIN b$r b ON true)""".stripMargin
+    }
+    (seed +: blocks).mkString("WITH ", ",\n", "\n")
+  }
 
   /** DuckDB: the unrolled 16-term Morton interleave over bucketed
     * columns `pb`/`sb` — shared by the p17 and p19 mirrors so the two
@@ -2711,6 +2759,31 @@ object SparkEntry {
         |  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node)
         |SELECT node AS vertex, min(lab) AS component
         |FROM reach GROUP BY node""".stripMargin,
+    // labelPropagation mirror: g12's co-supplier edge chain, then the
+    // synchronous mode-update unrolled per round (same (n DESC, lab)
+    // argmax as the Spark window).
+    "g20_label_propagation" -> {
+      val rounds = (1 to 3).map { r =>
+        s"""v$r AS (SELECT s.a AS a, l.lab AS lab, count(*) AS n
+           |  FROM sym s JOIN l${r - 1} l ON l.node = s.b
+           |  GROUP BY 1, 2),
+           |l$r AS (SELECT a AS node, lab FROM (
+           |  SELECT a, lab, row_number() OVER (PARTITION BY a
+           |    ORDER BY n DESC, lab) AS rk FROM v$r) WHERE rk = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH os AS (SELECT DISTINCT l_orderkey AS o,
+         |  l_suppkey AS s FROM lineitem),
+         |ok AS (SELECT o FROM os GROUP BY o HAVING count(*) <= 100),
+         |osk AS (SELECT os.o, os.s FROM os JOIN ok USING (o)),
+         |e AS (SELECT x.s AS a, y.s AS b FROM osk x JOIN osk y
+         |  ON x.o = y.o AND x.s < y.s
+         |  GROUP BY 1, 2 HAVING count(*) >= 5),
+         |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+         |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
+         |$rounds
+         |SELECT node AS vertex, lab AS community FROM l3""".stripMargin
+    },
     "t06_vocabulary" ->
       """SELECT word, count(*) AS n,
         | row_number() OVER (ORDER BY count(*) DESC, word ASC) AS "rank"
@@ -4712,6 +4785,53 @@ object SparkEntry {
          |    / count(*) AS dsir_score
          |FROM b JOIN lm USING (b)
          |GROUP BY doc_id""".stripMargin),
+    // perplexity mirror: t13/t14's pair fan-out, add-one smoothing,
+    // ln of ONE exact-int division quantized to micro-nats (the s32
+    // fixed-point convention), mirrored operand order on the mean.
+    "t19_perplexity" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |p0 AS (SELECT doc_id, unnest([{'w1': w[i], 'w2': w[i+1]}
+        |    FOR i IN range(1, len(w))]) AS p FROM w),
+        |pp AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM p0),
+        |ctx AS (SELECT w1, count(*)::BIGINT AS c1 FROM pp GROUP BY w1),
+        |big AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pp
+        |  GROUP BY w1, w2),
+        |vn AS (SELECT count(DISTINCT word)::BIGINT AS v FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS word
+        |   FROM documents)),
+        |sc AS (SELECT doc_id,
+        |   floor(ln((c1 + v)::DOUBLE / (c12 + 1)) * 1000000)::BIGINT
+        |     AS sm
+        |  FROM pp JOIN big USING (w1, w2) JOIN ctx USING (w1)
+        |  CROSS JOIN vn)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  sum(sm)::BIGINT AS surprisal_micro,
+        |  sum(sm)::BIGINT::DOUBLE / count(*) / 1000000.0
+        |    AS mean_surprisal_nats
+        |FROM sc GROUP BY doc_id""".stripMargin,
+    // bpeMerges mirror: the shared unrolled training chain, merge
+    // table = the per-round argmax rows.
+    "t20_bpe_merges" -> (bpeCtes(5) +
+      "SELECT merge_round, w1, w2, w1 || w2 AS merged, pair_count\n" +
+      "FROM (" +
+      (1 to 5).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ") +
+      ")"),
+    // bpeTokenize mirror: same chain, then the learned symbol table
+    // broadcast-shaped join back onto the corpus token stream.
+    "t21_bpe_tokenize" -> (bpeCtes(5) +
+      """,
+        |sym AS (SELECT word, length(word)::BIGINT AS n_chr,
+        |    len(string_split(trim(s), ' '))::BIGINT AS n_sym FROM v5),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents)
+        |SELECT doc_id, count(*)::BIGINT AS n_words,
+        |  sum(n_chr)::BIGINT AS n_chars,
+        |  sum(n_sym)::BIGINT AS n_bpe_tokens,
+        |  sum(n_chr)::BIGINT::DOUBLE / sum(n_sym)::BIGINT
+        |    AS chars_per_token
+        |FROM tok JOIN sym USING (word)
+        |GROUP BY doc_id""".stripMargin),
     // mattr mirror: same bounded window walk as a list comprehension;
     // the mean stays rational (Σ distinct over window·n_windows).
     "t17_mattr" ->

@@ -610,4 +610,46 @@ object GraphEtl {
       .unionByName(auth.select(lit("auth").as("side"),
         col("s").as("node_id"), col("a").as("score")))
   }
+
+  /** Synchronous label propagation (Raghavan 2007) over an undirected
+    * (a, b) edge list, `rounds` fixed iterations: every vertex starts
+    * as its own label; each round it adopts the MODE of its neighbors'
+    * previous-round labels with the (count DESC, label ASC) total
+    * order as tie-break — the near-linear community-detection
+    * complement to g12's connectivity labels (WCC says "reachable",
+    * LPA says "densely attached"). Fixed synchronous rounds make the
+    * result deterministic and oracle-mirrorable (the known LPA
+    * oscillation on bipartite-ish structure is a property of the
+    * algorithm, identically reproduced by the mirror, not noise).
+    *
+    * Shape per round: one edge×labels equi-join on the neighbor id,
+    * one (vertex, label) count aggregate (map-side combinable), one
+    * row_number window PARTITIONED BY VERTEX (votes per vertex are
+    * degree-bounded — no data-sized partition-less window). Rounds are
+    * lineage-truncated (Materialize seam) like the rest of the g10/d08
+    * iterative family; cost is O(rounds · |E|) with no pairwise term,
+    * so the 100 TB bound is the edge list itself.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col("a"), col("b")).distinct().materialized
+    // (a, b) arrives half-open (a < b by construction upstream); the
+    // swapped union is disjoint, so this is the full symmetric list.
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    var labels = sym.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lab"))
+    for (r <- 1 to rounds) {
+      val votes = sym
+        .join(labels.select(col("node").as("b"), col("lab")), "b")
+        .groupBy(col("a"), col("lab"))
+        .agg(count(lit(1)).as("n"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a")).orderBy(col("n").desc, col("lab").asc)
+      labels = votes.withColumn("_rk", row_number().over(win))
+        .filter(col("_rk") === 1)
+        .select(col("a").as("node"), col("lab"))
+      if (r < rounds) labels = labels.materialized
+    }
+    labels.select(col("node").as("vertex"), col("lab").as("community"))
+  }
 }

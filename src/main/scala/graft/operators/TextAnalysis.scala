@@ -625,4 +625,176 @@ object TextAnalysis {
         (col("_sfix").cast("double") / lit(1e6) / col("n_feats"))
           .as("dsir_score"))
   }
+
+  /** Held-in bigram perplexity (t19): per doc (≥ 2 words), the total
+    * and mean add-one-smoothed bigram surprisal under the corpus's own
+    * bigram LM — the CCNet-style perplexity filter (Wenzek 2020) with
+    * the corpus itself as the model: templated text re-treads
+    * high-count bigrams (low surprisal), gibberish and OCR noise sit
+    * in the smoothed tail (high surprisal). Complements t14 (coverage
+    * of a TRUNCATED successor table — a set-membership signal) with
+    * the full-distribution log-probability signal.
+    *
+    * Model: P(w2|w1) = (c12 + 1) / (c1 + V), where c12 = corpus count
+    * of the bigram, c1 = corpus count of w1 as a context (= bigrams
+    * starting with w1), V = corpus distinct-word vocabulary. Every
+    * scored bigram is observed (the doc is in the corpus), so this is
+    * held-in perplexity — the filter signal, not an eval metric.
+    *
+    * Float discipline (moneyOut rule): ln() is the one transcendental,
+    * taken of a SINGLE correctly-rounded division of exact longs and
+    * immediately quantized to integer micro-nats
+    * (floor(ln(·)·10⁶) as BIGINT) — the s32 fixed-point convention —
+    * so per-doc totals are exact long sums; a 1-ulp engine difference
+    * in ln flips a floor only when 10⁶·ln(p) sits within ~1e-9 of an
+    * integer, impossible-in-practice for p a non-unit rational (and
+    * fixed per corpus: a passing gate stays passing). The mean is two
+    * IEEE divisions in mirrored operand order.
+    *
+    * Shape: ONE corpus bigram fan-out, materialized (the t14 lesson —
+    * it feeds the context aggregate, the bigram aggregate, and the
+    * probe). The bigram LM is the fan-out's own distinct aggregate
+    * (multiplicity-1 equi-join back), the context table is
+    * vocabulary-sized (broadcast), V is a 1-row scalar (broadcast
+    * nested loop). The per-doc aggregate partial-combines map-side.
+    * Three shuffles at any scale; nothing pairwise.
+    */
+  def perplexity(documents: DataFrame): DataFrame = {
+    val pairs = documents
+      .filter(size(Canon.words(col("text"))) >= 2)
+      .select(col("doc_id"), Canon.words(col("text")).as("w"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2)," +
+          " i -> struct(w[i] as w1, w[i+1] as w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .materialized
+    val ctx = pairs.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val big = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val vocabN = documents
+      .select(explode(Canon.words(col("text"))).as("word"))
+      .agg(count_distinct(col("word")).as("v"))
+    pairs
+      .join(big, Seq("w1", "w2"))
+      .join(broadcast(ctx), Seq("w1"))
+      .crossJoin(broadcast(vocabN))
+      .withColumn("_sm", floor(
+        log((col("c1") + col("v")).cast("double") / (col("c12") + lit(1L)))
+          * lit(1000000L)).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("_sm")).as("surprisal_micro"))
+      .select(col("doc_id"), col("n_bigrams"), col("surprisal_micro"),
+        (col("surprisal_micro").cast("double") / col("n_bigrams")
+          / lit(1000000.0)).as("mean_surprisal_nats"))
+  }
+
+  /** Distributed BPE training (Sennrich 2016, §3.2 of the original
+    * subword paper), the tokenizer-training pass of an LLM data
+    * pipeline: `rounds` greedy merge steps over the corpus word
+    * vocabulary, returning the learned merge table
+    * (merge_round, w1, w2, merged, pair_count).
+    *
+    * Distributed shape — the reason BPE trains fine at 100 TB: the
+    * ONLY corpus-sized operation is the word-count aggregate
+    * (map-side combinable). Every round after that runs on the
+    * VOCABULARY (Zipf-bounded, millions of rows at web scale, never
+    * corpus-sized): adjacent-symbol pair counts weighted by word
+    * count, a 1-row argmax, and a broadcast-join merge application.
+    * Rounds are lineage-truncated (Materialize seam) like the g10/d08
+    * iterative family.
+    *
+    * Determinism: argmax ties break on (pair_count DESC, w1, w2) —
+    * total order, engine-independent for ASCII tokens. Merge
+    * application is sentinel-delimited single-pass string replace
+    * (" w1 w2 " → " w1w2 "): the space delimiters make symbol
+    * boundaries unambiguous, and because the match CONSUMES its
+    * trailing delimiter, an odd run like "a a a" merges only its
+    * first pair in one round ("aa a") — both engines scan the
+    * original left-to-right non-overlapping, so batch and oracle
+    * agree bit-for-bit (spec-pinned on the run case). Pair counts
+    * include overlapping occurrences (standard BPE statistics).
+    *
+    * If the vocabulary runs out of mergeable pairs before `rounds`,
+    * remaining rounds are no-ops (LEFT JOIN against the empty argmax
+    * keeps symbol strings unchanged) and the merge table simply has
+    * fewer rows.
+    */
+  def bpeMerges(documents: DataFrame, rounds: Int = 5): DataFrame =
+    bpeTrain(documents, rounds)._2
+
+  /** BPE application (t21): tokenize the corpus with the vocabulary
+    * learned by [[bpeMerges]] — per doc, word/char/BPE-token counts
+    * and the chars-per-token compression ratio (the dial that tells
+    * you whether `rounds` merges bought anything on THIS corpus).
+    *
+    * Shape: the trained symbol table is vocabulary-sized → broadcast
+    * onto the corpus token explode; one per-doc aggregate
+    * (map-side combinable). The ratio is a single IEEE division of
+    * exact longs.
+    */
+  def bpeTokenize(documents: DataFrame, rounds: Int = 5): DataFrame = {
+    val vocabF = bpeTrain(documents, rounds)._1
+    val symtab = vocabF.select(col("word"),
+      length(col("word")).cast("long").as("n_chr"),
+      size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
+    documents
+      .select(col("doc_id"), explode(Canon.words(col("text"))).as("word"))
+      .join(broadcast(symtab), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chr")).as("n_chars"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens"))
+          .as("chars_per_token"))
+  }
+
+  /** Shared BPE training chain: (final vocab with symbol strings,
+    * merge table). `s` is the sentinel-delimited symbol string
+    * " c₁ c₂ … " seeded from characters; each round rewrites it via
+    * the broadcast argmax pair. See [[bpeMerges]] for semantics.
+    */
+  private def bpeTrain(documents: DataFrame,
+                       rounds: Int): (DataFrame, DataFrame) = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    var vocab = documents
+      .select(explode(Canon.words(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("s",
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+      .materialized
+    var merges: DataFrame = null
+    for (r <- 1 to rounds) {
+      val pairs = vocab
+        .select(col("cnt"), split(trim(col("s")), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(0, size(w) - 2)," +
+            " i -> struct(w[i] as w1, w[i+1] as w2))")).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"), col("cnt"))
+      val best = pairs.groupBy(col("w1"), col("w2"))
+        .agg(sum(col("cnt")).as("pair_count"))
+        .orderBy(col("pair_count").desc, col("w1").asc, col("w2").asc)
+        .limit(1)
+        .select(lit(r).as("merge_round"), col("w1"), col("w2"),
+          col("pair_count"))
+        .materialized
+      merges = if (merges == null) best else merges.unionByName(best)
+      vocab = vocab
+        .join(broadcast(best.select(col("w1").as("_mw1"),
+          col("w2").as("_mw2"))), lit(true), "left")
+        .withColumn("s", when(col("_mw1").isNull, col("s"))
+          .otherwise(call_function("replace", col("s"),
+            concat(lit(" "), col("_mw1"), lit(" "), col("_mw2"),
+              lit(" ")),
+            concat(lit(" "), col("_mw1"), col("_mw2"), lit(" ")))))
+        .drop("_mw1", "_mw2")
+        .materialized
+    }
+    (vocab,
+      merges.select(col("merge_round"), col("w1"), col("w2"),
+        concat(col("w1"), col("w2")).as("merged"), col("pair_count")))
+  }
 }

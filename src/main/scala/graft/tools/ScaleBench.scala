@@ -49,7 +49,11 @@ object ScaleBench {
     // r13 session-2 entrant: two joins + two aggregates per HITS
     // round over a once-materialized edge list — the g10 shape with
     // a per-side 1-row max broadcast.
-    "g19_hits")
+    "g19_hits",
+    // r14 s4: synchronous LPA — per round one edge×labels join, one
+    // map-side-combinable vote aggregate, one degree-bounded window;
+    // the g10 amortization claim with a mode- instead of sum-update.
+    "g20_label_propagation")
 
   /** Second axis (late r10): the corpus-heavy single-pass family —
     * LSH candidate generation, pair verification, the two corpus-pass
@@ -83,7 +87,13 @@ object ScaleBench {
     // by the source dimension; amplified copies rotate vocabulary, so
     // shared shingles stay copy-local — the honest growth variable is
     // the distinct (source, shingle) set, 10× per tier.
-    "d25_source_overlap")
+    "d25_source_overlap",
+    // r14 s4: the corpus-LM trio. t19 is three corpus-pass joins off
+    // one materialized bigram fan-out; t20/t21 price the BPE claim —
+    // ONE corpus-sized aggregate, then rounds bounded by the
+    // VOCABULARY (which the per-copy alphabet rotation grows 10× per
+    // tier, the honest worst case for a vocab-bounded op).
+    "t19_perplexity", "t20_bpe_merges", "t21_bpe_tokenize")
 
   /** Third axis (late r10): the event-time window family. Its scale
     * risk is per-key WINDOW/JOIN STATE — salted user ids grow the key

@@ -207,4 +207,20 @@ class GraphEtlSpec extends SparkSpec {
     assert(out(("auth", 30L)) === 666666L)
     assert(run(edges.repartition(7)) === out)
   }
+
+  test("labelPropagation: hand-checked sync rounds converge on the " +
+    "triangle+tail; partition-independent") {
+    // triangle {1,2,3} with tail 3—4:
+    // r1: 1←{2,3} tie→2, 2←{1,3}→1, 3←{1,2,4}→1, 4←{3}→3
+    // r2: 1←{1,1}→1, 2←{2,1} tie→1, 3←{2,1,3} tie→1, 4←{1}→1
+    // r3: all neighbors labeled 1 → every vertex at 1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("a", "b")
+    def run(df: org.apache.spark.sql.DataFrame, rounds: Int) =
+      GraphEtl.labelPropagation(df, rounds)
+        .as[(Long, Long)].collect().toMap
+    assert(run(edges, 1) === Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L))
+    assert(run(edges, 3) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    assert(run(edges.repartition(5), 3) === run(edges, 3))
+  }
 }

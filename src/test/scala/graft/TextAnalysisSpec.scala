@@ -315,4 +315,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rho >= 0.85, f"Spearman rho $rho%.4f below the measured floor")
     assert(overlap >= 0.8, f"selection overlap $overlap%.3f below floor")
   }
+
+  test("perplexity: add-one smoothed micro-nat surprisal, hand-checked") {
+    // corpus: tokens a,b,a,b,c → V=3; bigrams (a,b)x2, (b,c)x1
+    // contexts: c1(a)=2, c1(b)=1
+    val docs = Seq((0L, "a b"), (1L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.perplexity(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val smAB = math.floor(math.log(5.0 / 3.0) * 1e6).toLong // 510825
+    val smBC = math.floor(math.log(4.0 / 2.0) * 1e6).toLong // 693147
+    assert(smAB === 510825L && smBC === 693147L)
+    assert(out === Seq(
+      (0L, 1L, smAB, smAB.toDouble / 1 / 1e6),
+      (1L, 2L, smAB + smBC, (smAB + smBC).toDouble / 2 / 1e6)))
+  }
+
+  test("bpeMerges: greedy merge order with count-then-lex tie-break") {
+    val docs = Seq((0L, "low low lower")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMerges(docs, rounds = 3)
+      .orderBy("merge_round")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // r1: (l,o)=3 ties (o,w)=3 → lex picks (l,o); r2: (lo,w)=3;
+    // r3: only "lower" has pairs left → (low,e)=1 ties (e,r)=1 → (e,r)
+    assert(out === Seq(
+      (1, "l", "o", "lo", 3L),
+      (2, "lo", "w", "low", 3L),
+      (3, "e", "r", "er", 1L)))
+  }
+
+  test("bpeMerges: delimiter-consuming replace merges odd runs " +
+    "every-other (spec-pins the batch≡oracle convention)") {
+    val docs = Seq((0L, "aaa")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMerges(docs, rounds = 2)
+      .orderBy("merge_round")
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    // " a a a ": (a,a) counted twice (overlapping statistics), but the
+    // single-pass replace consumes the shared delimiter → " aa a ",
+    // so round 2 merges (aa, a), not (a, a) again
+    assert(out === Seq((1, "a", "a", "aa", 2L), (2, "aa", "a", "aaa", 1L)))
+  }
+
+  test("bpeMerges: merge exhaustion leaves later rounds as no-ops") {
+    val docs = Seq((0L, "ab ab")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeMerges(docs, rounds = 3)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(out === Seq((1, "a", "b", "ab", 2L)))
+  }
+
+  test("bpeTokenize: learned-vocab token accounting + compression") {
+    val docs = Seq((0L, "low low lower")).toDF("doc_id", "text")
+    // after 2 merges: low → [low] (1 sym), lower → [low, e, r] (3 syms)
+    val r = TextAnalysis.bpeTokenize(docs, rounds = 2).head()
+    assert(r.getAs[Long]("n_words") === 3L)
+    assert(r.getAs[Long]("n_chars") === 11L)
+    assert(r.getAs[Long]("n_bpe_tokens") === 5L)
+    assert(r.getAs[Double]("chars_per_token") === 11.0 / 5)
+  }
 }
