@@ -289,6 +289,11 @@ object SparkEntry {
     "g20_label_propagation" -> ((s, dir) =>
       GraphEtl.labelPropagation(
         GraphEtl.coSupplierEdges(t(s, dir, "lineitem")), 3)),
+    // Newman modularity of the LPA partition (single-division exact
+    // form, decimal(38,0) intermediates).
+    "g21_modularity" -> ((s, dir) =>
+      GraphEtl.modularity(
+        GraphEtl.coSupplierEdges(t(s, dir, "lineitem")), 3)),
 
     // --- LLM-pipeline extension surface (SURVEY §2.12) ---
     // Exact dedup: content-hash groupBy, one shuffle.
@@ -402,6 +407,12 @@ object SparkEntry {
     "d27_cluster_members" -> ((s, dir) =>
       Dedup.clusterMembers(Dedup.dupClusters(Dedup.lshCandidatePairs(
         Dedup.minhashSignature(t(s, dir, "documents")))))),
+    // Content-defined chunking: per-doc boundary profile (row-local).
+    "d28_cdc_chunks" -> ((s, dir) =>
+      Dedup.cdcChunkProfile(t(s, dir, "documents"))),
+    // Chunk-store dedup accounting over the CDC chunk explode.
+    "d29_cdc_dedup" -> ((s, dir) =>
+      Dedup.cdcDedupStats(t(s, dir, "documents"))),
     // Same clusters via pointer-jumping (O(log n) rounds) — the
     // billion-edge path; identical output, same oracle as d08.
     "d11_dup_clusters_fast" -> ((s, dir) =>
@@ -730,6 +741,9 @@ object SparkEntry {
     // BPE application: per-doc token accounting under the learned vocab.
     "t21_bpe_tokenize" -> ((s, dir) =>
       TextAnalysis.bpeTokenize(t(s, dir, "documents"), 5)),
+    // Tokenizer equity: per-language fertility under the same vocab.
+    "t22_bpe_fertility" -> ((s, dir) =>
+      TextAnalysis.bpeFertility(t(s, dir, "documents"), 5)),
     // LSH banding calibration: analytic detection curve vs actual
     // candidate flags over all capped source-blocked pairs.
     "d19_lsh_curve" -> ((s, dir) =>
@@ -995,6 +1009,62 @@ object SparkEntry {
   /** DuckDB: left-fold sum matching Canon.dot / Canon.rollingHash. */
   private def foldSum(products: String): String =
     s"list_reduce(list_prepend(0.0, $products), (acc, x) -> acc + x)"
+
+  /** DuckDB: the synchronous label-propagation chain
+    * (GraphEtl.labelPropagation over the g12 co-supplier edges):
+    * edge CTEs `e`/`sym`, self-label seed `l0`, then per round the
+    * neighbor-vote aggregate and the (n DESC, lab) mode argmax.
+    * Shared by the g20 and g21 mirrors.
+    */
+  private def lpaCtes(rounds: Int): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""v$r AS (SELECT s.a AS a, l.lab AS lab, count(*) AS n
+         |  FROM sym s JOIN l${r - 1} l ON l.node = s.b
+         |  GROUP BY 1, 2),
+         |l$r AS (SELECT a AS node, lab FROM (
+         |  SELECT a, lab, row_number() OVER (PARTITION BY a
+         |    ORDER BY n DESC, lab) AS rk FROM v$r) WHERE rk = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH os AS (SELECT DISTINCT l_orderkey AS o,
+       |  l_suppkey AS s FROM lineitem),
+       |ok AS (SELECT o FROM os GROUP BY o HAVING count(*) <= 100),
+       |osk AS (SELECT os.o, os.s FROM os JOIN ok USING (o)),
+       |e AS (SELECT x.s AS a, y.s AS b FROM osk x JOIN osk y
+       |  ON x.o = y.o AND x.s < y.s
+       |  GROUP BY 1, 2 HAVING count(*) >= 5),
+       |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+       |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
+       |$rs""".stripMargin
+  }
+
+  /** DuckDB: the CDC chunk construction (Dedup.cdcChunksCol, k=4,
+    * divisor=16): word hashes → windowed polynomial → boundary filter
+    * (window end positions i+3, final word excluded) → slice/join per
+    * chunk. Shared by the d28 and d29 mirrors.
+    */
+  private val cdcChunksCte: String = {
+    import graft.functions.Canon.{MersenneP => P}
+    val poly = (1 until 4).foldLeft("hw[i]") {
+      (acc, j) => s"($acc*31 + hw[i+$j])"
+    } + s" % $P"
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS w
+       |  FROM documents),
+       |h AS (SELECT doc_id, w, [${h60("x")} % $P FOR x IN w] AS hw
+       |  FROM w),
+       |sh AS (SELECT doc_id, w,
+       |   [$poly FOR i IN range(1, len(hw) - 2)] AS sh FROM h),
+       |bd AS (SELECT doc_id, w, list_append(
+       |    [i + 3 FOR i IN range(1, len(sh) + 1)
+       |     IF sh[i] % 16 = 0 AND i + 3 < len(w)], len(w)) AS ends
+       |  FROM sh),
+       |ck AS (SELECT doc_id,
+       |    [array_to_string(w[(CASE WHEN i = 1 THEN 1
+       |        ELSE ends[i-1] + 1 END):ends[i]], ' ')
+       |     FOR i IN range(1, len(ends) + 1)] AS chunks,
+       |    len(w) AS n_words
+       |  FROM bd)""".stripMargin
+  }
 
   /** DuckDB: the unrolled BPE training chain (TextAnalysis.bpeTrain) —
     * seed vocab v0 (word counts + sentinel-spaced char string), then
@@ -2761,29 +2831,30 @@ object SparkEntry {
         |FROM reach GROUP BY node""".stripMargin,
     // labelPropagation mirror: g12's co-supplier edge chain, then the
     // synchronous mode-update unrolled per round (same (n DESC, lab)
-    // argmax as the Spark window).
-    "g20_label_propagation" -> {
-      val rounds = (1 to 3).map { r =>
-        s"""v$r AS (SELECT s.a AS a, l.lab AS lab, count(*) AS n
-           |  FROM sym s JOIN l${r - 1} l ON l.node = s.b
-           |  GROUP BY 1, 2),
-           |l$r AS (SELECT a AS node, lab FROM (
-           |  SELECT a, lab, row_number() OVER (PARTITION BY a
-           |    ORDER BY n DESC, lab) AS rk FROM v$r) WHERE rk = 1)"""
-          .stripMargin
-      }.mkString(",\n")
-      s"""WITH os AS (SELECT DISTINCT l_orderkey AS o,
-         |  l_suppkey AS s FROM lineitem),
-         |ok AS (SELECT o FROM os GROUP BY o HAVING count(*) <= 100),
-         |osk AS (SELECT os.o, os.s FROM os JOIN ok USING (o)),
-         |e AS (SELECT x.s AS a, y.s AS b FROM osk x JOIN osk y
-         |  ON x.o = y.o AND x.s < y.s
-         |  GROUP BY 1, 2 HAVING count(*) >= 5),
-         |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
-         |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
-         |$rounds
-         |SELECT node AS vertex, lab AS community FROM l3""".stripMargin
-    },
+    // argmax as the Spark window). Chain shared with g21.
+    "g20_label_propagation" ->
+      (lpaCtes(3) + "\nSELECT node AS vertex, lab AS community FROM l3"),
+    // modularity mirror: the shared LPA chain, then the single-
+    // division exact form over HUGEINT intermediates (§8.4).
+    "g21_modularity" -> (lpaCtes(3) +
+      """,
+        |deg AS (SELECT v, count(*)::BIGINT AS deg FROM (
+        |   SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        |  GROUP BY v),
+        |dcs AS (SELECT l.lab AS community,
+        |   sum(d.deg::HUGEINT) AS d_c
+        |  FROM deg d JOIN l3 l ON l.node = d.v GROUP BY 1),
+        |agg2 AS (SELECT count(*)::BIGINT AS n_communities,
+        |   sum(d_c * d_c) AS sum_dsq FROM dcs),
+        |win AS (SELECT count(*)::BIGINT AS e_in FROM e
+        |  JOIN l3 x ON x.node = e.a JOIN l3 y ON y.node = e.b
+        |  WHERE x.lab = y.lab),
+        |mm AS (SELECT count(*)::BIGINT AS m FROM e)
+        |SELECT m, n_communities, e_in AS n_within_edges,
+        |  CASE WHEN m = 0 THEN NULL ELSE
+        |    (4::HUGEINT * m * e_in - sum_dsq)::DOUBLE
+        |      / (4::HUGEINT * m * m)::DOUBLE END AS modularity
+        |FROM mm, win, agg2""".stripMargin),
     "t06_vocabulary" ->
       """SELECT word, count(*) AS n,
         | row_number() OVER (ORDER BY count(*) DESC, word ASC) AS "rank"
@@ -2851,6 +2922,32 @@ object SparkEntry {
           |SELECT cluster_rep, count(*) AS n_docs,
           | array_to_string(list_sort(list(doc_id)), '|') AS members
           |FROM clus GROUP BY cluster_rep""".stripMargin),
+    // cdcChunkProfile mirror: the shared chunk CTE, then row-local
+    // stats + the ordered per-chunk-md5 boundary pin.
+    "d28_cdc_chunks" -> (s"WITH $cdcChunksCte\n" +
+      """SELECT doc_id, n_words::BIGINT AS n_words,
+        |  len(chunks)::BIGINT AS n_chunks,
+        |  list_max([len(string_split(c, ' ')) FOR c IN chunks])::BIGINT
+        |    AS max_chunk_words,
+        |  n_words::DOUBLE / len(chunks) AS mean_chunk_words,
+        |  md5(array_to_string([md5(c) FOR c IN chunks], ' '))
+        |    AS chunks_md5
+        |FROM ck""".stripMargin),
+    // cdcDedupStats mirror: chunk explode keyed by md5, occurrence
+    // aggregate, single-row chunk-store rollup.
+    "d29_cdc_dedup" -> (s"WITH $cdcChunksCte,\n" +
+      """ex AS (SELECT md5(c) AS ch,
+        |    len(string_split(c, ' '))::BIGINT AS wlen
+        |  FROM (SELECT unnest(chunks) AS c FROM ck)),
+        |g AS (SELECT ch, count(*)::BIGINT AS occ, max(wlen) AS wlen
+        |  FROM ex GROUP BY ch)
+        |SELECT sum(occ)::BIGINT AS n_chunk_occurrences,
+        |  count(*)::BIGINT AS n_distinct_chunks,
+        |  sum(occ * wlen)::BIGINT AS n_words_total,
+        |  sum((occ - 1) * wlen)::BIGINT AS n_words_saved,
+        |  sum((occ - 1) * wlen)::BIGINT::DOUBLE
+        |    / sum(occ * wlen)::BIGINT AS dedup_ratio
+        |FROM g""".stripMargin),
     "d07_dedup_vs_corpus" -> {
       val bands = (0 until 4).map(j =>
         s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
@@ -4832,6 +4929,21 @@ object SparkEntry {
         |    AS chars_per_token
         |FROM tok JOIN sym USING (word)
         |GROUP BY doc_id""".stripMargin),
+    // bpeFertility mirror: same chain + symbol table, aggregated to
+    // the language dimension.
+    "t22_bpe_fertility" -> (bpeCtes(5) +
+      """,
+        |sym AS (SELECT word, length(word)::BIGINT AS n_chr,
+        |    len(string_split(trim(s), ' '))::BIGINT AS n_sym FROM v5),
+        |tok AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+        |  FROM documents)
+        |SELECT lang, count(*)::BIGINT AS n_words,
+        |  sum(n_sym)::BIGINT AS n_bpe_tokens,
+        |  sum(n_sym)::BIGINT::DOUBLE / count(*) AS tokens_per_word,
+        |  sum(n_chr)::BIGINT::DOUBLE / sum(n_sym)::BIGINT
+        |    AS chars_per_token
+        |FROM tok JOIN sym USING (word)
+        |GROUP BY lang""".stripMargin),
     // mattr mirror: same bounded window walk as a list comprehension;
     // the mean stays rational (Σ distinct over window·n_windows).
     "t17_mattr" ->

@@ -142,6 +142,16 @@ object Canon {
       graft.functions.SimHashBits(
         org.apache.spark.sql.GraftSqlBridge.expression(hashes), bits))
 
+  /** Content-defined chunks of a word array in one native pass
+    * (boundary after word e iff the k-word window ending at e hashes
+    * to 0 mod divisor; hashP/·31-polynomial convention).
+    */
+  def cdcChunks(words: Column, k: Int, divisor: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.CdcChunksS(
+        org.apache.spark.sql.GraftSqlBridge.expression(words),
+        k, divisor.toLong))
+
   /** Point estimate of a BIGINT key against a serialized
     * count-min sketch (the `count_min_sketch` aggregate's binary).
     */

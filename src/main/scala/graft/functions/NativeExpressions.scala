@@ -500,3 +500,106 @@ case class CmsEstimateL(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): CmsEstimateL =
     copy(left = newLeft, right = newRight)
 }
+
+/** Content-defined chunks of a word array in ONE native pass: per-word
+  * md5 hash (Canon.hashP convention — first 15 md5 hex chars mod
+  * 2^31−1), rolling k-word polynomial (·31 combine, mod p once at the
+  * end), a boundary AFTER word e (1-based) exactly when the window
+  * ENDING at e hashes to 0 mod `divisor` and e is not the last word,
+  * then the words sliced and space-joined per chunk. A doc shorter
+  * than k words is one whole-doc chunk.
+  *
+  * Why native and not the transform/filter column algebra: the chunk
+  * construction needs the SAME intermediate arrays (word hashes,
+  * boundary positions) from INSIDE later lambdas, and `element_at(col,
+  * i)` in a lambda body re-evaluates the referenced alias per element
+  * once CollapseProject inlines it — higher-order functions evaluate
+  * interpreted with no subexpression elimination, so the staged column
+  * form degraded to O(words²) md5s per document (measured: a single
+  * sf0.01 task pinned at 100% CPU for 15+ min). One expression holding
+  * the whole pipeline makes the cost model structural: O(words) md5s
+  * and O(words·k) multiplies per row, no cross-projection reference
+  * for the optimizer to inline. Codegen emits a static call — the md5
+  * loop dominates, and the expression stays inside the whole-stage
+  * span instead of breaking it as CodegenFallback would.
+  */
+case class CdcChunksS(child: Expression, k: Int, divisor: Long)
+  extends UnaryExpression {
+
+  require(k >= 1, s"window k must be >= 1, got $k")
+  require(divisor >= 1L, s"divisor must be >= 1, got $divisor")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<string>, got $t")
+    }
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+
+  override def nullSafeEval(a: Any): Any =
+    CdcChunksS.compute(a.asInstanceOf[ArrayData], k, divisor)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.CdcChunksS.compute(" +
+        s"$a, $k, ${divisor}L);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): CdcChunksS = copy(child = newChild)
+}
+
+object CdcChunksS {
+  private val P = 2147483647L // Canon.MersenneP
+  private val Space =
+    org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Canon.hashP of one word: md5 hex prefix (60 bits) mod 2^31−1. */
+  private def hashP(w: org.apache.spark.unsafe.types.UTF8String): Long =
+    java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(w.getBytes).substring(0, 15), 16) % P
+
+  /** The full words→chunks pipeline (see the case class scaladoc).
+    * Public + static-forwarded so generated code can call it.
+    */
+  def compute(words: ArrayData, k: Int, divisor: Long): ArrayData = {
+    val n = words.numElements()
+    val ws = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+    val hw = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      ws(i) = words.getUTF8String(i)
+      hw(i) = hashP(ws(i))
+      i += 1
+    }
+    // 1-based chunk end positions: qualifying window ends, then n
+    val ends = new java.util.ArrayList[Integer]()
+    var s = 0
+    while (s + k <= n) {
+      var poly = hw(s)
+      var j = 1
+      while (j < k) { poly = poly * 31L + hw(s + j); j += 1 }
+      val e = s + k
+      if (poly % P % divisor == 0L && e < n) ends.add(e)
+      s += 1
+    }
+    ends.add(n)
+    val out = new Array[org.apache.spark.unsafe.types.UTF8String](
+      ends.size())
+    var prev = 0
+    i = 0
+    while (i < ends.size()) {
+      val e = ends.get(i)
+      out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(
+        Space, java.util.Arrays.copyOfRange(ws, prev, e): _*)
+      prev = e
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.asInstanceOf[Array[Any]])
+  }
+}

@@ -1172,4 +1172,91 @@ object Dedup {
           <= lit(boundScale * rse) * (estA + estB + estU))
           .cast("long").as("within_bound"))
   }
+
+  /** Content-defined chunk array per document — the Gear/FastCDC idea
+    * (Xia 2016) at word granularity: a chunk boundary falls AFTER word
+    * j exactly when the polynomial hash of the k-word window ENDING at
+    * j satisfies hash % divisor == 0. Boundaries are decided by local
+    * CONTENT, not position, so an insertion near the head re-aligns at
+    * the first surviving boundary and every later chunk is unchanged —
+    * the property fixed windows (d20-d22) structurally lack, and the
+    * reason CDC is the storage-dedup standard. Simplified honestly: no
+    * min-size skip and no dual-divisor fallback (FastCDC §3.2's
+    * speed/normalization tweaks), so expected chunk length is
+    * `divisor` words and short chunks are possible.
+    *
+    * Entirely row-local (one scan, zero shuffles), as ONE native
+    * expression ([[graft.functions.CdcChunksS]]): word hashes →
+    * windowed polynomial → boundary filter → slice/join per chunk,
+    * a single O(words) pass per row. A doc shorter than k words, or
+    * with no qualifying window, is one whole-doc chunk; a boundary at
+    * the last word is dropped (no empty tail chunk).
+    *
+    * NOT the staged transform/filter column algebra: that form needs
+    * `element_at(sh, i)` / `element_at(ends, i)` INSIDE later lambda
+    * bodies, and once the optimizer inlines those aliases (HOFs
+    * evaluate interpreted, with no subexpression elimination) every
+    * lambda element re-ran the whole md5-per-word chain — O(words²)
+    * md5s per document, measured as one sf0.01 task pinned at 100%
+    * CPU for 15+ min. Naming the stages did NOT survive
+    * CollapseProject; the kernel makes the O(words) cost structural.
+    */
+  private def withCdcChunks(documents: DataFrame, k: Int,
+                            divisor: Int): DataFrame =
+    documents
+      .withColumn("w", Canon.words(col("text")))
+      .withColumn("chunks", Canon.cdcChunks(col("w"), k, divisor))
+
+  /** Per-document CDC chunk profile (d28): chunk counts, the largest
+    * chunk, mean words per chunk, and a boundary-structure pin
+    * (md5 of the ordered per-chunk md5s) — compact enough to gate,
+    * byte-exact about where every boundary fell. Zero shuffles: the
+    * whole operator is the [[withCdcChunks]] scan projection, 100 TB =
+    * parquet-scan speed.
+    */
+  def cdcChunkProfile(documents: DataFrame, k: Int = 4,
+                      divisor: Int = 16): DataFrame = {
+    withCdcChunks(documents, k, divisor)
+      .select(col("doc_id"), col("chunks"),
+        size(col("w")).cast("long").as("n_words"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("chunks")).cast("long").as("n_chunks"),
+        array_max(transform(col("chunks"),
+          c => size(split(c, " ")))).cast("long").as("max_chunk_words"),
+        (col("n_words").cast("double") / size(col("chunks")))
+          .as("mean_chunk_words"),
+        md5(array_join(transform(col("chunks"), c => md5(c)), " "))
+          .as("chunks_md5"))
+  }
+
+  /** Corpus-level CDC dedup accounting (d29): explode every doc into
+    * its content-defined chunks, key by chunk hash, and price the
+    * chunk-store view — distinct chunks vs occurrences and the words
+    * a store keeping ONE copy per distinct chunk would save. The
+    * chunk-level complement to d01 (whole-doc) and d15 (fixed
+    * segments): insertions shift every fixed segment but leave CDC
+    * chunk identity intact, so shared-with-edits mass shows up here
+    * and nowhere else.
+    *
+    * Shape: one row-local chunk explode, ONE hash shuffle (the
+    * chunk-hash aggregate, map-side combinable — chunk keys scale
+    * with the data), one single-row rollup. All-exact-integer until
+    * the final division.
+    */
+  def cdcDedupStats(documents: DataFrame, k: Int = 4,
+                    divisor: Int = 16): DataFrame =
+    withCdcChunks(documents, k, divisor)
+      .select(explode(col("chunks")).as("chunk"))
+      .select(md5(col("chunk")).as("ch"),
+        size(split(col("chunk"), " ")).cast("long").as("wlen"))
+      .groupBy(col("ch"))
+      .agg(count(lit(1)).as("occ"), max(col("wlen")).as("wlen"))
+      .agg(sum(col("occ")).as("n_chunk_occurrences"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("occ") * col("wlen")).as("n_words_total"),
+        sum((col("occ") - 1L) * col("wlen")).as("n_words_saved"))
+      .select(col("n_chunk_occurrences"), col("n_distinct_chunks"),
+        col("n_words_total"), col("n_words_saved"),
+        (col("n_words_saved").cast("double") / col("n_words_total"))
+          .as("dedup_ratio"))
 }

@@ -652,4 +652,49 @@ object GraphEtl {
     }
     labels.select(col("node").as("vertex"), col("lab").as("community"))
   }
+
+  /** Newman modularity of the [[labelPropagation]] partition (g21):
+    * Q = Σ_c [e_c/m − (d_c/2m)²] over communities c, computed in the
+    * single-division exact form Q = (4m·Σe_c − Σd_c²) / (4m²) — every
+    * term an exact integer (decimal(38,0), mirroring DuckDB HUGEINT
+    * per §8.4, so 10¹²-edge degree sums cannot overflow), ONE final
+    * double division. The quality score that turns g20 from "a
+    * partition" into "a graded partition": Q > 0 means denser-than-
+    * random inside communities; a single community scores exactly 0.
+    *
+    * Shape: the LPA rounds themselves, then one edge×labels join pair
+    * (within-edge count), one degree aggregate joined to labels
+    * (community degree sums), and three 1-row aggregates cross-joined
+    * (the scalar-subquery BNLJ class) — nothing beyond g20's own
+    * scale shape. NULL (not ÷0) on an empty edge list, the g17
+    * convention.
+    */
+  def modularity(edges: DataFrame, rounds: Int = 3): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = edges.select(col("a"), col("b")).distinct().materialized
+    val labels = labelPropagation(e, rounds).materialized
+    val within = e
+      .join(labels.select(col("vertex").as("a"), col("community").as("ca")),
+        "a")
+      .join(labels.select(col("vertex").as("b"), col("community").as("cb")),
+        "b")
+      .filter(col("ca") === col("cb"))
+      .agg(count(lit(1)).as("e_in"))
+    val dc = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .join(labels.select(col("vertex").as("v"), col("community")), "v")
+      .groupBy(col("community"))
+      .agg(sum(col("deg").cast(dec)).as("d_c"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("d_c") * col("d_c")).as("sum_dsq"))
+    val num = (lit(4).cast(dec) * col("m") * col("e_in") - col("sum_dsq"))
+      .cast("double")
+    val den = (lit(4).cast(dec) * col("m") * col("m")).cast("double")
+    e.agg(count(lit(1)).as("m"))
+      .crossJoin(within).crossJoin(dc)
+      .select(col("m"), col("n_communities"),
+        col("e_in").as("n_within_edges"),
+        when(col("m") === 0L, lit(null).cast("double"))
+          .otherwise(num / den).as("modularity"))
+  }
 }

@@ -751,6 +751,38 @@ object TextAnalysis {
           .as("chars_per_token"))
   }
 
+  /** BPE fertility by language (t22): tokens-per-word and
+    * chars-per-token of the [[bpeMerges]] vocabulary, grouped by the
+    * document language — the tokenizer-equity dial (Rust 2021): a
+    * merge table trained on a mixed corpus segments its minority
+    * languages into more, shorter pieces, and this table is where
+    * that shows up (fertility ↑, compression ↓ for the languages the
+    * training mix under-serves).
+    *
+    * Shape: [[bpeTokenize]]'s broadcast symbol-table join, aggregated
+    * to the LANGUAGE dimension instead of the doc — the final
+    * aggregate is language-count-sized. Ratios are single IEEE
+    * divisions of exact longs.
+    */
+  def bpeFertility(documents: DataFrame, rounds: Int = 5): DataFrame = {
+    val vocabF = bpeTrain(documents, rounds)._1
+    val symtab = vocabF.select(col("word"),
+      length(col("word")).cast("long").as("n_chr"),
+      size(split(trim(col("s")), " ")).cast("long").as("n_sym"))
+    documents
+      .select(col("lang"), explode(Canon.words(col("text"))).as("word"))
+      .join(broadcast(symtab), Seq("word"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_chr")).as("n_chars"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        (col("n_bpe_tokens").cast("double") / col("n_words"))
+          .as("tokens_per_word"),
+        (col("n_chars").cast("double") / col("n_bpe_tokens"))
+          .as("chars_per_token"))
+  }
+
   /** Shared BPE training chain: (final vocab with symbol strings,
     * merge table). `s` is the sentinel-delimited symbol string
     * " c₁ c₂ … " seeded from characters; each round rewrites it via

@@ -53,7 +53,11 @@ object ScaleBench {
     // r14 s4: synchronous LPA — per round one edge×labels join, one
     // map-side-combinable vote aggregate, one degree-bounded window;
     // the g10 amortization claim with a mode- instead of sum-update.
-    "g20_label_propagation")
+    "g20_label_propagation",
+    // r14 s5: g20's rounds plus the modularity score — one
+    // edge×labels join pair, one degree aggregate, three 1-row
+    // rollups; the delta over g20 must stay round-shaped.
+    "g21_modularity")
 
   /** Second axis (late r10): the corpus-heavy single-pass family —
     * LSH candidate generation, pair verification, the two corpus-pass
@@ -93,7 +97,15 @@ object ScaleBench {
     // ONE corpus-sized aggregate, then rounds bounded by the
     // VOCABULARY (which the per-copy alphabet rotation grows 10× per
     // tier, the honest worst case for a vocab-bounded op).
-    "t19_perplexity", "t20_bpe_merges", "t21_bpe_tokenize")
+    "t19_perplexity", "t20_bpe_merges", "t21_bpe_tokenize",
+    // r14 s5: t21's broadcast symbol-table join rolled up to the
+    // language dimension — the flattest consumer of the BPE chain.
+    "t22_bpe_fertility",
+    // r14 s4 late: CDC chunking — d28 is a pure scan projection (the
+    // flattest possible curve), d29 adds the one chunk-hash shuffle;
+    // rotated copies keep chunk identity copy-local, so the growth
+    // variable is the distinct chunk store, 10× per tier.
+    "d28_cdc_chunks", "d29_cdc_dedup")
 
   /** Third axis (late r10): the event-time window family. Its scale
     * risk is per-key WINDOW/JOIN STATE — salted user ids grow the key

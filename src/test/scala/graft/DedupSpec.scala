@@ -579,4 +579,56 @@ class DedupSpec extends SparkSpec {
     assert(out === truth)
     assert(run(pj.repartition(7)) === out)
   }
+
+  test("cdcChunkProfile: chunk accounting identities and the empty-doc " +
+    "convention") {
+    val text = (1 to 60).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "")).toDF("doc_id", "text")
+    val out = Dedup.cdcChunkProfile(docs).orderBy("doc_id").collect()
+    val r1 = out(0)
+    assert(r1.getAs[Long]("n_words") === 60L)
+    assert(r1.getAs[Long]("n_chunks") >= 1L)
+    assert(r1.getAs[Long]("max_chunk_words") <= 60L)
+    assert(r1.getAs[Double]("mean_chunk_words") ===
+      60.0 / r1.getAs[Long]("n_chunks"))
+    // empty text is the [""] single-token convention: one "" chunk
+    val r2 = out(1)
+    assert(r2.getAs[Long]("n_words") === 1L)
+    assert(r2.getAs[Long]("n_chunks") === 1L)
+    assert(r2.getAs[Long]("max_chunk_words") === 1L)
+  }
+
+  test("cdcDedupStats: identical docs halve the chunk store; " +
+    "distinct-word docs save nothing; partition-independent") {
+    val text = (1 to 60).map(i => s"word$i").mkString(" ")
+    val dup = Seq((1L, text), (2L, text)).toDF("doc_id", "text")
+    val r = Dedup.cdcDedupStats(dup).head()
+    assert(r.getAs[Long]("n_words_total") === 120L)
+    assert(r.getAs[Long]("n_words_saved") === 60L)
+    assert(r.getAs[Double]("dedup_ratio") === 0.5)
+    assert(r.getAs[Long]("n_chunk_occurrences") ===
+      2L * r.getAs[Long]("n_distinct_chunks"))
+    val solo = Seq((1L, text)).toDF("doc_id", "text")
+    assert(Dedup.cdcDedupStats(solo).head()
+      .getAs[Long]("n_words_saved") === 0L)
+    assert(Dedup.cdcDedupStats(dup.repartition(7)).head() === r)
+  }
+
+  test("CDC chunks are insertion-robust: a head edit leaves the tail " +
+    "chunks shared (the property fixed windows lack)") {
+    val tail = (1 to 120).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, tail), (2L, s"inserted prefix $tail"))
+      .toDF("doc_id", "text")
+    val r = Dedup.cdcDedupStats(docs).head()
+    // boundaries are content-defined, so past the first surviving
+    // boundary doc 2's chunks are byte-identical to doc 1's — shared
+    // chunk mass MUST appear (fixed k-word windows would shift every
+    // segment and share nothing)
+    assert(r.getAs[Long]("n_words_saved") > 0L,
+      s"no shared chunks: $r")
+    // the contrast: d15's fixed segments over the same pair share 0
+    val fixedShared = Dedup.segmentDedup(docs)
+      .agg(sum(col("n_segments") - col("n_kept"))).head().getLong(0)
+    assert(fixedShared === 0L)
+  }
 }

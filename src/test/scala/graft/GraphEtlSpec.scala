@@ -223,4 +223,23 @@ class GraphEtlSpec extends SparkSpec {
     assert(run(edges, 3) === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
     assert(run(edges.repartition(5), 3) === run(edges, 3))
   }
+
+  test("modularity: two triangles + bridge score 70/196; a single " +
+    "community scores exactly 0") {
+    // LPA(3) splits {1,2,3} / {4,5,6}: m=7, e_in=6, d_c = 7 and 7
+    // → Q = (4·7·6 − 98) / (4·49) = 70/196
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val r = GraphEtl.modularity(twoTri).head()
+    assert(r.getAs[Long]("m") === 7L)
+    assert(r.getAs[Long]("n_communities") === 2L)
+    assert(r.getAs[Long]("n_within_edges") === 6L)
+    assert(r.getAs[Double]("modularity") === 70.0 / 196)
+    // triangle+tail converges to one community: Q = 0 by definition
+    val one = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val r1 = GraphEtl.modularity(one).head()
+    assert(r1.getAs[Long]("n_communities") === 1L)
+    assert(r1.getAs[Double]("modularity") === 0.0)
+    assert(GraphEtl.modularity(twoTri.repartition(5)).head() === r)
+  }
 }

@@ -134,4 +134,49 @@ class NativeExpressionsSpec extends SparkSpec {
       .as[(Long, Seq[Int], Seq[Int])].collect()
     out.foreach { case (id, a, b) => assert(a === b, s"case $id") }
   }
+
+  /** Driver-side definitional CDC reference (the staged algebra the
+    * kernel replaced, in plain Scala): hashP per word, ·31 polynomial
+    * per k-window, boundary after window end e iff hash ≡ 0 mod
+    * divisor and e < n, final boundary at n.
+    */
+  private def refCdc(text: String, k: Int, divisor: Long): Seq[String] = {
+    val P = 2147483647L
+    val w = text.split(" ", -1)
+    val hw = w.map(x => java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(x.getBytes("UTF-8")).substring(0, 15), 16) % P)
+    val n = w.length
+    val ends = (0 to n - k).flatMap { s =>
+      val poly = (1 until k).foldLeft(hw(s))(
+        (acc, j) => acc * 31L + hw(s + j)) % P
+      if (poly % divisor == 0L && s + k < n) Some(s + k) else None
+    } :+ n
+    ends.foldLeft((0, Vector.empty[String])) { case ((prev, acc), e) =>
+      (e, acc :+ w.slice(prev, e).mkString(" "))
+    }._2
+  }
+
+  test("cdcChunks kernel equals the definitional reference on real " +
+    "documents, under forced codegen and forced interpretation") {
+    val docs = table("documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(docs.length > 10)
+    for (mode <- Seq("CODEGEN_ONLY", "NO_CODEGEN")) {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try {
+        val got = table("documents")
+          .select(col("doc_id"),
+            Canon.cdcChunks(Canon.words(col("text")), 4, 16).as("c"))
+          .as[(Long, Seq[String])].collect().toMap
+        docs.foreach { case (id, text) =>
+          val expect = refCdc(text, 4, 16)
+          assert(got(id) === expect, s"doc $id mode $mode")
+          // chunks reassemble the document exactly
+          assert(got(id).mkString(" ") === text, s"reassembly $id")
+        }
+      } finally spark.conf.set(
+        "spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }

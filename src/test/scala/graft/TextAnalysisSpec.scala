@@ -362,6 +362,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out === Seq((1, "a", "b", "ab", 2L)))
   }
 
+  test("bpeFertility: the under-served language pays more tokens per " +
+    "word under the shared vocab") {
+    val docs = Seq((0L, "low low", "en"), (1L, "lower", "de"))
+      .toDF("doc_id", "text", "lang")
+    // same training corpus as the tokenize fixture: merges (l,o),(lo,w)
+    val out = TextAnalysis.bpeFertility(docs, rounds = 2)
+      .orderBy("lang").collect()
+    val de = out(0); val en = out(1)
+    assert(en.getAs[Long]("n_words") === 2L)
+    assert(en.getAs[Long]("n_bpe_tokens") === 2L)
+    assert(en.getAs[Double]("tokens_per_word") === 1.0)
+    assert(en.getAs[Double]("chars_per_token") === 3.0)
+    assert(de.getAs[Long]("n_words") === 1L)
+    assert(de.getAs[Long]("n_bpe_tokens") === 3L)
+    assert(de.getAs[Double]("tokens_per_word") === 3.0)
+    assert(de.getAs[Double]("chars_per_token") === 5.0 / 3)
+  }
+
   test("bpeTokenize: learned-vocab token accounting + compression") {
     val docs = Seq((0L, "low low lower")).toDF("doc_id", "text")
     // after 2 merges: low → [low] (1 sym), lower → [low, e, r] (3 syms)
