@@ -294,6 +294,11 @@ object SparkEntry {
     "g21_modularity" -> ((s, dir) =>
       GraphEtl.modularity(
         GraphEtl.coSupplierEdges(t(s, dir, "lineitem")), 3)),
+    // Bounded k-truss peeling: per-edge triangle support recomputed
+    // on the shrinking edge set, fixed rounds (the g15 contract).
+    "g22_ktruss" -> ((s, dir) =>
+      GraphEtl.kTrussPeel(
+        GraphEtl.coSupplierEdges(t(s, dir, "lineitem")), 4, 2)),
 
     // --- LLM-pipeline extension surface (SURVEY §2.12) ---
     // Exact dedup: content-hash groupBy, one shuffle.
@@ -744,6 +749,10 @@ object SparkEntry {
     // Tokenizer equity: per-language fertility under the same vocab.
     "t22_bpe_fertility" -> ((s, dir) =>
       TextAnalysis.bpeFertility(t(s, dir, "documents"), 5)),
+    // Zipf rank-frequency OLS over the top-1000 vocabulary terms
+    // (micro-nat quantized logs, exact OLS sums).
+    "t23_zipf_fit" -> ((s, dir) =>
+      TextAnalysis.zipfFit(t(s, dir, "documents"))),
     // LSH banding calibration: analytic detection curve vs actual
     // candidate flags over all capped source-blocked pairs.
     "d19_lsh_curve" -> ((s, dir) =>
@@ -2861,6 +2870,35 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(text, ' ')) AS word
         |  FROM documents)
         |GROUP BY word""".stripMargin,
+    // zipfFit mirror: the t06 rank chain, micro-nat quantized logs,
+    // exact HUGEINT OLS sums, then slope/intercept in the identical
+    // IEEE operand order (slope = num/den first, intercept reuses it).
+    "t23_zipf_fit" ->
+      """WITH v AS (SELECT word, count(*) AS n,
+        |  row_number() OVER (ORDER BY count(*) DESC, word ASC) AS rk
+        | FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |   FROM documents)
+        | GROUP BY word),
+        |q AS (SELECT floor(ln(rk) * 1000000)::BIGINT AS x,
+        |   floor(ln(n) * 1000000)::BIGINT AS y
+        |  FROM v WHERE rk <= 1000),
+        |a AS (SELECT count(*)::BIGINT AS n_terms,
+        |   sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+        |   sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx
+        |  FROM q)
+        |SELECT n_terms,
+        |  CASE WHEN n_terms < 2
+        |    OR (n_terms::HUGEINT * sxx - sx * sx)::DOUBLE = 0 THEN NULL
+        |   ELSE (n_terms::HUGEINT * sxy - sx * sy)::DOUBLE
+        |     / (n_terms::HUGEINT * sxx - sx * sx)::DOUBLE END AS slope,
+        |  CASE WHEN n_terms < 2
+        |    OR (n_terms::HUGEINT * sxx - sx * sx)::DOUBLE = 0 THEN NULL
+        |   ELSE (sy::DOUBLE
+        |      - (n_terms::HUGEINT * sxy - sx * sy)::DOUBLE
+        |        / (n_terms::HUGEINT * sxx - sx * sx)::DOUBLE
+        |        * sx::DOUBLE)
+        |     / n_terms::DOUBLE / 1000000.0 END AS intercept
+        |FROM a""".stripMargin,
     "d08_dup_clusters" -> dupClustersOracleSql,
     // clusterSizeHistogram mirror: the d08 cluster CTE rolled up twice.
     "d18_cluster_hist" -> (dupClustersCte +
@@ -4626,6 +4664,38 @@ object SparkEntry {
         """SELECT v AS vertex, count(*) AS deg FROM (
           |  SELECT a AS v FROM e3 UNION ALL SELECT b FROM e3)
           |GROUP BY v""".stripMargin
+    },
+    // kTrussPeel mirror: g15's co-supplier edge chain, then per peel
+    // round the canonical-triangle 3-way join (x<y<z, so the three
+    // edges are already id-ordered), the 3-edge credit union, the
+    // support filter. Support-0 edges need no special casing: absent
+    // from sup_r means dropped, and k−2 ≥ 1.
+    "g22_ktruss" -> {
+      val edges =
+        """os AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o,
+          |  l_suppkey AS s FROM lineitem),
+          |ok AS (SELECT o FROM os GROUP BY o HAVING count(*) <= 100),
+          |osk AS MATERIALIZED (SELECT os.o, os.s FROM os JOIN ok USING (o)),
+          |e0 AS MATERIALIZED (SELECT x.s AS a, y.s AS b
+          |  FROM osk x JOIN osk y
+          |  ON x.o = y.o AND x.s < y.s
+          |  GROUP BY 1, 2 HAVING count(*) >= 5)""".stripMargin
+      val rounds = (0 until 2).map { r =>
+        s""",
+           |tri$r AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |  FROM e$r e1 JOIN e$r e2
+           |    ON e2.a = e1.a AND e2.b > e1.b
+           |  JOIN e$r e3 ON e3.a = e1.b AND e3.b = e2.b),
+           |sup$r AS MATERIALIZED (SELECT a, b, count(*)::BIGINT AS support
+           |  FROM (SELECT x AS a, y AS b FROM tri$r
+           |    UNION ALL SELECT x, z FROM tri$r
+           |    UNION ALL SELECT y, z FROM tri$r)
+           |  GROUP BY 1, 2),
+           |e${r + 1} AS MATERIALIZED (SELECT a, b FROM sup$r
+           |  WHERE support >= 2)""".stripMargin
+      }.mkString
+      s"WITH $edges$rounds\n" +
+        "SELECT a, b, support FROM sup1 WHERE support >= 2"
     },
     // centroidAssign mirror: the s07 centroid CTE collapsed to
     // per-label arrays, the identical left-fold cosine against each,

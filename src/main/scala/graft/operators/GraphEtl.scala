@@ -697,4 +697,76 @@ object GraphEtl {
         when(col("m") === 0L, lit(null).cast("double"))
           .otherwise(num / den).as("modularity"))
   }
+
+  /** Per-edge triangle support of a MATERIALIZED canonical (a < b)
+    * edge list — [[edgeJaccard]]'s degree-ordered wedge chain
+    * (O(m^1.5) wedge rows regardless of skew) with each closed
+    * triangle credited back to its three edges; zero-triangle edges
+    * re-enter at support 0 via the left join.
+    */
+  private def edgeSupport(e: DataFrame): DataFrame = {
+    val deg = e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val withRk = e
+      .join(deg.select(col("v").as("a"), struct(col("deg"), col("v")).as("rka")), "a")
+      .join(deg.select(col("v").as("b"), struct(col("deg"), col("v")).as("rkb")), "b")
+    val oriented = withRk.select(
+      when(col("rka") < col("rkb"), col("a")).otherwise(col("b")).as("src"),
+      when(col("rka") < col("rkb"), col("b")).otherwise(col("a")).as("dst"),
+      when(col("rka") < col("rkb"), col("rkb")).otherwise(col("rka")).as("rkd"))
+    val o = oriented.materialized
+    val wedges = o.as("e1")
+      .join(o.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.rkd") < col("e2.rkd"))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"),
+        col("e2.dst").as("w"))
+    val sup = wedges
+      .join(o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"),
+        "left_semi")
+      .select(explode(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b")))).as("ed"))
+      .select(col("ed.a").as("a"), col("ed.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("support"))
+    e.join(sup, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("support"), lit(0L)).as("support"))
+  }
+
+  /** Bounded k-truss peeling (g22): `rounds` rounds of "recompute each
+    * edge's triangle support within the surviving edge set, drop every
+    * edge with support < k−2", then the survivors with their
+    * final-round support — the EDGE-grade density core (Cohen 2008).
+    * [[kcorePeel]] keeps vertices with enough neighbors; this keeps
+    * edges embedded in enough triangles — strictly stronger cohesion
+    * (every k-truss edge lies inside the (k−1)-core), and the standard
+    * community-kernel refinement one grade above it. Same FIXED-round
+    * contract as kcorePeel, for the same three reasons: cost is
+    * exactly `rounds` wedge passes, the result is a deterministic
+    * function of the input (the true k-truss once converged; extra
+    * rounds are no-ops), and the oracle unrolls the same rounds
+    * verbatim.
+    *
+    * Shape per round: one [[edgeSupport]] pass (degree agg, wedge
+    * join, closing semi-join, map-side-combinable credit count) over
+    * the SHRINKING edge set, one filter; edge list materialized per
+    * round (one-round-shallow plans, the pageRank discipline). Support
+    * only ever falls as edges leave, so survivors of round r are a
+    * superset of round r+1 — monotone, like k-core.
+    */
+  def kTrussPeel(edges: DataFrame, k: Int = 4, rounds: Int = 2): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    require(rounds >= 1, s"kTrussPeel needs rounds >= 1, got $rounds")
+    var e = edges.select(col("a"), col("b")).distinct().materialized
+    (1 until rounds).foreach { _ =>
+      e = edgeSupport(e).filter(col("support") >= k - 2)
+        .select(col("a"), col("b")).materialized
+    }
+    edgeSupport(e).filter(col("support") >= k - 2)
+  }
 }

@@ -829,4 +829,54 @@ object TextAnalysis {
       merges.select(col("merge_round"), col("w1"), col("w2"),
         concat(col("w1"), col("w2")).as("merged"), col("pair_count")))
   }
+
+  /** Zipf rank-frequency fit (t23): OLS line through
+    * (ln rank, ln count) over the top `maxRank` terms of the
+    * [[vocabulary]] table — the corpus-health dial the other text
+    * scores don't give: natural language sits near slope −1
+    * (Zipf 1949); a flat slope flags templated/boilerplate corpora, a
+    * cliff flags tiny or truncated vocabularies. The intercept is the
+    * (log) head-frequency calibration.
+    *
+    * Float discipline (the t19 convention): each ln() is taken of one
+    * EXACT integer (rank, count) and immediately quantized to integer
+    * micro-nats (floor·10⁶), so every OLS sum is an exact
+    * decimal(38,0) — partition-order independent and engine-portable;
+    * slope and intercept are then a fixed sequence of IEEE doubles,
+    * mirrored operand-for-operand. NULL slope/intercept when fewer
+    * than two distinct ranks survive (degenerate fit), not ÷0.
+    *
+    * Shape: the vocabulary rank (two-stage, never a partition-less
+    * window), a rank≤maxRank filter that bounds everything after it
+    * to `maxRank` rows, ONE map-side-combinable aggregate. At 100 TB
+    * the only corpus-sized pass is vocabulary()'s own word count.
+    */
+  def zipfFit(documents: DataFrame, maxRank: Int = 1000): DataFrame = {
+    val dec = "decimal(38,0)"
+    val num = (col("n_terms").cast(dec) * col("sxy") -
+      col("sx") * col("sy")).cast("double")
+    val den = (col("n_terms").cast(dec) * col("sxx") -
+      col("sx") * col("sx")).cast("double")
+    val slope = num / den
+    vocabulary(documents)
+      .filter(col("rank") <= maxRank)
+      .select(
+        floor(log(col("rank").cast("double")) * lit(1000000L))
+          .cast("long").as("x"),
+        floor(log(col("n").cast("double")) * lit(1000000L))
+          .cast("long").as("y"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"))
+      .select(col("n_terms"),
+        when(col("n_terms") < 2 || den === 0.0, lit(null).cast("double"))
+          .otherwise(slope).as("slope"),
+        when(col("n_terms") < 2 || den === 0.0, lit(null).cast("double"))
+          .otherwise((col("sy").cast("double") -
+            slope * col("sx").cast("double")) /
+            col("n_terms").cast("double") / lit(1000000.0))
+          .as("intercept"))
+  }
 }

@@ -57,7 +57,11 @@ object ScaleBench {
     // r14 s5: g20's rounds plus the modularity score — one
     // edge×labels join pair, one degree aggregate, three 1-row
     // rollups; the delta over g20 must stay round-shaped.
-    "g21_modularity")
+    "g21_modularity",
+    // r14 s5: fixed-round edge peeling — each round is one g13-class
+    // wedge pass over a SHRINKING edge set; the O(m^1.5) orientation
+    // bound is what must hold as m grows 10× per tier.
+    "g22_ktruss")
 
   /** Second axis (late r10): the corpus-heavy single-pass family —
     * LSH candidate generation, pair verification, the two corpus-pass
@@ -101,6 +105,10 @@ object ScaleBench {
     // r14 s5: t21's broadcast symbol-table join rolled up to the
     // language dimension — the flattest consumer of the BPE chain.
     "t22_bpe_fertility",
+    // r14 s5: one corpus word-count pass + a 1000-row OLS — the
+    // vocabulary-rank template's cheapest consumer; the curve prices
+    // the t06 two-stage rank as vocabulary grows 10× per tier.
+    "t23_zipf_fit",
     // r14 s4 late: CDC chunking — d28 is a pure scan projection (the
     // flattest possible curve), d29 adds the one chunk-hash shuffle;
     // rotated copies keep chunk identity copy-local, so the growth

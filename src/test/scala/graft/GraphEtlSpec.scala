@@ -242,4 +242,31 @@ class GraphEtlSpec extends SparkSpec {
     assert(r1.getAs[Double]("modularity") === 0.0)
     assert(GraphEtl.modularity(twoTri.repartition(5)).head() === r)
   }
+
+  test("kTrussPeel: K4 survives the 4-truss at support 2; a pendant " +
+    "triangle is peeled; the triangle strip cascades to empty") {
+    def run(edges: org.apache.spark.sql.DataFrame, rounds: Int) =
+      GraphEtl.kTrussPeel(edges, 4, rounds)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+        .toMap
+    // K4 on {1,2,3,4}: each edge closes 2 triangles — all survive.
+    // The pendant triangle {4,5,6} has support-1 edges — peeled in
+    // round 1 and never resurrected.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val g = (k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L))).toDF("a", "b")
+    val out = run(g, 2)
+    assert(out === k4.map(e => e -> 2L).toMap)
+    // triangle strip 1-2-3-4-5 ({1,2,3},{2,3,4},{3,4,5}): the shared
+    // edges (2,3),(3,4) have support 2 in round 1, but peeling the
+    // support-1 rim removes their triangles — round 2 empties the
+    // graph, while rounds=1 still reports the two survivors. The
+    // fixed-round contract is observable, like g15's.
+    val strip = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (3L, 5L), (4L, 5L)).toDF("a", "b")
+    assert(run(strip, 1) === Map((2L, 3L) -> 2L, (3L, 4L) -> 2L))
+    assert(run(strip, 2) === Map.empty)
+    // partition independence
+    assert(run(g.repartition(5), 2) === out)
+  }
 }

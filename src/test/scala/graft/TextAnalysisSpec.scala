@@ -389,4 +389,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Long]("n_bpe_tokens") === 5L)
     assert(r.getAs[Double]("chars_per_token") === 11.0 / 5)
   }
+
+  test("zipfFit: exact −1 power law recovers slope −1; degenerate " +
+    "single-rank vocab yields NULL; partition-independent") {
+    // counts 600/300/200/150/120 = 600/k: ln(n_k) = ln 600 − ln k, an
+    // exact −1 line through quantized points (quantization moves x
+    // and y by < 1e-6 nats, so the fitted slope sits within 1e-5)
+    val text = (1 to 5).flatMap(k => Seq.fill(600 / k)(s"w$k"))
+    val docs = Seq((1L, text.mkString(" "))).toDF("doc_id", "text")
+    val r = TextAnalysis.zipfFit(docs).head()
+    assert(r.getAs[Long]("n_terms") === 5L)
+    assert(math.abs(r.getAs[Double]("slope") - (-1.0)) < 1e-5)
+    assert(math.abs(r.getAs[Double]("intercept") - math.log(600.0)) < 1e-5)
+    assert(TextAnalysis.zipfFit(docs.repartition(7)).head() === r)
+    // one distinct rank → NULL fit, not ÷0
+    val mono = Seq((1L, "same")).toDF("doc_id", "text")
+    val r1 = TextAnalysis.zipfFit(mono).head()
+    assert(r1.getAs[Long]("n_terms") === 1L)
+    assert(r1.isNullAt(r1.fieldIndex("slope")))
+    assert(r1.isNullAt(r1.fieldIndex("intercept")))
+  }
 }
