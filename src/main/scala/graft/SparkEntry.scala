@@ -659,6 +659,10 @@ object SparkEntry {
     // from the vectors themselves (no caller label).
     "s10_semantic_neardup" -> ((s, dir) =>
       Similarity.semanticNearDups(t(s, dir, "embeddings"), 0.2)),
+    // SemDeDup survivorship: keep the pair member farther from its
+    // cell centroid; drop anything a more-central ≥τ neighbor covers.
+    "s43_semantic_keep" -> ((s, dir) =>
+      Similarity.semanticKeep(t(s, dir, "embeddings"), 0.2)),
     // Corpus-LM bigram coverage (the truncated-successor-table
     // perplexity-filter analog).
     "t14_lm_coverage" -> ((s, dir) =>
@@ -4236,6 +4240,42 @@ object SparkEntry {
            |   AND a.vec_id < b.vec_id
            | WHERE a.cell IN (SELECT cell FROM keep))
            |WHERE cos >= 0.2""".stripMargin
+    },
+    // semanticKeep mirror: the s10 chain with the rk=1 centroid
+    // similarity carried through; each ≥τ within-cell pair nominates
+    // its more-central member (censim DESC, then id DESC) into the
+    // dropped set, and the full assignment left-joins the flag back.
+    "s43_semantic_keep" -> {
+      val centSim =
+        foldSum("[a.v[i] * c.cv[i] FOR i IN range(1, len(a.v)+1)]") +
+          " / (a.nrm * c.cnrm)"
+      embCte +
+        s""", h AS (SELECT vec_id, v, nrm,
+           |  ${h60("'ivfseed|' || vec_id")} AS hh FROM n),
+           |c AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1
+           |    AS cell, v AS cv, nrm AS cnrm
+           |  FROM h ORDER BY hh, vec_id LIMIT 16),
+           |asg AS (SELECT vec_id, v, nrm, cell, censim FROM (
+           |  SELECT a.vec_id, a.v, a.nrm, c.cell, $centSim AS censim,
+           |   row_number() OVER (PARTITION BY a.vec_id
+           |     ORDER BY $centSim DESC, c.cell) AS rk
+           |  FROM n a CROSS JOIN c) WHERE rk = 1),
+           |keep AS (SELECT cell FROM asg GROUP BY cell
+           |  HAVING count(*) <= 10000),
+           |ak AS (SELECT * FROM asg
+           |  WHERE cell IN (SELECT cell FROM keep)),
+           |dropped AS (SELECT DISTINCT CASE
+           |    WHEN a.censim > b.censim
+           |      OR (a.censim = b.censim AND a.vec_id > b.vec_id)
+           |    THEN a.vec_id ELSE b.vec_id END AS vec_id
+           |  FROM ak a JOIN ak b ON a.cell = b.cell
+           |    AND a.vec_id < b.vec_id
+           |  WHERE $pairDot / (a.nrm * b.nrm) >= 0.2)
+           |SELECT g.vec_id, g.cell, g.censim AS centroid_sim,
+           |  (CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+           |    AS kept
+           |FROM asg g LEFT JOIN dropped d ON d.vec_id = g.vec_id"""
+          .stripMargin
     },
     // lmCoverage mirror: t13's pair fan-out kept per doc, the same
     // top-3 LM built from it, then a multiplicity-1 left join back.

@@ -2107,4 +2107,62 @@ object Similarity {
       .select(col("label"), col("n_a"), col("n_b"), col("drift_sq"),
         (sqrt(col("drift_sq").cast("double")) / scale).as("l2_drift"))
   }
+
+  /** SemDeDup SURVIVORSHIP (s43) — the keep/drop decision that turns
+    * [[semanticNearDups]]' pair list into a deduplicated corpus,
+    * completing the Abbas 2023 pipeline end-to-end: within each IVF
+    * cell, for every cosine-≥τ pair the member FARTHER from the cell
+    * centroid survives (the paper's low-centroid-similarity keep rule
+    * §3 — the outer representative carries the least cluster-generic
+    * content); a document is dropped iff ANY ≥τ neighbor dominates it
+    * (strictly more central, ties broken id-first, so exactly one
+    * side of every pair is dominated). Deliberately EXISTS-local, not
+    * closure-based: the survivor set is a pure per-pair function
+    * (deterministic, partition-independent, mirrorable in one SQL
+    * EXISTS) where a transitive-closure variant would re-run the
+    * d08/d11 fixpoint machinery for no extra dedup power at the τ
+    * this gate runs.
+    *
+    * Output: every corpus vector with its cell, centroid similarity,
+    * and kept flag — docs in cells skipped by the maxBlock cap are
+    * kept trivially (their pairs were never scored; the cap logs
+    * loudly, same discipline as s10).
+    *
+    * Scale shape: s10's exactly — row-local broadcast assignment
+    * (censim is array_max over the same precomputed sims attribute,
+    * free), one cell-blocked pair join, then ONE distinct + left-anti
+    * back to the corpus. Nothing new materializes beyond the dropped
+    * id set.
+    */
+  def semanticKeep(embeddings: DataFrame, tau: Double,
+                   nCells: Int = 16, maxBlock: Int = 10000): DataFrame = {
+    val e = prepared(embeddings)
+    val asg = e.join(broadcast(ivfCentroidArr(e, nCells)))
+      .select(col("vec_id"), col("v"), col("nrm"), ivfSims.as("sims"))
+      .select(col("vec_id"), col("v"), col("nrm"),
+        ivfBestCell(col("sims")).as("cell"),
+        array_max(col("sims")).as("censim"))
+      .materialized
+    val sizes = asg.groupBy(col("cell")).agg(count(lit(1)).as("_bsz"))
+    val skipped = sizes.filter(col("_bsz") > maxBlock).count()
+    if (skipped > 0)
+      log.warn(s"semanticKeep: skipping $skipped cell block(s) over " +
+        s"maxBlock=$maxBlock — raise nCells so the quantizer splits them")
+    val keep = sizes.filter(col("_bsz") <= maxBlock).select(col("cell"))
+    val a = asg.join(broadcast(keep), Seq("cell"), "left_semi")
+    val dropped = a.as("a")
+      .join(a.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .filter(Canon.cosine(Canon.dot(col("a.v"), col("b.v")),
+        col("a.nrm"), col("b.nrm")) >= tau)
+      .select(when(col("a.censim") > col("b.censim") ||
+          (col("a.censim") === col("b.censim") &&
+            col("a.vec_id") > col("b.vec_id")),
+        col("a.vec_id")).otherwise(col("b.vec_id")).as("vec_id"))
+      .distinct()
+    asg.join(dropped.withColumn("_d", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("censim").as("centroid_sim"),
+        when(col("_d").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+  }
 }

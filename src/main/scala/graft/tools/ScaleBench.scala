@@ -109,6 +109,10 @@ object ScaleBench {
     // vocabulary-rank template's cheapest consumer; the curve prices
     // the t06 two-stage rank as vocabulary grows 10× per tier.
     "t23_zipf_fit",
+    // r14 s5: SemDeDup survivorship — the s10 cell-blocked pair join
+    // plus one distinct + anti-join back; rotated copies keep dup
+    // clusters copy-local, so pair volume tracks per-cell mass.
+    "s43_semantic_keep",
     // r14 s4 late: CDC chunking — d28 is a pure scan projection (the
     // flattest possible curve), d29 adds the one chunk-hash shuffle;
     // rotated copies keep chunk identity copy-local, so the growth

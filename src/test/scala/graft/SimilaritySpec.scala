@@ -63,6 +63,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rep.toSet === got.toSet)
   }
 
+  test("semanticKeep: the outermost member of a dup cluster survives, " +
+    "skipped cells keep everything, partitioning-independent") {
+    // nCells = 1: one cell, ≥0.9 pairs form the triangle {0,1,4};
+    // 2 and 3 have no ≥τ neighbor
+    val got = Similarity.semanticKeep(emb, 0.9, nCells = 1)
+      .as[(Long, Int, Double, Long)].collect()
+    assert(got.length === 5)
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(2L)._4 === 1L && byId(3L)._4 === 1L)
+    // exactly one of the triangle survives: its (censim, id) minimum
+    // (keep-farthest-from-centroid, id tiebreak)
+    val tri = Seq(0L, 1L, 4L).map(byId)
+    val expectKeep = tri.minBy(r => (r._3, r._1))._1
+    assert(tri.filter(_._4 === 1L).map(_._1) === Seq(expectKeep))
+    // an over-cap cell is skipped entirely: everything kept, loudly
+    assert(Similarity.semanticKeep(emb, 0.9, nCells = 1, maxBlock = 4)
+      .filter(col("kept") === 0L).isEmpty)
+    // singleton cells: no within-cell pairs, all kept at any tau
+    assert(Similarity.semanticKeep(emb, -1.0, nCells = 5)
+      .filter(col("kept") === 0L).isEmpty)
+    val rep = Similarity.semanticKeep(emb.repartition(7), 0.9, nCells = 1)
+      .as[(Long, Int, Double, Long)].collect()
+    assert(rep.toSet === got.toSet)
+  }
+
   test("annRecall: single-cell IVF is exact, singleton cells miss") {
     // nCells = 1 → IVF scores the whole corpus → recall 1.0
     val exact = Similarity.annRecall(emb, 1, 2, nCells = 1, nProbe = 1)
