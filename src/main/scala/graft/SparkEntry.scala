@@ -356,6 +356,23 @@ object SparkEntry {
     // style, fixed rounds): per dial query, final-frontier top-k.
     "s33_graph_beam_search" -> ((s, dir) =>
       Similarity.graphBeamSearch(t(s, dir, "embeddings"))),
+    // DiskANN composition: the same walk scored with PQ-ADC lookups
+    // against the packed 1-int + m-byte index, exact re-rank at the
+    // end — compressed-in-RAM search, full vectors only for |Q|·beam.
+    "s44_graph_pq_beam" -> ((s, dir) =>
+      Similarity.graphPqBeamSearch(t(s, dir, "embeddings"))),
+    // Compression-cost dial: exact-scored vs PQ-scored walk over the
+    // SAME graph, both against the brute truth; the row gap is the
+    // 32× index compression's recall price net of re-rank.
+    "s45_pq_beam_recall" -> ((s, dir) =>
+      Similarity.graphPqBeamRecall(t(s, dir, "embeddings"))),
+    // The same dial on the clustered fixture (the s30/s35 discipline):
+    // uniform noise has no structure for 128 codes-worth of codebook
+    // to capture, so s45's uniform gap is geometry; this row is the
+    // production proxy.
+    "s46_clustered_pq_recall" -> ((s, dir) =>
+      Similarity.graphPqBeamRecall(
+        Similarity.clusteredEmbeddings(t(s, dir, "embeddings")))),
     // s33's recall dial: entry frontier vs beam-searched frontier
     // against the exact corpus-wide top-k truth.
     "s34_graph_beam_recall" -> ((s, dir) =>
@@ -1521,6 +1538,97 @@ object SparkEntry {
        |SELECT 'beam', n_queries, bhb.n_hits,
        | bhb.n_hits::DOUBLE / (n_queries * $k)::DOUBLE
        |FROM bnq, bhb""".stripMargin
+
+  /** s44/s45 shared PQ-walk tail, appended AFTER [[beamCte]] (so
+    * gsym/qb/ent exist; the exact-scored bf chain goes unreferenced —
+    * hence unevaluated — in s44): the refined PQ codebook (pqCbCte),
+    * the packed codes, the per-query ADC lookup table, then `rounds`
+    * unrolled hop-union-ADC-score-rank rounds pf0..pf<rounds>, the
+    * exact re-rank `prr`, and the ranked top-k `prk`. ADC scores are
+    * the s-ASCENDING ordered-list fold (the s06 convention).
+    */
+  private def pqBeamTail(beam: Int, rounds: Int, k: Int): String = {
+    val base =
+      s""",
+         |$pqCbCte,
+         |pcodes AS (SELECT vec_id, s, code FROM (
+         |  SELECT vec_id, s, code, row_number() OVER (
+         |    PARTITION BY vec_id, s ORDER BY
+         |    list_reduce(list_prepend(0.0,
+         |      [(va[i]-vb[i])*(va[i]-vb[i])
+         |       FOR i IN range(1, len(va)+1)]),
+         |      (acc, x) -> acc + x), code) AS rk FROM sub)
+         |  WHERE rk = 1),
+         |pqt AS (SELECT vec_id AS q_id, s, code,
+         |   list_reduce(list_prepend(0.0,
+         |     [va[i]*vb[i] FOR i IN range(1, len(va)+1)]),
+         |     (acc, x) -> acc + x) AS pdot
+         |  FROM sub WHERE vec_id % 50 = 0),
+         |pc0 AS (SELECT q_id, cand_id FROM qb CROSS JOIN ent
+         |  WHERE cand_id <> q_id)""".stripMargin
+    val walked = (0 to rounds).foldLeft(base) { (acc, r) =>
+      val cand = if (r == 0) ""
+      else s""",
+         |pc$r AS (SELECT DISTINCT q_id, cand_id FROM (
+         |  SELECT q_id, cand_id FROM pf${r - 1}
+         |  UNION ALL
+         |  SELECT f.q_id, g.nbr_id AS cand_id FROM pf${r - 1} f
+         |   JOIN gsym g ON g.vec_id = f.cand_id)
+         | WHERE cand_id <> q_id)""".stripMargin
+      acc + cand + s""",
+         |ps$r AS (SELECT c.q_id, c.cand_id,
+         |  list_reduce(list_prepend(0.0, list(t.pdot ORDER BY t.s)),
+         |    (acc, x) -> acc + x) AS approx_dot
+         | FROM pc$r c JOIN pcodes kk ON kk.vec_id = c.cand_id
+         |  JOIN pqt t ON t.q_id = c.q_id AND t.s = kk.s
+         |   AND t.code = kk.code
+         | GROUP BY c.q_id, c.cand_id),
+         |pf$r AS MATERIALIZED (SELECT q_id, cand_id, approx_dot FROM (
+         | SELECT *, row_number() OVER (PARTITION BY q_id
+         |   ORDER BY approx_dot DESC, cand_id) AS rk FROM ps$r)
+         | WHERE rk <= $beam)""".stripMargin
+    }
+    walked + s""",
+         |prr AS (SELECT f.q_id, f.cand_id,
+         |  $pairDot / (a.nrm * b.nrm) AS sim
+         | FROM pf$rounds f JOIN qb a ON a.q_id = f.q_id
+         |  JOIN n b ON b.vec_id = f.cand_id),
+         |prk AS (SELECT q_id, cand_id, sim, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, cand_id) AS rk FROM prr)
+         | WHERE rk <= $k)""".stripMargin
+  }
+
+  /** s45 tail after [[pqBeamTail]]: the exact corpus-wide truth over
+    * the dial queries, then recall rows for the exact-scored walk
+    * (bf<rounds>, from beamCte) and the re-ranked PQ walk (prk).
+    */
+  private def pqBeamRecallTail(rounds: Int, k: Int): String =
+    s""",
+       |btrs AS (SELECT a.q_id AS vec_id, b.vec_id AS nbr_id,
+       |  $pairDot / (a.nrm * b.nrm) AS sim
+       | FROM qb a JOIN n b ON b.vec_id <> a.q_id),
+       |btr AS MATERIALIZED (SELECT vec_id, nbr_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, nbr_id) AS rk FROM btrs)
+       | WHERE rk <= $k),
+       |bnq AS (SELECT count(*) AS n_queries FROM qb),
+       |bfin AS (SELECT q_id AS vec_id, cand_id AS nbr_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY sim DESC, cand_id) AS rk FROM bf$rounds)
+       | WHERE rk <= $k),
+       |ppk AS (SELECT q_id AS vec_id, cand_id AS nbr_id FROM prk),
+       |bhb AS (SELECT count(*) AS n_hits FROM btr
+       |  JOIN bfin USING (vec_id, nbr_id)),
+       |bhp AS (SELECT count(*) AS n_hits FROM btr
+       |  JOIN ppk USING (vec_id, nbr_id))
+       |SELECT 'beam' AS variant, n_queries, bhb.n_hits AS n_hits,
+       | bhb.n_hits::DOUBLE / (n_queries * $k)::DOUBLE AS recall
+       |FROM bnq, bhb
+       |UNION ALL
+       |SELECT 'pq_beam', n_queries, bhp.n_hits,
+       | bhp.n_hits::DOUBLE / (n_queries * $k)::DOUBLE
+       |FROM bnq, bhp""".stripMargin
 
   /** Oracle mirror of Dedup.lshCandidatePairs' maxBucket=1000 guard
     * (ADVICE r2): buckets larger than the cap are skipped ENTIRELY on
@@ -4082,6 +4190,22 @@ object SparkEntry {
            |   PARTITION BY q_id ORDER BY sim DESC, cand_id)
            |   AS "rank" FROM bf4)
            |WHERE "rank" <= 5""".stripMargin),
+    // graphPqBeamSearch mirror: the descent chain + beamCte's graph/
+    // entries (its exact-scored bf chain unreferenced, so skipped) +
+    // the ADC-scored walk + exact re-rank top-k.
+    "s44_graph_pq_beam" ->
+      (nnDescentCte(4) + beamCte(16, 4, 5, 4) + pqBeamTail(16, 4, 5) +
+        s"""
+           |SELECT q_id, cand_id AS nbr_id, sim, rk AS "rank"
+           |FROM prk""".stripMargin),
+    // graphPqBeamRecall mirror: both walks over the same graph + the
+    // exact truth pass; rows 'beam' and 'pq_beam'.
+    "s45_pq_beam_recall" ->
+      (nnDescentCte(4) + beamCte(16, 4, 5, 4) + pqBeamTail(16, 4, 5) +
+        pqBeamRecallTail(4, 5)),
+    "s46_clustered_pq_recall" ->
+      (nnDescentCte(4, 5, gmCte) + beamCte(16, 4, 5, 4) +
+        pqBeamTail(16, 4, 5) + pqBeamRecallTail(4, 5)),
     // graphBeamRecall mirror: same chain + the exact truth pass and
     // the entry/beam recall rows.
     "s34_graph_beam_recall" ->

@@ -2165,4 +2165,154 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("censim").as("centroid_sim"),
         when(col("_d").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
   }
+
+  /** The s44/s45 shared chain — the DiskANN composition (Subramanya
+    * et al. 2019): [[graphBeamSearch]]'s walk over the s33 search
+    * graph, but every hop scored with PQ-ADC lookups instead of the
+    * full d-dimensional multiply. The point at 100 TB is MEMORY: the
+    * walk's per-candidate reads shrink from d floats to the packed
+    * index row (1 int + m byte codes — the s16 index), so the
+    * frontier expansion runs entirely against an in-memory structure
+    * 32× smaller than the vectors, and full-precision vectors are
+    * touched only for the final |Q|·beam re-rank (the s20
+    * discipline) — exactly DiskANN's split of compressed-in-RAM /
+    * exact-on-SSD. Returns (pq-scored frontier_R, e, gsym, q) so s44
+    * can re-rank exact and s45 can run the exact-scored walk over
+    * the SAME graph.
+    *
+    * Determinism: the ADC score is the fixed s-ascending lookup fold
+    * (knnPqAdc's convention); frontier ranks tie-break on cand_id.
+    */
+  private def pqBeamChain(embeddings: DataFrame, beam: Int, rounds: Int,
+                          graphK: Int, descentRounds: Int, m: Int,
+                          nCodes: Int, dim: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val e = prepared(embeddings).materialized
+    val gsym = searchGraph(e,
+      nnDescent(embeddings, graphK, descentRounds)
+        .select(col("vec_id"), col("nbr_id")))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")).materialized
+    val cbArr = pqCodebook(e, nCodes, m, dim)
+    // the packed index: the ONLY per-candidate data the walk reads
+    val codes = e.join(broadcast(cbArr))
+      .select(col("vec_id").as("cand_id"),
+        Canon.pqEncode(col("v"), col("cbflat"), m).as("codes"))
+      .materialized
+    val sub = dim / m
+    val parts = transform(sequence(lit(0), lit(m - 1)), s =>
+      transform(col("cb"), c =>
+        Canon.dot(slice(col("qv"), s * sub + 1, lit(sub)),
+          slice(c.getField("cv"), s * sub + 1, lit(sub)))))
+    val qtab = q.join(broadcast(cbArr))
+      .select(col("q_id"), parts.as("parts")).materialized
+    val approx = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0d),
+      (acc, s) => acc + element_at(element_at(col("parts"), s + 1),
+        element_at(col("codes"), s + 1) + 1))
+    def scoreAdc(cand: DataFrame): DataFrame = cand
+      .join(codes, "cand_id")
+      .join(broadcast(qtab), "q_id")
+      .select(col("q_id"), col("cand_id"), approx.as("approx_dot"))
+    val entries = e
+      .select(col("vec_id").as("cand_id"),
+        Canon.hashP(col("vec_id").cast("string")).as("_h"))
+      .orderBy(col("_h"), col("cand_id")).limit(beam)
+      .select(col("cand_id"))
+    val wB = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dot").desc, col("cand_id").asc)
+    def topB(scored: DataFrame): DataFrame = scored
+      .withColumn("_rk", row_number().over(wB))
+      .filter(col("_rk") <= beam).drop("_rk")
+    var frontier = topB(scoreAdc(
+      q.select(col("q_id")).crossJoin(broadcast(entries))
+        .filter(col("cand_id") =!= col("q_id")))).materialized
+    (1 to rounds).foreach { _ =>
+      val hops = frontier.select(col("q_id"), col("cand_id"))
+        .join(gsym.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .select(col("q_id"), col("nbr_id").as("cand_id"))
+      val cand = frontier.select(col("q_id"), col("cand_id"))
+        .union(hops).distinct()
+        .filter(col("cand_id") =!= col("q_id"))
+      frontier = topB(scoreAdc(cand)).materialized
+    }
+    (frontier, e, gsym, q)
+  }
+
+  /** Exact re-rank of a (q_id, cand_id) frontier: full-precision
+    * cosines against the query set, per-query top-k with ranks.
+    */
+  private def rerankExact(f: DataFrame, e: DataFrame, q: DataFrame,
+                          k: Int): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    f.select(col("q_id"), col("cand_id"))
+      .join(e.select(col("vec_id").as("cand_id"), col("v"), col("nrm")),
+        "cand_id")
+      .join(q, "q_id")
+      .select(col("q_id"), col("cand_id").as("nbr_id"),
+        Canon.cosine(Canon.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** DiskANN-style PQ-scored graph search (s44): the s33 beam walk
+    * with ADC scoring + exact re-rank of the final frontier — see
+    * [[pqBeamChain]] for why this is the memory-bound production
+    * shape of graph ANN. Output matches s33's (q_id, nbr_id, exact
+    * sim, rank ≤ k), so the two searches are directly comparable.
+    */
+  def graphPqBeamSearch(embeddings: DataFrame, k: Int = 5, beam: Int = 16,
+                        rounds: Int = 4, graphK: Int = 5,
+                        descentRounds: Int = 4, m: Int = 8,
+                        nCodes: Int = 16, dim: Int = 64): DataFrame = {
+    val (f, e, _, q) = pqBeamChain(embeddings, beam, rounds, graphK,
+      descentRounds, m, nCodes, dim)
+    rerankExact(f, e, q, k)
+  }
+
+  /** s44's recall dial (s45): recall@k against the exact corpus-wide
+    * truth for BOTH walks over the SAME search graph — the
+    * full-precision beam (s33's answer) and the PQ-scored beam after
+    * its exact re-rank (s44's answer). The gap between the rows is
+    * the price of 32× index compression NET of re-rank — the number
+    * DiskANN's design bets stays near zero.
+    */
+  def graphPqBeamRecall(embeddings: DataFrame, k: Int = 5, beam: Int = 16,
+                        rounds: Int = 4, graphK: Int = 5,
+                        descentRounds: Int = 4, m: Int = 8,
+                        nCodes: Int = 16, dim: Int = 64): DataFrame = {
+    val (fpq, e, gsym, q) = pqBeamChain(embeddings, beam, rounds, graphK,
+      descentRounds, m, nCodes, dim)
+    val (_, fex) = beamWalk(e, gsym, q, beam, rounds)
+    val wT = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    val truth = q.as("a").join(e.as("b"),
+        col("a.q_id") =!= col("b.vec_id"))
+      .select(col("a.q_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        Canon.cosine(Canon.dot(col("a.qv"), col("b.v")),
+          col("a.qnrm"), col("b.nrm")).as("sim"))
+      .withColumn("rank", row_number().over(wT))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("nbr_id")).materialized
+    val nQ = q.select(countDistinct(col("q_id")).as("n_queries"))
+    def hits(topk: DataFrame, variant: String): DataFrame =
+      truth.join(topk
+          .select(col("q_id").as("vec_id"), col("nbr_id")),
+          Seq("vec_id", "nbr_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nQ))
+        .select(lit(variant).as("variant"), col("n_queries"),
+          col("n_hits"),
+          (col("n_hits").cast("double") /
+            (col("n_queries") * k).cast("double")).as("recall"))
+    val wK = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    val exTop = fex.withColumn("_rk", row_number().over(wK))
+      .filter(col("_rk") <= k)
+      .select(col("q_id"), col("cand_id").as("nbr_id"))
+    hits(exTop, "beam")
+      .unionByName(hits(rerankExact(fpq, e, q, k), "pq_beam"))
+  }
 }

@@ -229,7 +229,12 @@ object ScaleBench {
     // + the brute truth, fanned over 3 thresholds; growth tracks the
     // truth pass (queries × corpus), the honest cost of
     // certification, while the strategy arms stay candidate-bounded.
-    "s42_filtered_curve")
+    "s42_filtered_curve",
+    // r14 s5: the DiskANN composition — s33's walk with the
+    // per-candidate read shrunk to the packed codes; the row prices
+    // that the ADC scoring changes the constant, not the shape
+    // (build + walk stay the s33 curve, plus one codes pass).
+    "s44_graph_pq_beam")
 
   private val Copies = 10
   private val KeyOffset = 10000000L // > any sf0.1 key; multiple of 10

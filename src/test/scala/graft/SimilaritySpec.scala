@@ -592,6 +592,36 @@ class SimilaritySpec extends SparkSpec {
     assert(run(emb.repartition(7)).toSeq === out.toSeq)
   }
 
+  test("graphPqBeamSearch: with the corpus as its own codebook the " +
+    "PQ walk matches the exact walk and the brute truth; " +
+    "partition-independent") {
+    // nCodes ≥ |corpus| makes every subvector its own (fixed-point
+    // quantized) codebook entry, so ADC ordering matches exact
+    // ordering on this fixture's well-separated cosines — the s44
+    // answer must equal s33's, which equals brute force here
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.graphPqBeamSearch(df, k = 2, beam = 3, rounds = 2,
+          graphK = 1, descentRounds = 1, m = 2, nCodes = 8, dim = 4)
+        .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    val out = run(emb)
+    val brute = Similarity.knnBrute(emb, 1, 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    // exact sims on the re-ranked output equal the brute answer
+    assert(out.toSeq === brute.toSeq)
+    assert(run(emb.repartition(7)).toSeq === out.toSeq)
+  }
+
+  test("graphPqBeamRecall: pq_beam matches the exact beam when codes " +
+    "are lossless on the fixture") {
+    val out = Similarity.graphPqBeamRecall(emb, k = 1, beam = 2,
+        rounds = 2, graphK = 1, descentRounds = 1, m = 2, nCodes = 8,
+        dim = 4)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("beam") === ((1L, 1L, 1.0)))
+    assert(out("pq_beam") === ((1L, 1L, 1.0)))
+  }
+
   test("graphBeamRecall: beam dominates the entry frontier; entry row " +
     "prices the starting points alone") {
     val out = Similarity.graphBeamRecall(emb, k = 1, beam = 2,
