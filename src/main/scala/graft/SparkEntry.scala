@@ -774,6 +774,10 @@ object SparkEntry {
     // (micro-nat quantized logs, exact OLS sums).
     "t23_zipf_fit" -> ((s, dir) =>
       TextAnalysis.zipfFit(t(s, dir, "documents"))),
+    // TextRank keywords: g10's integer PageRank over the word
+    // co-occurrence graph, top-20 by stationary score.
+    "t24_textrank_keywords" -> ((s, dir) =>
+      TextAnalysis.textRankKeywords(t(s, dir, "documents"))),
     // LSH banding calibration: analytic detection curve vs actual
     // candidate flags over all capped source-blocked pairs.
     "d19_lsh_curve" -> ((s, dir) =>
@@ -2982,6 +2986,39 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(text, ' ')) AS word
         |  FROM documents)
         |GROUP BY word""".stripMargin,
+    // textRankKeywords mirror: the t14-style adjacent-pair fan-out,
+    // canonical pair counts at minCount=5, symmetrized edges, then
+    // g10's unrolled integer-PageRank rounds and the top-20 cut.
+    "t24_textrank_keywords" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""r$i AS (SELECT v.v,
+           | CAST(150000 + (850000 * coalesce(c.s, 0)) // 1000000
+           |   AS BIGINT) AS rank
+           | FROM v LEFT JOIN (
+           |  SELECT dst, sum(rank // outdeg) AS s FROM ed
+           |  JOIN r${i - 1} ON ed.src = r${i - 1}.v GROUP BY dst) c
+           | ON v.v = c.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |pr AS (SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+         |   FOR i IN range(1, len(w))]) AS p FROM w),
+         |pp AS (SELECT least(p.w1, p.w2) AS a, greatest(p.w1, p.w2) AS b
+         |  FROM pr WHERE p.w1 <> p.w2),
+         |pe AS (SELECT a, b FROM (SELECT a, b, count(*) AS n FROM pp
+         |  GROUP BY 1, 2) WHERE n >= 5),
+         |e AS (SELECT a AS src, b AS dst FROM pe
+         |  UNION ALL SELECT b, a FROM pe),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |ed AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+         |v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS rank FROM v),
+         |$rounds
+         |SELECT word, score, keyword_rank FROM (
+         |  SELECT v AS word, rank AS score, row_number() OVER (
+         |    ORDER BY rank DESC, v) AS keyword_rank FROM r3)
+         |WHERE keyword_rank <= 20""".stripMargin
+    },
     // zipfFit mirror: the t06 rank chain, micro-nat quantized logs,
     // exact HUGEINT OLS sums, then slope/intercept in the identical
     // IEEE operand order (slope = num/den first, intercept reuses it).

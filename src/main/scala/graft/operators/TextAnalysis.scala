@@ -830,6 +830,49 @@ object TextAnalysis {
         concat(col("w1"), col("w2")).as("merged"), col("pair_count")))
   }
 
+  /** TextRank keyword extraction (t24, Mihalcea & Tarau 2004): build
+    * the word co-occurrence graph (adjacent-word pairs, canonical
+    * least/greatest, kept at ≥ `minCount` occurrences — the noise
+    * floor that keeps the graph vocabulary-bounded), symmetrize, and
+    * run [[GraphEtl.pageRankFixedPoint]]'s deterministic integer
+    * PageRank over it; the top-`topK` words by stationary score are
+    * the corpus keywords. The graph-centrality complement to t09's
+    * TF-IDF: IDF scores words by rarity, TextRank by how centrally
+    * they sit in the co-occurrence structure.
+    *
+    * Shape: ONE corpus pair fan-out into a map-side-combinable pair
+    * count (everything after the minCount filter is vocabulary-
+    * bounded), then g10's per-round join+aggregate, then orderBy +
+    * limit (TakeOrderedAndProject — per-partition heaps + driver
+    * merge, never a data-sized partition-less window; the keyword_rank
+    * window runs over the ≤ topK collected rows, the bounded-table
+    * benign class).
+    */
+  def textRankKeywords(documents: DataFrame, minCount: Int = 5,
+                       topK: Int = 20, iters: Int = 3): DataFrame = {
+    val pairs = documents
+      .filter(size(Canon.words(col("text"))) >= 2)
+      .select(Canon.words(col("text")).as("w"))
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2)," +
+          " i -> struct(w[i] as w1, w[i+1] as w2))")).as("p"))
+      .filter(col("p.w1") =!= col("p.w2"))
+      .select(least(col("p.w1"), col("p.w2")).as("a"),
+        greatest(col("p.w1"), col("p.w2")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val edges = pairs.select(col("a").as("_from"), col("b").as("_to"))
+      .union(pairs.select(col("b").as("_from"), col("a").as("_to")))
+    val top = GraphEtl.pageRankFixedPoint(edges, iters)
+      .orderBy(col("rank").desc, col("vertex").asc)
+      .limit(topK)
+    top.withColumn("keyword_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rank").desc, col("vertex").asc)))
+      .select(col("vertex").as("word"), col("rank").as("score"),
+        col("keyword_rank"))
+  }
+
   /** Zipf rank-frequency fit (t23): OLS line through
     * (ln rank, ln count) over the top `maxRank` terms of the
     * [[vocabulary]] table — the corpus-health dial the other text

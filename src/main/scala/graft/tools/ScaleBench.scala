@@ -113,6 +113,10 @@ object ScaleBench {
     // plus one distinct + anti-join back; rotated copies keep dup
     // clusters copy-local, so pair volume tracks per-cell mass.
     "s43_semantic_keep",
+    // r14 s5: TextRank — one corpus pair fan-out, then g10's rounds
+    // over the VOCABULARY-bounded co-occurrence graph (the alphabet
+    // rotation grows the graph 10× per tier, the honest worst case).
+    "t24_textrank_keywords",
     // r14 s4 late: CDC chunking — d28 is a pure scan projection (the
     // flattest possible curve), d29 adds the one chunk-hash shuffle;
     // rotated copies keep chunk identity copy-local, so the growth

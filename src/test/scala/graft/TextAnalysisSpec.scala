@@ -390,6 +390,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("chars_per_token") === 11.0 / 5)
   }
 
+  test("textRankKeywords: hand-traced integer PageRank on the star " +
+    "graph; minCount prunes rare pairs; partition-independent") {
+    // "a b a c a d": canonical pairs (a,b)×2, (a,c)×2, (a,d)×1 —
+    // minCount=2 keeps the star a–{b,c}. Hand-traced 3 rounds of the
+    // g10 integer fixed point: a=1741625, b=c=629187.
+    val docs = Seq((1L, "a b a c a d")).toDF("doc_id", "text")
+    val out = TextAnalysis.textRankKeywords(docs, minCount = 2,
+        topK = 3, iters = 3)
+      .as[(String, Long, Int)].collect().toSeq
+    assert(out === Seq(("a", 1741625L, 1), ("b", 629187L, 2),
+      ("c", 629187L, 3)))
+    assert(TextAnalysis.textRankKeywords(docs.repartition(7),
+      minCount = 2, topK = 3, iters = 3)
+      .as[(String, Long, Int)].collect().toSeq === out)
+    // regular graph (one edge): both endpoints hold the 1e6 fixpoint
+    val k2 = Seq((1L, ("x y " * 6).trim)).toDF("doc_id", "text")
+    val r = TextAnalysis.textRankKeywords(k2, minCount = 5, topK = 5,
+        iters = 3).as[(String, Long, Int)].collect().toSeq
+    assert(r === Seq(("x", 1000000L, 1), ("y", 1000000L, 2)))
+  }
+
   test("zipfFit: exact −1 power law recovers slope −1; degenerate " +
     "single-rank vocab yields NULL; partition-independent") {
     // counts 600/300/200/150/120 = 600/k: ln(n_k) = ln 600 − ln k, an
