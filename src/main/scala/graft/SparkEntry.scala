@@ -888,6 +888,10 @@ object SparkEntry {
     // version intervals (AS OF TIMESTAMP without history replay).
     "p22_time_travel" -> ((s, dir) =>
       Pipeline.timeTravelGrid(t(s, dir, "events"))),
+    // Leakage-proof k-fold split: fold keyed by the d08 cluster rep,
+    // so near-dup clusters can never straddle train/eval.
+    "p23_cluster_safe_folds" -> ((s, dir) =>
+      Pipeline.clusterSafeFolds(t(s, dir, "documents"))),
     // Z-order repack planning: Morton interleave of (partkey,
     // suppkey), equal cut into 32 files, per-file min/max stats (the
     // data-skipping footers). Two-stage rank; row-local bit algebra.
@@ -3049,6 +3053,16 @@ object SparkEntry {
         |     / n_terms::DOUBLE / 1000000.0 END AS intercept
         |FROM a""".stripMargin,
     "d08_dup_clusters" -> dupClustersOracleSql,
+    // clusterSafeFolds mirror: the d08 closure, a left join back to
+    // the corpus (singletons rep themselves), the row-local fold hash.
+    "p23_cluster_safe_folds" -> (dupClustersCte +
+      s"""
+         |SELECT d.doc_id,
+         |  coalesce(c.cluster_rep, d.doc_id) AS cluster_rep,
+         |  ${h60("'fold|' || coalesce(c.cluster_rep, d.doc_id)")} % 5
+         |    AS fold
+         |FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id"""
+      .stripMargin),
     // clusterSizeHistogram mirror: the d08 cluster CTE rolled up twice.
     "d18_cluster_hist" -> (dupClustersCte +
       """, sz AS (SELECT cluster_rep, count(*) AS size FROM clus

@@ -1025,4 +1025,32 @@ object Pipeline {
           .as("epochs_1e6"),
         (col("cap_n") === col("n_total")).as("is_binding"))
   }
+
+  /** Leakage-proof fold assignment (p23): k-fold split keyed by the
+    * document's DUP-CLUSTER representative, not its own id — the
+    * train/eval hygiene rule the near-dup literature keeps
+    * rediscovering (Lee 2022 §6.2: near-dups straddling a doc-hash
+    * split leak training text into the held-out set and inflate eval).
+    * p02's doc-hash split has exactly that hole; here every member of
+    * a d08 duplicate cluster hashes the SAME representative, so a
+    * cluster can never straddle folds BY CONSTRUCTION. Docs in no
+    * cluster are their own representative (singleton clusters).
+    *
+    * Shape: the d08 closure (lineage-truncated fixpoint over the
+    * capped LSH pair set — clustered docs only, usually a small
+    * fraction), ONE left join back to the corpus, then a row-local
+    * hash: at 100 TB the fold column costs one broadcast-able join
+    * over the clustered subset plus scan-speed hashing.
+    */
+  def clusterSafeFolds(documents: DataFrame, k: Int = 5): DataFrame = {
+    val clusters = Dedup.dupClusters(Dedup.lshCandidatePairs(
+      Dedup.minhashSignature(documents)))
+    documents.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("cluster_rep"))
+      .withColumn("fold",
+        Canon.hash60(concat(lit("fold|"),
+          col("cluster_rep").cast("string"))) % k)
+  }
 }

@@ -117,6 +117,9 @@ object ScaleBench {
     // over the VOCABULARY-bounded co-occurrence graph (the alphabet
     // rotation grows the graph 10× per tier, the honest worst case).
     "t24_textrank_keywords",
+    // r14 s5: cluster-keyed folds — the d08 closure plus one corpus
+    // left join; growth must track the clustered subset, not pairs.
+    "p23_cluster_safe_folds",
     // r14 s4 late: CDC chunking — d28 is a pure scan projection (the
     // flattest possible curve), d29 adds the one chunk-hash shuffle;
     // rotated copies keep chunk identity copy-local, so the growth

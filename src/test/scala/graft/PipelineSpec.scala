@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, countDistinct}
 import graft.operators.Pipeline
 
 class PipelineSpec extends SparkSpec {
@@ -389,5 +390,31 @@ class PipelineSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
     assert(out("en") === ((100L, 10L, 300L, 3000000L, true)))
     assert(out("de") === ((400L, 20L, 600L, 1500000L, false)))
+  }
+
+  test("clusterSafeFolds: dup clusters never straddle folds, " +
+    "singletons rep themselves, partition-independent") {
+    val text = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, text), (2L, text), // identical → one LSH cluster, rep 1
+      (3L, (31 to 60).map(i => s"tok$i").mkString(" "))) // singleton
+      .toDF("doc_id", "text")
+    val out = graft.operators.Pipeline.clusterSafeFolds(docs, k = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(out.length === 3)
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 === 1L && byId(2L)._2 === 1L)
+    // the leakage guarantee: cluster members share the fold
+    assert(byId(1L)._3 === byId(2L)._3)
+    assert(byId(3L)._2 === 3L)
+    assert(out.forall(r => r._3 >= 0L && r._3 < 5L))
+    // identity form: every cluster maps to exactly one fold
+    assert(graft.operators.Pipeline.clusterSafeFolds(docs, k = 5)
+      .groupBy(col("cluster_rep"))
+      .agg(countDistinct(col("fold")).as("nf"))
+      .filter(col("nf") =!= 1L).isEmpty)
+    assert(graft.operators.Pipeline
+      .clusterSafeFolds(docs.repartition(7), k = 5)
+      .as[(Long, Long, Long)].collect().toSet === out.toSet)
   }
 }
