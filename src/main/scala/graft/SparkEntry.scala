@@ -834,6 +834,11 @@ object SparkEntry {
     "st14_funnel_state" -> ((s, dir) =>
       graft.streaming.StreamingOps.funnelStateBatch(
         t(s, dir, "events"))),
+    // Windowed top-k event types (the cross-key rank the plain
+    // windowed groupBy can't express); stream twin spec-pinned.
+    "st15_window_topk" -> ((s, dir) =>
+      graft.streaming.StreamingOps.windowTopKBatch(
+        t(s, dir, "events"))),
     // Epoch-capped mixture plan: max total budget under √-law targets
     // with at most 3 passes per language; binding language flagged.
     "p20_mixture_solver" -> ((s, dir) =>
@@ -3765,6 +3770,16 @@ object SparkEntry {
         |LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin,
     // funnelStateBatch mirror: the a03 funnel CTEs widened to ALL
     // users (stage-0 keys present) with the −1 state sentinels.
+    // windowTopKBatch mirror: one (bucket, type) count, the per-
+    // window (n DESC, type) rank, top-3.
+    "st15_window_topk" ->
+      """WITH c AS (SELECT time_bucket(INTERVAL '1 hour', ts)
+        |   AS window_start, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, event_type, n, "rank" FROM (
+        | SELECT *, row_number() OVER (PARTITION BY window_start
+        |   ORDER BY n DESC, event_type) AS "rank" FROM c)
+        |WHERE "rank" <= 3""".stripMargin,
     "st14_funnel_state" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us
         | FROM events),

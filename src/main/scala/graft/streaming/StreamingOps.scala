@@ -619,4 +619,66 @@ object StreamingOps {
           kept.iterator
         })
   }
+
+  /** Windowed top-k event types, batch anchor (st15): per tumbling
+    * event-time window, the `k` most frequent event types under the
+    * (count DESC, type ASC) total order — the trending/leaderboard
+    * query every event pipeline ends up needing, and the one windowed
+    * aggregate the plain groupBy family (st01/st03) can't express
+    * because it RANKS ACROSS KEYS within the window.
+    *
+    * Shape: one map-side-combinable (window, type) count, then a rank
+    * window PARTITIONED BY window_start over the per-window type
+    * counts (type-cardinality-bounded, never data-sized). The
+    * streaming twin [[streamingWindowTopK]] converges to exactly this
+    * frame because counts are COMMUTATIVE state — unlike the funnel's
+    * order-sensitive transitions, any arrival order and any batching
+    * reach the same per-window count map.
+    */
+  def windowTopKBatch(events: DataFrame, duration: String = "1 hour",
+                      k: Int = 3): DataFrame = {
+    val counts = events
+      .withColumn("event_time", eventTime(events))
+      .groupBy(window(col("event_time"), duration), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("event_type").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** One bucketed event for the windowed top-k pair (st15). */
+  case class BucketEvent(bucket_us: Long, event_type: String)
+
+  /** Windowed top-k, streaming twin of [[windowTopKBatch]]
+    * (mapGroupsWithState keyed by the window bucket): state per open
+    * window is the per-type count map (bounded by type cardinality ×
+    * windows inside the watermark, evictable once the watermark
+    * passes the window end); each micro-batch folds its rows in —
+    * ORDER-IRRELEVANT, counts commute — and emits the window's
+    * refreshed ordered top-k (update-mode upsert by bucket). The spec
+    * pins stream ≡ batch ≡ one-event-per-batch replay; convergence
+    * needs no ordering argument at all, which is exactly why count
+    * leaderboards are the easiest stateful op to stream.
+    */
+  def streamingWindowTopK(rows: org.apache.spark.sql.Dataset[BucketEvent],
+                          k: Int = 3)
+      : org.apache.spark.sql.Dataset[(Long, Seq[(String, Long)])] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.bucket_us)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[BucketEvent],
+         state: GroupState[Map[String, Long]]) => {
+          val next = it.foldLeft(
+            state.getOption.getOrElse(Map.empty[String, Long])) {
+            (m, e) =>
+              m + (e.event_type -> (m.getOrElse(e.event_type, 0L) + 1L))
+          }
+          state.update(next)
+          (key, next.toSeq.sortBy { case (t, n) => (-n, t) }.take(k))
+        })
+  }
 }

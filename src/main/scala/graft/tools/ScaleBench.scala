@@ -156,7 +156,11 @@ object ScaleBench {
     "a03_event_funnel",
     // r14: the funnel's state-table anchor — a03's aggregates plus
     // one distinct over the key column; same growth direction.
-    "st14_funnel_state")
+    "st14_funnel_state",
+    // r14 s5: windowed top-k — one (window, type) count + a rank over
+    // type-cardinality-bounded per-window groups; amplified events
+    // grow windows' row counts, the per-window type set stays fixed.
+    "st15_window_topk")
 
   /** Fourth axis (r12, VERDICT r10 #3): the composed ANN ladder —
     * raw-PQ IVFADC (s16), residual IVFADC (s18), and the re-ranked

@@ -556,4 +556,49 @@ class StreamingOpsSpec extends SparkSpec {
       .select("event_id").as[Long].collect().toSet
     assert(kept === Set(1L, 4L))
   }
+
+  test("windowTopKBatch / streamingWindowTopK: stream final top-k ≡ " +
+    "batch anchor ≡ one-event replay (counts commute)") {
+    import StreamingOps.BucketEvent
+    implicit val sqlCtx = spark.sqlContext
+    val H = 3600000000L
+    // hour 0: a×3 b×2 c×1 d×1 → top3 (a,3)(b,2)(c,1); hour 1: b×2 a×1
+    val evs = Seq(
+      (0L, "a"), (0L, "a"), (0L, "a"), (0L, "b"), (0L, "b"),
+      (0L, "c"), (0L, "d"), (1L, "b"), (1L, "b"), (1L, "a"))
+      .map { case (wi, t) => BucketEvent(wi * H, t) }
+    def streamFinal(batches: Seq[Seq[BucketEvent]], name: String)
+        : Map[Long, Seq[(String, Long)]] = {
+      val mem = MemoryStream[BucketEvent]
+      val q = StreamingOps.streamingWindowTopK(mem.toDS(), 3)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("update").start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        // per bucket, the final emission is the one with the largest
+        // total count (totals grow strictly per emission)
+        spark.sql(s"SELECT * FROM $name")
+          .as[(Long, Seq[(String, Long)])].collect()
+          .groupBy(_._1).view
+          .mapValues(rows => rows.maxBy(_._2.map(_._2).sum)._2.toSeq)
+          .toMap
+      } finally q.stop()
+    }
+    val streamed = streamFinal(Seq(evs.take(5), evs.drop(5)), "tk_a")
+    val replayed = streamFinal(evs.map(Seq(_)), "tk_b")
+    assert(streamed === replayed)
+    assert(streamed(0L) === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+    assert(streamed(H) === Seq(("b", 2L), ("a", 1L)))
+    // batch anchor over an events-shaped frame (ns-long ts)
+    val batchDf = evs.zipWithIndex.map { case (e, i) =>
+        (i.toLong, e.bucket_us * 1000L, 1L, e.event_type) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val anchor = StreamingOps.windowTopKBatch(batchDf)
+      .select(unix_micros(col("window_start")).as("b"),
+        col("event_type"), col("n"), col("rank"))
+      .as[(Long, String, Long, Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    assert(anchor === streamed)
+  }
 }
