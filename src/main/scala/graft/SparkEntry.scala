@@ -859,6 +859,10 @@ object SparkEntry {
     // MinHash estimate vs exact Jaccard over LSH candidates.
     "d17_jaccard_est" -> ((s, dir) =>
       Dedup.jaccardEstimatePairs(t(s, dir, "documents"))),
+    // b-bit minhash estimator (b=2) vs full-width vs exact — the
+    // 15.5× signature-compression certificate (Li & König 2010).
+    "d30_bbit_minhash" -> ((s, dir) =>
+      Dedup.bbitMinhashPairs(t(s, dir, "documents"))),
     // Per-vertex local clustering coefficient (g11's node view).
     "g16_local_cc" -> ((s, dir) =>
       GraphEtl.localClustering(
@@ -5326,6 +5330,38 @@ object SparkEntry {
            | ($agree) / 8.0 AS est_jaccard,
            | $exact AS exact_jaccard,
            | abs(($agree) / 8.0 - $exact) AS est_err
+           |FROM pairs JOIN side a ON pairs.doc_a = a.doc_id
+           |  JOIN side b ON pairs.doc_b = b.doc_id""".stripMargin
+    },
+    // bbitMinhashPairs mirror (b=2): d17's chain with the extra low-
+    // 2-bit agreement count and the (4·A − 8)/(8·3) corrected
+    // estimator — same single-division IEEE discipline.
+    "d30_bbit_minhash" -> {
+      val bands = (0 until 4).map(j =>
+        s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
+      val agreeF = (0 until 8)
+        .map(s => s"CASE WHEN a.m$s = b.m$s THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val agreeB = (0 until 8)
+        .map(s => s"CASE WHEN a.m$s % 4 = b.m$s % 4 THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val inter = "len(list_intersect(a.ds, b.ds))"
+      val exact = s"$inter::DOUBLE / (len(a.ds) + len(b.ds) - $inter)"
+      minhashCte +
+        s""", banded AS (SELECT doc_id,
+           | unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig WHERE m0 IS NOT NULL),
+           |$cappedCte,
+           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM capped a JOIN capped b
+           |  ON a.bk = b.bk AND a.doc_id < b.doc_id),
+           |ds AS (SELECT doc_id, list_distinct(hs) AS ds FROM hb),
+           |side AS (SELECT sig.*, ds.ds FROM sig JOIN ds USING (doc_id))
+           |SELECT doc_a, doc_b,
+           | ($agreeF) / 8.0 AS est_full,
+           | (($agreeB) * 4 - 8)::DOUBLE / 24.0 AS est_bbit,
+           | $exact AS exact_jaccard,
+           | abs(($agreeF) / 8.0 - $exact) AS err_full,
+           | abs((($agreeB) * 4 - 8)::DOUBLE / 24.0 - $exact) AS err_bbit
            |FROM pairs JOIN side a ON pairs.doc_a = a.doc_id
            |  JOIN side b ON pairs.doc_b = b.doc_id""".stripMargin
     },

@@ -874,6 +874,72 @@ object Dedup {
         abs(col("est_jaccard") - col("exact_jaccard")))
   }
 
+  /** b-bit minwise hashing (d30, Li & König, WWW 2010): keep only the
+    * lowest `b` bits of each minhash coordinate and estimate Jaccard
+    * with the collision-probability correction
+    * R̂ = (P̂ − C)/(1 − C), C = 2^−b — the STORAGE story for the
+    * minhash index at 100 TB. The d02 signature costs 8 × 31 bits per
+    * doc; at b = 2 the same 8 coordinates cost 16 bits (a ~15.5×
+    * index shrink), and the correction removes the chance-collision
+    * bias the truncation introduces (two random values agree on their
+    * low b bits with probability ≈ 2^−b, so raw agreement
+    * overestimates — the published estimator subtracts exactly that).
+    * The paper's variance result says the b=1..2 estimator needs only
+    * ~3× the coordinates of the full-width one for the same error at
+    * R ≈ 0.5 — far less than the 15–31× space it returns — and this
+    * query CERTIFIES that trade on the corpus's own candidate pairs:
+    * per LSH pair, the full-width estimate (d17's), the b-bit
+    * estimate, the exact shingle Jaccard, and both absolute errors.
+    *
+    * Determinism: agreement counts are exact integers; the estimator
+    * is ONE double division of integers, (2^b·A − n)/(n·(2^b − 1))
+    * with A the b-bit agreement count and n the signature width —
+    * both engines compute the identical correctly-rounded IEEE value.
+    * Truncation is `m % 2^b` on nonnegative Z_p values — identical
+    * algebra in Spark and DuckDB.
+    *
+    * Shape: d17's exactly — the signature materialized once feeding
+    * banding and both join sides, the candidate set is the banded
+    * capped LSH output (never all-pairs), the truncated comparison is
+    * row-local integer math on already-joined rows. The b-bit column
+    * adds NOTHING to the plan beyond 8 codegen'd `%`-comparisons.
+    */
+  def bbitMinhashPairs(documents: DataFrame, b: Int = 2,
+                       nSeeds: Int = 8, k: Int = 3): DataFrame = {
+    require(nSeeds == 8,
+      s"bbitMinhashPairs requires nSeeds=8 (the lshCandidatePairs " +
+        s"band layout); got $nSeeds")
+    require(b >= 1 && b <= 16, s"b must be in [1, 16], got $b")
+    val mask = 1L << b // 2^b
+    val sig = minhashSignature(documents, nSeeds, k).materialized
+    val pairs = lshCandidatePairs(sig)
+    val hw = documents.select(col("doc_id"),
+      transform(Canon.words(col("text")), w => Canon.hashP(w)).as("hw"))
+    val ds = hw.select(col("doc_id"),
+      array_distinct(Canon.shingleHashes(col("hw"), k)).as("ds"))
+    val side = sig.join(ds, Seq("doc_id")).materialized
+    val agreeFull = (0 until nSeeds).map(s =>
+      when(col(s"a.m$s") === col(s"b.m$s"), 1).otherwise(0))
+      .reduce(_ + _)
+    val agreeB = (0 until nSeeds).map(s =>
+      when(col(s"a.m$s") % mask === col(s"b.m$s") % mask, 1).otherwise(0))
+      .reduce(_ + _)
+    val inter = size(array_intersect(col("a.ds"), col("b.ds")))
+    val uni = size(col("a.ds")) + size(col("b.ds")) - inter
+    pairs
+      .join(side.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(side.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (agreeFull.cast("double") / nSeeds).as("est_full"),
+        ((agreeB * mask - nSeeds).cast("double") /
+          (nSeeds * (mask - 1))).as("est_bbit"),
+        (inter.cast("double") / uni).as("exact_jaccard"))
+      .withColumn("err_full",
+        abs(col("est_full") - col("exact_jaccard")))
+      .withColumn("err_bbit",
+        abs(col("est_bbit") - col("exact_jaccard")))
+  }
+
   /** LSH banding calibration: over ALL source-blocked pairs (capped,
     * the d05 shape) with their exact k-shingle Jaccard, the ANALYTIC
     * detection probability of the 4-band × 2-row layout —

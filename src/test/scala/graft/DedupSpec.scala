@@ -370,6 +370,37 @@ class DedupSpec extends SparkSpec {
     assert(out === Array((0L, 1L, 1.0, 1.0, 0.0)))
   }
 
+  test("bbitMinhashPairs: identical docs estimate 1.0 at both widths; " +
+    "b-bit agreement dominates full-width agreement") {
+    val text = "alpha beta gamma delta epsilon"
+    val docs = Seq((0L, text), (1L, text),
+      (2L, "zeta eta theta iota kappa lambda"))
+      .toDF("doc_id", "text")
+    val out = Dedup.bbitMinhashPairs(docs)
+      .as[(Long, Long, Double, Double, Double, Double, Double)].collect()
+    // identical docs: full sig equal → low bits equal → both
+    // estimators at exactly 1.0 ((4·8 − 8)/24 = 1), zero error
+    assert(out === Array((0L, 1L, 1.0, 1.0, 1.0, 0.0, 0.0)))
+
+    // near-dup corpus: full-width value agreement IMPLIES low-bit
+    // agreement, so est_bbit ≥ (4·(8·est_full) − 8)/24 on every pair,
+    // and the corrected estimator never exceeds 1
+    val near = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today ok"),
+      (1L, "the quick brown fox jumps over the lazy cat today ok"),
+      (2L, "the quick brown fox jumps over the lazy dog today ok"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.bbitMinhashPairs(near)
+      .as[(Long, Long, Double, Double, Double, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, estF, estB, exact, errF, errB) =>
+      assert(estB >= (4.0 * (8 * estF) - 8) / 24 - 1e-12)
+      assert(estB <= 1.0 + 1e-12)
+      assert(math.abs(errF - math.abs(estF - exact)) < 1e-12)
+      assert(math.abs(errB - math.abs(estB - exact)) < 1e-12)
+    }
+  }
+
   test("lshDetectionCurve: analytic curve brackets the candidate flag") {
     val text = "alpha beta gamma delta epsilon"
     val docs = Seq(
