@@ -222,6 +222,10 @@ object SparkEntry {
     // later purchase per user; fixed-depth unrolled mins (no scan).
     "a03_event_funnel" -> ((s, dir) =>
       AsOf.eventFunnel(t(s, dir, "events"))),
+    // Cohort retention matrix: first-active-week cohorts × week age,
+    // epoch-µs integer buckets (timezone-independent).
+    "a04_cohort_retention" -> ((s, dir) =>
+      AsOf.cohortRetention(t(s, dir, "events"))),
 
     // --- Graph-ETL parity surface (SURVEY §2.1/§2.9/§2.10) ---
     // P2/F1/F5: payment-edge construction with content-hash _key.
@@ -3772,6 +3776,24 @@ object SparkEntry {
         |FROM t1
         |LEFT JOIN t2 ON t1.user_id = t2.user_id
         |LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin,
+    // cohortRetention mirror: epoch-µs integer week buckets (// is
+    // floor-div; epochs are positive so it equals Spark's div), the
+    // same min-week cohort, distinct-activity cells, size join.
+    "a04_cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+        |  epoch_us(ts) // 604800000000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM e
+        |  GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id, wk FROM e),
+        |cell AS (SELECT c.cohort_week, a.wk - c.cohort_week AS age_weeks,
+        |  count(*) AS n_active
+        | FROM a JOIN c USING (user_id) GROUP BY 1, 2),
+        |sz AS (SELECT cohort_week, count(*) AS cohort_size FROM c
+        |  GROUP BY cohort_week)
+        |SELECT cell.cohort_week, cell.age_weeks, cell.n_active,
+        | sz.cohort_size,
+        | cell.n_active::DOUBLE / sz.cohort_size AS retention
+        |FROM cell JOIN sz USING (cohort_week)""".stripMargin,
     // funnelStateBatch mirror: the a03 funnel CTEs widened to ALL
     // users (stage-0 keys present) with the −1 state sentinels.
     // windowTopKBatch mirror: one (bucket, type) count, the per-

@@ -131,4 +131,46 @@ object AsOf {
         (lit(1) + col("t2_us").isNotNull.cast("int")
           + col("t3_us").isNotNull.cast("int")).cast("long").as("stage"))
   }
+
+  /** Cohort retention matrix (a04) — the classic product-analytics
+    * complement to [[eventFunnel]]: users cohorted by their FIRST
+    * active week, then each (cohort, age) cell counts how many of
+    * that cohort were active `age` weeks later, with the retention
+    * rate against the cohort's size. Weeks are pure epoch-µs integer
+    * buckets (`ts_us div 7·24·3600·10⁶`) — no calendar truncation, so
+    * the bucket algebra is engine- and timezone-independent and the
+    * result hash-gates (date_trunc('week') would couple the gate to
+    * both engines' week-start and session-TZ conventions).
+    *
+    * Scale shape: one (user → min week) aggregate and one distinct
+    * (user, week) projection — both map-side combinable — shuffled on
+    * the SAME key (user_id), so the cohort join co-locates without a
+    * third exchange; the (cohort, age) cells and cohort sizes are
+    * bounded by weeks², and the size join is an explicit broadcast
+    * (a 100 TB event store still spans only ~10³ weeks). By
+    * construction age 0 retention is exactly 1.0 — the standard
+    * sanity row, and the spec pins it.
+    */
+  def cohortRetention(events: DataFrame,
+                      bucketUs: Long = 7L * 24 * 3600 * 1000000L)
+      : DataFrame = {
+    require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
+    val e = events
+      .select(col("user_id"), graft.Tables.tsUs(events).as("ts_us"))
+      .select(col("user_id"), expr(s"ts_us div $bucketUs").as("wk"))
+    val cohort = e.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_week"))
+    val act = e.distinct()
+    val cells = act.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("age_weeks"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = cohort.groupBy(col("cohort_week"))
+      .agg(count(lit(1)).as("cohort_size"))
+    cells.join(broadcast(sizes), "cohort_week")
+      .select(col("cohort_week"), col("age_weeks"), col("n_active"),
+        col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size"))
+          .as("retention"))
+  }
 }

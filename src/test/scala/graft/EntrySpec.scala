@@ -148,6 +148,28 @@ class EntrySpec extends SparkSpec {
     assert(out === Map(1L -> 3L, 2L -> 1L, 4L -> 2L))
   }
 
+  test("cohortRetention: first-week cohorts, age-0 retention exactly " +
+    "1.0, gaps leave missing cells") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wk = 604800000000L // µs per week
+    // u1: weeks 0,1,2; u2: week 0 only; u3: first seen week 1,
+    // returns week 3 (age 2) — week-2 cell absent for cohort 1
+    val ev = Seq(
+      (1L, 100L, 1L), (2L, wk + 5L, 1L), (3L, 2 * wk + 9L, 1L),
+      (4L, 200L, 2L),
+      (5L, wk + 50L, 3L), (6L, 3 * wk + 1L, 3L)
+    ).map { case (id, us, u) => (id, us * 1000L, u, "view") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.operators.AsOf.cohortRetention(ev)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(out === Map(
+      (0L, 0L) -> ((2L, 2L, 1.0)), (0L, 1L) -> ((1L, 2L, 0.5)),
+      (0L, 2L) -> ((1L, 2L, 0.5)),
+      (1L, 0L) -> ((1L, 1L, 1.0)), (1L, 2L) -> ((1L, 1L, 1.0))))
+  }
+
   test("mergedPartialAgg: split-aggregate-merge equals the direct " +
     "aggregate bit-for-bit; avg-of-avgs would not") {
     import org.apache.spark.sql.functions._
