@@ -905,6 +905,10 @@ object SparkEntry {
     // so near-dup clusters can never straddle train/eval.
     "p23_cluster_safe_folds" -> ((s, dir) =>
       Pipeline.clusterSafeFolds(t(s, dir, "documents"))),
+    // Quality-pruning yield curve: decile grades by the t02 composite
+    // score with cumulative keep-top-k docs/tokens yield.
+    "p24_pruning_curve" -> ((s, dir) =>
+      Pipeline.pruningCurve(t(s, dir, "documents"))),
     // Z-order repack planning: Morton interleave of (partkey,
     // suppkey), equal cut into 32 files, per-file min/max stats (the
     // data-skipping footers). Two-stage rank; row-local bit algebra.
@@ -3076,6 +3080,32 @@ object SparkEntry {
          |    AS fold
          |FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id"""
       .stripMargin),
+    // pruningCurve mirror: identical IEEE score (two int divisions,
+    // one multiply), partition-less rank is fine oracle-side, bucket
+    // and cumulative algebra in exact integers, HUGEINT window sums
+    // cast back to BIGINT (§8.4).
+    "p24_pruning_curve" ->
+      """WITH w0 AS (SELECT doc_id, text, string_split(text, ' ') AS w
+        |  FROM documents),
+        |t AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
+        |  (len(list_distinct(w)) / len(w)) *
+        |  ((len(text) - len(regexp_replace(text, '[a-z0-9 ]', '', 'g')))
+        |    / len(text)) AS score
+        | FROM w0),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)
+        |    AS rn, count(*) OVER () AS n,
+        |  sum(n_tokens) OVER ()::BIGINT AS tt FROM t),
+        |p AS (SELECT ((rn - 1) * 10) // n AS bucket,
+        |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS bucket_tokens,
+        |  min(score) AS score_floor, max(tt) AS tt
+        | FROM r GROUP BY 1),
+        |q AS (SELECT bucket, score_floor, n_docs, bucket_tokens,
+        |  sum(n_docs) OVER wc AS dk, sum(bucket_tokens) OVER wc AS tk,
+        |  tt FROM p
+        | WINDOW wc AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING))
+        |SELECT bucket, score_floor, n_docs, bucket_tokens,
+        | dk::BIGINT AS docs_kept, tk::BIGINT AS tokens_kept,
+        | tk::DOUBLE / tt AS token_frac FROM q""".stripMargin,
     // clusterSizeHistogram mirror: the d08 cluster CTE rolled up twice.
     "d18_cluster_hist" -> (dupClustersCte +
       """, sz AS (SELECT cluster_rep, count(*) AS size FROM clus

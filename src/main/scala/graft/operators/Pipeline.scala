@@ -1053,4 +1053,74 @@ object Pipeline {
         Canon.hash60(concat(lit("fold|"),
           col("cluster_rep").cast("string"))) % k)
   }
+
+  /** Quality-pruning yield curve (p24): rank the corpus by a quality
+    * score, cut it into `nBuckets` equal-count grades, and emit per
+    * grade the docs/tokens it contributes plus the CUMULATIVE
+    * keep-top-k yield — the quantity-vs-quality tradeoff table a
+    * data-pruning decision reads (Sorscher et al. 2022: the optimal
+    * keep fraction depends on the data budget, so the decision needs
+    * the whole curve, not one threshold). `score_floor` per grade is
+    * the operating threshold that realizes that cut.
+    *
+    * Score = uniq_ratio · alnum_ratio (t02's repetition and symbol
+    * signals composed): three correctly-rounded IEEE ops on exact
+    * integer counts, so both engines produce the identical double and
+    * the gate hashes. Ranking ties break on doc_id.
+    *
+    * Shape: the global rank is the two-stage template (range-
+    * repartition on (score DESC, doc_id), per-partition row_number,
+    * partition-count prefix offsets — t06/q35/p10); totals are a
+    * 1-row broadcast; the cumulative pass is a window over the
+    * nBuckets-row grade table (the bounded counts-table class). No
+    * partition-less window over data, no second corpus pass.
+    */
+  def pruningCurve(documents: DataFrame, nBuckets: Int = 10,
+                   numPartitions: Int = 32): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val w = Canon.words(col("text"))
+    val scored = documents.select(
+      col("doc_id"),
+      size(w).cast("long").as("n_tokens"),
+      ((size(array_distinct(w)) / size(w)) *
+        ((length(col("text")) -
+          length(regexp_replace(col("text"), "[a-z0-9 ]", ""))) /
+          length(col("text")))).as("score"))
+    val parted = scored
+      .repartitionByRange(numPartitions,
+        col("score").desc, col("doc_id").asc)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val local = parted.withColumn("_r",
+      row_number().over(wLocal).cast("long"))
+    val counts = parted.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    val wOff = org.apache.spark.sql.expressions.Window.orderBy(col("_pid"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("_pid"),
+      coalesce(sum(col("_cnt")).over(wOff), lit(0L)).as("_off"))
+    val tot = scored.agg(count(lit(1)).as("_n"),
+      sum(col("n_tokens")).as("_tt"))
+    val perGrade = local.join(broadcast(offsets), Seq("_pid"))
+      .crossJoin(broadcast(tot))
+      .select(expr(s"((_off + _r - 1) * $nBuckets) div _n").as("bucket"),
+        col("score"), col("n_tokens"), col("_tt"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bucket_tokens"),
+        min(col("score")).as("score_floor"),
+        max(col("_tt")).as("_tt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perGrade
+      .withColumn("docs_kept", sum(col("n_docs")).over(wCum))
+      .withColumn("tokens_kept", sum(col("bucket_tokens")).over(wCum))
+      .select(col("bucket"), col("score_floor"), col("n_docs"),
+        col("bucket_tokens"), col("docs_kept"), col("tokens_kept"),
+        (col("tokens_kept").cast("double") / col("_tt")).as("token_frac"))
+  }
 }

@@ -417,4 +417,31 @@ class PipelineSpec extends SparkSpec {
       .clusterSafeFolds(docs.repartition(7), k = 5)
       .as[(Long, Long, Long)].collect().toSet === out.toSet)
   }
+
+  test("pruningCurve: grades rank by score, cumulative yield reaches " +
+    "the whole corpus, partition-independent") {
+    // scores: A "a b c d" = 1.0 (all distinct, all alnum);
+    // C "x y !!" = 1 · 4/6 ≈ 0.667; D "m m n n" = 0.5; B "a a a a" =
+    // 0.25 → two grades of two docs each
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a a a a"), (3L, "x y !!"), (4L, "m m n n")
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Pipeline.pruningCurve(docs, nBuckets = 2)
+      .orderBy("bucket")
+      .as[(Long, Double, Long, Long, Long, Long, Double)].collect()
+    assert(out.length === 2)
+    val (b0, b1) = (out(0), out(1))
+    assert(b0._1 === 0L && b0._3 === 2L && b0._4 === 7L &&
+      b0._5 === 2L && b0._6 === 7L)
+    assert(math.abs(b0._2 - 4.0 / 6.0) < 1e-12) // grade floor = C's score
+    assert(math.abs(b0._7 - 7.0 / 15.0) < 1e-12)
+    assert(b1._1 === 1L && b1._2 === 0.25 && b1._3 === 2L &&
+      b1._5 === 4L && b1._6 === 15L && b1._7 === 1.0)
+    // the cut is rank-stable under physical layout
+    val re = graft.operators.Pipeline
+      .pruningCurve(docs.repartition(5), nBuckets = 2)
+      .orderBy("bucket")
+      .as[(Long, Double, Long, Long, Long, Long, Double)].collect()
+    assert(re.toSeq === out.toSeq)
+  }
 }
