@@ -303,6 +303,11 @@ object SparkEntry {
     "g22_ktruss" -> ((s, dir) =>
       GraphEtl.kTrussPeel(
         GraphEtl.coSupplierEdges(t(s, dir, "lineitem")), 4, 2)),
+    // One synchronous Louvain local-move round over the 1-round LPA
+    // seed: exact integer gain argmax, before/after modularity audit.
+    "g23_louvain_move" -> ((s, dir) =>
+      GraphEtl.louvainMove(
+        GraphEtl.coSupplierEdges(t(s, dir, "lineitem")), 1)),
 
     // --- LLM-pipeline extension surface (SURVEY §2.12) ---
     // Exact dedup: content-hash groupBy, one shuffle.
@@ -3001,6 +3006,76 @@ object SparkEntry {
         |    (4::HUGEINT * m * e_in - sum_dsq)::DOUBLE
         |      / (4::HUGEINT * m * m)::DOUBLE END AS modularity
         |FROM mm, win, agg2""".stripMargin),
+    // louvainMove mirror: the shared 1-round LPA seed, then the exact
+    // cross-multiplied gain argmax (2m·e_{i→C} − k_i·Σ'_C in HUGEINT,
+    // self-degree excluded for the own community), the strict move
+    // test, and the g21 modularity tail over both partitions. The
+    // shared CTEs are re-wrapped AS MATERIALIZED (em/symm/l1m) and
+    // every multi-consumer tail CTE is MATERIALIZED too: this tail
+    // references them 4–6× each and DuckDB's per-reference CTE
+    // inlining otherwise re-evaluates the whole LPA chain per
+    // reference (the g15/nnDescent lesson — measured >10 min at
+    // sf0.1 unhinted, seconds hinted; evaluation-only, semantics
+    // unchanged).
+    "g23_louvain_move" -> (lpaCtes(1) +
+      """,
+        |em AS MATERIALIZED (SELECT a, b FROM e),
+        |symm AS MATERIALIZED (SELECT a, b FROM sym),
+        |l1m AS MATERIALIZED (SELECT node, lab FROM l1),
+        |deg AS MATERIALIZED (SELECT a AS v, count(*)::BIGINT AS k
+        |  FROM symm GROUP BY a),
+        |mm AS MATERIALIZED (SELECT count(*)::BIGINT AS m FROM em),
+        |dcs AS MATERIALIZED (SELECT l.lab AS community,
+        |  sum(d.k::HUGEINT) AS sigma
+        |  FROM deg d JOIN l1m l ON l.node = d.v GROUP BY 1),
+        |nbr AS MATERIALIZED (SELECT s.a AS a, l.lab AS labc,
+        |  count(*)::BIGINT AS cnt
+        |  FROM symm s JOIN l1m l ON l.node = s.b GROUP BY 1, 2),
+        |scored AS (SELECT n.a, n.labc, la.lab AS laba,
+        |  2::HUGEINT * mm.m * n.cnt - d.k::HUGEINT *
+        |    (dc.sigma - CASE WHEN n.labc = la.lab THEN d.k ELSE 0 END)
+        |    AS s
+        | FROM nbr n JOIN deg d ON d.v = n.a
+        | JOIN l1m la ON la.node = n.a
+        | JOIN dcs dc ON dc.community = n.labc, mm),
+        |best AS (SELECT a, labc AS best_lab, s AS best_s FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY a
+        |    ORDER BY s DESC, labc) AS rk FROM scored) WHERE rk = 1),
+        |stay AS (SELECT la.node AS a, la.lab AS laba,
+        |  2::HUGEINT * mm.m * coalesce(nb.cnt, 0) -
+        |    d.k::HUGEINT * (dc.sigma - d.k) AS stay_s
+        | FROM l1m la JOIN deg d ON d.v = la.node
+        | JOIN dcs dc ON dc.community = la.lab
+        | LEFT JOIN nbr nb ON nb.a = la.node AND nb.labc = la.lab, mm),
+        |nl AS MATERIALIZED (SELECT st.a AS node, st.laba,
+        |  CASE WHEN b.best_s > st.stay_s THEN b.best_lab
+        |       ELSE st.laba END AS lab
+        | FROM stay st LEFT JOIN best b ON b.a = st.a),
+        |mv AS (SELECT sum(CASE WHEN lab <> laba THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_moves FROM nl),
+        |nb2 AS (SELECT count(*)::BIGINT AS n_communities_before,
+        |  sum(sigma * sigma) AS sdq_b FROM dcs),
+        |win_b AS (SELECT count(*)::BIGINT AS e_in FROM em e
+        |  JOIN l1m x ON x.node = e.a JOIN l1m y ON y.node = e.b
+        |  WHERE x.lab = y.lab),
+        |dcs_a AS (SELECT l.lab AS community, sum(d.k::HUGEINT) AS sigma
+        |  FROM deg d JOIN nl l ON l.node = d.v GROUP BY 1),
+        |na2 AS (SELECT count(*)::BIGINT AS n_communities_after,
+        |  sum(sigma * sigma) AS sdq_a FROM dcs_a),
+        |win_a AS (SELECT count(*)::BIGINT AS e_in FROM em e
+        |  JOIN nl x ON x.node = e.a JOIN nl y ON y.node = e.b
+        |  WHERE x.lab = y.lab)
+        |SELECT mm.m, nb2.n_communities_before,
+        | CASE WHEN mm.m = 0 THEN NULL ELSE
+        |   (4::HUGEINT * mm.m * win_b.e_in - nb2.sdq_b)::DOUBLE
+        |     / (4::HUGEINT * mm.m * mm.m)::DOUBLE END
+        |   AS modularity_before,
+        | mv.n_moves, na2.n_communities_after,
+        | CASE WHEN mm.m = 0 THEN NULL ELSE
+        |   (4::HUGEINT * mm.m * win_a.e_in - na2.sdq_a)::DOUBLE
+        |     / (4::HUGEINT * mm.m * mm.m)::DOUBLE END
+        |   AS modularity_after
+        |FROM mm, nb2, win_b, na2, win_a, mv""".stripMargin),
     "t06_vocabulary" ->
       """SELECT word, count(*) AS n,
         | row_number() OVER (ORDER BY count(*) DESC, word ASC) AS "rank"

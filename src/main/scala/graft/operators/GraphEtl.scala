@@ -670,9 +670,18 @@ object GraphEtl {
     * convention.
     */
   def modularity(edges: DataFrame, rounds: Int = 3): DataFrame = {
-    val dec = "decimal(38,0)"
     val e = edges.select(col("a"), col("b")).distinct().materialized
-    val labels = labelPropagation(e, rounds).materialized
+    modularityParts(e, labelPropagation(e, rounds).materialized)
+  }
+
+  /** g21's modularity tail over an ALREADY-built partition — shared
+    * with [[louvainMove]] (g23) so the before/after scores and the
+    * g21 gate are the same algebra by construction. `e` must be the
+    * distinct half-open edge list; `labels` is (vertex, community).
+    */
+  private def modularityParts(e: DataFrame, labels: DataFrame)
+      : DataFrame = {
+    val dec = "decimal(38,0)"
     val within = e
       .join(labels.select(col("vertex").as("a"), col("community").as("ca")),
         "a")
@@ -696,6 +705,99 @@ object GraphEtl {
         col("e_in").as("n_within_edges"),
         when(col("m") === 0L, lit(null).cast("double"))
           .otherwise(num / den).as("modularity"))
+  }
+
+  /** One synchronous Louvain local-move round (g23, Blondel et al.
+    * 2008 phase 1) seeded by `seedRounds` of [[labelPropagation]]:
+    * every node evaluates moving to each NEIGHBOR community and takes
+    * the best strictly-improving move, scored by the modularity gain
+    * in its exact cross-multiplied integer form. Moving i into C
+    * changes Q by (e_{i→C} − k_i·Σ_C/2m)/m ± const, so candidate C's
+    * score is 2m·e_{i→C} − k_i·Σ'_C with Σ'_C the community degree
+    * sum EXCLUDING i when C is i's own community — pure integers
+    * (decimal(38,0) / HUGEINT per §8.4: k_i·Σ_C overflows long on a
+    * 10¹²-edge graph), so the argmax and the strict move test are
+    * exact in both engines, no float in the decision path. Ties break
+    * (score DESC, community ASC); a node with no strictly better
+    * neighbor community stays. Output is the round's audit row:
+    * before/after modularity (the [[modularityParts]] algebra both
+    * times, so g21 and g23 cannot drift), move count, community
+    * counts. Synchronous evaluation (all gains against the SEED
+    * partition) keeps the round deterministic and oracle-mirrorable —
+    * the same contract as g20's synchronous LPA; sequential Louvain's
+    * order-dependence could not hash-gate.
+    *
+    * Shape per round: one edge×labels join + one (node, community)
+    * count (map-side combinable), three small equi-joins onto it, a
+    * per-node argmax window (degree-bounded groups), and two
+    * modularity tails — all g20/g21-class operations, nothing
+    * pairwise. deg/dcs/nbr feed 2–3 consumers each and are
+    * materialized (the p17 exchange-reuse lesson).
+    */
+  def louvainMove(edges: DataFrame, seedRounds: Int = 1): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = edges.select(col("a"), col("b")).distinct().materialized
+    val seed = labelPropagation(e, seedRounds).materialized
+    val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("k"))
+      .materialized
+    val dcs = deg
+      .join(seed.select(col("vertex").as("a"), col("community")), "a")
+      .groupBy(col("community")).agg(sum(col("k").cast(dec)).as("sigma"))
+      .materialized
+    val mRow = broadcast(e.agg(count(lit(1)).as("m")))
+    val nbr = sym
+      .join(seed.select(col("vertex").as("b"), col("community").as("labc")),
+        "b")
+      .groupBy(col("a"), col("labc")).agg(count(lit(1)).as("cnt"))
+      .materialized
+    val scored = nbr
+      .join(deg, "a")
+      .join(seed.select(col("vertex").as("a"), col("community").as("laba")),
+        "a")
+      .join(dcs.select(col("community").as("labc"), col("sigma")), "labc")
+      .crossJoin(mRow)
+      .select(col("a"), col("labc"), col("laba"),
+        (lit(2).cast(dec) * col("m") * col("cnt") -
+          col("k").cast(dec) * (col("sigma") -
+            when(col("labc") === col("laba"), col("k"))
+              .otherwise(lit(0L)).cast(dec))).as("s"))
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("s").desc, col("labc").asc)
+    val best = scored.withColumn("_rk", row_number().over(wBest))
+      .filter(col("_rk") === 1)
+      .select(col("a"), col("labc").as("best_lab"), col("s").as("best_s"))
+    val stay = seed
+      .select(col("vertex").as("a"), col("community").as("laba"))
+      .join(deg, "a")
+      .join(dcs.select(col("community").as("laba"), col("sigma").as("sga")),
+        "laba")
+      .join(nbr.withColumnRenamed("labc", "laba")
+          .withColumnRenamed("cnt", "stay_cnt"),
+        Seq("a", "laba"), "left")
+      .crossJoin(mRow)
+      .select(col("a"), col("laba"),
+        (lit(2).cast(dec) * col("m") * coalesce(col("stay_cnt"), lit(0L)) -
+          col("k").cast(dec) * (col("sga") - col("k").cast(dec)))
+          .as("stay_s"))
+    val decided = stay.join(best, Seq("a"), "left")
+      .select(col("a"), col("laba"),
+        when(col("best_s") > col("stay_s"), col("best_lab"))
+          .otherwise(col("laba")).as("newlab"))
+      .materialized
+    val before = modularityParts(e, seed)
+    val after = modularityParts(e,
+      decided.select(col("a").as("vertex"), col("newlab").as("community")))
+    val moves = decided.agg(
+      sum(when(col("newlab") =!= col("laba"), 1L).otherwise(0L))
+        .as("n_moves"))
+    before
+      .select(col("m"), col("n_communities").as("n_communities_before"),
+        col("modularity").as("modularity_before"))
+      .crossJoin(broadcast(moves))
+      .crossJoin(broadcast(after.select(
+        col("n_communities").as("n_communities_after"),
+        col("modularity").as("modularity_after"))))
   }
 
   /** Per-edge triangle support of a MATERIALIZED canonical (a < b)

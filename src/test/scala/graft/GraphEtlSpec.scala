@@ -243,6 +243,28 @@ class GraphEtlSpec extends SparkSpec {
     assert(GraphEtl.modularity(twoTri.repartition(5)).head() === r)
   }
 
+  test("louvainMove: hand-checked strict-gain moves on two triangles " +
+    "+ bridge improve modularity; partition-independent") {
+    // LPA(1) seed: {1→2, 2→1, 3→1, 4→3, 5→4, 6→4} — 4 communities,
+    // e_in = 2, Σd² = 2²+5²+3²+4² = 54 → Q_before = (56−54)/196.
+    // Gains (2m·e − k·Σ'): node 1 → lab1 (18 > 0, moves); node 2 →
+    // lab2 (10 > 8, moves); node 3 ties lab1/lab2 at 8, stays (strict
+    // test); node 4 → lab4 (16 > 0, moves... to its neighbors' own
+    // community, which node 4's seed label 3 never contained it);
+    // nodes 5,6 best = stay (10 = 10). After: {1,3},{2},{4,5,6} —
+    // e_in = 4, Σd² = 25+4+49 = 78 → Q_after = (112−78)/196.
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val r = GraphEtl.louvainMove(twoTri, 1).head()
+    assert(r.getAs[Long]("m") === 7L)
+    assert(r.getAs[Long]("n_communities_before") === 4L)
+    assert(r.getAs[Double]("modularity_before") === 2.0 / 196)
+    assert(r.getAs[Long]("n_moves") === 3L)
+    assert(r.getAs[Long]("n_communities_after") === 3L)
+    assert(r.getAs[Double]("modularity_after") === 34.0 / 196)
+    assert(GraphEtl.louvainMove(twoTri.repartition(5), 1).head() === r)
+  }
+
   test("kTrussPeel: K4 survives the 4-truss at support 2; a pendant " +
     "triangle is peeled; the triangle strip cascades to empty") {
     def run(edges: org.apache.spark.sql.DataFrame, rounds: Int) =
