@@ -768,6 +768,9 @@ object SparkEntry {
     "t18_dsir_weights" -> ((s, dir) =>
       TextAnalysis.importanceWeights(t(s, dir, "documents"), "en")),
     // Held-in add-one bigram perplexity (CCNet-style corpus-LM filter).
+    // Top-50 PMI collocations (min-count floor, micro-nat ranks).
+    "t25_pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(t(s, dir, "documents"))),
     "t19_perplexity" -> ((s, dir) =>
       TextAnalysis.perplexity(t(s, dir, "documents"))),
     // Distributed BPE training: 5 greedy merges over the word vocab.
@@ -5316,6 +5319,26 @@ object SparkEntry {
     // perplexity mirror: t13/t14's pair fan-out, add-one smoothing,
     // ln of ONE exact-int division quantized to micro-nats (the s32
     // fixed-point convention), mirrored operand order on the mean.
+    // pmiCollocations mirror: bigram counts, positional rollups,
+    // the mirrored-operand (c12·N as double)/(c1·c2 as double) ratio,
+    // micro-nat quantization, total-order top-50.
+    "t25_pmi_collocations" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |p0 AS (SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
+        |    FOR i IN range(1, len(w))]) AS p FROM w),
+        |pp AS (SELECT p.w1 AS w1, p.w2 AS w2 FROM p0),
+        |big AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM pp
+        |  GROUP BY w1, w2),
+        |c1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM big GROUP BY w1),
+        |c2 AS (SELECT w2, sum(c12)::BIGINT AS c2 FROM big GROUP BY w2),
+        |nn AS (SELECT sum(c12)::BIGINT AS n FROM big)
+        |SELECT w1, w2, c12, c1, c2,
+        |  floor(ln((c12::DOUBLE * n) / (c1::DOUBLE * c2)) * 1000000)
+        |    ::BIGINT AS pmi_micro
+        |FROM big JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nn
+        |WHERE c12 >= 5
+        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""".stripMargin,
     "t19_perplexity" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),

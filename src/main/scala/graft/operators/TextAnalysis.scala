@@ -922,4 +922,53 @@ object TextAnalysis {
             col("n_terms").cast("double") / lit(1000000.0))
           .as("intercept"))
   }
+
+  /** Top-k PMI collocations (t25, Church & Hanks 1990): adjacent word
+    * pairs ranked by pointwise mutual information
+    * PMI = ln(P(w1,w2) / (P(w1)·P(w2))) = ln(c12·N / (c1·c2)) with N
+    * the total bigram count, c1/c2 positional unigram counts — the
+    * collocation extractor ("new york", "et al") a tokenizer/phrase
+    * vocabulary decision reads, complementing t13's per-context mode
+    * (t13 asks "what follows w1", PMI asks "which pairs cohere
+    * mutually"). The classic low-count pathology (hapax pairs get top
+    * PMI) is cut by the published `minCount` floor BEFORE ranking.
+    *
+    * Float discipline (t19/t23's): the ratio is two products and ONE
+    * division in mirrored operand order — (c12·N as double) /
+    * (c1·c2 as double), products in DOUBLE because c12·N overflows
+    * long at corpus scale — then ln, quantized to integer micro-nats
+    * (floor·10⁶), so the rank order and the gated column are exact
+    * integers. Ties break (w1, w2).
+    *
+    * Shape: one corpus-sized bigram fan-out feeding one map-side
+    * count; c1/c2/N are vocab-bounded rollups of THAT table (no
+    * second corpus pass), joined back onto the bigram counts;
+    * the top-k is TakeOrderedAndProject (q06's class) — never a
+    * partition-less rank window.
+    */
+  def pmiCollocations(documents: DataFrame, k: Int = 50,
+                      minCount: Long = 5L): DataFrame = {
+    val pairs = documents
+      .filter(size(Canon.words(col("text"))) >= 2)
+      .select(Canon.words(col("text")).as("w"))
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2)," +
+          " i -> struct(w[i] as w1, w[i+1] as w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val big = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12")).materialized
+    val c1 = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val c2 = big.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val nRow = big.agg(sum(col("c12")).as("n"))
+    big.filter(col("c12") >= minCount)
+      .join(c1, "w1")
+      .join(c2, "w2")
+      .crossJoin(broadcast(nRow))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        floor(log((col("c12").cast("double") * col("n")) /
+          (col("c1").cast("double") * col("c2"))) * lit(1000000L))
+          .cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+  }
 }

@@ -430,4 +430,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r1.isNullAt(r1.fieldIndex("slope")))
     assert(r1.isNullAt(r1.fieldIndex("intercept")))
   }
+
+  test("pmiCollocations: hand-computed PMI on planted phrases; " +
+    "min-count floor cuts hapax pairs; partition-independent") {
+    // "a b"×5 ++ "c d"×5 in one doc: bigrams (a,b)=5, (b,a)=4,
+    // (b,c)=1, (c,d)=5, (d,c)=4 → N=19; only (a,b),(c,d) clear the
+    // floor; both have c1=c2=5 → PMI = ln(5·19/25) = ln 3.8
+    val text = (Seq.fill(5)("a b") ++ Seq.fill(5)("c d")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val exp = math.floor(math.log(3.8) * 1e6).toLong
+    val out = TextAnalysis.pmiCollocations(docs)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq(("a", "b", 5L, 5L, 5L, exp),
+      ("c", "d", 5L, 5L, 5L, exp)))
+    assert(TextAnalysis.pmiCollocations(docs.repartition(7))
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+      === out)
+    // a genuine collocation outranks a frequent-but-independent pair:
+    // "x y" always adjacent vs "p"/"q" co-frequent but shuffled
+    val mixed = Seq((1L, (Seq.fill(8)("x y") ++
+      Seq.fill(8)("p q") ++ Seq.fill(8)("q p")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.pmiCollocations(mixed)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    val pmi = m.map(r => (r._1, r._2) -> r._6).toMap
+    assert(pmi(("x", "y")) > pmi(("p", "q")))
+  }
 }
