@@ -875,6 +875,10 @@ object SparkEntry {
     // 15.5× signature-compression certificate (Li & König 2010).
     "d30_bbit_minhash" -> ((s, dir) =>
       Dedup.bbitMinhashPairs(t(s, dir, "documents"))),
+    // Character-level near-dup verify: Levenshtein over LSH
+    // candidates, length-incompatible pairs skipped (NULL distance).
+    "d31_edit_distance" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "documents"))),
     // Per-vertex local clustering coefficient (g11's node view).
     "g16_local_cc" -> ((s, dir) =>
       GraphEtl.localClustering(
@@ -5482,6 +5486,35 @@ object SparkEntry {
            | abs(($agree) / 8.0 - $exact) AS est_err
            |FROM pairs JOIN side a ON pairs.doc_a = a.doc_id
            |  JOIN side b ON pairs.doc_b = b.doc_id""".stripMargin
+    },
+    // editDistancePairs mirror: the d17 candidate chain joined back
+    // to texts; the length-filter CASE mirrors the kernel skip
+    // (integer algebra), sim_pct is exact integer percent.
+    "d31_edit_distance" -> {
+      val bands = (0 until 4).map(j =>
+        s"md5(concat_ws('|', '$j', m${2 * j}::VARCHAR, m${2 * j + 1}::VARCHAR))")
+      minhashCte +
+        s""", banded AS (SELECT doc_id,
+           | unnest([${bands.mkString(",\n  ")}]) AS bk FROM sig WHERE m0 IS NOT NULL),
+           |$cappedCte,
+           |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM capped a JOIN capped b
+           |  ON a.bk = b.bk AND a.doc_id < b.doc_id),
+           |side AS (SELECT doc_id, text, len(text)::BIGINT AS l
+           |  FROM documents),
+           |lv AS (SELECT doc_a, doc_b,
+           |  CASE WHEN (greatest(a.l, b.l) - least(a.l, b.l)) * 100
+           |         > 20 * greatest(a.l, b.l) THEN NULL
+           |       ELSE levenshtein(a.text, b.text)::BIGINT END
+           |    AS lev_dist,
+           |  greatest(a.l, b.l) AS max_len
+           | FROM pairs JOIN side a ON pairs.doc_a = a.doc_id
+           |  JOIN side b ON pairs.doc_b = b.doc_id)
+           |SELECT doc_a, doc_b, lev_dist, max_len,
+           | ((max_len - lev_dist) * 100) // max_len AS sim_pct,
+           | coalesce(((max_len - lev_dist) * 100) // max_len >= 80,
+           |   false) AS is_dup
+           |FROM lv""".stripMargin
     },
     // bbitMinhashPairs mirror (b=2): d17's chain with the extra low-
     // 2-bit agreement count and the (4·A − 8)/(8·3) corrected

@@ -940,6 +940,51 @@ object Dedup {
         abs(col("est_bbit") - col("exact_jaccard")))
   }
 
+  /** Edit-distance near-dup verification over the LSH candidate set
+    * (d31): per candidate pair, the Levenshtein distance, the
+    * normalized similarity 100·(maxlen − lev) div maxlen in EXACT
+    * integer percent, and the ≥ `tauPct` duplicate verdict — the
+    * character-level complement to the shingle verifiers (d05/d17
+    * see word sets and miss single-character edits inside words;
+    * edit distance prices every keystroke). The shape near-dup
+    * pipelines use when OCR noise / typo variants slip past
+    * set-based Jaccard.
+    *
+    * Scale: levenshtein is the one O(|a|·|b|)-per-row kernel in the
+    * family, so it runs ONLY on length-compatible candidates — edit
+    * distance is bounded below by the length difference, so
+    * (maxlen − minlen)·100 > (100 − τ)·maxlen already proves
+    * sim < τ, and those pairs emit a NULL distance and a false
+    * verdict without running the kernel (the d26 length-filter
+    * theorem transplanted to edit space; exactness-preserving for
+    * the verdict, and the skip itself is visible in the output).
+    * Candidates are the banded capped LSH set — never all-pairs.
+    */
+  def editDistancePairs(documents: DataFrame, tauPct: Int = 80)
+      : DataFrame = {
+    require(tauPct >= 1 && tauPct <= 100,
+      s"tauPct must be in [1, 100], got $tauPct")
+    val sig = minhashSignature(documents).materialized
+    val pairs = lshCandidatePairs(sig)
+    val side = documents.select(col("doc_id"), col("text"),
+      length(col("text")).as("len"))
+    val maxLen = greatest(col("a.len"), col("b.len"))
+    val minLen = least(col("a.len"), col("b.len"))
+    val hopeless = (maxLen - minLen) * 100 > maxLen * (100 - tauPct)
+    pairs
+      .join(side.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(side.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        when(hopeless, lit(null))
+          .otherwise(levenshtein(col("a.text"), col("b.text")))
+          .cast("long").as("lev_dist"),
+        maxLen.cast("long").as("max_len"))
+      .withColumn("sim_pct",
+        expr("((max_len - lev_dist) * 100) div max_len"))
+      .withColumn("is_dup",
+        coalesce(col("sim_pct") >= tauPct, lit(false)))
+  }
+
   /** LSH banding calibration: over ALL source-blocked pairs (capped,
     * the d05 shape) with their exact k-shingle Jaccard, the ANALYTIC
     * detection probability of the 4-band × 2-row layout —

@@ -401,6 +401,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("editDistancePairs: exact char-level verdicts; length-" +
+    "incompatible candidates skip the kernel with NULL distance") {
+    val base = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (0L, base), (1L, base), // identical: lev 0, sim 100
+      (2L, "alpha beta gamma delta epsilox"), // one char: lev 1
+      (3L, base + " " + base + " " + base) // 3×: length filter fires
+    ).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(docs)
+      .as[(Long, Long, Option[Long], Long, Option[Long], Boolean)]
+      .collect().map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6)))
+      .toMap
+    assert(out((0L, 1L)) === ((Some(0L), 30L, Some(100L), true)))
+    assert(out((0L, 2L)) === ((Some(1L), 30L, Some(96L), true)))
+    // (92 − 62)·100 = 3000 > 20·92: hopeless — kernel skipped, the
+    // verdict still exact (lev ≥ length diff forces sim < 80)
+    assert(out((0L, 3L)) === ((None, 92L, None, false)))
+    assert(out((1L, 3L)) === ((None, 92L, None, false)))
+    // tightening τ flips the one-char pair, never the identical one
+    val strict = Dedup.editDistancePairs(docs, tauPct = 100)
+      .as[(Long, Long, Option[Long], Long, Option[Long], Boolean)]
+      .collect().map(r => (r._1, r._2) -> r._6).toMap
+    assert(strict((0L, 1L)) && !strict((0L, 2L)))
+  }
+
   test("lshDetectionCurve: analytic curve brackets the candidate flag") {
     val text = "alpha beta gamma delta epsilon"
     val docs = Seq(
