@@ -226,6 +226,10 @@ object SparkEntry {
     // epoch-µs integer buckets (timezone-independent).
     "a04_cohort_retention" -> ((s, dir) =>
       AsOf.cohortRetention(t(s, dir, "events"))),
+    // RFM user segmentation: exact-cent monetary, integer-quantile
+    // grades (1 = best), classic three-digit code.
+    "a05_rfm_segments" -> ((s, dir) =>
+      AsOf.rfmSegments(t(s, dir, "events"))),
 
     // --- Graph-ETL parity surface (SURVEY §2.1/§2.9/§2.10) ---
     // P2/F1/F5: payment-edge construction with content-hash _key.
@@ -3888,6 +3892,34 @@ object SparkEntry {
         |FROM t1
         |LEFT JOIN t2 ON t1.user_id = t2.user_id
         |LEFT JOIN t3 ON t1.user_id = t3.user_id""".stripMargin,
+    // rfmSegments mirror: per-user rollup (exact cents), corpus-max
+    // anchor, three ranked quantile grades (ties on user_id), the
+    // same ((rn−1)·5)//n + 1 integer assignment.
+    "a05_rfm_segments" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+        |  FROM events),
+        |pu AS (SELECT user_id, max(ts_us) AS last_ts,
+        |  count(*)::BIGINT AS frequency,
+        |  sum(floor(value * 100)::BIGINT)::BIGINT AS monetary_cents
+        | FROM e GROUP BY user_id),
+        |t0 AS (SELECT max(ts_us) AS t0 FROM e),
+        |r AS (SELECT user_id,
+        |  (t0.t0 - last_ts) // 86400000000 AS recency_days,
+        |  frequency, monetary_cents FROM pu, t0),
+        |n AS (SELECT count(*)::BIGINT AS n FROM r),
+        |rq AS (SELECT user_id, ((row_number() OVER (
+        |    ORDER BY recency_days, user_id) - 1) * 5) // n.n + 1
+        |    AS r_q FROM r, n),
+        |fq AS (SELECT user_id, ((row_number() OVER (
+        |    ORDER BY frequency DESC, user_id) - 1) * 5) // n.n + 1
+        |    AS f_q FROM r, n),
+        |mq AS (SELECT user_id, ((row_number() OVER (
+        |    ORDER BY monetary_cents DESC, user_id) - 1) * 5) // n.n + 1
+        |    AS m_q FROM r, n)
+        |SELECT r.user_id, recency_days, frequency, monetary_cents,
+        | r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS rfm_code
+        |FROM r JOIN rq USING (user_id) JOIN fq USING (user_id)
+        | JOIN mq USING (user_id)""".stripMargin,
     // cohortRetention mirror: epoch-µs integer week buckets (// is
     // floor-div; epochs are positive so it equals Spark's div), the
     // same min-week cohort, distinct-activity cells, size join.

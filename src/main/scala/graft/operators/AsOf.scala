@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Materialize.MatOps
 
 /** Temporal join operators the reference lacks entirely (SURVEY.md
   * §2.3: "No theta/range/as-of joins exist in the reference") — the
@@ -172,5 +173,79 @@ object AsOf {
         col("cohort_size"),
         (col("n_active").cast("double") / col("cohort_size"))
           .as("retention"))
+  }
+
+  /** The repo's two-stage global rank (t06/q35/p10 template) as a
+    * local helper: range-repartition on `order`, per-partition
+    * row_number, partition-count prefix offsets via one window over
+    * the tiny counts table — never a partition-less window over data.
+    * Appends `rnName` (1-based) to `df`.
+    */
+  private def globalRank(df: DataFrame,
+                         order: Seq[org.apache.spark.sql.Column],
+                         rnName: String,
+                         numPartitions: Int): DataFrame = {
+    val parted = df.repartitionByRange(numPartitions, order: _*)
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("_pid")).orderBy(order: _*)
+    val local = parted.withColumn("_r",
+      row_number().over(wLocal).cast("long"))
+    val counts = parted.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    val wOff = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("_pid"),
+      coalesce(sum(col("_cnt")).over(wOff), lit(0L)).as("_off"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(rnName, col("_off") + col("_r"))
+      .drop("_pid", "_r", "_off")
+  }
+
+  /** RFM segmentation (a05) — the marketing-analytics staple beside
+    * [[cohortRetention]]: per user, recency (days since last event,
+    * against the corpus max as the anchor), frequency (event count),
+    * and monetary (Σ value in EXACT integer cents — a double sum is
+    * summation-order-dependent and could not hash-gate), each graded
+    * into `nq` equal-count quantiles with 1 = best (most recent /
+    * most frequent / highest spend; ties break on user_id), composed
+    * into the classic three-digit `rfm_code`.
+    *
+    * Scale: one map-side-combinable per-user aggregate over the event
+    * store, a 1-row anchor broadcast, then THREE two-stage global
+    * ranks over the (much smaller) user table — the [[globalRank]]
+    * template per dimension, joined back on user_id; quantile
+    * assignment is exact integer algebra ((rank−1)·nq div n + 1), no
+    * percentile sketch, no partition-less window.
+    */
+  def rfmSegments(events: DataFrame, nq: Int = 5,
+                  numPartitions: Int = 32): DataFrame = {
+    require(nq >= 1, s"nq must be >= 1, got $nq")
+    val e = events.select(col("user_id"),
+      graft.Tables.tsUs(events).as("ts_us"), col("value"))
+    val perUser = e.groupBy(col("user_id")).agg(
+      max(col("ts_us")).as("last_ts"),
+      count(lit(1)).as("frequency"),
+      sum(floor(col("value") * lit(100.0)).cast("long"))
+        .as("monetary_cents"))
+    val anchor = broadcast(e.agg(max(col("ts_us")).as("t0")))
+    val rfm = perUser.crossJoin(anchor)
+      .select(col("user_id"),
+        expr("(t0 - last_ts) div 86400000000").as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+      .materialized
+    val n = broadcast(rfm.agg(count(lit(1)).as("_n")))
+    def grade(order: Seq[org.apache.spark.sql.Column], qName: String) =
+      globalRank(rfm, order, "_rn", numPartitions)
+        .crossJoin(n)
+        .select(col("user_id"),
+          (expr(s"((_rn - 1) * $nq) div _n") + 1L).as(qName))
+    val rq = grade(Seq(col("recency_days").asc, col("user_id").asc), "r_q")
+    val fq = grade(Seq(col("frequency").desc, col("user_id").asc), "f_q")
+    val mq = grade(Seq(col("monetary_cents").desc, col("user_id").asc),
+      "m_q")
+    rfm.join(rq, "user_id").join(fq, "user_id").join(mq, "user_id")
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_q"), col("f_q"), col("m_q"),
+        (col("r_q") * 100L + col("f_q") * 10L + col("m_q"))
+          .as("rfm_code"))
   }
 }

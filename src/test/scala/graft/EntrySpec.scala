@@ -170,6 +170,35 @@ class EntrySpec extends SparkSpec {
       (1L, 0L) -> ((1L, 1L, 1.0)), (1L, 2L) -> ((1L, 1L, 1.0))))
   }
 
+  test("rfmSegments: distinct R/F/M profiles land on the diagonal " +
+    "codes; exact cents; partition-independent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val day = 86400000000L // µs
+    // u1 best on all three axes … u5 worst: with n = 5 users each
+    // quintile equals the rank, so codes are 111…555
+    val ev = Seq(
+      (1L, 10 * day, 1L, 10.0), (2L, 10 * day - 5L, 1L, 10.0),
+      (3L, 10 * day - 9L, 1L, 10.0),
+      (4L, 9 * day, 2L, 5.0), (5L, 9 * day - 5L, 2L, 5.0),
+      (6L, 8 * day, 3L, 3.0),
+      (7L, 7 * day, 4L, 2.0),
+      (8L, 6 * day, 5L, 1.0)
+    ).map { case (id, us, u, v) => (id, us * 1000L, u, v) }
+      .toDF("event_id", "ts", "user_id", "value")
+    val out = graft.operators.AsOf.rfmSegments(ev)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 0L, 3L, 3000L, 1L, 1L, 1L, 111L)))
+    assert(out(2L) === ((2L, 1L, 2L, 1000L, 2L, 2L, 2L, 222L)))
+    assert(out(3L) === ((3L, 2L, 1L, 300L, 3L, 3L, 3L, 333L)))
+    assert(out(4L) === ((4L, 3L, 1L, 200L, 4L, 4L, 4L, 444L)))
+    assert(out(5L) === ((5L, 4L, 1L, 100L, 5L, 5L, 5L, 555L)))
+    assert(graft.operators.AsOf.rfmSegments(ev.repartition(7))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].collect()
+      .toSet === out.values.toSet)
+  }
+
   test("mergedPartialAgg: split-aggregate-merge equals the direct " +
     "aggregate bit-for-bit; avg-of-avgs would not") {
     import org.apache.spark.sql.functions._
