@@ -61,7 +61,12 @@ object ScaleBench {
     // r14 s5: fixed-round edge peeling — each round is one g13-class
     // wedge pass over a SHRINKING edge set; the O(m^1.5) orientation
     // bound is what must hold as m grows 10× per tier.
-    "g22_ktruss")
+    "g22_ktruss",
+    // r14 s6: one Louvain gain round over the 1-round LPA seed — one
+    // edge×labels join + one (node, community) count + three small
+    // equi-joins + two modularity tails; must track g20/g21's curve
+    // (the gain argmax adds joins, not rounds).
+    "g23_louvain_move")
 
   /** Second axis (late r10): the corpus-heavy single-pass family —
     * LSH candidate generation, pair verification, the two corpus-pass
@@ -124,7 +129,16 @@ object ScaleBench {
     // flattest possible curve), d29 adds the one chunk-hash shuffle;
     // rotated copies keep chunk identity copy-local, so the growth
     // variable is the distinct chunk store, 10× per tier.
-    "d28_cdc_chunks", "d29_cdc_dedup")
+    "d28_cdc_chunks", "d29_cdc_dedup",
+    // r14 s6: the two LSH-candidate verifiers (d30 adds only
+    // row-local bit agreement to d17's chain; d31's levenshtein runs
+    // on length-compatible candidates only — pair volume is the
+    // growth variable, copy-local by rotation), the pruning-curve
+    // rank (the p16 two-stage template + a 10-row cumulative pass),
+    // and the PMI rollup (one bigram fan-out, vocab-bounded joins —
+    // rotation grows the vocabulary 10×, the honest worst case).
+    "d30_bbit_minhash", "d31_edit_distance", "p24_pruning_curve",
+    "t25_pmi_collocations")
 
   /** Third axis (late r10): the event-time window family. Its scale
     * risk is per-key WINDOW/JOIN STATE — salted user ids grow the key
@@ -160,7 +174,13 @@ object ScaleBench {
     // r14 s5: windowed top-k — one (window, type) count + a rank over
     // type-cardinality-bounded per-window groups; amplified events
     // grow windows' row counts, the per-window type set stays fixed.
-    "st15_window_topk")
+    "st15_window_topk",
+    // r14 s6: cohort retention (min-week + distinct-(user, week),
+    // both keyed on the salted user — key space grows 10×, per-key
+    // history constant, cells bounded by weeks²) and RFM (one
+    // per-user rollup + three two-stage ranks over the USER table —
+    // the rank input grows 10×, which is the template's claim).
+    "a04_cohort_retention", "a05_rfm_segments")
 
   /** Fourth axis (r12, VERDICT r10 #3): the composed ANN ladder —
     * raw-PQ IVFADC (s16), residual IVFADC (s18), and the re-ranked
