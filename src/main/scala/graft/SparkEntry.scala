@@ -925,6 +925,10 @@ object SparkEntry {
     // score with cumulative keep-top-k docs/tokens yield.
     "p24_pruning_curve" -> ((s, dir) =>
       Pipeline.pruningCurve(t(s, dir, "documents"))),
+    // Source-mix drift: JS divergence (docs and tokens) between the
+    // parity halves, fixed-point micro-nats.
+    "p25_corpus_drift" -> ((s, dir) =>
+      Pipeline.corpusDrift(t(s, dir, "documents"))),
     // Z-order repack planning: Morton interleave of (partkey,
     // suppkey), equal cut into 32 files, per-file min/max stats (the
     // data-skipping footers). Two-stage rank; row-local bit algebra.
@@ -3166,6 +3170,56 @@ object SparkEntry {
          |    AS fold
          |FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id"""
       .stripMargin),
+    // corpusDrift mirror: one (source, parity) rollup, the exact-
+    // rational log ratios in mirrored double operand order, micro-nat
+    // quantization, HUGEINT weighted sums, one division per half.
+    "p25_corpus_drift" ->
+      """WITH base AS (SELECT doc_id, source,
+        |  len(string_split(text, ' '))::BIGINT AS n_tokens
+        | FROM documents),
+        |cells AS (SELECT source,
+        |  sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |    AS docs_a,
+        |  sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT
+        |    AS docs_b,
+        |  sum(CASE WHEN doc_id % 2 = 0 THEN n_tokens ELSE 0 END)::BIGINT
+        |    AS tokens_a,
+        |  sum(CASE WHEN doc_id % 2 = 1 THEN n_tokens ELSE 0 END)::BIGINT
+        |    AS tokens_b
+        | FROM base GROUP BY source),
+        |tot AS (SELECT sum(docs_a)::BIGINT AS ta,
+        |  sum(docs_b)::BIGINT AS tb, sum(tokens_a)::BIGINT AS tta,
+        |  sum(tokens_b)::BIGINT AS ttb FROM cells),
+        |wl AS (SELECT docs_a, docs_b, tokens_a, tokens_b,
+        |  ta, tb, tta, ttb,
+        |  CASE WHEN docs_a > 0 THEN floor(ln(
+        |    (2.0 * docs_a::DOUBLE * tb) /
+        |    (docs_a::DOUBLE * tb + docs_b::DOUBLE * ta)) * 1000000)
+        |    ::BIGINT ELSE 0 END AS l1d,
+        |  CASE WHEN docs_b > 0 THEN floor(ln(
+        |    (2.0 * docs_b::DOUBLE * ta) /
+        |    (docs_b::DOUBLE * ta + docs_a::DOUBLE * tb)) * 1000000)
+        |    ::BIGINT ELSE 0 END AS l2d,
+        |  CASE WHEN tokens_a > 0 THEN floor(ln(
+        |    (2.0 * tokens_a::DOUBLE * ttb) /
+        |    (tokens_a::DOUBLE * ttb + tokens_b::DOUBLE * tta)) * 1000000)
+        |    ::BIGINT ELSE 0 END AS l1t,
+        |  CASE WHEN tokens_b > 0 THEN floor(ln(
+        |    (2.0 * tokens_b::DOUBLE * tta) /
+        |    (tokens_b::DOUBLE * tta + tokens_a::DOUBLE * ttb)) * 1000000)
+        |    ::BIGINT ELSE 0 END AS l2t
+        | FROM cells, tot)
+        |SELECT count(*)::BIGINT AS n_sources,
+        | sum(docs_a)::BIGINT AS docs_a, sum(docs_b)::BIGINT AS docs_b,
+        | sum(tokens_a)::BIGINT AS tokens_a,
+        | sum(tokens_b)::BIGINT AS tokens_b,
+        | (sum(docs_a * l1d)::DOUBLE / (2.0 * max(ta)) +
+        |  sum(docs_b * l2d)::DOUBLE / (2.0 * max(tb))) / 1000000.0
+        |   AS js_docs_nats,
+        | (sum(tokens_a * l1t)::DOUBLE / (2.0 * max(tta)) +
+        |  sum(tokens_b * l2t)::DOUBLE / (2.0 * max(ttb))) / 1000000.0
+        |   AS js_tokens_nats
+        |FROM wl""".stripMargin,
     // pruningCurve mirror: identical IEEE score (two int divisions,
     // one multiply), partition-less rank is fine oracle-side, bucket
     // and cumulative algebra in exact integers, HUGEINT window sums

@@ -1123,4 +1123,80 @@ object Pipeline {
         col("bucket_tokens"), col("docs_kept"), col("tokens_kept"),
         (col("tokens_kept").cast("double") / col("_tt")).as("token_frac"))
   }
+
+  /** Corpus source-mix drift (p25): Jensen–Shannon divergence of the
+    * per-source document AND token distributions between two
+    * deterministic corpus halves (doc_id parity — in production, two
+    * snapshot dates), the data-card drift monitor beside s32's
+    * embedding drift: a refresh that shifts the source mix moves JS
+    * off ~0 long before any downstream metric does. JS = ½KL(p‖m) +
+    * ½KL(q‖m) with m the midpoint; per source the log ratios are
+    * EXACT rationals — p_i/m_i = 2·a_i·B / (a_i·B + b_i·A) — so each
+    * ln() is taken of one mirrored-operand double expression
+    * (products in DOUBLE: a_i·B overflows long at corpus scale) and
+    * quantized to integer micro-nats (the t19/t23/s32 fixed-point
+    * convention); the source-weighted sums are then exact
+    * decimal(38,0) integers with ONE double division per half at the
+    * end. A source absent from one half contributes zero weight to
+    * that half's sum and ln 2 to the other — no ±∞ path.
+    *
+    * Shape: ONE map-side (source, parity) aggregate over the corpus
+    * scan (both halves in the same pass — a filter-twice form would
+    * scan twice), a 1-row totals broadcast, and source-bounded
+    * row-local algebra. Output is one audit row.
+    */
+  def corpusDrift(documents: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val evenDoc = col("doc_id") % 2 === 0
+    val cells = documents
+      .select(col("doc_id"), col("source"),
+        size(Canon.words(col("text"))).cast("long").as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(when(evenDoc, 1L).otherwise(0L)).as("docs_a"),
+        sum(when(!evenDoc, 1L).otherwise(0L)).as("docs_b"),
+        sum(when(evenDoc, col("n_tokens")).otherwise(0L)).as("tokens_a"),
+        sum(when(!evenDoc, col("n_tokens")).otherwise(0L)).as("tokens_b"))
+      .materialized
+    val tot = broadcast(cells.agg(
+      sum(col("docs_a")).as("ta"), sum(col("docs_b")).as("tb"),
+      sum(col("tokens_a")).as("tta"), sum(col("tokens_b")).as("ttb")))
+    def lMicro(a: org.apache.spark.sql.Column,
+               b: org.apache.spark.sql.Column,
+               bigA: org.apache.spark.sql.Column,
+               bigB: org.apache.spark.sql.Column) =
+      when(a > 0L,
+        floor(log((lit(2.0) * a.cast("double") * bigB) /
+          (a.cast("double") * bigB + b.cast("double") * bigA))
+          * lit(1000000L)).cast("long"))
+        .otherwise(lit(0L))
+    val wl = cells.crossJoin(tot).select(
+      col("docs_a"), col("docs_b"), col("tokens_a"), col("tokens_b"),
+      col("ta"), col("tb"), col("tta"), col("ttb"),
+      lMicro(col("docs_a"), col("docs_b"), col("ta"), col("tb"))
+        .as("l1d"),
+      lMicro(col("docs_b"), col("docs_a"), col("tb"), col("ta"))
+        .as("l2d"),
+      lMicro(col("tokens_a"), col("tokens_b"), col("tta"), col("ttb"))
+        .as("l1t"),
+      lMicro(col("tokens_b"), col("tokens_a"), col("ttb"), col("tta"))
+        .as("l2t"))
+    wl.agg(count(lit(1)).as("n_sources"),
+        sum(col("docs_a")).as("docs_a"), sum(col("docs_b")).as("docs_b"),
+        sum(col("tokens_a")).as("tokens_a"),
+        sum(col("tokens_b")).as("tokens_b"),
+        sum((col("docs_a") * col("l1d")).cast(dec)).as("s1d"),
+        sum((col("docs_b") * col("l2d")).cast(dec)).as("s2d"),
+        sum((col("tokens_a") * col("l1t")).cast(dec)).as("s1t"),
+        sum((col("tokens_b") * col("l2t")).cast(dec)).as("s2t"),
+        max(col("ta")).as("_ta"), max(col("tb")).as("_tb"),
+        max(col("tta")).as("_tta"), max(col("ttb")).as("_ttb"))
+      .select(col("n_sources"), col("docs_a"), col("docs_b"),
+        col("tokens_a"), col("tokens_b"),
+        ((col("s1d").cast("double") / (lit(2.0) * col("_ta")) +
+          col("s2d").cast("double") / (lit(2.0) * col("_tb")))
+          / lit(1000000.0)).as("js_docs_nats"),
+        ((col("s1t").cast("double") / (lit(2.0) * col("_tta")) +
+          col("s2t").cast("double") / (lit(2.0) * col("_ttb")))
+          / lit(1000000.0)).as("js_tokens_nats"))
+  }
 }

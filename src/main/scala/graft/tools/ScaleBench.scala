@@ -138,7 +138,11 @@ object ScaleBench {
     // and the PMI rollup (one bigram fan-out, vocab-bounded joins —
     // rotation grows the vocabulary 10×, the honest worst case).
     "d30_bbit_minhash", "d31_edit_distance", "p24_pruning_curve",
-    "t25_pmi_collocations")
+    "t25_pmi_collocations",
+    // r14 s6 late: source-mix JS drift — ONE (source, parity)
+    // map-side aggregate over the scan + source-bounded algebra; the
+    // flattest-possible curve is the claim (the s32 class, text side).
+    "p25_corpus_drift")
 
   /** Third axis (late r10): the event-time window family. Its scale
     * risk is per-key WINDOW/JOIN STATE — salted user ids grow the key

@@ -418,6 +418,35 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet === out.toSet)
   }
 
+  test("corpusDrift: hand-computed JS on a mirrored 2/1 vs 1/2 source " +
+    "mix; identical mixes score exactly 0") {
+    // A (even ids): s0×2, s1×1; B (odd): s0×1, s1×2 → p = (2/3, 1/3),
+    // q mirrored. Quantized: l(4/3) = 287682, l(2/3) = −405466 →
+    // Σ a·l1 = Σ b·l2 = 169898 micro-nats, JS = 2·(169898/6)/1e6
+    val docs = Seq(
+      (0L, "x y", "s0"), (2L, "x y", "s0"), (4L, "x y", "s1"),
+      (1L, "x y", "s0"), (3L, "x y", "s1"), (5L, "x y", "s1")
+    ).toDF("doc_id", "text", "source")
+    val r = graft.operators.Pipeline.corpusDrift(docs).head()
+    assert(r.getAs[Long]("n_sources") === 2L)
+    assert(r.getAs[Long]("docs_a") === 3L && r.getAs[Long]("docs_b") === 3L)
+    val exp = (169898.0 / 6.0 + 169898.0 / 6.0) / 1e6
+    assert(r.getAs[Double]("js_docs_nats") === exp)
+    // uniform 2-token docs: token mix ≡ doc mix, same divergence
+    assert(r.getAs[Double]("js_tokens_nats") === exp)
+    assert(math.abs(exp - (2.0 / 3 * math.log(4.0 / 3) +
+      1.0 / 3 * math.log(2.0 / 3))) < 2e-6) // vs the analytic JS
+    // identical mixes in both halves → every log ratio is ln 1 → 0
+    val flat = Seq((0L, "x y", "s0"), (1L, "x y", "s0"),
+      (2L, "x y", "s1"), (3L, "x y", "s1"))
+      .toDF("doc_id", "text", "source")
+    val r0 = graft.operators.Pipeline.corpusDrift(flat).head()
+    assert(r0.getAs[Double]("js_docs_nats") === 0.0)
+    assert(r0.getAs[Double]("js_tokens_nats") === 0.0)
+    assert(graft.operators.Pipeline.corpusDrift(docs.repartition(5))
+      .head() === r)
+  }
+
   test("pruningCurve: grades rank by score, cumulative yield reaches " +
     "the whole corpus, partition-independent") {
     // scores: A "a b c d" = 1.0 (all distinct, all alnum);
