@@ -869,6 +869,11 @@ object SparkEntry {
     "m07_aspect_bucket" -> ((s, dir) =>
       Multimodal.aspectBuckets(
         Multimodal.decodeMeta(t(s, dir, "documents")))),
+    // Pixel-budget smart-resize plan: snap to factor multiples,
+    // aspect-preserving shrink/expand, patch/token counts.
+    "m10_smart_resize" -> ((s, dir) =>
+      Multimodal.smartResize(
+        Multimodal.decodeMeta(t(s, dir, "documents")))),
     // Exact-percentile token-length gate via value histogram.
     "p11_length_gate" -> ((s, dir) =>
       Pipeline.lengthGate(t(s, dir, "documents"))),
@@ -5542,6 +5547,33 @@ object SparkEntry {
          |       ELSE '${AspectLadder.last._1}' END AS bucket
          |FROM sc""".stripMargin
     },
+    // smartResize mirror: the m07 md5 meta CTE, integer snap, the
+    // same one-sqrt-per-branch IEEE chain, floor/ceil to BIGINT.
+    "m10_smart_resize" ->
+      s"""WITH h AS (SELECT doc_id, ${h60("text")} AS h FROM documents),
+         |meta AS (SELECT doc_id, 64 + h % 193 AS width,
+         |  64 + (h // 193) % 129 AS height FROM h),
+         |r AS (SELECT doc_id, width, height,
+         |  ((height + 14) // 28) * 28 AS hb,
+         |  ((width + 14) // 28) * 28 AS wb FROM meta),
+         |t AS (SELECT doc_id, width, height,
+         |  CASE WHEN hb * wb > 15680 THEN greatest(
+         |    floor(height / sqrt((height * width)::DOUBLE / 15680) / 28)
+         |      ::BIGINT * 28, 28)
+         |   WHEN hb * wb < 3136 THEN ceil(
+         |    height * sqrt(3136.0 / (height * width)) / 28)::BIGINT * 28
+         |   ELSE hb END AS target_h,
+         |  CASE WHEN hb * wb > 15680 THEN greatest(
+         |    floor(width / sqrt((height * width)::DOUBLE / 15680) / 28)
+         |      ::BIGINT * 28, 28)
+         |   WHEN hb * wb < 3136 THEN ceil(
+         |    width * sqrt(3136.0 / (height * width)) / 28)::BIGINT * 28
+         |   ELSE wb END AS target_w
+         | FROM r)
+         |SELECT doc_id, width, height, target_h, target_w,
+         | (target_w // 14) * (target_h // 14) AS n_patches,
+         | ((target_w // 14) * (target_h // 14)) // 4 AS n_tokens
+         |FROM t""".stripMargin,
     "p11_length_gate" ->
       """WITH t AS (SELECT doc_id,
         |  len(string_split(text, ' '))::BIGINT AS n_tokens

@@ -229,6 +229,63 @@ object Multimodal {
         bucket.as("bucket"))
   }
 
+  /** Pixel-budget smart resize planning (m10) — the dynamic-
+    * resolution preprocessing step of a NaViT-class vision trainer
+    * (Dehghani 2023; the Qwen2-VL "smart resize" recipe, Wang 2024):
+    * per image, the target (w, h) that (a) snaps both sides to
+    * multiples of `factor` (= patch · 2×2 merge), (b) caps total
+    * pixels at `maxPixels` by an aspect-preserving shrink, (c) lifts
+    * tiny images to `minPixels` by the matching expand, and the
+    * resulting patch/token counts — the plan a resize kernel and a
+    * packing batcher (m09) consume. Fills the mandate's "resize" slot
+    * between decode (m02) and patchify (m04): the PLAN is exact
+    * row-local algebra on decoded dims; only the pixel work belongs
+    * behind the decoder seam.
+    *
+    * Determinism: the snap is pure integers ((x + f/2) div f — no
+    * round(), whose half-rule differs across engines); each branch's
+    * scale is ONE sqrt of one double division of exact integers,
+    * applied in mirrored operand order then floor/ceil — both engines
+    * produce identical doubles, so the gate hashes. The shrink floor
+    * guarantees the cap (⌊x/β/f⌋·f ≤ x/β ⇒ product ≤ h·w/β² =
+    * maxPixels); `greatest(f)` guards the degenerate ultra-wide case.
+    *
+    * Scale: row-local projection at scan speed — no shuffle, no
+    * state; composes with m06's filter and m09's packer unchanged.
+    */
+  def smartResize(decoded: DataFrame, factor: Int = 28,
+                  minPixels: Long = 3136L,
+                  maxPixels: Long = 15680L): DataFrame = {
+    require(factor >= 2 && factor % 2 == 0,
+      s"factor must be an even patch·merge product, got $factor")
+    require(minPixels <= maxPixels && minPixels >= factor.toLong * factor,
+      s"need factor² <= minPixels <= maxPixels " +
+        s"(got $minPixels, $maxPixels, factor $factor)")
+    val f = factor
+    val patch = f / 2
+    val bBig = sqrt((col("height") * col("width")).cast("double") /
+      maxPixels)
+    val bSml = sqrt(lit(minPixels.toDouble) /
+      (col("height") * col("width")))
+    def snap(c: String) = expr(s"(($c + $patch) div $f) * $f")
+    def shrink(c: String) =
+      greatest(floor(col(c) / bBig / f) * f, lit(f.toLong))
+    def expand(c: String) = ceil(col(c) * bSml / f) * f
+    decoded
+      .select(col("doc_id"), col("width"), col("height"),
+        snap("height").as("_hb"), snap("width").as("_wb"))
+      .select(col("doc_id"), col("width"), col("height"),
+        when(col("_hb") * col("_wb") > maxPixels, shrink("height"))
+          .when(col("_hb") * col("_wb") < minPixels, expand("height"))
+          .otherwise(col("_hb")).as("target_h"),
+        when(col("_hb") * col("_wb") > maxPixels, shrink("width"))
+          .when(col("_hb") * col("_wb") < minPixels, expand("width"))
+          .otherwise(col("_wb")).as("target_w"))
+      .withColumn("n_patches",
+        expr(s"(target_w div $patch) * (target_h div $patch)"))
+      .withColumn("n_tokens", expr("n_patches div 4"))
+  }
+
   /** Interleaved image+text context packing (m09) — p06's
     * concat-and-chunk layout at the COMBINED token granularity: each
     * document's context cost is its text tokens plus its vision

@@ -123,4 +123,30 @@ class MultimodalSpec extends SparkSpec {
       assert(rows.map(_._3).max >= 2L)
     }
   }
+
+  test("smartResize: hand-computed snap / shrink / expand branches; " +
+    "shrink never exceeds the pixel cap") {
+    import spark.implicits._
+    val decoded = Seq(
+      (1L, 200L, 150L), // snap 196×140 > cap → shrink to 140×84
+      (2L, 64L, 64L),   // snaps to 56×56 = exactly minPixels: kept
+      (3L, 32L, 32L),   // snap 28×28 < min → expand ×1.75 to 56×56
+      (4L, 400L, 28L)   // ultra-wide, inside budget: snap only
+    ).toDF("doc_id", "width", "height")
+    val out = graft.operators.Multimodal.smartResize(decoded)
+      .select("doc_id", "target_w", "target_h", "n_patches", "n_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out(1L) === ((140L, 84L, 60L, 15L)))
+    assert(out(2L) === ((56L, 56L, 16L, 4L)))
+    assert(out(3L) === ((56L, 56L, 16L, 4L)))
+    assert(out(4L) === ((392L, 28L, 56L, 14L)))
+    // cap invariant across a dimension sweep (the floor-shrink proof)
+    val sweep = (1L to 60L).flatMap(i => Seq((i, 60 + 7 * i, 310 - 4 * i)))
+      .toDF("doc_id", "width", "height")
+    val caps = graft.operators.Multimodal.smartResize(sweep)
+      .select("target_w", "target_h").as[(Long, Long)].collect()
+    assert(caps.forall { case (w, h) => w * h <= 15680L })
+    assert(caps.forall { case (w, h) => w % 28 == 0 && h % 28 == 0 })
+  }
 }
