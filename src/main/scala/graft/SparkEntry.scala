@@ -3230,7 +3230,7 @@ object SparkEntry {
     // and cumulative algebra in exact integers, HUGEINT window sums
     // cast back to BIGINT (§8.4).
     "p24_pruning_curve" ->
-      """WITH w0 AS (SELECT doc_id, text, string_split(text, ' ') AS w
+      s"""WITH w0 AS (SELECT doc_id, text, string_split(text, ' ') AS w
         |  FROM documents),
         |t AS (SELECT doc_id, len(w)::BIGINT AS n_tokens,
         |  (len(list_distinct(w)) / len(w)) *
@@ -3240,7 +3240,8 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)
         |    AS rn, count(*) OVER () AS n,
         |  sum(n_tokens) OVER ()::BIGINT AS tt FROM t),
-        |p AS (SELECT ((rn - 1) * 10) // n AS bucket,
+        |p AS (SELECT ((rn - 1) * ${Pipeline.PruneBuckets}) // n
+        |    AS bucket,
         |  count(*) AS n_docs, sum(n_tokens)::BIGINT AS bucket_tokens,
         |  min(score) AS score_floor, max(tt) AS tt
         | FROM r GROUP BY 1),
@@ -3955,7 +3956,7 @@ object SparkEntry {
     // anchor, three ranked quantile grades (ties on user_id), the
     // same ((rn−1)·5)//n + 1 integer assignment.
     "a05_rfm_segments" ->
-      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value
         |  FROM events),
         |pu AS (SELECT user_id, max(ts_us) AS last_ts,
         |  count(*)::BIGINT AS frequency,
@@ -3963,18 +3964,18 @@ object SparkEntry {
         | FROM e GROUP BY user_id),
         |t0 AS (SELECT max(ts_us) AS t0 FROM e),
         |r AS (SELECT user_id,
-        |  (t0.t0 - last_ts) // 86400000000 AS recency_days,
+        |  (t0.t0 - last_ts) // ${AsOf.DayUs} AS recency_days,
         |  frequency, monetary_cents FROM pu, t0),
         |n AS (SELECT count(*)::BIGINT AS n FROM r),
         |rq AS (SELECT user_id, ((row_number() OVER (
-        |    ORDER BY recency_days, user_id) - 1) * 5) // n.n + 1
-        |    AS r_q FROM r, n),
+        |    ORDER BY recency_days, user_id) - 1)
+        |    * ${AsOf.RfmQuantiles}) // n.n + 1 AS r_q FROM r, n),
         |fq AS (SELECT user_id, ((row_number() OVER (
-        |    ORDER BY frequency DESC, user_id) - 1) * 5) // n.n + 1
-        |    AS f_q FROM r, n),
+        |    ORDER BY frequency DESC, user_id) - 1)
+        |    * ${AsOf.RfmQuantiles}) // n.n + 1 AS f_q FROM r, n),
         |mq AS (SELECT user_id, ((row_number() OVER (
-        |    ORDER BY monetary_cents DESC, user_id) - 1) * 5) // n.n + 1
-        |    AS m_q FROM r, n)
+        |    ORDER BY monetary_cents DESC, user_id) - 1)
+        |    * ${AsOf.RfmQuantiles}) // n.n + 1 AS m_q FROM r, n)
         |SELECT r.user_id, recency_days, frequency, monetary_cents,
         | r_q, f_q, m_q, r_q * 100 + f_q * 10 + m_q AS rfm_code
         |FROM r JOIN rq USING (user_id) JOIN fq USING (user_id)
@@ -3983,8 +3984,8 @@ object SparkEntry {
     // floor-div; epochs are positive so it equals Spark's div), the
     // same min-week cohort, distinct-activity cells, size join.
     "a04_cohort_retention" ->
-      """WITH e AS (SELECT user_id,
-        |  epoch_us(ts) // 604800000000 AS wk FROM events),
+      s"""WITH e AS (SELECT user_id,
+        |  epoch_us(ts) // ${AsOf.WeekUs} AS wk FROM events),
         |c AS (SELECT user_id, min(wk) AS cohort_week FROM e
         |  GROUP BY user_id),
         |a AS (SELECT DISTINCT user_id, wk FROM e),
@@ -5418,7 +5419,7 @@ object SparkEntry {
     // the mirrored-operand (c12·N as double)/(c1·c2 as double) ratio,
     // micro-nat quantization, total-order top-50.
     "t25_pmi_collocations" ->
-      """WITH w AS (SELECT string_split(text, ' ') AS w
+      s"""WITH w AS (SELECT string_split(text, ' ') AS w
         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
         |p0 AS (SELECT unnest([{'w1': w[i], 'w2': w[i+1]}
         |    FOR i IN range(1, len(w))]) AS p FROM w),
@@ -5432,8 +5433,9 @@ object SparkEntry {
         |  floor(ln((c12::DOUBLE * n) / (c1::DOUBLE * c2)) * 1000000)
         |    ::BIGINT AS pmi_micro
         |FROM big JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN nn
-        |WHERE c12 >= 5
-        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""".stripMargin,
+        |WHERE c12 >= ${TextAnalysis.PmiMinCount}
+        |ORDER BY pmi_micro DESC, w1, w2
+        |LIMIT ${TextAnalysis.PmiTopK}""".stripMargin,
     "t19_perplexity" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
@@ -5549,31 +5551,39 @@ object SparkEntry {
     },
     // smartResize mirror: the m07 md5 meta CTE, integer snap, the
     // same one-sqrt-per-branch IEEE chain, floor/ceil to BIGINT.
-    "m10_smart_resize" ->
+    "m10_smart_resize" -> {
+      // geometry constants shared with the entry (the s32 lesson)
+      val f = Multimodal.ResizeFactor
+      val p = f / 2
+      val minP = Multimodal.ResizeMinPixels
+      val maxP = Multimodal.ResizeMaxPixels
       s"""WITH h AS (SELECT doc_id, ${h60("text")} AS h FROM documents),
          |meta AS (SELECT doc_id, 64 + h % 193 AS width,
          |  64 + (h // 193) % 129 AS height FROM h),
          |r AS (SELECT doc_id, width, height,
-         |  ((height + 14) // 28) * 28 AS hb,
-         |  ((width + 14) // 28) * 28 AS wb FROM meta),
+         |  ((height + $p) // $f) * $f AS hb,
+         |  ((width + $p) // $f) * $f AS wb FROM meta),
          |t AS (SELECT doc_id, width, height,
-         |  CASE WHEN hb * wb > 15680 THEN greatest(
-         |    floor(height / sqrt((height * width)::DOUBLE / 15680) / 28)
-         |      ::BIGINT * 28, 28)
-         |   WHEN hb * wb < 3136 THEN ceil(
-         |    height * sqrt(3136.0 / (height * width)) / 28)::BIGINT * 28
+         |  CASE WHEN hb * wb > $maxP THEN greatest(
+         |    floor(height / sqrt((height * width)::DOUBLE / $maxP) / $f)
+         |      ::BIGINT * $f, $f)
+         |   WHEN hb * wb < $minP THEN ceil(
+         |    height * sqrt($minP.0 / (height * width)) / $f)
+         |      ::BIGINT * $f
          |   ELSE hb END AS target_h,
-         |  CASE WHEN hb * wb > 15680 THEN greatest(
-         |    floor(width / sqrt((height * width)::DOUBLE / 15680) / 28)
-         |      ::BIGINT * 28, 28)
-         |   WHEN hb * wb < 3136 THEN ceil(
-         |    width * sqrt(3136.0 / (height * width)) / 28)::BIGINT * 28
+         |  CASE WHEN hb * wb > $maxP THEN greatest(
+         |    floor(width / sqrt((height * width)::DOUBLE / $maxP) / $f)
+         |      ::BIGINT * $f, $f)
+         |   WHEN hb * wb < $minP THEN ceil(
+         |    width * sqrt($minP.0 / (height * width)) / $f)
+         |      ::BIGINT * $f
          |   ELSE wb END AS target_w
          | FROM r)
          |SELECT doc_id, width, height, target_h, target_w,
-         | (target_w // 14) * (target_h // 14) AS n_patches,
-         | ((target_w // 14) * (target_h // 14)) // 4 AS n_tokens
-         |FROM t""".stripMargin,
+         | (target_w // $p) * (target_h // $p) AS n_patches,
+         | ((target_w // $p) * (target_h // $p)) // 4 AS n_tokens
+         |FROM t""".stripMargin
+    },
     "p11_length_gate" ->
       """WITH t AS (SELECT doc_id,
         |  len(string_split(text, ' '))::BIGINT AS n_tokens
@@ -5622,7 +5632,8 @@ object SparkEntry {
            |  FROM documents),
            |lv AS (SELECT doc_a, doc_b,
            |  CASE WHEN (greatest(a.l, b.l) - least(a.l, b.l)) * 100
-           |         > 20 * greatest(a.l, b.l) THEN NULL
+           |         > ${100 - Dedup.EditTauPct} * greatest(a.l, b.l)
+           |       THEN NULL
            |       ELSE levenshtein(a.text, b.text)::BIGINT END
            |    AS lev_dist,
            |  greatest(a.l, b.l) AS max_len
@@ -5630,8 +5641,8 @@ object SparkEntry {
            |  JOIN side b ON pairs.doc_b = b.doc_id)
            |SELECT doc_a, doc_b, lev_dist, max_len,
            | ((max_len - lev_dist) * 100) // max_len AS sim_pct,
-           | coalesce(((max_len - lev_dist) * 100) // max_len >= 80,
-           |   false) AS is_dup
+           | coalesce(((max_len - lev_dist) * 100) // max_len
+           |   >= ${Dedup.EditTauPct}, false) AS is_dup
            |FROM lv""".stripMargin
     },
     // bbitMinhashPairs mirror (b=2): d17's chain with the extra low-
@@ -5643,8 +5654,10 @@ object SparkEntry {
       val agreeF = (0 until 8)
         .map(s => s"CASE WHEN a.m$s = b.m$s THEN 1 ELSE 0 END")
         .mkString(" + ")
+      val mask = 1 << Dedup.BbitB // shared with the entry (s32 lesson)
       val agreeB = (0 until 8)
-        .map(s => s"CASE WHEN a.m$s % 4 = b.m$s % 4 THEN 1 ELSE 0 END")
+        .map(s =>
+          s"CASE WHEN a.m$s % $mask = b.m$s % $mask THEN 1 ELSE 0 END")
         .mkString(" + ")
       val inter = "len(list_intersect(a.ds, b.ds))"
       val exact = s"$inter::DOUBLE / (len(a.ds) + len(b.ds) - $inter)"
@@ -5659,10 +5672,12 @@ object SparkEntry {
            |side AS (SELECT sig.*, ds.ds FROM sig JOIN ds USING (doc_id))
            |SELECT doc_a, doc_b,
            | ($agreeF) / 8.0 AS est_full,
-           | (($agreeB) * 4 - 8)::DOUBLE / 24.0 AS est_bbit,
+           | (($agreeB) * $mask - 8)::DOUBLE / ${8 * (mask - 1)}.0
+           |   AS est_bbit,
            | $exact AS exact_jaccard,
            | abs(($agreeF) / 8.0 - $exact) AS err_full,
-           | abs((($agreeB) * 4 - 8)::DOUBLE / 24.0 - $exact) AS err_bbit
+           | abs((($agreeB) * $mask - 8)::DOUBLE / ${8 * (mask - 1)}.0
+           |   - $exact) AS err_bbit
            |FROM pairs JOIN side a ON pairs.doc_a = a.doc_id
            |  JOIN side b ON pairs.doc_b = b.doc_id""".stripMargin
     },

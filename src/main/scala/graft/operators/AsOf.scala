@@ -152,8 +152,10 @@ object AsOf {
     * construction age 0 retention is exactly 1.0 — the standard
     * sanity row, and the spec pins it.
     */
-  def cohortRetention(events: DataFrame,
-                      bucketUs: Long = 7L * 24 * 3600 * 1000000L)
+  /** a04's gated week bucket (µs) — shared with the oracle. */
+  val WeekUs: Long = 7L * 24 * 3600 * 1000000L
+
+  def cohortRetention(events: DataFrame, bucketUs: Long = WeekUs)
       : DataFrame = {
     require(bucketUs > 0, s"bucketUs must be positive, got $bucketUs")
     val e = events
@@ -216,7 +218,13 @@ object AsOf {
     * assignment is exact integer algebra ((rank−1)·nq div n + 1), no
     * percentile sketch, no partition-less window.
     */
-  def rfmSegments(events: DataFrame, nq: Int = 5,
+  /** a05's gated quantile count and day bucket — shared with the
+    * oracle.
+    */
+  val RfmQuantiles: Int = 5
+  val DayUs: Long = 86400000000L
+
+  def rfmSegments(events: DataFrame, nq: Int = RfmQuantiles,
                   numPartitions: Int = 32): DataFrame = {
     require(nq >= 1, s"nq must be >= 1, got $nq")
     val e = events.select(col("user_id"),
@@ -229,7 +237,7 @@ object AsOf {
     val anchor = broadcast(e.agg(max(col("ts_us")).as("t0")))
     val rfm = perUser.crossJoin(anchor)
       .select(col("user_id"),
-        expr("(t0 - last_ts) div 86400000000").as("recency_days"),
+        expr(s"(t0 - last_ts) div $DayUs").as("recency_days"),
         col("frequency"), col("monetary_cents"))
       .materialized
     val n = broadcast(rfm.agg(count(lit(1)).as("_n")))

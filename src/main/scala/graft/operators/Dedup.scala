@@ -904,7 +904,12 @@ object Dedup {
     * row-local integer math on already-joined rows. The b-bit column
     * adds NOTHING to the plan beyond 8 codegen'd `%`-comparisons.
     */
-  def bbitMinhashPairs(documents: DataFrame, b: Int = 2,
+  /** d30's gated truncation width — shared with the oracle mirror so
+    * the two engines move together (the s32 scale lesson).
+    */
+  val BbitB: Int = 2
+
+  def bbitMinhashPairs(documents: DataFrame, b: Int = BbitB,
                        nSeeds: Int = 8, k: Int = 3): DataFrame = {
     require(nSeeds == 8,
       s"bbitMinhashPairs requires nSeeds=8 (the lshCandidatePairs " +
@@ -960,7 +965,10 @@ object Dedup {
     * the verdict, and the skip itself is visible in the output).
     * Candidates are the banded capped LSH set — never all-pairs.
     */
-  def editDistancePairs(documents: DataFrame, tauPct: Int = 80)
+  /** d31's gated similarity threshold — shared with the oracle. */
+  val EditTauPct: Int = 80
+
+  def editDistancePairs(documents: DataFrame, tauPct: Int = EditTauPct)
       : DataFrame = {
     require(tauPct >= 1 && tauPct <= 100,
       s"tauPct must be in [1, 100], got $tauPct")

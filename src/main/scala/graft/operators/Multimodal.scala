@@ -253,9 +253,14 @@ object Multimodal {
     * Scale: row-local projection at scan speed — no shuffle, no
     * state; composes with m06's filter and m09's packer unchanged.
     */
-  def smartResize(decoded: DataFrame, factor: Int = 28,
-                  minPixels: Long = 3136L,
-                  maxPixels: Long = 15680L): DataFrame = {
+  /** m10's gated geometry — shared with the oracle mirror. */
+  val ResizeFactor: Int = 28
+  val ResizeMinPixels: Long = 3136L
+  val ResizeMaxPixels: Long = 15680L
+
+  def smartResize(decoded: DataFrame, factor: Int = ResizeFactor,
+                  minPixels: Long = ResizeMinPixels,
+                  maxPixels: Long = ResizeMaxPixels): DataFrame = {
     require(factor >= 2 && factor % 2 == 0,
       s"factor must be an even patch·merge product, got $factor")
     require(minPixels <= maxPixels && minPixels >= factor.toLong * factor,

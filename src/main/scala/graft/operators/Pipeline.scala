@@ -1075,7 +1075,10 @@ object Pipeline {
     * nBuckets-row grade table (the bounded counts-table class). No
     * partition-less window over data, no second corpus pass.
     */
-  def pruningCurve(documents: DataFrame, nBuckets: Int = 10,
+  /** p24's gated grade count — shared with the oracle. */
+  val PruneBuckets: Int = 10
+
+  def pruningCurve(documents: DataFrame, nBuckets: Int = PruneBuckets,
                    numPartitions: Int = 32): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val w = Canon.words(col("text"))

@@ -946,8 +946,12 @@ object TextAnalysis {
     * the top-k is TakeOrderedAndProject (q06's class) — never a
     * partition-less rank window.
     */
-  def pmiCollocations(documents: DataFrame, k: Int = 50,
-                      minCount: Long = 5L): DataFrame = {
+  /** t25's gated cut and floor — shared with the oracle. */
+  val PmiTopK: Int = 50
+  val PmiMinCount: Long = 5L
+
+  def pmiCollocations(documents: DataFrame, k: Int = PmiTopK,
+                      minCount: Long = PmiMinCount): DataFrame = {
     val pairs = documents
       .filter(size(Canon.words(col("text"))) >= 2)
       .select(Canon.words(col("text")).as("w"))
