@@ -160,9 +160,12 @@ object Bench {
         println(f"WARN bench-budget: $k median ${v}%.1fs is ${v / medianTotal * 100}%.0f%% of the ${medianTotal}%.1fs suite")
       }
     // Per-query regression guard vs the FROZEN anchor
-    // (BENCH_BASELINE.json = the r13 closing medians; VERDICT r13 #5:
-    // the scalar "2× of 136.6 s" bound degrades as the suite grows, so
-    // the anchor is per-query). A query >2× its frozen median AND >1 s
+    // (BENCH_BASELINE.json = the r14 closing medians, re-frozen per
+    // VERDICT r14 #1 so the r14 entrant tail is guarded too; the r13
+    // map stays in-repo as BENCH_BASELINE_r13.json for cross-era
+    // comparison. VERDICT r13 #5 set the per-query shape: a scalar
+    // "2× of total" bound degrades as the suite grows). A query >2×
+    // its frozen median AND >1 s
     // absolute over it is flagged loudly; the absolute floor keeps
     // 0.1 s→0.25 s scheduler noise out (the calibration queries all
     // sit under it). Queries with no baseline row are new entrants —
@@ -171,7 +174,7 @@ object Bench {
       medians.foreach { case (k, v) =>
         baseline.get(k).foreach { b =>
           if (v > 2.0 * b && v - b > 1.0)
-            println(f"WARN bench-vs-baseline: $k median ${v}%.2fs is ${v / b}%.1fx its frozen r13 median ${b}%.2fs")
+            println(f"WARN bench-vs-baseline: $k median ${v}%.2fs is ${v / b}%.1fx its frozen anchor median ${b}%.2fs")
         }
       }
       val newQ = medians.keySet -- baseline.keySet

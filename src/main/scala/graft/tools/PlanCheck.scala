@@ -1,0 +1,143 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.Sessions
+
+/** Versioned plan-flag sweep (VERDICT r14 #3): the red-flag classifier
+  * that `Probe plans` prints ad-hoc, committed as an artifact
+  * (PLANCHECK.json) and DIFFED against it, so flag-class drift fails
+  * loudly instead of being re-derived from BASELINE.md prose each
+  * round.
+  *
+  * Contract: every (query, flag) pair the sweep finds must already be
+  * in the committed artifact. A pair NOT in the artifact — a veteran
+  * gaining a flag, or a new entrant carrying one — exits 1 with a
+  * `FAIL plancheck:` line, forcing a conscious artifact re-commit
+  * (`--write`) instead of silent drift. Clean new entrants pass
+  * without a re-commit: the artifact records only flagged queries, so
+  * the common case (new query, clean plan) costs nothing. Pairs in
+  * the artifact that no longer flag are INFO-only (an improvement;
+  * refresh the artifact at leisure).
+  *
+  * Usage:
+  *   runMain graft.tools.PlanCheck            — sweep + diff, exit 1 on drift
+  *   runMain graft.tools.PlanCheck --write    — sweep + (re)write PLANCHECK.json
+  */
+object PlanCheck {
+
+  /** The flag classes, single source of truth (Probe's `plans` mode
+    * uses this too). Each matches a structural red flag in the STATIC
+    * executed plan; the benign instances are enumerated in
+    * PLANCHECK.json and explained in BASELINE.md §3.3:
+    * BroadcastNestedLoopJoin = the 1-row-broadcast scalar-anchor
+    * class; no-pushed-filter = derived-column filters above their
+    * producers; stacked-generate = cheap int-sequence generators
+    * (m03/m04). Anything NEW in any class is drift.
+    */
+  def flagsOf(plan: String): Seq[String] = Seq(
+    "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
+    "CartesianProduct" -> plan.contains("CartesianProduct"),
+    "no-pushed-filter" -> (plan.contains("PushedFilters: []") &&
+      plan.contains("Filter (")),
+    "sort-agg" -> plan.contains("SortAggregate"),
+    "stacked-generate" ->
+      "Generate [^\n]*\n\\s*\\+- Generate ".r.findFirstIn(plan).isDefined
+  ).collect { case (f, true) => f }
+
+  /** Sweep every registered query's static executed plan. Returns
+    * name → flags (flagged queries only) and the error list (a query
+    * whose plan fails to even compile is itself a drift failure).
+    */
+  def sweep(spark: SparkSession, sfDir: String)
+      : (Map[String, Seq[String]], Seq[String]) = {
+    val errors = scala.collection.mutable.ListBuffer.empty[String]
+    val flagged = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+          val fl = flagsOf(plan)
+          if (fl.isEmpty) None else Some(name -> fl)
+        } catch {
+          case e: Throwable =>
+            errors += s"$name: ${e.getClass.getSimpleName} ${
+              String.valueOf(e.getMessage).take(120)}"
+            None
+        }
+    }
+    (flagged.toMap, errors.toList)
+  }
+
+  def render(sfDir: String, flagged: Map[String, Seq[String]]): String = {
+    val body = flagged.toSeq.sortBy(_._1).map { case (n, fl) =>
+      s"""  "$n": [${fl.sorted.map("\"" + _ + "\"").mkString(", ")}]"""
+    }.mkString(",\n")
+    s"""{
+ "source": "graft.tools.PlanCheck static executed-plan sweep",
+ "sf": "$sfDir",
+ "flag_total": ${flagged.values.map(_.size).sum},
+ "flagged_queries": ${flagged.size},
+ "flags": {
+$body
+ }
+}
+"""
+  }
+
+  /** Parse the committed artifact's (query, flag) pairs. Flat regex
+    * read (same stance as Bench's anchor read): the writer controls
+    * the format, and a parse failure of a missing file just means
+    * "no committed pairs" → everything current is new → loud fail,
+    * which is the correct behavior for a deleted artifact too.
+    */
+  def committedPairs(path: String): Set[(String, String)] =
+    try {
+      val txt = Files.readString(Paths.get(path))
+      val sect = txt.substring(txt.indexOf("\"flags\""))
+      """"([A-Za-z0-9_]+)"\s*:\s*\[([^\]]*)\]""".r.findAllMatchIn(sect)
+        .flatMap { m =>
+          """"([^"]+)"""".r.findAllMatchIn(m.group(2))
+            .map(f => m.group(1) -> f.group(1))
+        }.toSet
+    } catch { case _: Throwable => Set.empty }
+
+  def main(args: Array[String]): Unit = {
+    val write = args.contains("--write")
+    val path = args.filterNot(_.startsWith("--")).headOption
+      .getOrElse("PLANCHECK.json")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val spark = Sessions.tuned(SparkSession.builder()
+      .master("local[8]").config("spark.sql.shuffle.partitions", "8"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (flagged, errors) = sweep(spark, sfDir)
+    spark.stop()
+    errors.foreach(e => println(s"FAIL plancheck-error: $e"))
+    if (write) {
+      Files.writeString(Paths.get(path), render(sfDir, flagged))
+      println(s"PLANCHECK written: ${flagged.size} flagged queries, " +
+        s"${flagged.values.map(_.size).sum} flags → $path")
+      if (errors.nonEmpty) sys.exit(1)
+    } else {
+      val committed = committedPairs(path)
+      val current = flagged.toSeq
+        .flatMap { case (n, fl) => fl.map(n -> _) }.toSet
+      val fresh = (current -- committed).toSeq.sorted
+      val gone = (committed -- current).toSeq.sorted
+      fresh.foreach { case (n, f) =>
+        println(s"FAIL plancheck: NEW flag '$f' on $n (not in $path — " +
+          "investigate, then re-commit with --write if benign)")
+      }
+      gone.foreach { case (n, f) =>
+        println(s"INFO plancheck: flag '$f' on $n cleared (artifact stale)")
+      }
+      println(s"PLANCHECK ${if (fresh.isEmpty && errors.isEmpty) "OK"
+        else "DRIFT"}: ${current.size} flags on ${flagged.size} queries " +
+        s"vs ${committed.size} committed pairs")
+      if (fresh.nonEmpty || errors.nonEmpty) sys.exit(1)
+    }
+  }
+}

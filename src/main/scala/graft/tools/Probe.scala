@@ -33,22 +33,13 @@ object Probe {
           case (name, fn) =>
             try {
               val plan = fn(spark, sf01).queryExecution.executedPlan.toString
-              val flags = Seq(
-                "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
-                "CartesianProduct" -> plan.contains("CartesianProduct"),
-                "no-pushed-filter" -> (plan.contains("PushedFilters: []") &&
-                  plan.contains("Filter (")),
-                "sort-agg" -> plan.contains("SortAggregate"),
-                // directly stacked Generates: each explode gets an
-                // inferred size>0 filter whose pushdown substitutes the
-                // generator's defining chain (SURVEY §8.5 pathology #2,
-                // r8 variant — the d13 23.8s regression). Benign only
-                // when the generator children are cheap (m03/m04 int
-                // sequences).
-                "stacked-generate" ->
-                  "Generate [^\n]*\n\\s*\\+- Generate ".r
-                    .findFirstIn(plan).isDefined
-              ).collect { case (f, true) => f }
+              // flag classes live in PlanCheck.flagsOf (single source
+              // of truth — the same classifier the versioned
+              // PLANCHECK.json drift gate runs; rationale for each
+              // class documented there, incl. the stacked-Generate
+              // pushdown pathology SURVEY §8.5 #2 / the d13 23.8s
+              // regression).
+              val flags = PlanCheck.flagsOf(plan)
               println(s"PLAN $name: " +
                 (if (flags.isEmpty) "clean" else flags.mkString(",")))
             } catch { case e: Throwable =>
