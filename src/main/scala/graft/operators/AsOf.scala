@@ -187,8 +187,9 @@ object AsOf {
                          order: Seq[org.apache.spark.sql.Column],
                          rnName: String,
                          numPartitions: Int): DataFrame = {
-    val parted = df.repartitionByRange(numPartitions, order: _*)
-      .withColumn("_pid", spark_partition_id())
+    // pinned post-exchange (TwoStage scaladoc): one boundary draw for
+    // the rank and counts branches
+    val parted = TwoStage.rangeParted(df, numPartitions, order: _*)
     val wLocal = Window.partitionBy(col("_pid")).orderBy(order: _*)
     val local = parted.withColumn("_r",
       row_number().over(wLocal).cast("long"))

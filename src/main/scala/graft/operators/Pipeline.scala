@@ -77,11 +77,10 @@ object Pipeline {
     val base = documents
       .select(col("doc_id"), col("lang"),
         Canon.hash60(md5(col("text"))).as("ord"))
-      .materialized // narrow projection; see tokenBudgetSample
-    val parted = base
-      .repartitionByRange(numPartitions,
-        col("lang").asc, col("ord").asc, col("doc_id").asc)
-      .withColumn("_pid", spark_partition_id())
+    // pinned post-exchange (TwoStage scaladoc): one boundary draw for
+    // both consumers, and the md5 scan evaluates once
+    val parted = TwoStage.rangeParted(base, numPartitions,
+      col("lang").asc, col("ord").asc, col("doc_id").asc)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid"), col("lang"))
       .orderBy(col("ord"), col("doc_id"))
@@ -135,20 +134,14 @@ object Pipeline {
       case (acc, (lang, b)) =>
         when(col("lang") === lang, lit(b)).otherwise(acc)
     }
-    // Materialized BEFORE the range partitioning: the range sampler
-    // evaluates its child for boundary sampling and again for the real
-    // pass — without this the corpus text scan (words + md5) runs
-    // twice. The materialization is the narrow 4-column projection,
-    // a small fraction of the text it derives from.
     val base = documents
       .select(col("doc_id"), col("lang"),
         size(Canon.words(col("text"))).cast("long").as("n_tokens"),
         Canon.hash60(md5(col("text"))).as("ord"))
-      .materialized
-    val parted = base
-      .repartitionByRange(numPartitions,
-        col("lang").asc, col("ord").asc, col("doc_id").asc)
-      .withColumn("_pid", spark_partition_id())
+    // pinned post-exchange (TwoStage scaladoc): one boundary draw for
+    // both consumers, and the words+md5 scan evaluates once
+    val parted = TwoStage.rangeParted(base, numPartitions,
+      col("lang").asc, col("ord").asc, col("doc_id").asc)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid"), col("lang"))
       .orderBy(col("ord"), col("doc_id"))
@@ -156,10 +149,10 @@ object Pipeline {
         -1)
     val local = parted.withColumn("_loc",
       coalesce(sum(col("n_tokens")).over(wLocal), lit(0L)))
-    // Per-(partition, lang) totals → prefix offsets for each slice.
-    // Derived from `local` so the exchange subtree is shared with the
-    // probe side (ReuseExchange keeps _pid assignment consistent and
-    // the shuffle single-execution).
+    // Per-(partition, lang) totals → prefix offsets for each slice —
+    // read from the SAME pinned frame as the probe side, so both see
+    // one boundary draw (the TwoStage invariant; the old ReuseExchange
+    // reliance was pruning-fragile).
     val sums = parted.groupBy(col("_pid"), col("lang"))
       .agg(sum(col("n_tokens")).as("_psum"))
     // per-language prefix offsets in one window pass over the
@@ -361,11 +354,10 @@ object Pipeline {
       .select(col("doc_id"), col("lang"),
         Canon.hash60(concat(lit("epoch|"), col("text"))).as("ord"))
       .withColumn("round", row_number().over(wLang).cast("long"))
-      .materialized
-    val parted = rounds
-      .repartitionByRange(numPartitions,
-        col("round").asc, col("lang").asc, col("doc_id").asc)
-      .withColumn("_pid", spark_partition_id())
+    // pinned post-exchange (TwoStage scaladoc): one boundary draw for
+    // both consumers, and the per-language round window runs once
+    val parted = TwoStage.rangeParted(rounds, numPartitions,
+      col("round").asc, col("lang").asc, col("doc_id").asc)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid"))
       .orderBy(col("round"), col("lang"), col("doc_id"))
@@ -409,9 +401,12 @@ object Pipeline {
       .agg(count(lit(1)).as("c"))
       .materialized
     val total = hist.agg(sum(col("c")).as("n"))
-    val parted = hist
-      .repartitionByRange(numPartitions, col("n_tokens").asc)
-      .withColumn("_pid", spark_partition_id())
+    // hist stays materialized above (total reads it too); the parted
+    // frame is pinned AGAIN post-exchange (TwoStage scaladoc) so the
+    // running-sum and offsets branches see one boundary draw — both
+    // pins are histogram-sized, never corpus-sized
+    val parted = TwoStage.rangeParted(hist, numPartitions,
+      col("n_tokens").asc)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid")).orderBy(col("n_tokens"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
@@ -452,11 +447,10 @@ object Pipeline {
       (aggregate(w, lit(0L), (acc, x) => acc + length(x))
         .cast("double") / size(w)).as("difficulty"),
       md5(col("text")).as("_tb"))
-      .materialized // the range sampler evaluates its child twice
-    val parted = base
-      .repartitionByRange(numPartitions,
-        col("difficulty").asc, col("_tb").asc, col("doc_id").asc)
-      .withColumn("_pid", spark_partition_id())
+    // pinned post-exchange (TwoStage scaladoc): one boundary draw for
+    // both consumers, and the difficulty scan evaluates once
+    val parted = TwoStage.rangeParted(base, numPartitions,
+      col("difficulty").asc, col("_tb").asc, col("doc_id").asc)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid"))
       .orderBy(col("difficulty"), col("_tb"), col("doc_id"))
@@ -497,11 +491,10 @@ object Pipeline {
     val base = documents.select(col("doc_id"),
       size(Canon.words(col("text"))).cast("long").as("n_tokens"),
       md5(col("text")).as("_tb"))
-      .materialized // the range sampler evaluates its child twice
-    val parted = base
-      .repartitionByRange(numPartitions,
-        col("n_tokens").desc, col("_tb").asc, col("doc_id").asc)
-      .withColumn("_pid", spark_partition_id())
+    // pinned post-exchange (TwoStage scaladoc): one boundary draw for
+    // both consumers, and the token-count scan evaluates once
+    val parted = TwoStage.rangeParted(base, numPartitions,
+      col("n_tokens").desc, col("_tb").asc, col("doc_id").asc)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid"))
       .orderBy(col("n_tokens").desc, col("_tb"), col("doc_id"))
@@ -602,17 +595,12 @@ object Pipeline {
         interleave(bucket("l_partkey", "_pkmn", "_pkmx"),
           bucket("l_suppkey", "_skmn", "_skmx")))
       .drop("_pkmn", "_pkmx", "_skmn", "_skmx")
-      .materialized // the range sampler evaluates its child twice
-    val parted = base
-      .repartitionByRange(numPartitions, col("zval").asc,
-        col("l_orderkey").asc, col("l_linenumber").asc)
-      .withColumn("_pid", spark_partition_id())
-      // pinned ONCE: three consumers (ranks, counts, total) read this
-      // frame, and the range sampler re-draws boundaries per
-      // evaluation — un-pinned, ranks and offsets can come from
-      // DIFFERENT boundary draws (observed at sf0.01: overlapping
-      // shard ranges and a rank past N)
-      .materialized
+    // pinned ONCE post-exchange: three consumers (ranks, counts,
+    // total) read this frame — the original site of the observed
+    // boundary-redraw corruption (overlapping shard ranges and a rank
+    // past N at sf0.01), now the shared TwoStage invariant
+    val parted = TwoStage.rangeParted(base, numPartitions,
+      col("zval").asc, col("l_orderkey").asc, col("l_linenumber").asc)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid"))
       .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
@@ -667,13 +655,10 @@ object Pipeline {
     val base = lineitem
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))
-    val parted = base
-      .repartitionByRange(numPartitions, col("l_orderkey").asc,
-        col("l_linenumber").asc)
-      .withColumn("_pid", spark_partition_id())
-      // pinned for the same reason as zorderLayout's parted frame:
-      // the range sampler re-draws boundaries per evaluation
-      .materialized
+    // pinned for the same reason as zorderLayout's parted frame
+    // (TwoStage scaladoc)
+    val parted = TwoStage.rangeParted(base, numPartitions,
+      col("l_orderkey").asc, col("l_linenumber").asc)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
@@ -1069,7 +1054,8 @@ object Pipeline {
     * the gate hashes. Ranking ties break on doc_id.
     *
     * Shape: the global rank is the two-stage template (range-
-    * repartition on (score DESC, doc_id), per-partition row_number,
+    * repartition on (score DESC, doc_id) pinned via
+    * [[TwoStage.rangeParted]], per-partition row_number,
     * partition-count prefix offsets — t06/q35/p10); totals are a
     * 1-row broadcast; the cumulative pass is a window over the
     * nBuckets-row grade table (the bounded counts-table class). No
@@ -1089,10 +1075,13 @@ object Pipeline {
         ((length(col("text")) -
           length(regexp_replace(col("text"), "[a-z0-9 ]", ""))) /
           length(col("text")))).as("score"))
-    val parted = scored
-      .repartitionByRange(numPartitions,
-        col("score").desc, col("doc_id").asc)
-      .withColumn("_pid", spark_partition_id())
+    // pinned post-exchange (TwoStage scaladoc) — THE observed failure
+    // site: un-pinned, the rank and counts branches pruned different
+    // columns (n_tokens rode only the rank side), ReuseExchange never
+    // fired, and the sf1eq probe tier showed grade counts of
+    // 4776..5429 where the rank algebra guarantees exactly n/10
+    val parted = TwoStage.rangeParted(scored, numPartitions,
+      col("score").desc, col("doc_id").asc)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid"))
       .orderBy(col("score").desc, col("doc_id").asc)
@@ -1104,7 +1093,9 @@ object Pipeline {
         org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val offsets = counts.select(col("_pid"),
       coalesce(sum(col("_cnt")).over(wOff), lit(0L)).as("_off"))
-    val tot = scored.agg(count(lit(1)).as("_n"),
+    // totals from the PINNED frame, not `scored` — a third read of
+    // the raw scan would re-run the text scoring for no reason
+    val tot = parted.agg(count(lit(1)).as("_n"),
       sum(col("n_tokens")).as("_tt"))
     val perGrade = local.join(broadcast(offsets), Seq("_pid"))
       .crossJoin(broadcast(tot))

@@ -561,22 +561,24 @@ object Relational {
     * per-group aggregate. Same two-stage template as
     * Pipeline.tokenBudgetSample; scales with partitions, not groups.
     *
-    * ONE corpus pass: both consumers of the range shuffle (the local
-    * rank window and the per-(partition, group) counts) share the same
-    * `parted` subtree, so Catalyst reuses the exchange (ReusedExchange
-    * — verified in the plan) and lineitem is scanned and shuffled
-    * once; no materialization needed. Partition offsets AND group
-    * totals both come from the tiny counts table in one window pass —
-    * no triangular self-join, no second aggregate on the base.
+    * ONE corpus pass: the range shuffle's output is PINNED
+    * ([[TwoStage.rangeParted]]) so the local rank window and the
+    * per-(partition, group) counts read one boundary draw — this site
+    * previously leaned on ReusedExchange (both branches prune to the
+    * identical 4-column schema, so reuse did fire), but that
+    * precondition is invisible and edit-fragile, so the pin is now
+    * uniform across the template. Partition offsets AND group totals
+    * both come from the tiny counts table in one window pass — no
+    * triangular self-join, no second aggregate on the base.
     */
   def groupQuantiles(lineitem: DataFrame,
                      numPartitions: Int = 32): DataFrame = {
-    val parted = lineitem.select(
-      col("l_returnflag").as("g"), col("l_quantity").as("v"),
-      col("l_orderkey").as("tb1"), col("l_linenumber").as("tb2"))
-      .repartitionByRange(numPartitions,
-        col("g").asc, col("v").asc, col("tb1").asc, col("tb2").asc)
-      .withColumn("_pid", spark_partition_id())
+    val parted = TwoStage.rangeParted(
+      lineitem.select(
+        col("l_returnflag").as("g"), col("l_quantity").as("v"),
+        col("l_orderkey").as("tb1"), col("l_linenumber").as("tb2")),
+      numPartitions,
+      col("g").asc, col("v").asc, col("tb1").asc, col("tb2").asc)
     val wLocal = Window.partitionBy(col("_pid"), col("g"))
       .orderBy(col("v"), col("tb1"), col("tb2"))
     val local = parted.withColumn("_loc", row_number().over(wLocal))

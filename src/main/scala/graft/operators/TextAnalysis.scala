@@ -123,18 +123,14 @@ object TextAnalysis {
     * placement.
     */
   def vocabulary(documents: DataFrame, rankPartitions: Int = 32): DataFrame = {
-    // Materialized BEFORE the range partitioning: the range sampler
-    // evaluates its child once for boundary sampling and again for the
-    // real pass — without this the corpus explode+aggregate runs
-    // twice. The materialization is vocabulary-sized, never
-    // corpus-sized.
     val v = documents
       .select(explode(Canon.words(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      .materialized
-    val parted = v
-      .repartitionByRange(rankPartitions, col("n").desc, col("word").asc)
-      .withColumn("_pid", spark_partition_id())
+    // pinned post-exchange (TwoStage scaladoc): one boundary draw for
+    // both consumers, and the corpus explode+aggregate runs once —
+    // the pin is vocabulary-sized, never corpus-sized
+    val parted = graft.operators.TwoStage.rangeParted(v, rankPartitions,
+      col("n").desc, col("word").asc)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid"))
       .orderBy(col("n").desc, col("word").asc)

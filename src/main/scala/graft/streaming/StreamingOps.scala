@@ -369,10 +369,12 @@ object StreamingOps {
   def latenessProfile(events: DataFrame, delayUs: Long,
                       numPartitions: Int = 32): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val parted = events
-      .select(col("event_id"), graft.Tables.tsUs(events).as("ts_us"))
-      .repartitionByRange(numPartitions, col("event_id").asc)
-      .withColumn("_pid", spark_partition_id())
+    // pinned post-exchange (graft.operators.TwoStage scaladoc): one
+    // boundary draw for the running-max and per-partition-max branches
+    // (batch-only operator — localCheckpoint is fine here)
+    val parted = graft.operators.TwoStage.rangeParted(
+      events.select(col("event_id"), graft.Tables.tsUs(events).as("ts_us")),
+      numPartitions, col("event_id").asc)
     val wLocal = W.partitionBy(col("_pid")).orderBy(col("event_id"))
       .rowsBetween(W.unboundedPreceding, -1)
     val local = parted.withColumn("_lmax",
