@@ -312,6 +312,13 @@ object SparkEntry {
     "g23_louvain_move" -> ((s, dir) =>
       GraphEtl.louvainMove(
         GraphEtl.coSupplierEdges(t(s, dir, "lineitem")), 1)),
+    // Full two-level Louvain: g23's move round, min-member community
+    // contraction (weighted super-edges + self-loop degrees), then
+    // the phase-2 singleton-restart move round on the contracted
+    // graph; audit row with before/mid/after modularity.
+    "g24_louvain_two_level" -> ((s, dir) =>
+      GraphEtl.louvainTwoLevel(
+        GraphEtl.coSupplierEdges(t(s, dir, "lineitem")), 1)),
 
     // --- LLM-pipeline extension surface (SURVEY §2.12) ---
     // Exact dedup: content-hash groupBy, one shuffle.
@@ -1117,6 +1124,51 @@ object SparkEntry {
        |l0 AS (SELECT DISTINCT a AS node, a AS lab FROM sym),
        |$rs""".stripMargin
   }
+
+  /** DuckDB: the g23/g24 shared phase-1 chain — the 1-round LPA seed's
+    * exact cross-multiplied gain argmax (2m·e_{i→C} − k_i·Σ'_C in
+    * HUGEINT, self-degree excluded for the own community), the strict
+    * move test, the decided partition `nl`. Appended to `lpaCtes(1)`.
+    * Multi-consumer CTEs are re-wrapped AS MATERIALIZED: this chain is
+    * referenced 4–6× downstream and DuckDB's per-reference CTE
+    * inlining otherwise re-evaluates the whole LPA chain per
+    * reference (the g15/nnDescent lesson — measured >10 min at sf0.1
+    * unhinted, seconds hinted; evaluation-only, semantics unchanged).
+    */
+  private val louvainPhase1Ctes: String =
+    """,
+      |em AS MATERIALIZED (SELECT a, b FROM e),
+      |symm AS MATERIALIZED (SELECT a, b FROM sym),
+      |l1m AS MATERIALIZED (SELECT node, lab FROM l1),
+      |deg AS MATERIALIZED (SELECT a AS v, count(*)::BIGINT AS k
+      |  FROM symm GROUP BY a),
+      |mm AS MATERIALIZED (SELECT count(*)::BIGINT AS m FROM em),
+      |dcs AS MATERIALIZED (SELECT l.lab AS community,
+      |  sum(d.k::HUGEINT) AS sigma
+      |  FROM deg d JOIN l1m l ON l.node = d.v GROUP BY 1),
+      |nbr AS MATERIALIZED (SELECT s.a AS a, l.lab AS labc,
+      |  count(*)::BIGINT AS cnt
+      |  FROM symm s JOIN l1m l ON l.node = s.b GROUP BY 1, 2),
+      |scored AS (SELECT n.a, n.labc, la.lab AS laba,
+      |  2::HUGEINT * mm.m * n.cnt - d.k::HUGEINT *
+      |    (dc.sigma - CASE WHEN n.labc = la.lab THEN d.k ELSE 0 END)
+      |    AS s
+      | FROM nbr n JOIN deg d ON d.v = n.a
+      | JOIN l1m la ON la.node = n.a
+      | JOIN dcs dc ON dc.community = n.labc, mm),
+      |best AS (SELECT a, labc AS best_lab, s AS best_s FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY a
+      |    ORDER BY s DESC, labc) AS rk FROM scored) WHERE rk = 1),
+      |stay AS (SELECT la.node AS a, la.lab AS laba,
+      |  2::HUGEINT * mm.m * coalesce(nb.cnt, 0) -
+      |    d.k::HUGEINT * (dc.sigma - d.k) AS stay_s
+      | FROM l1m la JOIN deg d ON d.v = la.node
+      | JOIN dcs dc ON dc.community = la.lab
+      | LEFT JOIN nbr nb ON nb.a = la.node AND nb.labc = la.lab, mm),
+      |nl AS MATERIALIZED (SELECT st.a AS node, st.laba,
+      |  CASE WHEN b.best_s > st.stay_s THEN b.best_lab
+      |       ELSE st.laba END AS lab
+      | FROM stay st LEFT JOIN best b ON b.a = st.a)""".stripMargin
 
   /** DuckDB: the CDC chunk construction (Dedup.cdcChunksCol, k=4,
     * divisor=16): word hashes → windowed polynomial → boundary filter
@@ -3037,40 +3089,8 @@ object SparkEntry {
     // reference (the g15/nnDescent lesson — measured >10 min at
     // sf0.1 unhinted, seconds hinted; evaluation-only, semantics
     // unchanged).
-    "g23_louvain_move" -> (lpaCtes(1) +
+    "g23_louvain_move" -> (lpaCtes(1) + louvainPhase1Ctes +
       """,
-        |em AS MATERIALIZED (SELECT a, b FROM e),
-        |symm AS MATERIALIZED (SELECT a, b FROM sym),
-        |l1m AS MATERIALIZED (SELECT node, lab FROM l1),
-        |deg AS MATERIALIZED (SELECT a AS v, count(*)::BIGINT AS k
-        |  FROM symm GROUP BY a),
-        |mm AS MATERIALIZED (SELECT count(*)::BIGINT AS m FROM em),
-        |dcs AS MATERIALIZED (SELECT l.lab AS community,
-        |  sum(d.k::HUGEINT) AS sigma
-        |  FROM deg d JOIN l1m l ON l.node = d.v GROUP BY 1),
-        |nbr AS MATERIALIZED (SELECT s.a AS a, l.lab AS labc,
-        |  count(*)::BIGINT AS cnt
-        |  FROM symm s JOIN l1m l ON l.node = s.b GROUP BY 1, 2),
-        |scored AS (SELECT n.a, n.labc, la.lab AS laba,
-        |  2::HUGEINT * mm.m * n.cnt - d.k::HUGEINT *
-        |    (dc.sigma - CASE WHEN n.labc = la.lab THEN d.k ELSE 0 END)
-        |    AS s
-        | FROM nbr n JOIN deg d ON d.v = n.a
-        | JOIN l1m la ON la.node = n.a
-        | JOIN dcs dc ON dc.community = n.labc, mm),
-        |best AS (SELECT a, labc AS best_lab, s AS best_s FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY a
-        |    ORDER BY s DESC, labc) AS rk FROM scored) WHERE rk = 1),
-        |stay AS (SELECT la.node AS a, la.lab AS laba,
-        |  2::HUGEINT * mm.m * coalesce(nb.cnt, 0) -
-        |    d.k::HUGEINT * (dc.sigma - d.k) AS stay_s
-        | FROM l1m la JOIN deg d ON d.v = la.node
-        | JOIN dcs dc ON dc.community = la.lab
-        | LEFT JOIN nbr nb ON nb.a = la.node AND nb.labc = la.lab, mm),
-        |nl AS MATERIALIZED (SELECT st.a AS node, st.laba,
-        |  CASE WHEN b.best_s > st.stay_s THEN b.best_lab
-        |       ELSE st.laba END AS lab
-        | FROM stay st LEFT JOIN best b ON b.a = st.a),
         |mv AS (SELECT sum(CASE WHEN lab <> laba THEN 1 ELSE 0 END)
         |    ::BIGINT AS n_moves FROM nl),
         |nb2 AS (SELECT count(*)::BIGINT AS n_communities_before,
@@ -3096,6 +3116,81 @@ object SparkEntry {
         |     / (4::HUGEINT * mm.m * mm.m)::DOUBLE END
         |   AS modularity_after
         |FROM mm, nb2, win_b, na2, win_a, mv""".stripMargin),
+    // louvainTwoLevel mirror: the shared phase-1 chain through `nl`,
+    // then min-member canonicalization, the weighted contraction
+    // (between-community super-edges + self-loop weights), the
+    // phase-2 singleton-restart move (s = 2m·w(a,b) − k_a·k_b in
+    // HUGEINT, merge iff s > 0, ties (s DESC, nb ASC)), and the g21
+    // modularity tail over all three flat partitions.
+    "g24_louvain_two_level" -> (lpaCtes(1) + louvainPhase1Ctes +
+      """,
+        |canon AS MATERIALIZED (SELECT lab, min(node) AS cc
+        |  FROM nl GROUP BY lab),
+        |flat1 AS MATERIALIZED (SELECT nl.node AS v, c.cc AS c
+        |  FROM nl JOIN canon c ON c.lab = nl.lab),
+        |ce AS MATERIALIZED (SELECT x.c AS ca, y.c AS cb FROM em e
+        |  JOIN flat1 x ON x.v = e.a JOIN flat1 y ON y.v = e.b),
+        |bw AS MATERIALIZED (SELECT least(ca, cb) AS sa,
+        |   greatest(ca, cb) AS sb, count(*)::BIGINT AS w
+        |  FROM ce WHERE ca <> cb GROUP BY 1, 2),
+        |swt AS MATERIALIZED (SELECT ca AS node,
+        |   count(*)::BIGINT AS selfw FROM ce WHERE ca = cb GROUP BY 1),
+        |symw AS MATERIALIZED (SELECT sa AS node, sb AS nb, w FROM bw
+        |  UNION ALL SELECT sb, sa, w FROM bw),
+        |degc AS MATERIALIZED (SELECT c.cc AS node,
+        |   coalesce(nw.nbw, 0) + 2 * coalesce(s.selfw, 0) AS k
+        |  FROM canon c LEFT JOIN (SELECT node, sum(w)::BIGINT AS nbw
+        |    FROM symw GROUP BY 1) nw ON nw.node = c.cc
+        |  LEFT JOIN swt s ON s.node = c.cc),
+        |scored2 AS (SELECT sy.node, sy.nb,
+        |   2::HUGEINT * mm.m * sy.w - da.k::HUGEINT * db.k::HUGEINT AS s
+        |  FROM symw sy JOIN degc da ON da.node = sy.node
+        |  JOIN degc db ON db.node = sy.nb, mm),
+        |dec2 AS MATERIALIZED (SELECT node AS c, nb AS mergeto FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY node
+        |    ORDER BY s DESC, nb) AS rk FROM scored2)
+        |  WHERE rk = 1 AND s > 0),
+        |flat2 AS MATERIALIZED (SELECT f.v, coalesce(d.mergeto, f.c) AS c
+        |  FROM flat1 f LEFT JOIN dec2 d ON d.c = f.c),
+        |mv1 AS (SELECT sum(CASE WHEN lab <> laba THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_moves_p1 FROM nl),
+        |mv2 AS (SELECT count(*)::BIGINT AS n_moves_p2 FROM dec2),
+        |se AS (SELECT count(*)::BIGINT AS n_super_edges FROM bw),
+        |nb0 AS (SELECT sum(sigma * sigma) AS sdq_b FROM dcs),
+        |win_b AS (SELECT count(*)::BIGINT AS e_in FROM em e
+        |  JOIN l1m x ON x.node = e.a JOIN l1m y ON y.node = e.b
+        |  WHERE x.lab = y.lab),
+        |dcs_m AS (SELECT f.c, sum(d.k::HUGEINT) AS sigma
+        |  FROM deg d JOIN flat1 f ON f.v = d.v GROUP BY 1),
+        |nb_m AS (SELECT count(*)::BIGINT AS n_communities_mid,
+        |   sum(sigma * sigma) AS sdq_m FROM dcs_m),
+        |win_m AS (SELECT count(*)::BIGINT AS e_in FROM em e
+        |  JOIN flat1 x ON x.v = e.a JOIN flat1 y ON y.v = e.b
+        |  WHERE x.c = y.c),
+        |dcs_a AS (SELECT f.c, sum(d.k::HUGEINT) AS sigma
+        |  FROM deg d JOIN flat2 f ON f.v = d.v GROUP BY 1),
+        |nb_a AS (SELECT count(*)::BIGINT AS n_communities_after,
+        |   sum(sigma * sigma) AS sdq_a FROM dcs_a),
+        |win_a AS (SELECT count(*)::BIGINT AS e_in FROM em e
+        |  JOIN flat2 x ON x.v = e.a JOIN flat2 y ON y.v = e.b
+        |  WHERE x.c = y.c)
+        |SELECT mm.m,
+        | CASE WHEN mm.m = 0 THEN NULL ELSE
+        |   (4::HUGEINT * mm.m * win_b.e_in - nb0.sdq_b)::DOUBLE
+        |     / (4::HUGEINT * mm.m * mm.m)::DOUBLE END
+        |   AS modularity_before,
+        | mv1.n_moves_p1, nb_m.n_communities_mid,
+        | CASE WHEN mm.m = 0 THEN NULL ELSE
+        |   (4::HUGEINT * mm.m * win_m.e_in - nb_m.sdq_m)::DOUBLE
+        |     / (4::HUGEINT * mm.m * mm.m)::DOUBLE END
+        |   AS modularity_mid,
+        | se.n_super_edges, mv2.n_moves_p2, nb_a.n_communities_after,
+        | CASE WHEN mm.m = 0 THEN NULL ELSE
+        |   (4::HUGEINT * mm.m * win_a.e_in - nb_a.sdq_a)::DOUBLE
+        |     / (4::HUGEINT * mm.m * mm.m)::DOUBLE END
+        |   AS modularity_after
+        |FROM mm, nb0, win_b, mv1, nb_m, win_m, se, mv2, nb_a,
+        | win_a""".stripMargin),
     "t06_vocabulary" ->
       """SELECT word, count(*) AS n,
         | row_number() OVER (ORDER BY count(*) DESC, word ASC) AS "rank"

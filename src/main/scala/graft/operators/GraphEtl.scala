@@ -735,9 +735,32 @@ object GraphEtl {
     * materialized (the p17 exchange-reuse lesson).
     */
   def louvainMove(edges: DataFrame, seedRounds: Int = 1): DataFrame = {
-    val dec = "decimal(38,0)"
     val e = edges.select(col("a"), col("b")).distinct().materialized
     val seed = labelPropagation(e, seedRounds).materialized
+    val decided = moveDecided(e, seed)
+    val before = modularityParts(e, seed)
+    val after = modularityParts(e,
+      decided.select(col("a").as("vertex"), col("newlab").as("community")))
+    val moves = decided.agg(
+      sum(when(col("newlab") =!= col("laba"), 1L).otherwise(0L))
+        .as("n_moves"))
+    before
+      .select(col("m"), col("n_communities").as("n_communities_before"),
+        col("modularity").as("modularity_before"))
+      .crossJoin(broadcast(moves))
+      .crossJoin(broadcast(after.select(
+        col("n_communities").as("n_communities_after"),
+        col("modularity").as("modularity_after"))))
+  }
+
+  /** The synchronous local-move DECISION shared by [[louvainMove]]
+    * (g23) and [[louvainTwoLevel]] (g24 phase 1): every node's exact
+    * integer gain argmax against the seed partition, strict-improve
+    * move test. Returns the materialized (a, laba, newlab) frame.
+    * `e` must be the distinct half-open edge list.
+    */
+  private def moveDecided(e: DataFrame, seed: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
     val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
     val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("k"))
       .materialized
@@ -780,21 +803,120 @@ object GraphEtl {
         (lit(2).cast(dec) * col("m") * coalesce(col("stay_cnt"), lit(0L)) -
           col("k").cast(dec) * (col("sga") - col("k").cast(dec)))
           .as("stay_s"))
-    val decided = stay.join(best, Seq("a"), "left")
+    stay.join(best, Seq("a"), "left")
       .select(col("a"), col("laba"),
         when(col("best_s") > col("stay_s"), col("best_lab"))
           .otherwise(col("laba")).as("newlab"))
       .materialized
+  }
+
+  /** Full two-level Louvain (g24, Blondel et al. 2008 phases 1+2):
+    * the g23 synchronous move round, then the COMMUNITY-GRAPH
+    * CONTRACTION and a second synchronous move round on the
+    * contracted graph. Deterministic throughout: phase-1 communities
+    * are canonicalized to their MIN MEMBER id; contraction sums edge
+    * multiplicities between supernodes (within-community edges become
+    * self-loop weight, carried in the weighted degree as 2·w_self);
+    * and because phase 2 restarts every supernode as its own
+    * community, the synchronous weighted move round collapses to an
+    * exact closed form — supernode a merges into its argmax neighbor
+    * b iff 2m·w(a,b) > k_a·k_b (the cross-multiplied modularity-gain
+    * test; the self-loop term rides along with a and cancels between
+    * candidates, and the stay score is identically 0 from a singleton
+    * community). All score algebra in decimal(38,0) / HUGEINT (§8.4)
+    * — k_a·k_b overflows long on a 10¹²-edge graph — ties break
+    * (score DESC, neighbor ASC), no float in any decision path.
+    *
+    * Output: the two-level audit row — m, modularity before (seed) /
+    * mid (after phase 1) / after (both phases), move counts of each
+    * phase, community counts, and the contracted graph's size. All
+    * three modularity scores are [[modularityParts]] over the
+    * ORIGINAL edge list with the corresponding flat partition, so
+    * g21/g23/g24 share one scoring algebra by construction and the
+    * weighted-graph modularity formula never needs to exist here.
+    *
+    * Shape: phase 1 is g23's shape (edge×labels joins, degree-bounded
+    * argmax windows); the contraction is one edge×labels join pair +
+    * a pair-key aggregate (map-side combinable, output bounded by the
+    * community-pair count); phase 2 runs on the CONTRACTED graph —
+    * sized by communities, not vertices, the whole point of Louvain's
+    * scalability — with one broadcast-joined degree table and one
+    * argmax window. Nothing pairwise, nothing driver-side.
+    */
+  def louvainTwoLevel(edges: DataFrame, seedRounds: Int = 1): DataFrame = {
+    val dec = "decimal(38,0)"
+    val e = edges.select(col("a"), col("b")).distinct().materialized
+    val seed = labelPropagation(e, seedRounds).materialized
+    val p1 = moveDecided(e, seed)
+    // canonical phase-1 partition: community label := min member id
+    val canon = p1.groupBy(col("newlab"))
+      .agg(min(col("a")).as("cc"))
+    val flat1 = p1.join(canon, "newlab")
+      .select(col("a").as("v"), col("cc").as("c"))
+      .materialized
+    // contraction: per-edge community pair; between-community pairs
+    // aggregate to weighted super-edges, within-community edges to
+    // self-loop weight (enters degree as 2·sw, never the neighbor list)
+    val ce = e
+      .join(flat1.select(col("v").as("a"), col("c").as("ca")), "a")
+      .join(flat1.select(col("v").as("b"), col("c").as("cb")), "b")
+      .select(col("ca"), col("cb"))
+      .materialized
+    val bw = ce.filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("sa"),
+        greatest(col("ca"), col("cb")).as("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("w"))
+      .materialized
+    val sw = ce.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("node")).agg(count(lit(1)).as("selfw"))
+    val symW = bw.select(col("sa").as("node"), col("sb").as("nb"), col("w"))
+      .union(bw.select(col("sb").as("node"), col("sa").as("nb"), col("w")))
+    // weighted supernode degree k_C = Σ_C' w(C,C') + 2·w_self(C)
+    // (= the sum of member degrees, exactly)
+    val degC = canon.select(col("cc").as("node"))
+      .join(symW.groupBy(col("node")).agg(sum(col("w")).as("nbw")),
+        Seq("node"), "left")
+      .join(sw, Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("nbw"), lit(0L)) +
+          lit(2L) * coalesce(col("selfw"), lit(0L))).as("k"))
+      .materialized
+    val mRow = broadcast(e.agg(count(lit(1)).as("m")))
+    // phase-2 synchronous move from the singleton restart: merge a
+    // into argmax-s neighbor b iff s = 2m·w(a,b) − k_a·k_b > 0
+    val scored2 = symW
+      .join(degC.select(col("node"), col("k").as("ka")), "node")
+      .join(degC.select(col("node").as("nb"), col("k").as("kb")), "nb")
+      .crossJoin(mRow)
+      .select(col("node"), col("nb"),
+        (lit(2).cast(dec) * col("m") * col("w") -
+          col("ka").cast(dec) * col("kb").cast(dec)).as("s"))
+    val wBest2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("node")).orderBy(col("s").desc, col("nb").asc)
+    val dec2 = scored2.withColumn("_rk", row_number().over(wBest2))
+      .filter(col("_rk") === 1 && col("s") > 0)
+      .select(col("node").as("c"), col("nb").as("mergeto"))
+    val flat2 = flat1.join(dec2, Seq("c"), "left")
+      .select(col("v").as("vertex"),
+        coalesce(col("mergeto"), col("c")).as("community"))
+      .materialized
     val before = modularityParts(e, seed)
-    val after = modularityParts(e,
-      decided.select(col("a").as("vertex"), col("newlab").as("community")))
-    val moves = decided.agg(
+    val mid = modularityParts(e,
+      flat1.select(col("v").as("vertex"), col("c").as("community")))
+    val after = modularityParts(e, flat2)
+    val moves1 = p1.agg(
       sum(when(col("newlab") =!= col("laba"), 1L).otherwise(0L))
-        .as("n_moves"))
+        .as("n_moves_p1"))
+    val moves2 = dec2.agg(count(lit(1)).as("n_moves_p2"))
+    val superEdges = bw.agg(count(lit(1)).as("n_super_edges"))
     before
-      .select(col("m"), col("n_communities").as("n_communities_before"),
-        col("modularity").as("modularity_before"))
-      .crossJoin(broadcast(moves))
+      .select(col("m"), col("modularity").as("modularity_before"))
+      .crossJoin(broadcast(moves1))
+      .crossJoin(broadcast(mid.select(
+        col("n_communities").as("n_communities_mid"),
+        col("modularity").as("modularity_mid"))))
+      .crossJoin(broadcast(superEdges))
+      .crossJoin(broadcast(moves2))
       .crossJoin(broadcast(after.select(
         col("n_communities").as("n_communities_after"),
         col("modularity").as("modularity_after"))))

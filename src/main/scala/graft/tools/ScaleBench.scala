@@ -66,7 +66,13 @@ object ScaleBench {
     // edge×labels join + one (node, community) count + three small
     // equi-joins + two modularity tails; must track g20/g21's curve
     // (the gain argmax adds joins, not rounds).
-    "g23_louvain_move")
+    "g23_louvain_move",
+    // r15: g23's round plus the contraction and phase-2 move. The
+    // delta over g23 must be COMMUNITY-sized, not vertex-sized —
+    // phase 2 runs on the contracted graph, which is Louvain's whole
+    // scalability argument — plus one extra modularity tail over the
+    // original edges.
+    "g24_louvain_two_level")
 
   /** Second axis (late r10): the corpus-heavy single-pass family —
     * LSH candidate generation, pair verification, the two corpus-pass

@@ -265,6 +265,62 @@ class GraphEtlSpec extends SparkSpec {
     assert(GraphEtl.louvainMove(twoTri.repartition(5), 1).head() === r)
   }
 
+  test("louvainTwoLevel: contraction weights and the phase-2 " +
+    "closed-form merge, hand-checked on the bridged triangles; " +
+    "partition-independent") {
+    // Phase 1 = louvainMove's worked example: {1,3},{2},{4,5,6},
+    // canonical labels A=1, B=2, C=4. Contraction: A-B w=2 (edges
+    // 1-2, 2-3), A-C w=1 (edge 3-4); self-loops A=1, C=3. Weighted
+    // degrees k_A = 3+2·1 = 5, k_B = 2, k_C = 1+2·3 = 7 (= member
+    // degree sums). Phase-2 closed form (2m·w − k_a·k_b, m=7):
+    // s(A→B) = 28−10 = 18 > 0, s(A→C) = 14−35 < 0 → A merges to B;
+    // s(B→A) = 18 > 0 → B merges to A; s(C→A) < 0 → C stays. A and B
+    // SWAP labels — the synchronous-round artifact, analogous to
+    // g20's LPA oscillation: the partition structure is unchanged
+    // ({1,3},{2},{4,5,6} relabeled), so Q_after = Q_mid exactly, and
+    // the audit row records 2 phase-2 "moves" that net to a
+    // relabeling. Deterministic, and reproduced identically by the
+    // mirror.
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val r = GraphEtl.louvainTwoLevel(twoTri, 1).head()
+    assert(r.getAs[Long]("m") === 7L)
+    assert(r.getAs[Double]("modularity_before") === 2.0 / 196)
+    assert(r.getAs[Long]("n_moves_p1") === 3L)
+    assert(r.getAs[Long]("n_communities_mid") === 3L)
+    assert(r.getAs[Double]("modularity_mid") === 34.0 / 196)
+    assert(r.getAs[Long]("n_super_edges") === 2L)
+    assert(r.getAs[Long]("n_moves_p2") === 2L)
+    assert(r.getAs[Long]("n_communities_after") === 3L)
+    assert(r.getAs[Double]("modularity_after") === 34.0 / 196)
+    assert(GraphEtl.louvainTwoLevel(twoTri.repartition(5), 1).head() === r)
+  }
+
+  test("louvainTwoLevel: disjoint triangles — isolated supernodes " +
+    "(no super-edges) keep their self-loop degrees and phase 2 is " +
+    "a no-op at the optimum") {
+    // LPA(1) splits each triangle {min-voted node} vs {the other
+    // two}; phase 1 re-unites them (nodes 1 and 4 move, the others'
+    // best gain ties their stay score and the strict test holds).
+    // Contraction: two supernodes, ZERO between-edges, self-loops 3
+    // each → k = 6 via the left-join degree path (the empty-symW
+    // edge case). Phase 2 has no candidates → no moves. Q_mid =
+    // Q_after = (4·6·6 − 2·36)/(4·36) = 0.5, the textbook value for
+    // two equal disjoint cliques.
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
+    val r = GraphEtl.louvainTwoLevel(twoTri, 1).head()
+    assert(r.getAs[Long]("m") === 6L)
+    assert(r.getAs[Double]("modularity_before") === 8.0 / 144)
+    assert(r.getAs[Long]("n_moves_p1") === 2L)
+    assert(r.getAs[Long]("n_communities_mid") === 2L)
+    assert(r.getAs[Double]("modularity_mid") === 0.5)
+    assert(r.getAs[Long]("n_super_edges") === 0L)
+    assert(r.getAs[Long]("n_moves_p2") === 0L)
+    assert(r.getAs[Long]("n_communities_after") === 2L)
+    assert(r.getAs[Double]("modularity_after") === 0.5)
+  }
+
   test("kTrussPeel: K4 survives the 4-truss at support 2; a pendant " +
     "triangle is peeled; the triangle strip cascades to empty") {
     def run(edges: org.apache.spark.sql.DataFrame, rounds: Int) =
