@@ -331,14 +331,18 @@ object Dedup {
     * the cross-multiplied 5·i ≥ 4·(sa + sb − i) — no float compare
     * anywhere in the decision path.
     *
-    * The join also carries Bayardo §3's LENGTH FILTER: J ≥ 4/5
+    * The join also carries Bayardo §3's LENGTH FILTER (J ≥ 4/5
     * forces 9·i ≥ 4·(|a|+|b|) with i ≤ min(|a|,|b|), hence
-    * 5·min(|a|,|b|) ≥ 4·max(|a|,|b|) — so a prefix-token match
-    * between size-incompatible docs is discarded BEFORE the
-    * candidate pair exists (each prefix row carries its doc's set
-    * size; the predicate is exact integer algebra on the join). An
-    * exactness-preserving prune: any pair it drops, the theorem
-    * already excludes.
+    * 5·min(|a|,|b|) ≥ 4·max(|a|,|b|)) and §4's POSITIONAL FILTER
+    * (a match at per-doc rarity ranks (pa, pb) bounds the overlap by
+    * 1 + min(|a|−pa, |b|−pb), which must reach the overlap floor
+    * ⌈4(|a|+|b|)/9⌉) — so a size-incompatible or position-starved
+    * prefix match is discarded BEFORE the candidate pair exists
+    * (each prefix row carries its doc's set size and the token's
+    * rank; both predicates are exact integer algebra riding the join
+    * condition). Exactness-preserving prunes: any pair they drop,
+    * the theorems already exclude — the in-code proof sketch is at
+    * the join site.
     *
     * Scale shape: candidates are keyed by RARE tokens only (the
     * rarest ~1/5 of each set — hot stopword tokens never key the
@@ -364,13 +368,26 @@ object Dedup {
       .withColumn("nset", count(lit(1)).over(wSize))
       .filter(col("rnk") <=
         col("nset") - expr("(4 * nset + 4) div 5") + 1L)
-      .select(col("doc_id"), col("h"), col("nset"))
+      .select(col("doc_id"), col("h"), col("nset"), col("rnk"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           // length filter: 5·min ≥ 4·max is NECESSARY for J ≥ 4/5
           lit(5L) * least(col("a.nset"), col("b.nset")) >=
-            lit(4L) * greatest(col("a.nset"), col("b.nset")))
+            lit(4L) * greatest(col("a.nset"), col("b.nset")) &&
+          // positional filter (Bayardo §4 / PPJoin): a common token at
+          // per-doc rarity ranks (pa, pb) bounds the overlap by
+          // 1 + min(|a|−pa, |b|−pb), which must reach the J ≥ 4/5
+          // overlap floor ⌈4(|a|+|b|)/9⌉ (from 5i ≥ 4(|a|+|b|−i)).
+          // Lossless: ranks grow with global order, so the EARLIEST
+          // common token carries the pair's LARGEST bound; for a
+          // qualifying pair that token is in both prefixes (the
+          // prefix theorem) and i ≥ the floor ≤ its bound — so the
+          // pair always survives at that match, and any match this
+          // predicate drops could only have produced a pair the
+          // verify would reject. Exact integer algebra throughout.
+          expr("1 + least(a.nset - a.rnk, b.nset - b.rnk) >= " +
+            "(4 * (a.nset + b.nset) + 8) div 9"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // sorted sets rebuilt from the already-materialized toks (which
