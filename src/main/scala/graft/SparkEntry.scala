@@ -397,6 +397,20 @@ object SparkEntry {
     // against the exact corpus-wide top-k truth.
     "s34_graph_beam_recall" -> ((s, dir) =>
       Similarity.graphBeamRecall(t(s, dir, "embeddings"))),
+    // Hierarchical 2-level entry ladder (the HNSW upper-layer idea):
+    // brute top-beam over the ⌊√n⌋ md5-order pilots seeds the same
+    // walk at the same beam budget.
+    "s47_hier_beam_search" -> ((s, dir) =>
+      Similarity.hierBeamSearch(t(s, dir, "embeddings"))),
+    // s47's dial: pilot frontier vs walked frontier against the
+    // exact truth — read beside s34 to price the ladder.
+    "s48_hier_beam_recall" -> ((s, dir) =>
+      Similarity.hierBeamRecall(t(s, dir, "embeddings"))),
+    // The ladder's clustered twin (the s35/s46 discipline): where
+    // geometry has structure, pilot entries land in-cluster.
+    "s49_clustered_hier_recall" -> ((s, dir) =>
+      Similarity.hierBeamRecall(
+        Similarity.clusteredEmbeddings(t(s, dir, "embeddings")))),
     // The dial on CLUSTERED geometry (s30 discipline): graph search
     // exploits neighborhood structure the uniform fixture lacks.
     "s35_clustered_beam_recall" -> ((s, dir) =>
@@ -1480,7 +1494,29 @@ object SparkEntry {
                       descentRounds: Int,
                       qbSql: String =
                         "SELECT vec_id AS q_id, v, nrm FROM n" +
-                          " WHERE vec_id % 50 = 0"): String = {
+                          " WHERE vec_id % 50 = 0",
+                      hier: Boolean = false): String = {
+    // s47 ladder (hier): bf0 is the per-query top-beam over the ⌊√n⌋
+    // md5-order pilots (hrk's rank, rn² ≤ n) instead of the fixed
+    // global entry set.
+    val entry0 =
+      if (hier)
+        s"""lvp AS (SELECT vec_id FROM hrk WHERE rn * rn <= b),
+           |bs0 AS (SELECT a.q_id, b.vec_id AS cand_id,
+           |  $pairDot / (a.nrm * b.nrm) AS sim
+           | FROM qb a CROSS JOIN lvp l
+           |  JOIN n b ON b.vec_id = l.vec_id
+           | WHERE b.vec_id <> a.q_id)""".stripMargin
+      else
+        s"""ent AS (SELECT vec_id AS cand_id FROM e
+           |  ORDER BY ${h60("vec_id::VARCHAR")} %
+           |    ${graft.functions.Canon.MersenneP}, vec_id LIMIT $beam),
+           |bc0 AS (SELECT q_id, cand_id FROM qb CROSS JOIN ent
+           |  WHERE cand_id <> q_id),
+           |bs0 AS (SELECT c.q_id, c.cand_id,
+           |  $pairDot / (a.nrm * b.nrm) AS sim
+           | FROM bc0 c JOIN qb a ON a.q_id = c.q_id
+           |  JOIN n b ON b.vec_id = c.cand_id)""".stripMargin
     val base =
       s""",
          |skip AS (SELECT a.vec_id, t.vec_id AS nbr_id FROM
@@ -1497,15 +1533,7 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM skip)),
          |qb AS ($qbSql),
-         |ent AS (SELECT vec_id AS cand_id FROM e
-         |  ORDER BY ${h60("vec_id::VARCHAR")} %
-         |    ${graft.functions.Canon.MersenneP}, vec_id LIMIT $beam),
-         |bc0 AS (SELECT q_id, cand_id FROM qb CROSS JOIN ent
-         |  WHERE cand_id <> q_id),
-         |bs0 AS (SELECT c.q_id, c.cand_id,
-         |  $pairDot / (a.nrm * b.nrm) AS sim
-         | FROM bc0 c JOIN qb a ON a.q_id = c.q_id
-         |  JOIN n b ON b.vec_id = c.cand_id),
+         |$entry0,
          |bf0 AS MATERIALIZED (SELECT q_id, cand_id, sim FROM (
          | SELECT *, row_number() OVER (PARTITION BY q_id
          |   ORDER BY sim DESC, cand_id) AS rk FROM bs0)
@@ -4603,6 +4631,25 @@ object SparkEntry {
       (nnDescentCte(4) + beamCte(16, 4, 5, 4) + beamRecallTail(4, 5)),
     "s35_clustered_beam_recall" ->
       (nnDescentCte(4, 5, gmCte) + beamCte(16, 4, 5, 4) +
+        beamRecallTail(4, 5)),
+    // hierBeamSearch mirror: the descent chain + the hier variant of
+    // beamCte (bf0 = per-query top-beam over the ⌊√n⌋ pilots) + the
+    // s33 top-k tail.
+    "s47_hier_beam_search" ->
+      (nnDescentCte(4) + beamCte(16, 4, 5, 4, hier = true) +
+        s"""
+           |SELECT q_id, cand_id AS nbr_id, sim, "rank" FROM (
+           | SELECT q_id, cand_id, sim, row_number() OVER (
+           |   PARTITION BY q_id ORDER BY sim DESC, cand_id)
+           |   AS "rank" FROM bf4)
+           |WHERE "rank" <= 5""".stripMargin),
+    // hierBeamRecall mirror: same hier chain + the shared recall tail
+    // (its 'entry' row now prices the pilot frontier).
+    "s48_hier_beam_recall" ->
+      (nnDescentCte(4) + beamCte(16, 4, 5, 4, hier = true) +
+        beamRecallTail(4, 5)),
+    "s49_clustered_hier_recall" ->
+      (nnDescentCte(4, 5, gmCte) + beamCte(16, 4, 5, 4, hier = true) +
         beamRecallTail(4, 5)),
     // incrementalGraphInsert mirror: descent chain on the OLD corpus
     // (embCteWhere — e/n, seeds, fingers, entries all old), the full

@@ -1583,10 +1583,14 @@ object Similarity {
   /** The walk itself: `rounds` hop-union-score-rank rounds of query
     * set `q` (q_id, qv, qnrm — MUST be pinned by the caller) over
     * `gsym` within corpus `e`, starting from the `beam` earliest
-    * corpus vectors in md5 order. Returns (frontier₀, frontier_R).
+    * corpus vectors in md5 order — or, when `f0Override` is given, a
+    * caller-supplied scored entry frontier (q_id, cand_id, sim): the
+    * s47 hierarchical ladder feeds its level-1 winners here. Returns
+    * (frontier₀, frontier_R).
     */
   private def beamWalk(e: DataFrame, gsym: DataFrame, q: DataFrame,
-                       beam: Int, rounds: Int)
+                       beam: Int, rounds: Int,
+                       f0Override: Option[DataFrame] = None)
       : (DataFrame, DataFrame) = {
     val entries = e
       .select(col("vec_id").as("cand_id"),
@@ -1605,8 +1609,9 @@ object Similarity {
     def topB(scored: DataFrame): DataFrame = scored
       .withColumn("_rk", row_number().over(wB))
       .filter(col("_rk") <= beam).drop("_rk")
-    val f0 = score(q.select(col("q_id")).crossJoin(broadcast(entries))
-        .filter(col("cand_id") =!= col("q_id")))
+    val f0 = f0Override.getOrElse(
+      score(q.select(col("q_id")).crossJoin(broadcast(entries))
+        .filter(col("cand_id") =!= col("q_id"))))
       .materialized
     var frontier = f0
     (1 to rounds).foreach { _ =>
@@ -1674,6 +1679,115 @@ object Similarity {
                       rounds: Int = 4, graphK: Int = 5,
                       descentRounds: Int = 4): DataFrame = {
     val (f0, f) = beamChain(embeddings, beam, rounds, graphK, descentRounds)
+    val e = prepared(embeddings).materialized
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val wT = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    val truth = q.as("a").join(e.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        Canon.cosine(Canon.dot(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")).as("sim"))
+      .withColumn("rank", row_number().over(wT))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("nbr_id")).materialized
+    val nQ = q.select(countDistinct(col("vec_id")).as("n_queries"))
+    val wK = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    def hits(frontier: DataFrame, variant: String): DataFrame =
+      truth.join(frontier
+          .withColumn("_rk", row_number().over(wK))
+          .filter(col("_rk") <= k)
+          .select(col("q_id").as("vec_id"), col("cand_id").as("nbr_id")),
+          Seq("vec_id", "nbr_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nQ))
+        .select(lit(variant).as("variant"), col("n_queries"),
+          col("n_hits"),
+          (col("n_hits").cast("double") /
+            (col("n_queries") * k).cast("double")).as("recall"))
+    hits(f0, "entry").unionByName(hits(f, "beam"))
+  }
+
+  /** The s47/s48 shared chain — the 2-level HIERARCHICAL ENTRY ladder
+    * for the beam search (the HNSW upper-layer idea, Malkov &
+    * Yashunin 2018 §4, reduced to two deterministic levels): s33's
+    * md5-order entry points are pure luck on a uniform corpus
+    * (Similarity's measured 0.555 uniform recall floor is geometry —
+    * the fixed entries start the walk far from most queries, and
+    * `rounds` hops can't always close the distance). Level 1 here
+    * brute-scores each query against the ⌊√n⌋ PILOT vectors earliest
+    * in md5-hash order (the same ordering hrk/searchGraph already
+    * rank by, so the oracle reuses that table) and takes the
+    * per-query top-`beam` as the walk's scored entry frontier; the
+    * level-2 walk is [[beamWalk]] unchanged, at the SAME beam and
+    * rounds as s33 — the recall delta is the ladder's, not a wider
+    * beam's.
+    *
+    * Scale shape: the pilot scan is |Q|·√n broadcast-scored rows —
+    * the published upper-layer cost, sublinear in the corpus and
+    * query-sized per query; everything else is s33's shape. At 100 TB
+    * the pilot RANK comes from the two-stage template instead of the
+    * one-partition window (the searchGraph hrank note).
+    */
+  private def hierChain(embeddings: DataFrame, beam: Int, rounds: Int,
+                        graphK: Int, descentRounds: Int)
+      : (DataFrame, DataFrame) = {
+    val e = prepared(embeddings).materialized
+    val gsym = searchGraph(e,
+      nnDescent(embeddings, graphK, descentRounds)
+        .select(col("vec_id"), col("nbr_id")))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")).materialized
+    val pilots = e
+      .select(col("vec_id"), col("v"), col("nrm"),
+        Canon.hashP(col("vec_id").cast("string")).as("_h"))
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(col("_h"), col("vec_id"))).cast("long"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("_b"))))
+      .filter(col("rn") * col("rn") <= col("_b"))
+      .select(col("vec_id").as("cand_id"), col("v"), col("nrm"))
+      .materialized
+    val wB = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    val f1 = q.crossJoin(broadcast(pilots))
+      .filter(col("cand_id") =!= col("q_id"))
+      .select(col("q_id"), col("cand_id"),
+        Canon.cosine(Canon.dot(col("qv"), col("v")),
+          col("qnrm"), col("nrm")).as("sim"))
+      .withColumn("_rk", row_number().over(wB))
+      .filter(col("_rk") <= beam).drop("_rk")
+    beamWalk(e, gsym, q, beam, rounds, Some(f1))
+  }
+
+  /** Hierarchical beam search (s47): [[hierChain]]'s final frontier,
+    * top-`k` per query with ranks — s33's output shape from the
+    * 2-level entry ladder.
+    */
+  def hierBeamSearch(embeddings: DataFrame, k: Int = 5, beam: Int = 16,
+                     rounds: Int = 4, graphK: Int = 5,
+                     descentRounds: Int = 4): DataFrame = {
+    val (_, f) = hierChain(embeddings, beam, rounds, graphK, descentRounds)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    f.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("cand_id").as("nbr_id"), col("sim"),
+        col("rank"))
+  }
+
+  /** s47's recall dial (s48, the s34 discipline): recall@k of the
+    * level-1 pilot frontier (what the √n brute scan alone gives)
+    * versus the walked frontier, both against the exact full-corpus
+    * truth. Read beside s34: the 'beam' row here vs s34's prices the
+    * ladder at EQUAL beam budget.
+    */
+  def hierBeamRecall(embeddings: DataFrame, k: Int = 5, beam: Int = 16,
+                     rounds: Int = 4, graphK: Int = 5,
+                     descentRounds: Int = 4): DataFrame = {
+    val (f0, f) = hierChain(embeddings, beam, rounds, graphK, descentRounds)
     val e = prepared(embeddings).materialized
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id"), col("v"), col("nrm"))

@@ -275,7 +275,11 @@ object ScaleBench {
     // per-candidate read shrunk to the packed codes; the row prices
     // that the ADC scoring changes the constant, not the shape
     // (build + walk stay the s33 curve, plus one codes pass).
-    "s44_graph_pq_beam")
+    "s44_graph_pq_beam",
+    // r15: the hierarchical entry ladder — s33's chain plus the
+    // |Q|·√n pilot scan; the row prices that the added level-1 term
+    // grows with √corpus, sublinear against s33's own build term.
+    "s47_hier_beam_search")
 
   private val Copies = 10
   private val KeyOffset = 10000000L // > any sf0.1 key; multiple of 10

@@ -634,6 +634,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out("beam")._3 >= out("entry")._3)
   }
 
+  test("hierBeamSearch: the ⌊√n⌋ pilot ladder reaches the brute " +
+    "answer on the tiny fixture; partition-independent") {
+    // n = 5 → 2 pilots (earliest in md5 order); level-1 top-beam
+    // seeds the same walk as s33, which covers the 5-vector corpus
+    // within 2 rounds — the output must equal brute force exactly
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.hierBeamSearch(df, k = 2, beam = 3, rounds = 2,
+          graphK = 1, descentRounds = 1)
+        .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    val out = run(emb)
+    val brute = Similarity.knnBrute(emb, 1, 2)
+      .as[(Long, Long, Double, Int)].collect().sortBy(_._4)
+    assert(out.map(r => (r._1, r._2, r._4)).toSeq
+      === brute.map(r => (r._1, r._2, r._4)).toSeq)
+    assert(run(emb.repartition(7)).toSeq === out.toSeq)
+  }
+
+  test("hierBeamRecall: walked recall dominates the pilot frontier " +
+    "(frontier monotonicity holds for per-query entries too)") {
+    val out = Similarity.hierBeamRecall(emb, k = 1, beam = 2,
+        rounds = 2, graphK = 1, descentRounds = 1)
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out("beam") === ((1L, 1L, 1.0)))
+    assert(out("beam")._3 >= out("entry")._3)
+  }
+
   // incremental fixture: old corpus = emb's five vectors (ids 0–4),
   // insert batch = ids 9 and 19 (% 10 == 9). Vector 9 lands right on
   // vector 0's direction (closer than 0's old best, vector 4);
