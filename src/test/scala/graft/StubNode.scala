@@ -43,7 +43,31 @@ object StubNode {
                            extraBlocks: Map[Long, String] = Map.empty,
                            prunedHeights: Set[Long] = Set.empty,
                            extraPayloads: Map[String, String] = Map.empty)(
-      f: (String, java.util.Queue[(String, String)]) => A): A = {
+      f: (String, java.util.Queue[(String, String)]) => A): A =
+    withServerCore(flaky, tipCap, extraBlocks, prunedHeights,
+      extraPayloads) { (endpoint, imports, _) => f(endpoint, imports) }
+
+  /** Variant exposing the tip as a MUTABLE AtomicLong (initially
+    * `tipCap`): FollowerBench's tail mode advances it one height at a
+    * time to measure per-block end-to-end latency with the follower
+    * AT TIP — the block_height answer is min(maxKnownHeight, tip),
+    * exactly the static cap's algebra with the cap now a dial.
+    */
+  def withServerTip[A](tipCap: Long,
+                       extraBlocks: Map[Long, String] = Map.empty,
+                       extraPayloads: Map[String, String] = Map.empty)(
+      f: (String, java.util.concurrent.atomic.AtomicLong) => A): A =
+    withServerCore(Map.empty, tipCap, extraBlocks, Set.empty,
+      extraPayloads) { (endpoint, _, tip) => f(endpoint, tip) }
+
+  private def withServerCore[A](flaky: Map[String, Int],
+                                tipCap: Long,
+                                extraBlocks: Map[Long, String],
+                                prunedHeights: Set[Long],
+                                extraPayloads: Map[String, String])(
+      f: (String, java.util.Queue[(String, String)],
+          java.util.concurrent.atomic.AtomicLong) => A): A = {
+    val tip = new java.util.concurrent.atomic.AtomicLong(tipCap)
     val blocks = HeliumFixtures.blockJsonByHeight ++ extraBlocks
     val payloads = HeliumFixtures.payloadByHash ++ extraPayloads
     val mapper = new ObjectMapper
@@ -86,7 +110,7 @@ object StubNode {
       val result: Either[Int, String] = req.get("method").asText() match {
         case "block_height" =>
           Right(math.min(
-            (blocks.keys ++ prunedHeights).max, tipCap).toString)
+            (blocks.keys ++ prunedHeights).max, tip.get()).toString)
         case "block_get" =>
           val h = req.get("params").get("height").asLong()
           if (prunedHeights(h)) Left(-100)
@@ -119,7 +143,7 @@ object StubNode {
     val pool = java.util.concurrent.Executors.newCachedThreadPool()
     server.setExecutor(pool)
     server.start()
-    try f(s"http://127.0.0.1:${server.getAddress.getPort}/", imports)
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}/", imports, tip)
     finally { server.stop(0); pool.shutdown() }
   }
 }

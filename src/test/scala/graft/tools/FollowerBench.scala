@@ -90,6 +90,37 @@ object FollowerBench {
     (wall, rows)
   }
 
+  /** Tail regime (VERDICT r14 #7): the follower AT TIP, per-block
+    * end-to-end latency. The follower catches up to the stub's tip,
+    * then the tip advances ONE height at a time; each sample times
+    * block-published → rows-committed-and-checkpointed through the
+    * live query (offset discovery, the block fetch + its N+1
+    * transaction_gets, transform, parquet append, WAL commit). This
+    * is the ENGINE term of tip-following latency; a production
+    * ProcessingTime trigger adds its poll offset (≤ interval, mean
+    * interval/2) on top — the engine term is what this library
+    * controls, so that is the recorded number.
+    */
+  private def runTail(spark: SparkSession, endpoint: String,
+                      tip: java.util.concurrent.atomic.AtomicLong,
+                      nBlocks: Int): Seq[Double] = {
+    val dir = Files.createTempDirectory("follower-tail").toString
+    val q = HeliumStreamFollower.start(spark, endpoint,
+      s"$dir/sink", s"$dir/ckpt", startHeight = tip.get() - 30L,
+      maxHeightsPerTrigger = 0L, numPartitions = 16,
+      maxRetries = 2, sleepMs = 0L,
+      receiptRetentionBlocks = Some(7200L))
+    try {
+      q.processAllAvailable() // catch up to tip; absorbs query startup
+      (1 to nBlocks).map { _ =>
+        val t0 = System.nanoTime()
+        tip.incrementAndGet()
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+    } finally q.stop()
+  }
+
   def main(args: Array[String]): Unit = {
     val nHeights = args.drop(1).headOption.map(_.toLong).getOrElse(1200L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -120,10 +151,24 @@ object FollowerBench {
             s""""$c":$n""" }.mkString(",")}}}"""
       }
     }
+    // Tail regime: fresh server whose tip starts 30 below the chain
+    // head, advanced one height per sample after catch-up.
+    val nTail = 30
+    val topHeight = 99L + nHeights
+    val tailLine = StubNode.withServerTip(topHeight - nTail,
+      extraBlocks = blocks, extraPayloads = payloads) { (endpoint, tip) =>
+      val lat = runTail(spark, endpoint, tip, nTail).sorted
+      def pct(p: Double): Double = lat((p * (lat.size - 1)).round.toInt)
+      f"""{"mode":"tail_per_block","heights":$nTail,""" +
+        f""""median_s":${pct(0.5)}%.3f,"p95_s":${pct(0.95)}%.3f,""" +
+        f""""max_s":${lat.last}%.3f,""" +
+        f""""blocks_per_s":${1.0 / pct(0.5)}%.1f}"""
+    }
     spark.stop()
+    val all = lines :+ tailLine
     val out = args.headOption.getOrElse("FOLLOWERBENCH.json")
     Files.writeString(java.nio.file.Paths.get(out),
-      lines.mkString("\n") + "\n")
-    lines.foreach(println)
+      all.mkString("\n") + "\n")
+    all.foreach(println)
   }
 }
