@@ -411,6 +411,10 @@ object SparkEntry {
     "s49_clustered_hier_recall" -> ((s, dir) =>
       Similarity.hierBeamRecall(
         Similarity.clusteredEmbeddings(t(s, dir, "embeddings")))),
+    // Rounds curve: recall@5 at 2/4/8 walk rounds, fixed beam — the
+    // exploration-volume dial the s48 entry-ladder verdict demands.
+    "s50_beam_rounds_curve" -> ((s, dir) =>
+      Similarity.beamRoundsCurve(t(s, dir, "embeddings"))),
     // The dial on CLUSTERED geometry (s30 discipline): graph search
     // exploits neighborhood structure the uniform fixture lacks.
     "s35_clustered_beam_recall" -> ((s, dir) =>
@@ -1639,6 +1643,37 @@ object SparkEntry {
     * over the dial queries, top-k cuts of the entry and final
     * frontiers, and the two recall rows.
     */
+  /** s50 tail after [[beamCte]] run to `cuts.max` rounds: the exact
+    * truth pass (once), then recall@k rows cut at each bf$r.
+    */
+  private def roundsCurveTail(k: Int, cuts: Seq[Int]): String = {
+    val cutCtes = cuts.map { r =>
+      s"""cut$r AS (SELECT q_id AS vec_id, cand_id AS nbr_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY sim DESC, cand_id) AS rk FROM bf$r)
+         | WHERE rk <= $k),
+         |ch$r AS (SELECT count(*) AS n_hits FROM ctr
+         |  JOIN cut$r USING (vec_id, nbr_id))""".stripMargin
+    }.mkString(",\n")
+    val rows = cuts.map { r =>
+      s"""SELECT $r::BIGINT AS rounds, n_queries,
+         | ch$r.n_hits AS n_hits,
+         | ch$r.n_hits::DOUBLE / (n_queries * $k)::DOUBLE AS recall
+         |FROM cnq, ch$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s""",
+       |crts AS (SELECT a.q_id AS vec_id, b.vec_id AS nbr_id,
+       |  $pairDot / (a.nrm * b.nrm) AS sim
+       | FROM qb a JOIN n b ON b.vec_id <> a.q_id),
+       |ctr AS MATERIALIZED (SELECT vec_id, nbr_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY sim DESC, nbr_id) AS rk FROM crts)
+       | WHERE rk <= $k),
+       |cnq AS (SELECT count(*) AS n_queries FROM qb),
+       |$cutCtes
+       |$rows""".stripMargin
+  }
+
   private def beamRecallTail(rounds: Int, k: Int): String =
     s""",
        |btrs AS (SELECT a.q_id AS vec_id, b.vec_id AS nbr_id,
@@ -4651,6 +4686,11 @@ object SparkEntry {
     "s49_clustered_hier_recall" ->
       (nnDescentCte(4, 5, gmCte) + beamCte(16, 4, 5, 4, hier = true) +
         beamRecallTail(4, 5)),
+    // beamRoundsCurve mirror: the descent chain + the walk unrolled
+    // to 8 rounds + the truth pass with recall cuts at bf2/bf4/bf8.
+    "s50_beam_rounds_curve" ->
+      (nnDescentCte(4) + beamCte(16, 8, 5, 4) +
+        roundsCurveTail(5, Seq(2, 4, 8))),
     // incrementalGraphInsert mirror: descent chain on the OLD corpus
     // (embCteWhere — e/n, seeds, fingers, entries all old), the full
     // nall table, beam walks for the insert batch, the reverse patch,

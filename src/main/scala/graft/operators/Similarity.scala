@@ -1592,6 +1592,19 @@ object Similarity {
                        beam: Int, rounds: Int,
                        f0Override: Option[DataFrame] = None)
       : (DataFrame, DataFrame) = {
+    val fs = beamWalkAll(e, gsym, q, beam, rounds, f0Override)
+    (fs.head, fs.last)
+  }
+
+  /** [[beamWalk]] exposing EVERY per-round frontier (index r =
+    * frontier after r rounds; index 0 = the entry frontier). Free to
+    * return — each round's frontier is already pinned by the walk —
+    * and what the s50 rounds-curve dial cuts at its sample points.
+    */
+  private def beamWalkAll(e: DataFrame, gsym: DataFrame, q: DataFrame,
+                          beam: Int, rounds: Int,
+                          f0Override: Option[DataFrame] = None)
+      : Vector[DataFrame] = {
     val entries = e
       .select(col("vec_id").as("cand_id"),
         Canon.hashP(col("vec_id").cast("string")).as("_h"))
@@ -1613,7 +1626,9 @@ object Similarity {
       score(q.select(col("q_id")).crossJoin(broadcast(entries))
         .filter(col("cand_id") =!= col("q_id"))))
       .materialized
+    val fs = Vector.newBuilder[DataFrame]
     var frontier = f0
+    fs += f0
     (1 to rounds).foreach { _ =>
       val hops = frontier.select(col("q_id"), col("cand_id"))
         .join(gsym.withColumnRenamed("vec_id", "cand_id"), "cand_id")
@@ -1622,8 +1637,9 @@ object Similarity {
         .union(hops).distinct()
         .filter(col("cand_id") =!= col("q_id"))
       frontier = topB(score(cand)).materialized
+      fs += frontier
     }
-    (f0, frontier)
+    fs.result()
   }
 
   private def beamChain(embeddings: DataFrame, beam: Int, rounds: Int,
@@ -1817,6 +1833,65 @@ object Similarity {
           (col("n_hits").cast("double") /
             (col("n_queries") * k).cast("double")).as("recall"))
     hits(f0, "entry").unionByName(hits(f, "beam"))
+  }
+
+  /** Beam-search ROUNDS curve (s50) — the dial the s47 ladder's
+    * measured verdict demands: with entry quality shown NOT to move
+    * the uniform recall floor (s48: entry recall ×4.6, walked recall
+    * flat), the remaining lever at fixed beam width is exploration
+    * VOLUME — the number of hop-union-score rounds. One walk at the
+    * maximum cut, recall@k sampled at rounds 2, 4 (s33's budget) and
+    * 8 against the exact full-corpus truth (priced once). Read
+    * beside s34/s48: if the curve rises past round 4, rounds buy
+    * recall the ladder could not; where it flattens is the walk's
+    * geometric ceiling, measured.
+    *
+    * Scale shape: s33's per-round query-sized candidate volume for
+    * twice the rounds, one truth pass — nothing new; the per-round
+    * frontiers the walk already pins are the sample points, so the
+    * extra cuts cost three top-k windows over beam-sized frames.
+    */
+  def beamRoundsCurve(embeddings: DataFrame, k: Int = 5, beam: Int = 16,
+                      graphK: Int = 5, descentRounds: Int = 4,
+                      cuts: Seq[Int] = Seq(2, 4, 8)): DataFrame = {
+    require(cuts.nonEmpty && cuts.forall(_ >= 1),
+      s"cuts must be >= 1, got $cuts")
+    val e = prepared(embeddings).materialized
+    val gsym = searchGraph(e,
+      nnDescent(embeddings, graphK, descentRounds)
+        .select(col("vec_id"), col("nbr_id")))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")).materialized
+    val fs = beamWalkAll(e, gsym, q, beam, cuts.max)
+    val qv = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id"), col("v"), col("nrm"))
+    val wT = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    val truth = qv.as("a").join(e.as("b"),
+        col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        Canon.cosine(Canon.dot(col("a.v"), col("b.v")),
+          col("a.nrm"), col("b.nrm")).as("sim"))
+      .withColumn("rank", row_number().over(wT))
+      .filter(col("rank") <= k)
+      .select(col("vec_id"), col("nbr_id")).materialized
+    val nQ = qv.select(countDistinct(col("vec_id")).as("n_queries"))
+    val wK = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    def hitsAt(r: Int): DataFrame =
+      truth.join(fs(r)
+          .withColumn("_rk", row_number().over(wK))
+          .filter(col("_rk") <= k)
+          .select(col("q_id").as("vec_id"), col("cand_id").as("nbr_id")),
+          Seq("vec_id", "nbr_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .crossJoin(broadcast(nQ))
+        .select(lit(r.toLong).as("rounds"), col("n_queries"),
+          col("n_hits"),
+          (col("n_hits").cast("double") /
+            (col("n_queries") * k).cast("double")).as("recall"))
+    cuts.map(hitsAt).reduce(_.unionByName(_))
   }
 
   /** The s36/s37 shared chain — incremental KNN-graph maintenance,

@@ -73,6 +73,20 @@ class MaterializeSpec extends SparkSpec {
     assert(r("replicated") === r("local"))
   }
 
+  test("two-stage rank pin (TwoStage.rangeParted): identical grade " +
+    "table under all strategies") {
+    // r15: the pin is the CORRECTNESS mechanism of every two-stage
+    // global rank (SURVEY §8.5 pathology #3 — the boundary-redraw
+    // bug), and on a cluster it runs under ReliableCheckpoint; the
+    // exact n/k grade algebra must not depend on which strategy
+    // pinned the boundary draw.
+    val r = underEach(graft.operators.Pipeline.pruningCurve(
+      docs.limit(400), nBuckets = 4))
+    assert(r("local").size === 4)
+    assert(r("reliable") === r("local"))
+    assert(r("replicated") === r("local"))
+  }
+
   test("withStrategy restores the previous strategy") {
     assert(Materialize.strategy === Materialize.LocalCheckpoint)
     Materialize.withStrategy(Materialize.ReliableCheckpoint) {

@@ -661,6 +661,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out("beam")._3 >= out("entry")._3)
   }
 
+  test("beamRoundsCurve: recall is monotone in rounds (frontier " +
+    "union keeps the best-so-far) and saturates at the brute answer") {
+    val out = Similarity.beamRoundsCurve(emb, k = 1, beam = 2,
+        graphK = 1, descentRounds = 1, cuts = Seq(1, 2, 3))
+      .as[(Long, Long, Long, Double)].collect()
+      .sortBy(_._1).map(r => r._1 -> r._4)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    // monotone: each extra round can only add candidates
+    assert(out.sliding(2).forall { case Array(a, b) => b._2 >= a._2 })
+    // the 5-vector corpus is fully explored well within 3 rounds
+    assert(out.last._2 === 1.0)
+  }
+
   // incremental fixture: old corpus = emb's five vectors (ids 0–4),
   // insert batch = ids 9 and 19 (% 10 == 9). Vector 9 lands right on
   // vector 0's direction (closer than 0's old best, vector 4);
