@@ -138,9 +138,31 @@ object Bench {
     val ratios: Map[String, Double] = medians.flatMap { case (k, v) =>
       baseline.get(k).filter(_ > 0).map(b => k -> v / b)
     }
+    // Host state at capture time (VERDICT r15 #7): three rounds of
+    // verdicts adjudicated "host band" drift by narrative; recording
+    // loadavg, the cpu MHz spread, and the wall-clock timestamp in the
+    // artifact lets the next reader separate host noise from code
+    // drift mechanically. File artifact only — the stdout line has a
+    // hard 2000-char budget.
+    def hostState: String = {
+      def slurp(p: String): String =
+        try Files.readString(Paths.get(p)) catch { case _: Throwable => "" }
+      val load = slurp("/proc/loadavg").trim.split("\\s+").take(3)
+        .mkString(" ")
+      val mhz = "cpu MHz\\s*:\\s*([0-9.]+)".r
+        .findAllMatchIn(slurp("/proc/cpuinfo"))
+        .map(_.group(1).toDouble).toSeq
+      val mhzStr = if (mhz.isEmpty) "null"
+        else s"""{"min":${fmt(mhz.min, 0, strip = false)},"max":${
+          fmt(mhz.max, 0, strip = false)},"mean":${
+          fmt(mhz.sum / mhz.size, 0, strip = false)}}"""
+      s""""host":{"loadavg":"$load","cpu_mhz":$mhzStr,""" +
+        s""""captured_at":"${java.time.Instant.now()}"}"""
+    }
     val fullFile =
       full.dropRight(1) +
         s""","medians":${qmap(medians, 3, strip = false, identity)}""" +
+        s""",$hostState""" +
         (if (ratios.isEmpty) "}"
          else s""","baseline_ratios":${
            qmap(ratios, 2, strip = false, identity)}}""")
