@@ -77,9 +77,11 @@ object Pipeline {
     val base = documents
       .select(col("doc_id"), col("lang"),
         Canon.hash60(md5(col("text"))).as("ord"))
-    // pinned post-exchange (TwoStage scaladoc): one boundary draw for
-    // both consumers, and the md5 scan evaluates once
-    val parted = TwoStage.rangeParted(base, numPartitions,
+    // pre-pinned: the child is a shuffle-free md5 corpus scan, and
+    // range partitioning's boundary-sampling job would evaluate it a
+    // second time (TwoStage scaladoc); post-pinned for the boundary
+    // draw as always
+    val parted = TwoStage.rangeParted(base.materialized, numPartitions,
       col("lang").asc, col("ord").asc, col("doc_id").asc)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid"), col("lang"))
@@ -138,9 +140,11 @@ object Pipeline {
       .select(col("doc_id"), col("lang"),
         size(Canon.words(col("text"))).cast("long").as("n_tokens"),
         Canon.hash60(md5(col("text"))).as("ord"))
-    // pinned post-exchange (TwoStage scaladoc): one boundary draw for
-    // both consumers, and the words+md5 scan evaluates once
-    val parted = TwoStage.rangeParted(base, numPartitions,
+    // pre-pinned: the child is a shuffle-free words+md5 corpus scan —
+    // without the pre-pin the boundary-sampling job re-tokenizes the
+    // whole corpus (TwoStage scaladoc); post-pinned for the boundary
+    // draw as always
+    val parted = TwoStage.rangeParted(base.materialized, numPartitions,
       col("lang").asc, col("ord").asc, col("doc_id").asc)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid"), col("lang"))
@@ -354,9 +358,12 @@ object Pipeline {
       .select(col("doc_id"), col("lang"),
         Canon.hash60(concat(lit("epoch|"), col("text"))).as("ord"))
       .withColumn("round", row_number().over(wLang).cast("long"))
-    // pinned post-exchange (TwoStage scaladoc): one boundary draw for
-    // both consumers, and the per-language round window runs once
-    val parted = TwoStage.rangeParted(rounds, numPartitions,
+    // pre-pinned: the child ends in a per-language window whose
+    // corpus-sized sort+rank tail would re-run in the boundary-
+    // sampling job (only the window's shuffle MAP side is reused via
+    // skipped stages — TwoStage scaladoc); post-pinned for the
+    // boundary draw as always
+    val parted = TwoStage.rangeParted(rounds.materialized, numPartitions,
       col("round").asc, col("lang").asc, col("doc_id").asc)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid"))
@@ -447,9 +454,11 @@ object Pipeline {
       (aggregate(w, lit(0L), (acc, x) => acc + length(x))
         .cast("double") / size(w)).as("difficulty"),
       md5(col("text")).as("_tb"))
-    // pinned post-exchange (TwoStage scaladoc): one boundary draw for
-    // both consumers, and the difficulty scan evaluates once
-    val parted = TwoStage.rangeParted(base, numPartitions,
+    // pre-pinned: the child is a shuffle-free difficulty scan (words
+    // aggregate + md5 per doc) that the boundary-sampling job would
+    // otherwise compute twice (TwoStage scaladoc); post-pinned for
+    // the boundary draw as always
+    val parted = TwoStage.rangeParted(base.materialized, numPartitions,
       col("difficulty").asc, col("_tb").asc, col("doc_id").asc)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid"))
@@ -491,9 +500,10 @@ object Pipeline {
     val base = documents.select(col("doc_id"),
       size(Canon.words(col("text"))).cast("long").as("n_tokens"),
       md5(col("text")).as("_tb"))
-    // pinned post-exchange (TwoStage scaladoc): one boundary draw for
-    // both consumers, and the token-count scan evaluates once
-    val parted = TwoStage.rangeParted(base, numPartitions,
+    // pre-pinned: the child is a shuffle-free words+md5 corpus scan —
+    // the boundary-sampling job would re-tokenize the corpus
+    // (TwoStage scaladoc); post-pinned for the boundary draw as always
+    val parted = TwoStage.rangeParted(base.materialized, numPartitions,
       col("n_tokens").desc, col("_tb").asc, col("doc_id").asc)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid"))
@@ -595,11 +605,14 @@ object Pipeline {
         interleave(bucket("l_partkey", "_pkmn", "_pkmx"),
           bucket("l_suppkey", "_skmn", "_skmx")))
       .drop("_pkmn", "_pkmx", "_skmn", "_skmx")
-    // pinned ONCE post-exchange: three consumers (ranks, counts,
-    // total) read this frame — the original site of the observed
-    // boundary-redraw corruption (overlapping shard ranges and a rank
-    // past N at sf0.01), now the shared TwoStage invariant
-    val parted = TwoStage.rangeParted(base, numPartitions,
+    // pre-pinned: the child is a shuffle-free scan (broadcast-join +
+    // bit-interleave over lineitem) that the boundary-sampling job
+    // would evaluate a second time (TwoStage scaladoc). Post-pinned
+    // ONCE for the boundary draw: three consumers (ranks, counts,
+    // total) read the parted frame — the original site of the
+    // observed boundary-redraw corruption (overlapping shard ranges
+    // and a rank past N at sf0.01), now the shared TwoStage invariant
+    val parted = TwoStage.rangeParted(base.materialized, numPartitions,
       col("zval").asc, col("l_orderkey").asc, col("l_linenumber").asc)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid"))
@@ -655,8 +668,11 @@ object Pipeline {
     val base = lineitem
       .select(col("l_orderkey"), col("l_linenumber"),
         col("l_partkey"), col("l_suppkey"))
-    // pinned for the same reason as zorderLayout's parted frame
-    // (TwoStage scaladoc)
+    // post-pinned for the same reason as zorderLayout's parted frame;
+    // NOT pre-pinned: the child is a plain 4-column parquet select,
+    // and the boundary-sampling job's second pruned-columnar read
+    // costs less than a checkpoint write+2 reads (TwoStage scaladoc's
+    // accepted trade for cheap shuffle-free children)
     val parted = TwoStage.rangeParted(base, numPartitions,
       col("l_orderkey").asc, col("l_linenumber").asc)
     val wLocal = org.apache.spark.sql.expressions.Window
@@ -1075,12 +1091,14 @@ object Pipeline {
         ((length(col("text")) -
           length(regexp_replace(col("text"), "[a-z0-9 ]", ""))) /
           length(col("text")))).as("score"))
-    // pinned post-exchange (TwoStage scaladoc) — THE observed failure
+    // pre-pinned: the child is a shuffle-free words+regexp score scan
+    // the boundary-sampling job would compute twice (TwoStage
+    // scaladoc). Post-pinned — THE observed failure
     // site: un-pinned, the rank and counts branches pruned different
     // columns (n_tokens rode only the rank side), ReuseExchange never
     // fired, and the sf1eq probe tier showed grade counts of
     // 4776..5429 where the rank algebra guarantees exactly n/10
-    val parted = TwoStage.rangeParted(scored, numPartitions,
+    val parted = TwoStage.rangeParted(scored.materialized, numPartitions,
       col("score").desc, col("doc_id").asc)
     val wLocal = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid"))

@@ -561,7 +561,10 @@ object Relational {
     * per-group aggregate. Same two-stage template as
     * Pipeline.tokenBudgetSample; scales with partitions, not groups.
     *
-    * ONE corpus pass: the range shuffle's output is PINNED
+    * ONE corpus pass (plus the boundary-sampling job's second pruned
+    * 4-column parquet read — the TwoStage scaladoc's accepted trade
+    * for a plain-select child; a pre-pin would cost more than the
+    * re-read): the range shuffle's output is PINNED
     * ([[TwoStage.rangeParted]]) so the local rank window and the
     * per-(partition, group) counts read one boundary draw — this site
     * previously leaned on ReusedExchange (both branches prune to the

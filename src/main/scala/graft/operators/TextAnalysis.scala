@@ -127,8 +127,12 @@ object TextAnalysis {
       .select(explode(Canon.words(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
     // pinned post-exchange (TwoStage scaladoc): one boundary draw for
-    // both consumers, and the corpus explode+aggregate runs once —
-    // the pin is vocabulary-sized, never corpus-sized
+    // both consumers. No pre-pin: the child's corpus explode runs
+    // once regardless (it is the MAP side of the groupBy shuffle,
+    // reused across the sampling and shuffle jobs via skipped
+    // stages); only the vocabulary-sized reduce tail re-runs in the
+    // sampling pass, cheaper than a checkpoint round-trip. The
+    // post-pin is vocabulary-sized, never corpus-sized
     val parted = graft.operators.TwoStage.rangeParted(v, rankPartitions,
       col("n").desc, col("word").asc)
     val wLocal = org.apache.spark.sql.expressions.Window

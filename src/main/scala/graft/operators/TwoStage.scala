@@ -34,17 +34,32 @@ import graft.Materialize.MatOps
   * corruption visible.
   *
   * Materializing AFTER the exchange pins one boundary draw for every
-  * consumer (and as a bonus evaluates the upstream projection exactly
-  * once, subsuming the pre-exchange `.materialized` some sites used
-  * for that purpose alone). The cost is one Materialize-strategy
-  * checkpoint of the NARROW rank base — callers project to key +
-  * payload columns first, so this is a small fraction of the corpus
-  * it derives from; on a 100 TB cluster run the strategy is
+  * consumer. The cost is one Materialize-strategy checkpoint of the
+  * NARROW rank base — callers project to key + payload columns
+  * first, so this is a small fraction of the corpus it derives from;
+  * on a 100 TB cluster run the strategy is
   * [[graft.Materialize.ReliableCheckpoint]] and the write+read is the
   * price of an exact, deterministic global rank. Given the pin, the
   * result is fully deterministic: the rank of a row is its position
   * in the total `order`, independent of which boundary draw was
   * pinned.
+  *
+  * THE POST-PIN DOES NOT MAKE THE CHILD EVALUATE ONCE. Range
+  * partitioning runs TWO jobs over the un-pinned child: the
+  * RangePartitioner's boundary-sampling pass (a full evaluation —
+  * reservoir sampling reads every row), then the shuffle map stage.
+  * If the child contains its own shuffle, the second job reuses the
+  * first's shuffle files (skipped stages) and only the post-shuffle
+  * tail re-runs — cheap, no pre-pin needed (vocabulary's explode+agg,
+  * epochOrder's per-lang window). But a SHUFFLE-FREE child re-runs
+  * in full: a derived corpus scan (md5, tokenization, score math)
+  * pays its scan+compute twice, which at the 100 TB design point is
+  * 2× a corpus pass. Those call sites pre-pin the narrow projection
+  * (`rangeParted(base.materialized, ...)`) so the derivation runs
+  * once and both jobs read checkpoint blocks; cheap shuffle-free
+  * children (plain column selects off parquet — skippingProbe,
+  * groupQuantiles, latenessProfile) accept the double pruned-columnar
+  * read instead, which costs less than a checkpoint write+2 reads.
   */
 object TwoStage {
 

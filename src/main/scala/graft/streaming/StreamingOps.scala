@@ -371,7 +371,9 @@ object StreamingOps {
     val W = org.apache.spark.sql.expressions.Window
     // pinned post-exchange (graft.operators.TwoStage scaladoc): one
     // boundary draw for the running-max and per-partition-max branches
-    // (batch-only operator — localCheckpoint is fine here)
+    // (batch-only operator — localCheckpoint is fine here). No
+    // pre-pin: the child is a plain 2-column select, the scaladoc's
+    // accepted double-read trade
     val parted = graft.operators.TwoStage.rangeParted(
       events.select(col("event_id"), graft.Tables.tsUs(events).as("ts_us")),
       numPartitions, col("event_id").asc)
