@@ -37,6 +37,52 @@ object PlanCheck {
     * producers; stacked-generate = cheap int-sequence generators
     * (m03/m04). Anything NEW in any class is drift.
     */
+  /** VERDICT r15 #3: the p24 boundary-redraw class, gated structurally
+    * instead of by convention. A `repartitionByRange` whose exchange
+    * is consumed by more than one plan branch without an interposed
+    * Materialize is exactly the shape that corrupted p24 (RangePartitioner
+    * draws boundaries from a per-evaluation reservoir sample, so two
+    * un-pinned evaluations can place the same row in different
+    * partitions — TwoStage scaladoc). Detection: in the OPTIMIZED
+    * logical plan, a multi-consumer range exchange appears as ≥2
+    * `RepartitionByExpression(SortOrder…)` occurrences. The copies are
+    * NOT textually identical: the analyzer re-numbers expression IDs
+    * per branch (self-join dedup), and column pruning may give the
+    * copies different child projections (p24's rank branch carried
+    * n_tokens, its counts branch did not, which is why ReusedExchange
+    * missed it). What survives both rewrites is the sort-key SHAPE and
+    * the scan leaves, so the signature is (sort-order rendering with
+    * exprIds stripped, partition count, sorted leaf-relation
+    * renderings with exprIds stripped). Collisions between two
+    * genuinely independent same-keyed repartitions over the same
+    * leaves are theoretically possible — the committed-artifact
+    * adjudication absorbs any such benign future entry, and today the
+    * registry contains ZERO surviving range exchanges (every template
+    * site is pinned), so any hit is real drift.
+    * A TwoStage.rangeParted pin never trips this: the eager
+    * post-exchange Materialize replaces the whole subtree with a
+    * LogicalRDD scan, so NO RepartitionByExpression survives to the
+    * consumers at all. A single-consumer raw range-repartition is safe
+    * (one shuffle, one boundary draw) and is not flagged.
+    */
+  def rangeRedrawFlags(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.SortOrder
+    import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+    def strip(s: String): String = s.replaceAll("#\\d+", "")
+    val sigs = plan.collect {
+      case r: RepartitionByExpression
+          if r.partitionExpressions.exists(_.isInstanceOf[SortOrder]) =>
+        strip(r.partitionExpressions.mkString(",")) + "|" +
+          r.optNumPartitions.getOrElse(0) + "|" +
+          r.collectLeaves().map(l => strip(l.simpleString(10)))
+            .sorted.mkString(";")
+    }
+    if (sigs.groupBy(identity).exists(_._2.size >= 2))
+      Seq("range-redraw") else Seq.empty
+  }
+
   def flagsOf(plan: String): Seq[String] = Seq(
     "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
     "CartesianProduct" -> plan.contains("CartesianProduct"),
@@ -57,8 +103,9 @@ object PlanCheck {
     val flagged = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
-          val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-          val fl = flagsOf(plan)
+          val qe = fn(spark, sfDir).queryExecution
+          val fl = flagsOf(qe.executedPlan.toString) ++
+            rangeRedrawFlags(qe.optimizedPlan)
           if (fl.isEmpty) None else Some(name -> fl)
         } catch {
           case e: Throwable =>

@@ -32,14 +32,15 @@ object Probe {
         graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach {
           case (name, fn) =>
             try {
-              val plan = fn(spark, sf01).queryExecution.executedPlan.toString
-              // flag classes live in PlanCheck.flagsOf (single source
-              // of truth — the same classifier the versioned
+              val qe = fn(spark, sf01).queryExecution
+              // flag classes live in PlanCheck (single source of
+              // truth — the same classifiers the versioned
               // PLANCHECK.json drift gate runs; rationale for each
               // class documented there, incl. the stacked-Generate
               // pushdown pathology SURVEY §8.5 #2 / the d13 23.8s
-              // regression).
-              val flags = PlanCheck.flagsOf(plan)
+              // regression, and the range-redraw structural gate).
+              val flags = PlanCheck.flagsOf(qe.executedPlan.toString) ++
+                PlanCheck.rangeRedrawFlags(qe.optimizedPlan)
               println(s"PLAN $name: " +
                 (if (flags.isEmpty) "clean" else flags.mkString(",")))
             } catch { case e: Throwable =>

@@ -50,3 +50,57 @@ class PlanCheckSpec extends AnyFunSuite {
     assert(PlanCheck.committedPairs("/nonexistent/PLANCHECK.json").isEmpty)
   }
 }
+
+/** The range-redraw structural gate (VERDICT r15 #3): the p24
+  * boundary-redraw bug class must be UNRETURNABLE, not just fixed.
+  * These plans need a live session, so they sit in a SparkSpec
+  * sibling of the pure-logic suite above.
+  */
+class PlanCheckRedrawSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.expressions.Window
+
+  private def base = table("nation")
+    .select(col("n_nationkey").as("k"), col("n_name").as("p"))
+
+  /** The template's two consumers — a local rank and the per-partition
+    * counts — over whatever parted frame the caller hands in. This is
+    * the exact consumption shape of every TwoStage site; `p` rides
+    * only the rank branch so column pruning gives the two branches
+    * DIFFERENT projections (p24's ReusedExchange-defeating shape).
+    */
+  private def twoConsumers(parted: org.apache.spark.sql.DataFrame) = {
+    val local = parted.withColumn("_r",
+      row_number().over(Window.partitionBy("_pid").orderBy("k")))
+    val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_c"))
+    local.join(counts, "_pid").select(col("k"), col("p"), col("_r"),
+      col("_c"))
+  }
+
+  test("a deliberately un-pinned two-consumer range exchange is flagged") {
+    val raw = base.repartitionByRange(4, col("k").asc)
+      .withColumn("_pid", spark_partition_id())
+    val qe = twoConsumers(raw).queryExecution
+    assert(PlanCheck.rangeRedrawFlags(qe.optimizedPlan)
+      === Seq("range-redraw"))
+  }
+
+  test("the TwoStage.rangeParted pin leaves no surviving range exchange") {
+    val pinned = graft.operators.TwoStage.rangeParted(base, 4, col("k").asc)
+    val qe = twoConsumers(pinned).queryExecution
+    assert(PlanCheck.rangeRedrawFlags(qe.optimizedPlan) === Seq.empty)
+    // and the pin really did absorb the exchange: no
+    // RepartitionByExpression node survives at all
+    assert(qe.optimizedPlan.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical
+        .RepartitionByExpression => r
+    }.isEmpty)
+  }
+
+  test("a single-consumer raw range-repartition is safe and unflagged") {
+    val one = base.repartitionByRange(4, col("k").asc)
+      .filter(col("k") > 1)
+    assert(PlanCheck.rangeRedrawFlags(one.queryExecution.optimizedPlan)
+      === Seq.empty)
+  }
+}
