@@ -1542,6 +1542,38 @@ object Similarity {
     * each feeds the hop, the union AND the re-rank, and un-pinned
     * lineage doubles per round.
     */
+  /** Global rank on the md5 ring: appends `rn` = the 1-based position
+    * of vec_id in (hashP(vec_id), vec_id) order to `base` (which must
+    * carry vec_id; payload columns ride along). The rank is the
+    * two-stage template ([[TwoStage.rangeParted]]: range-repartition
+    * on the ring order, per-partition row_number, partition-count
+    * prefix offsets via one window over the tiny counts table) —
+    * NEVER a one-partition `Window.orderBy` over the corpus, which
+    * was the scaladoc-only promise ADVICE r15 flagged at the
+    * searchGraph and hierChain pilot sites. The offsets window is the
+    * bounded ≤ numPartitions-row counts-table class. No pre-pin: the
+    * callers' bases are cheap selects off an already-materialized
+    * corpus frame (TwoStage scaladoc's accepted double-read trade).
+    */
+  private def hashRank(base: DataFrame,
+                       numPartitions: Int = 32): DataFrame = {
+    val h = base.withColumn("_h", Canon.hashP(col("vec_id").cast("string")))
+    val parted = TwoStage.rangeParted(h, numPartitions,
+      col("_h").asc, col("vec_id").asc)
+    val wLocal = Window.partitionBy(col("_pid"))
+      .orderBy(col("_h"), col("vec_id"))
+    val local = parted.withColumn("_lrk",
+      row_number().over(wLocal).cast("long"))
+    val counts = parted.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    val wOff = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("_pid"),
+      coalesce(sum(col("_cnt")).over(wOff), lit(0L)).as("_off"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("rn", col("_off") + col("_lrk"))
+      .drop("_h", "_pid", "_lrk", "_off")
+  }
+
   /** The SEARCH graph over corpus `e` for kNN edge list `g`: g
     * symmetrized, plus long-range links. A pure kNN graph is
     * CLUSTER-CONFINED (its symmetric closure rarely leaves a tight
@@ -1552,17 +1584,12 @@ object Similarity {
     * Chord-style power-of-two fingers on the md5 ring: node at
     * hash-rank rn links to ranks rn + 2^j (wrap) for every
     * 2^j ≤ n − 1 — O(log n) fingers per node, O(log n) ring diameter,
-    * and a pure function of the id set. The rank is the nnDescent
-    * byHash window; at 100 TB it becomes the two-stage global rank
-    * template.
+    * and a pure function of the id set. The rank is [[hashRank]]'s
+    * two-stage global rank (r16 — previously a one-partition window
+    * with a "at 100 TB" disclaimer; now the template it promised).
     */
   private def searchGraph(e: DataFrame, g: DataFrame): DataFrame = {
-    val hrank = e
-      .select(col("vec_id"),
-        Canon.hashP(col("vec_id").cast("string")).as("_h"))
-      .withColumn("rn", row_number()
-        .over(Window.orderBy(col("_h"), col("vec_id"))).cast("long"))
-      .drop("_h")
+    val hrank = hashRank(e.select(col("vec_id")))
       .crossJoin(broadcast(e.agg(count(lit(1)).as("_b"))))
       .materialized // referenced by the fan AND the rank-target join
     val skip = hrank
@@ -1743,9 +1770,11 @@ object Similarity {
     *
     * Scale shape: the pilot scan is |Q|·√n broadcast-scored rows —
     * the published upper-layer cost, sublinear in the corpus and
-    * query-sized per query; everything else is s33's shape. At 100 TB
-    * the pilot RANK comes from the two-stage template instead of the
-    * one-partition window (the searchGraph hrank note).
+    * query-sized per query; everything else is s33's shape. The pilot
+    * RANK is [[hashRank]]'s two-stage template (r16 — previously a
+    * one-partition window with a scaladoc-only "at 100 TB" promise;
+    * ADVICE r15 asked for the promise to be enforced, and now it is
+    * the code).
     */
   private def hierChain(embeddings: DataFrame, beam: Int, rounds: Int,
                         graphK: Int, descentRounds: Int)
@@ -1757,11 +1786,7 @@ object Similarity {
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm")).materialized
-    val pilots = e
-      .select(col("vec_id"), col("v"), col("nrm"),
-        Canon.hashP(col("vec_id").cast("string")).as("_h"))
-      .withColumn("rn", row_number()
-        .over(Window.orderBy(col("_h"), col("vec_id"))).cast("long"))
+    val pilots = hashRank(e.select(col("vec_id"), col("v"), col("nrm")))
       .crossJoin(broadcast(e.agg(count(lit(1)).as("_b"))))
       .filter(col("rn") * col("rn") <= col("_b"))
       .select(col("vec_id").as("cand_id"), col("v"), col("nrm"))
