@@ -319,6 +319,13 @@ object SparkEntry {
     "g24_louvain_two_level" -> ((s, dir) =>
       GraphEtl.louvainTwoLevel(
         GraphEtl.coSupplierEdges(t(s, dir, "lineitem")), 1)),
+    // Multi-level Louvain ladder: phase 1 as g24, then two
+    // contract-and-merge levels accepting only MUTUAL-argmax pairs —
+    // a disjoint matching with additive gains, so modularity is
+    // non-decreasing by construction (no swaps, no chains).
+    "g25_louvain_ladder" -> ((s, dir) =>
+      GraphEtl.louvainLadder(
+        GraphEtl.coSupplierEdges(t(s, dir, "lineitem")), 2, 1)),
 
     // --- LLM-pipeline extension surface (SURVEY §2.12) ---
     // Exact dedup: content-hash groupBy, one shuffle.
@@ -1187,6 +1194,84 @@ object SparkEntry {
       |  CASE WHEN b.best_s > st.stay_s THEN b.best_lab
       |       ELSE st.laba END AS lab
       | FROM stay st LEFT JOIN best b ON b.a = st.a)""".stripMargin
+
+  /** DuckDB: min-member canonicalization of the phase-1 partition
+    * (`nl` → `canon` → `flat1` (v, c)) — shared by the g24 and g25
+    * mirrors so the gate pair cannot drift. Appended to
+    * [[louvainPhase1Ctes]].
+    */
+  private val louvainFlat1Ctes: String =
+    """,
+      |canon AS MATERIALIZED (SELECT lab, min(node) AS cc
+      |  FROM nl GROUP BY lab),
+      |flat1 AS MATERIALIZED (SELECT nl.node AS v, c.cc AS c
+      |  FROM nl JOIN canon c ON c.lab = nl.lab)""".stripMargin
+
+  /** DuckDB: one g25 ladder level — the weighted contraction of
+    * flat`l` (GraphEtl.contractGraph's algebra verbatim: between-
+    * community super-edges, self-loop weights, k = Σw + 2·selfw),
+    * the positive-gain argmax per supernode, the MUTUAL-argmax
+    * matching (mt`l`), and the merged partition flat`l+1` with
+    * min-member labels. Multi-consumer CTEs MATERIALIZED (the g15
+    * re-inlining lesson).
+    */
+  private def louvainLevelCtes(l: Int): String =
+    s""",
+       |ce$l AS MATERIALIZED (SELECT x.c AS ca, y.c AS cb FROM em e
+       |  JOIN flat$l x ON x.v = e.a JOIN flat$l y ON y.v = e.b),
+       |bw$l AS MATERIALIZED (SELECT least(ca, cb) AS sa,
+       |   greatest(ca, cb) AS sb, count(*)::BIGINT AS w
+       |  FROM ce$l WHERE ca <> cb GROUP BY 1, 2),
+       |swt$l AS MATERIALIZED (SELECT ca AS node,
+       |   count(*)::BIGINT AS selfw FROM ce$l WHERE ca = cb GROUP BY 1),
+       |symw$l AS MATERIALIZED (SELECT sa AS node, sb AS nb, w FROM bw$l
+       |  UNION ALL SELECT sb, sa, w FROM bw$l),
+       |degc$l AS MATERIALIZED (SELECT c.node,
+       |   coalesce(nw.nbw, 0) + 2 * coalesce(s.selfw, 0) AS k
+       |  FROM (SELECT DISTINCT c AS node FROM flat$l) c
+       |  LEFT JOIN (SELECT node, sum(w)::BIGINT AS nbw FROM symw$l
+       |    GROUP BY 1) nw ON nw.node = c.node
+       |  LEFT JOIN swt$l s ON s.node = c.node),
+       |scored$l AS (SELECT sy.node, sy.nb,
+       |   2::HUGEINT * mm.m * sy.w - da.k::HUGEINT * db.k::HUGEINT AS s
+       |  FROM symw$l sy JOIN degc$l da ON da.node = sy.node
+       |  JOIN degc$l db ON db.node = sy.nb, mm),
+       |best$l AS MATERIALIZED (SELECT node, nb FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY node
+       |    ORDER BY s DESC, nb) AS rk FROM scored$l)
+       |  WHERE rk = 1 AND s > 0),
+       |mt$l AS MATERIALIZED (SELECT x.node AS pa, y.node AS pb
+       |  FROM best$l x JOIN best$l y
+       |  ON x.nb = y.node AND y.nb = x.node AND x.node < y.node),
+       |mg$l AS (SELECT pa AS c, pa AS mc FROM mt$l
+       |  UNION ALL SELECT pb, pa FROM mt$l),
+       |flat${l + 1} AS MATERIALIZED (SELECT f.v,
+       |   coalesce(g.mc, f.c) AS c
+       |  FROM flat$l f LEFT JOIN mg$l g ON g.c = f.c)""".stripMargin
+
+  /** DuckDB: the g21 modularity tail over partition table `flatName`
+    * (v, c) — per-community weighted-degree sums, community count +
+    * Σσ², within-community edge count. Emits nc_`tag` / sdq_`tag` /
+    * win_`tag`; pair with [[louvainModExpr]] in the final SELECT.
+    */
+  private def louvainModCtes(tag: String, flatName: String): String =
+    s""",
+       |dcs_$tag AS (SELECT f.c, sum(d.k::HUGEINT) AS sigma
+       |  FROM deg d JOIN $flatName f ON f.v = d.v GROUP BY 1),
+       |nb_$tag AS (SELECT count(*)::BIGINT AS nc_$tag,
+       |   sum(sigma * sigma) AS sdq_$tag FROM dcs_$tag),
+       |win_$tag AS (SELECT count(*)::BIGINT AS e_in FROM em e
+       |  JOIN $flatName x ON x.v = e.a JOIN $flatName y ON y.v = e.b
+       |  WHERE x.c = y.c)""".stripMargin
+
+  /** DuckDB: the single-division exact modularity expression over a
+    * [[louvainModCtes]] tail.
+    */
+  private def louvainModExpr(tag: String, alias: String): String =
+    s""" CASE WHEN mm.m = 0 THEN NULL ELSE
+       |   (4::HUGEINT * mm.m * win_$tag.e_in - nb_$tag.sdq_$tag)::DOUBLE
+       |     / (4::HUGEINT * mm.m * mm.m)::DOUBLE END AS $alias"""
+      .stripMargin
 
   /** DuckDB: the CDC chunk construction (Dedup.cdcChunksCol, k=4,
     * divisor=16): word hashes → windowed polynomial → boundary filter
@@ -3186,11 +3271,8 @@ object SparkEntry {
     // HUGEINT, merge iff s > 0, ties (s DESC, nb ASC)), and the g21
     // modularity tail over all three flat partitions.
     "g24_louvain_two_level" -> (lpaCtes(1) + louvainPhase1Ctes +
+      louvainFlat1Ctes +
       """,
-        |canon AS MATERIALIZED (SELECT lab, min(node) AS cc
-        |  FROM nl GROUP BY lab),
-        |flat1 AS MATERIALIZED (SELECT nl.node AS v, c.cc AS c
-        |  FROM nl JOIN canon c ON c.lab = nl.lab),
         |ce AS MATERIALIZED (SELECT x.c AS ca, y.c AS cb FROM em e
         |  JOIN flat1 x ON x.v = e.a JOIN flat1 y ON y.v = e.b),
         |bw AS MATERIALIZED (SELECT least(ca, cb) AS sa,
@@ -3254,6 +3336,42 @@ object SparkEntry {
         |   AS modularity_after
         |FROM mm, nb0, win_b, mv1, nb_m, win_m, se, mv2, nb_a,
         | win_a""".stripMargin),
+    // louvainLadder mirror: the shared phase-1 chain + flat1, then
+    // TWO unrolled ladder levels (weighted contraction, positive-gain
+    // argmax, MUTUAL-argmax matching mt_l, merged flat_{l+1}) and the
+    // shared modularity tail per partition. All level algebra comes
+    // from louvainLevelCtes so the Spark/oracle pair shares one text.
+    "g25_louvain_ladder" -> (lpaCtes(1) + louvainPhase1Ctes +
+      louvainFlat1Ctes + louvainLevelCtes(1) + louvainLevelCtes(2) +
+      louvainModCtes("p1", "flat1") + louvainModCtes("l1", "flat2") +
+      louvainModCtes("l2", "flat3") +
+      """,
+        |mv1 AS (SELECT sum(CASE WHEN lab <> laba THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_moves_p1 FROM nl),
+        |nb0 AS (SELECT sum(sigma * sigma) AS sdq_b FROM dcs),
+        |win_b AS (SELECT count(*)::BIGINT AS e_in FROM em e
+        |  JOIN l1m x ON x.node = e.a JOIN l1m y ON y.node = e.b
+        |  WHERE x.lab = y.lab),
+        |mer1 AS (SELECT count(*)::BIGINT AS n_merges_l1 FROM mt1),
+        |mer2 AS (SELECT count(*)::BIGINT AS n_merges_l2 FROM mt2)
+        |SELECT mm.m,
+        | CASE WHEN mm.m = 0 THEN NULL ELSE
+        |   (4::HUGEINT * mm.m * win_b.e_in - nb0.sdq_b)::DOUBLE
+        |     / (4::HUGEINT * mm.m * mm.m)::DOUBLE END
+        |   AS modularity_before,
+        | mv1.n_moves_p1, nb_p1.nc_p1 AS n_communities_p1,""".stripMargin +
+      louvainModExpr("p1", "modularity_p1") + "," +
+      """
+        | mer1.n_merges_l1, nb_l1.nc_l1 AS n_communities_l1,"""
+        .stripMargin +
+      louvainModExpr("l1", "modularity_l1") + "," +
+      """
+        | mer2.n_merges_l2, nb_l2.nc_l2 AS n_communities_l2,"""
+        .stripMargin +
+      louvainModExpr("l2", "modularity_l2") +
+      """
+        |FROM mm, nb0, win_b, mv1, nb_p1, win_p1, mer1, nb_l1, win_l1,
+        | mer2, nb_l2, win_l2""".stripMargin),
     "t06_vocabulary" ->
       """SELECT word, count(*) AS n,
         | row_number() OVER (ORDER BY count(*) DESC, word ASC) AS "rank"

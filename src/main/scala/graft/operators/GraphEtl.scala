@@ -810,6 +810,47 @@ object GraphEtl {
       .materialized
   }
 
+  /** Weighted community-graph contraction of partition `flat` (v, c)
+    * over the distinct half-open edge list `e` — the Blondel phase-2
+    * graph, shared by [[louvainTwoLevel]] (g24) and [[louvainLadder]]
+    * (g25). Between-community edge multiplicities aggregate to
+    * super-edges `bw` (sa < sb, weight w); within-community edges
+    * become self-loop weight, entering the weighted supernode degree
+    * as 2·w_self (so k_C = the exact sum of member degrees). Returns
+    * (symW = symmetric (node, nb, w), degC = (node, k) over ALL
+    * communities including isolated ones, bw).
+    *
+    * Shape: one edge×labels join pair + two pair-key aggregates
+    * (map-side combinable, output bounded by the community-pair
+    * count) — linear in m, nothing pairwise.
+    */
+  private def contractGraph(e: DataFrame, flat: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val ce = e
+      .join(flat.select(col("v").as("a"), col("c").as("ca")), "a")
+      .join(flat.select(col("v").as("b"), col("c").as("cb")), "b")
+      .select(col("ca"), col("cb"))
+      .materialized
+    val bw = ce.filter(col("ca") =!= col("cb"))
+      .select(least(col("ca"), col("cb")).as("sa"),
+        greatest(col("ca"), col("cb")).as("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("w"))
+      .materialized
+    val sw = ce.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("node")).agg(count(lit(1)).as("selfw"))
+    val symW = bw.select(col("sa").as("node"), col("sb").as("nb"), col("w"))
+      .union(bw.select(col("sb").as("node"), col("sa").as("nb"), col("w")))
+    val degC = flat.select(col("c").as("node")).distinct()
+      .join(symW.groupBy(col("node")).agg(sum(col("w")).as("nbw")),
+        Seq("node"), "left")
+      .join(sw, Seq("node"), "left")
+      .select(col("node"),
+        (coalesce(col("nbw"), lit(0L)) +
+          lit(2L) * coalesce(col("selfw"), lit(0L))).as("k"))
+      .materialized
+    (symW, degC, bw)
+  }
+
   /** Full two-level Louvain (g24, Blondel et al. 2008 phases 1+2):
     * the g23 synchronous move round, then the COMMUNITY-GRAPH
     * CONTRACTION and a second synchronous move round on the
@@ -836,12 +877,29 @@ object GraphEtl {
     * weighted-graph modularity formula never needs to exist here.
     *
     * Shape: phase 1 is g23's shape (edge×labels joins, degree-bounded
-    * argmax windows); the contraction is one edge×labels join pair +
-    * a pair-key aggregate (map-side combinable, output bounded by the
-    * community-pair count); phase 2 runs on the CONTRACTED graph —
-    * sized by communities, not vertices, the whole point of Louvain's
-    * scalability — with one broadcast-joined degree table and one
-    * argmax window. Nothing pairwise, nothing driver-side.
+    * argmax windows); the contraction is [[contractGraph]]; phase 2
+    * runs on the CONTRACTED graph — sized by communities, not
+    * vertices, the whole point of Louvain's scalability — with one
+    * broadcast-joined degree table and one argmax window. Nothing
+    * pairwise, nothing driver-side.
+    *
+    * SYNCHRONOUS-MERGE CAVEATS (the per-supernode decisions are
+    * independent, like g20's LPA votes): (1) the A↔B label SWAP —
+    * mutual argmaxes relabel each other's members, partition
+    * structure unchanged (spec-pinned on the bridged triangles);
+    * (2) NON-TRANSITIVE CHAINS — A may merge into B while B
+    * simultaneously merges into C, leaving A's members labeled B
+    * while B's members moved to C, so the A∪B union the pairwise
+    * gain priced is never formed and `n_moves_p2` counts moves whose
+    * gains are not JOINTLY realized (a chain can even net a
+    * modularity decrease in adversarial weight configurations).
+    * `modularity_after` stays exact in all cases — it is recomputed
+    * from scratch on whatever flat partition results — so the audit
+    * row never lies about the outcome, only `n_moves_p2` reads as
+    * gross decisions, not net realized merges. [[louvainLadder]]
+    * (g25) is the chain-FREE variant: it accepts only mutual-argmax
+    * pairs, a disjoint matching whose gains are additive and
+    * provably non-decreasing.
     */
   def louvainTwoLevel(edges: DataFrame, seedRounds: Int = 1): DataFrame = {
     val dec = "decimal(38,0)"
@@ -854,33 +912,10 @@ object GraphEtl {
     val flat1 = p1.join(canon, "newlab")
       .select(col("a").as("v"), col("cc").as("c"))
       .materialized
-    // contraction: per-edge community pair; between-community pairs
-    // aggregate to weighted super-edges, within-community edges to
-    // self-loop weight (enters degree as 2·sw, never the neighbor list)
-    val ce = e
-      .join(flat1.select(col("v").as("a"), col("c").as("ca")), "a")
-      .join(flat1.select(col("v").as("b"), col("c").as("cb")), "b")
-      .select(col("ca"), col("cb"))
-      .materialized
-    val bw = ce.filter(col("ca") =!= col("cb"))
-      .select(least(col("ca"), col("cb")).as("sa"),
-        greatest(col("ca"), col("cb")).as("sb"))
-      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("w"))
-      .materialized
-    val sw = ce.filter(col("ca") === col("cb"))
-      .groupBy(col("ca").as("node")).agg(count(lit(1)).as("selfw"))
-    val symW = bw.select(col("sa").as("node"), col("sb").as("nb"), col("w"))
-      .union(bw.select(col("sb").as("node"), col("sa").as("nb"), col("w")))
-    // weighted supernode degree k_C = Σ_C' w(C,C') + 2·w_self(C)
+    // contraction: [[contractGraph]] — super-edges, self-loop
+    // weights, weighted degrees k_C = Σ_C' w(C,C') + 2·w_self(C)
     // (= the sum of member degrees, exactly)
-    val degC = canon.select(col("cc").as("node"))
-      .join(symW.groupBy(col("node")).agg(sum(col("w")).as("nbw")),
-        Seq("node"), "left")
-      .join(sw, Seq("node"), "left")
-      .select(col("node"),
-        (coalesce(col("nbw"), lit(0L)) +
-          lit(2L) * coalesce(col("selfw"), lit(0L))).as("k"))
-      .materialized
+    val (symW, degC, bw) = contractGraph(e, flat1)
     val mRow = broadcast(e.agg(count(lit(1)).as("m")))
     // phase-2 synchronous move from the singleton restart: merge a
     // into argmax-s neighbor b iff s = 2m·w(a,b) − k_a·k_b > 0
@@ -920,6 +955,109 @@ object GraphEtl {
       .crossJoin(broadcast(after.select(
         col("n_communities").as("n_communities_after"),
         col("modularity").as("modularity_after"))))
+  }
+
+  /** Multi-level Louvain ladder (g25, the Blondel et al. 2008 loop
+    * with a PROVABLY monotone coarsening step): g23's synchronous
+    * local-move round seeds phase 1 exactly as g24, then `levels`
+    * rounds of contract-and-merge — but where g24's phase 2 lets
+    * every supernode independently merge into its argmax neighbor
+    * (admitting label swaps and non-transitive chains, see the
+    * louvainTwoLevel caveats), each ladder level accepts only
+    * MUTUAL-argmax pairs with positive gain: supernodes a and b merge
+    * iff b is a's best neighbor AND a is b's (ties (s DESC, nb ASC)),
+    * with s = 2m·w(a,b) − k_a·k_b > 0 in decimal(38,0). Mutual
+    * argmaxes form a DISJOINT MATCHING (each node has one argmax),
+    * and for disjoint pair merges the modularity deltas are exactly
+    * additive — merging {a,b} changes no degree or in-weight of any
+    * other pair — with ΔQ(a,b) = s/(2m²) > 0 per accepted pair. So
+    * every level's modularity is non-decreasing BY CONSTRUCTION, not
+    * by measurement: the matching is the heavy-edge coarsening of
+    * multilevel partitioners with Louvain's gain as the edge score.
+    * Chains are structurally impossible (if B's argmax is C, the A–B
+    * pair is not mutual and A stays), which also makes n_merges
+    * honest: every counted merge IS realized as priced. The merged
+    * label is min(a, b), so labels stay canonical member-min ids.
+    *
+    * Per level the contraction is recomputed from the ORIGINAL edge
+    * list ([[contractGraph]] on the current flat partition): one
+    * edge×labels join pair, linear in m, and every level's
+    * modularity tail shares [[modularityParts]]'s scoring algebra
+    * with g21/g23/g24 by construction. Each level's decision runs on
+    * the community graph — sized by surviving communities, not
+    * vertices (Louvain's scalability argument, g24's point,
+    * iterated).
+    *
+    * Output: one audit row — m, modularity_before (the LPA seed),
+    * phase-1 n_moves_p1 / n_communities_p1 / modularity_p1, then per
+    * level ℓ: n_merges_lℓ (accepted mutual pairs), n_communities_lℓ,
+    * modularity_lℓ. The guaranteed invariant is modularity_p1 ≤
+    * modularity_l1 ≤ … ≤ modularity_l`levels` (phase 1 itself is the
+    * synchronous heuristic, measured non-decreasing on the fixture
+    * but not guaranteed — that caveat is g23/g24's, unchanged).
+    */
+  def louvainLadder(edges: DataFrame, levels: Int = 2,
+                    seedRounds: Int = 1): DataFrame = {
+    require(levels >= 1, s"louvainLadder needs levels >= 1, got $levels")
+    val dec = "decimal(38,0)"
+    val e = edges.select(col("a"), col("b")).distinct().materialized
+    val seed = labelPropagation(e, seedRounds).materialized
+    val p1 = moveDecided(e, seed)
+    val canon = p1.groupBy(col("newlab")).agg(min(col("a")).as("cc"))
+    var flat = p1.join(canon, "newlab")
+      .select(col("a").as("v"), col("cc").as("c"))
+      .materialized
+    val mRow = broadcast(e.agg(count(lit(1)).as("m")))
+    val before = modularityParts(e, seed)
+    val mid = modularityParts(e,
+      flat.select(col("v").as("vertex"), col("c").as("community")))
+    val moves1 = p1.agg(
+      sum(when(col("newlab") =!= col("laba"), 1L).otherwise(0L))
+        .as("n_moves_p1"))
+    var audit = before
+      .select(col("m"), col("modularity").as("modularity_before"))
+      .crossJoin(broadcast(moves1))
+      .crossJoin(broadcast(mid.select(
+        col("n_communities").as("n_communities_p1"),
+        col("modularity").as("modularity_p1"))))
+    (1 to levels).foreach { l =>
+      val (symW, degC, _) = contractGraph(e, flat)
+      val scored = symW
+        .join(degC.select(col("node"), col("k").as("ka")), "node")
+        .join(degC.select(col("node").as("nb"), col("k").as("kb")), "nb")
+        .crossJoin(mRow)
+        .select(col("node"), col("nb"),
+          (lit(2).cast(dec) * col("m") * col("w") -
+            col("ka").cast(dec) * col("kb").cast(dec)).as("s"))
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node")).orderBy(col("s").desc, col("nb").asc)
+      // positive-gain argmax per supernode; materialized because the
+      // mutuality self-join consumes it twice
+      val best = scored.withColumn("_rk", row_number().over(wBest))
+        .filter(col("_rk") === 1 && col("s") > 0)
+        .select(col("node"), col("nb"))
+        .materialized
+      val pairs = best.as("x")
+        .join(best.as("y"),
+          col("x.nb") === col("y.node") && col("y.nb") === col("x.node") &&
+            col("x.node") < col("y.node"))
+        .select(col("x.node").as("pa"), col("y.node").as("pb"))
+      // merged label = min member id (pa < pb by the join condition)
+      val mergeMap = pairs.select(col("pa").as("c"), col("pa").as("mc"))
+        .union(pairs.select(col("pb").as("c"), col("pa").as("mc")))
+      flat = flat.join(mergeMap, Seq("c"), "left")
+        .select(col("v"), coalesce(col("mc"), col("c")).as("c"))
+        .materialized
+      val ml = modularityParts(e,
+        flat.select(col("v").as("vertex"), col("c").as("community")))
+      audit = audit
+        .crossJoin(broadcast(pairs.agg(
+          count(lit(1)).as(s"n_merges_l$l"))))
+        .crossJoin(broadcast(ml.select(
+          col("n_communities").as(s"n_communities_l$l"),
+          col("modularity").as(s"modularity_l$l"))))
+    }
+    audit
   }
 
   /** Per-edge triangle support of a MATERIALIZED canonical (a < b)

@@ -280,7 +280,15 @@ class GraphEtlSpec extends SparkSpec {
     // ({1,3},{2},{4,5,6} relabeled), so Q_after = Q_mid exactly, and
     // the audit row records 2 phase-2 "moves" that net to a
     // relabeling. Deterministic, and reproduced identically by the
-    // mirror.
+    // mirror. The same independence admits non-transitive CHAINS on
+    // richer weight configurations (A→B while B→C: A's members end
+    // labeled B after B's moved on, so the priced A∪B union never
+    // forms) — n_moves_p2 is gross decisions, not realized merges;
+    // modularity_after stays exact because it is recomputed on the
+    // resulting flat partition. louvainLadder (g25, next test) is
+    // the mutual-argmax variant where neither swaps nor chains can
+    // occur — on THIS graph it realizes the A∪B merge the swap
+    // squanders (Q rises 34/196 → 70/196 = +s/(2m²) = +18/98).
     val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
       (5L, 6L), (3L, 4L)).toDF("a", "b")
     val r = GraphEtl.louvainTwoLevel(twoTri, 1).head()
@@ -294,6 +302,48 @@ class GraphEtlSpec extends SparkSpec {
     assert(r.getAs[Long]("n_communities_after") === 3L)
     assert(r.getAs[Double]("modularity_after") === 34.0 / 196)
     assert(GraphEtl.louvainTwoLevel(twoTri.repartition(5), 1).head() === r)
+  }
+
+  test("louvainLadder: hand-traced 2-level mutual-argmax matching on " +
+    "the bridged triangles — the swap becomes a realized merge; " +
+    "modularity non-decreasing; partition-independent") {
+    // Phase 1 = louvainMove's worked example: {1,3},{2},{4,5,6} with
+    // canonical labels A=1, B=2, C=4; Q_p1 = 34/196. Level-1 weighted
+    // graph (as in the g24 test): A-B w=2, A-C w=1, k_A=5, k_B=2,
+    // k_C=7, m=7. Positive-gain argmaxes: best(A)=B (s=18), best(B)=A
+    // (s=18), C has none (s=−21). A–B is MUTUAL → the one matched
+    // pair merges into min(1,2)=1 — where g24's independent rule
+    // produced the label swap, the matching REALIZES the union:
+    // {1,2,3},{4,5,6}, e_in=6, Σd²=7²+7²=98, Q_l1=(168−98)/196 =
+    // 70/196 = Q_p1 + s/(2m²) = 34/196 + 18/98 — the closed-form
+    // delta verified exactly. Level 2: w(1,4)=1 (the bridge), self 3
+    // each, k=7 both → s = 14−49 < 0, no merge, Q holds at 70/196.
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val r = GraphEtl.louvainLadder(twoTri, 2, 1).head()
+    assert(r.getAs[Long]("m") === 7L)
+    assert(r.getAs[Double]("modularity_before") === 2.0 / 196)
+    assert(r.getAs[Long]("n_moves_p1") === 3L)
+    assert(r.getAs[Long]("n_communities_p1") === 3L)
+    assert(r.getAs[Double]("modularity_p1") === 34.0 / 196)
+    assert(r.getAs[Long]("n_merges_l1") === 1L)
+    assert(r.getAs[Long]("n_communities_l1") === 2L)
+    assert(r.getAs[Double]("modularity_l1") === 70.0 / 196)
+    assert(r.getAs[Long]("n_merges_l2") === 0L)
+    assert(r.getAs[Long]("n_communities_l2") === 2L)
+    assert(r.getAs[Double]("modularity_l2") === 70.0 / 196)
+    assert(GraphEtl.louvainLadder(twoTri.repartition(5), 2, 1).head() === r)
+  }
+
+  test("louvainLadder: disjoint triangles — no super-edges, no " +
+    "candidates, every level a no-op at the optimum") {
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("a", "b")
+    val r = GraphEtl.louvainLadder(twoTri, 2, 1).head()
+    assert(r.getAs[Double]("modularity_p1") === 0.5)
+    assert(r.getAs[Long]("n_merges_l1") === 0L)
+    assert(r.getAs[Long]("n_merges_l2") === 0L)
+    assert(r.getAs[Double]("modularity_l2") === 0.5)
   }
 
   test("louvainTwoLevel: disjoint triangles — isolated supernodes " +
