@@ -540,6 +540,15 @@ object SparkEntry {
     // exact centroid dot added back at scoring.
     "s18_knn_ivfpq_res" -> ((s, dir) =>
       Similarity.knnIvfPqResidual(t(s, dir, "embeddings"), 10, 3)),
+    // Index-persistence round trip (the s16/s18 scale story's missing
+    // gate): build the residual-IVFADC index, write the packed
+    // (vec_id, cell, codes) index + centroids + codebook to parquet,
+    // read back FRESH, search from the persisted artifacts. Must
+    // hash-match the in-memory s18 path — the artifact schema is the
+    // contract a 100 TB deployment ships between build and serve.
+    "s51_ivfpq_index_roundtrip" -> ((s, dir) =>
+      Similarity.knnIvfPqResidualPersisted(t(s, dir, "embeddings"),
+        10, 3)),
     // Residual-path composed recall at identical parameters — what the
     // residual lever buys vs s17's raw-vector PQ.
     "s19_ivfpq_res_recall" -> ((s, dir) =>
@@ -2101,6 +2110,20 @@ object SparkEntry {
        |  JOIN qt ON qt.q_id = p.q_id AND qt.s = c2.s
        |    AND qt.code = c2.code
        |  GROUP BY p.q_id, b.vec_id, cd.centdot)""".stripMargin
+
+  /** The full s18 residual-IVFADC search mirror — also s51's oracle
+    * verbatim (the parquet round trip is lossless by contract, so the
+    * persisted-path gate compares against the SAME SQL; sharing the
+    * val makes drift between the pair impossible).
+    */
+  private lazy val ivfPqResSearchSql: String =
+    embCte +
+      s""", $ivfCte,
+         |$ivfPqResCte
+         |SELECT q_id, nbr_id, approx_dot, "rank" FROM (
+         | SELECT *, row_number() OVER (PARTITION BY q_id
+         |   ORDER BY approx_dot DESC, nbr_id) AS "rank" FROM pscored)
+         |WHERE "rank" <= 3""".stripMargin
 
   /** Clustered-embedding base CTE (mirrors
     * Similarity.clusteredEmbeddings): same `n` shape as embCte, so the
@@ -3871,14 +3894,12 @@ object SparkEntry {
     // query ADC table, exact centroid dot), centdot + s-ASCENDING
     // fold, then top-3. centdot is in pscored's GROUP BY — constant
     // within a (q_id, nbr_id) group since a vector lives in ONE cell.
-    "s18_knn_ivfpq_res" ->
-      (embCte +
-        s""", $ivfCte,
-           |$ivfPqResCte
-           |SELECT q_id, nbr_id, approx_dot, "rank" FROM (
-           | SELECT *, row_number() OVER (PARTITION BY q_id
-           |   ORDER BY approx_dot DESC, nbr_id) AS "rank" FROM pscored)
-           |WHERE "rank" <= 3""".stripMargin),
+    "s18_knn_ivfpq_res" -> ivfPqResSearchSql,
+    // s51 = the identical search answered from parquet-persisted
+    // index artifacts: a LOSSLESS round trip by contract, so the
+    // oracle is s18's mirror, shared by reference (zero drift
+    // possible between the gate pair).
+    "s51_ivfpq_index_roundtrip" -> ivfPqResSearchSql,
     // Mirrors knnIvfPqRerank: the s18 chain cut at k' = 9, candidates
     // rescored with the EXACT cosine (the brute expression), top-3.
     "s20_knn_rerank" ->

@@ -840,13 +840,22 @@ object Similarity {
     * then the s-ascending fold), so the doubly-approximate path still
     * hash-gates (s18).
     */
-  def knnIvfPqResidual(embeddings: DataFrame, nQueries: Int, k: Int,
-                       nCells: Int = 16, nProbe: Int = 4,
-                       m: Int = 8, nCodes: Int = 16,
-                       dim: Int = 64): DataFrame = {
+  /** The three PERSISTABLE residual-IVFADC index artifacts — exactly
+    * what a 100 TB deployment ships from the (one-time) build job to
+    * the serving scans: the packed index (vec_id, cell, codes — 1 int
+    * + m one-byte codes per vector, the only corpus-sized thing
+    * search ever reads), the one-row coarse centroid array, and the
+    * one-row residual codebook. [[knnIvfPqResidual]] composes this
+    * with [[ivfPqResidualSearch]] in memory; s51 round-trips the
+    * artifacts through parquet between the two and hash-matches —
+    * pinning the index SCHEMA as a contract, not an implementation
+    * detail.
+    */
+  def ivfPqResidualIndex(embeddings: DataFrame, nCells: Int = 16,
+                         m: Int = 8, nCodes: Int = 16, dim: Int = 64)
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = prepared(embeddings)
     val centArr = ivfRefineOnce(e, ivfCentroidArr(e, nCells))
-    val sub = dim / m
     // residual frame: v := v − centroid(cell), cell kept for the index
     val res = ivfAssigned(e, centArr)
       .join(broadcast(centArr))
@@ -860,13 +869,26 @@ object Similarity {
     val indexed = res.join(broadcast(cbArr))
       .select(col("vec_id"), col("cell"),
         Canon.pqEncode(col("v"), col("cbflat"), m).as("codes"))
+    (indexed, centArr, cbArr)
+  }
+
+  /** The residual-IVFADC SEARCH half over prepared query frame
+    * `queries` (vec_id, v, nrm) and the three index artifacts —
+    * agnostic to whether they arrive as the build job's in-memory
+    * frames or as parquet read back from disk (s51's round trip).
+    */
+  def ivfPqResidualSearch(queries: DataFrame, indexed: DataFrame,
+                          centArr: DataFrame, cbArr: DataFrame,
+                          nQueries: Int, k: Int, nProbe: Int = 4,
+                          m: Int = 8, dim: Int = 64): DataFrame = {
+    val sub = dim / m
     // query side: RAW query subvectors against the residual codebook
     // (knnPqAdc's table) + the exact centroid dot per probed cell
     val parts = transform(sequence(lit(0), lit(m - 1)), s =>
       transform(col("cb"), c =>
         Canon.dot(slice(col("v"), s * sub + 1, lit(sub)),
           slice(c.getField("cv"), s * sub + 1, lit(sub)))))
-    val probes = e.filter(col("vec_id") < nQueries)
+    val probes = queries.filter(col("vec_id") < nQueries)
       .join(broadcast(centArr))
       .join(broadcast(cbArr))
       .select(col("vec_id").as("q_id"), col("v"), col("cents"),
@@ -891,6 +913,56 @@ object Similarity {
       .orderBy(col("approx_dot").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+  }
+
+  def knnIvfPqResidual(embeddings: DataFrame, nQueries: Int, k: Int,
+                       nCells: Int = 16, nProbe: Int = 4,
+                       m: Int = 8, nCodes: Int = 16,
+                       dim: Int = 64): DataFrame = {
+    val (indexed, centArr, cbArr) =
+      ivfPqResidualIndex(embeddings, nCells, m, nCodes, dim)
+    ivfPqResidualSearch(prepared(embeddings), indexed, centArr, cbArr,
+      nQueries, k, nProbe, m, dim)
+  }
+
+  /** s51: the index-persistence ROUND-TRIP gate. Builds the residual
+    * IVFADC index, writes all three artifacts to parquet (the packed
+    * (vec_id, cell, codes) index, the centroid array, the residual
+    * codebook), reads them back as FRESH frames, and answers the s18
+    * search from the persisted copies. The result must hash-match the
+    * in-memory path — the oracle is s18's mirror verbatim — which
+    * pins two things a 100 TB deployment depends on: the artifact
+    * schema is complete (nothing the search needs lives only in
+    * runtime state), and the parquet round trip is bit-lossless for
+    * every value in the scoring path (doubles, ints, code arrays —
+    * parquet stores IEEE doubles and integers exactly; there is no
+    * re-derivation on read). SimilaritySpec additionally corrupts one
+    * persisted code and asserts the search output flips — the gate
+    * really reads the files.
+    *
+    * The artifacts land under a fresh temp directory per evaluation
+    * (build-once semantics; the returned frame lazily re-reads it, so
+    * the directory is left for the JVM's lifetime — index files, not
+    * scratch, in a real deployment).
+    */
+  def knnIvfPqResidualPersisted(embeddings: DataFrame, nQueries: Int,
+                                k: Int, nCells: Int = 16,
+                                nProbe: Int = 4, m: Int = 8,
+                                nCodes: Int = 16,
+                                dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    val (indexed, centArr, cbArr) =
+      ivfPqResidualIndex(embeddings, nCells, m, nCodes, dim)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-index").toString
+    indexed.write.mode("overwrite").parquet(s"$dir/index")
+    centArr.write.mode("overwrite").parquet(s"$dir/centroids")
+    cbArr.write.mode("overwrite").parquet(s"$dir/codebook")
+    ivfPqResidualSearch(prepared(embeddings),
+      spark.read.parquet(s"$dir/index"),
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/codebook"),
+      nQueries, k, nProbe, m, dim)
   }
 
   /** Recall@k of the residual-encoded IVF-PQ path vs the exact brute

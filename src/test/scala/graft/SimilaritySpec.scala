@@ -299,6 +299,41 @@ class SimilaritySpec extends SparkSpec {
       f"residual recall $resid%.3f fell below the raw-PQ path $raw%.3f")
   }
 
+  test("knnIvfPqResidualPersisted: the parquet round trip is lossless, " +
+      "and corrupting one persisted code flips the search output") {
+    val real = table("embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "nbr_id", "approx_dot", "rank")
+        .as[(Long, Long, Double, Int)].collect()
+        .sortBy(r => (r._1, r._4)).toSeq
+    val inMem = rows(Similarity.knnIvfPqResidual(real, 10, 3))
+    val persisted = rows(Similarity.knnIvfPqResidualPersisted(real, 10, 3))
+    // bit-identical including the IEEE approx_dot doubles: nothing in
+    // the scoring path is re-derived on read
+    assert(persisted === inMem)
+    // corruption probe: the gate really reads the files — shift every
+    // code of one result neighbor's persisted row and the search
+    // output must change
+    val (indexed, centArr, cbArr) =
+      Similarity.ivfPqResidualIndex(real)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-s51-spec").toString
+    indexed.write.parquet(s"$dir/index")
+    val victim = inMem.head._2 // a vec_id that appears as a neighbor
+    val corrupted = spark.read.parquet(s"$dir/index")
+      .withColumn("codes",
+        when(col("vec_id") === victim,
+          transform(col("codes"), c => (c + 1) % 16))
+          .otherwise(col("codes")))
+    val prepared = real.select(col("vec_id"),
+      graft.functions.Canon.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm",
+        sqrt(graft.functions.Canon.dot(col("v"), col("v"))))
+    val broken = rows(Similarity.ivfPqResidualSearch(
+      prepared, corrupted, centArr, cbArr, 10, 3))
+    assert(broken !== inMem)
+  }
+
   test("knnIvfPqRerank: exact cosines on the shortlist, recall not " +
       "below the un-reranked path, shortlist containment") {
     val real = table("embeddings")
