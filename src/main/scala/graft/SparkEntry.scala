@@ -975,6 +975,13 @@ object SparkEntry {
     // parity halves, fixed-point micro-nats.
     "p25_corpus_drift" -> ((s, dir) =>
       Pipeline.corpusDrift(t(s, dir, "documents"))),
+    // Exact-vs-LSH near-dup funnel: d26 prefix-join pairs and d03
+    // LSH pairs each through the d08 closure + canonical selection,
+    // one attrition row per method plus the signed delta — the gated
+    // comparison behind the exact-AllPairs-or-probabilistic-LSH
+    // curation decision.
+    "p26_exact_vs_lsh_funnel" -> ((s, dir) =>
+      Pipeline.exactVsLshFunnel(t(s, dir, "documents"))),
     // Z-order repack planning: Morton interleave of (partkey,
     // suppkey), equal cut into 32 files, per-file min/max stats (the
     // data-skipping footers). Two-stage rank; row-local bit algebra.
@@ -3474,6 +3481,88 @@ object SparkEntry {
          |    AS fold
          |FROM documents d LEFT JOIN clus c ON c.doc_id = d.doc_id"""
       .stripMargin),
+    // exactVsLshFunnel mirror: dupClustersCte provides the LSH side
+    // (minhash → bands → capped pairs → recursive closure `clus`);
+    // the exact side appends d26's prefix-join chain (its committed
+    // mirror verbatim, names x-prefixed) and a second recursive
+    // closure over the verified pairs. Per-method attrition rollups
+    // + the signed delta row, all exact BIGINT algebra.
+    "p26_exact_vs_lsh_funnel" -> {
+      val P = graft.functions.Canon.MersenneP
+      dupClustersCte +
+        s""",
+           |xt AS MATERIALIZED (SELECT doc_id,
+           |  unnest(list_distinct([${h60("x")} % $P
+           |    FOR x IN string_split(text, ' ')])) AS h FROM documents),
+           |xdfq AS (SELECT h, count(*) AS df FROM xt GROUP BY h),
+           |xrk AS (SELECT xt.doc_id, xt.h,
+           |  row_number() OVER (PARTITION BY xt.doc_id
+           |    ORDER BY df, xt.h) AS rnk,
+           |  count(*) OVER (PARTITION BY xt.doc_id) AS nset
+           | FROM xt JOIN xdfq USING (h)),
+           |xpfx AS (SELECT doc_id, h FROM xrk
+           | WHERE rnk <= nset - (4 * nset + 4) // 5 + 1),
+           |xcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           | FROM xpfx a JOIN xpfx b
+           | ON a.h = b.h AND a.doc_id < b.doc_id),
+           |xsets AS MATERIALIZED (SELECT doc_id,
+           |  list_sort(list_distinct([${h60("x")} % $P
+           |    FOR x IN string_split(text, ' ')])) AS dw FROM documents),
+           |xv AS (SELECT c.doc_a, c.doc_b,
+           |  len(list_intersect(sa.dw, sb.dw))::BIGINT AS inter,
+           |  len(sa.dw)::BIGINT AS sa, len(sb.dw)::BIGINT AS sb
+           | FROM xcand c
+           | JOIN xsets sa ON sa.doc_id = c.doc_a
+           | JOIN xsets sb ON sb.doc_id = c.doc_b),
+           |xp AS MATERIALIZED (SELECT doc_a, doc_b FROM xv
+           | WHERE 5 * inter >= 4 * (sa + sb - inter)),
+           |xsym AS (SELECT doc_a AS a, doc_b AS b FROM xp
+           |  UNION SELECT doc_b, doc_a FROM xp),
+           |xnodes AS (SELECT DISTINCT a AS n FROM xsym),
+           |xreach(node, lab) AS (
+           |  SELECT n, n FROM xnodes
+           |  UNION
+           |  SELECT s.b, r.lab FROM xreach r JOIN xsym s ON s.a = r.node),
+           |xclus AS MATERIALIZED (SELECT node AS doc_id, min(lab)
+           |   AS cluster_rep FROM xreach GROUP BY node),
+           |tkn AS MATERIALIZED (SELECT doc_id,
+           |  len(string_split(text, ' '))::BIGINT AS n_tokens
+           | FROM documents),
+           |tot AS (SELECT count(*)::BIGINT AS nd FROM documents),
+           |clusm AS MATERIALIZED (SELECT doc_id, cluster_rep FROM clus),
+           |lp AS (SELECT count(*)::BIGINT AS n_pairs FROM pairs),
+           |lc AS (SELECT count(*)::BIGINT AS n_dup_docs,
+           |  count(DISTINCT cluster_rep)::BIGINT AS n_clusters
+           | FROM clusm),
+           |ld AS (SELECT count(*)::BIGINT AS n_dropped,
+           |  coalesce(sum(t.n_tokens), 0)::BIGINT AS tokens_dropped
+           | FROM clusm c JOIN tkn t USING (doc_id)
+           | WHERE c.doc_id <> c.cluster_rep),
+           |xpn AS (SELECT count(*)::BIGINT AS n_pairs FROM xp),
+           |xc AS (SELECT count(*)::BIGINT AS n_dup_docs,
+           |  count(DISTINCT cluster_rep)::BIGINT AS n_clusters
+           | FROM xclus),
+           |xd AS (SELECT count(*)::BIGINT AS n_dropped,
+           |  coalesce(sum(t.n_tokens), 0)::BIGINT AS tokens_dropped
+           | FROM xclus c JOIN tkn t USING (doc_id)
+           | WHERE c.doc_id <> c.cluster_rep)
+           |SELECT 'exact' AS method, xpn.n_pairs, xc.n_dup_docs,
+           |  xc.n_clusters, xd.n_dropped,
+           |  tot.nd - xd.n_dropped AS n_survivors, xd.tokens_dropped
+           | FROM xpn, xc, xd, tot
+           |UNION ALL
+           |SELECT 'lsh', lp.n_pairs, lc.n_dup_docs, lc.n_clusters,
+           |  ld.n_dropped, tot.nd - ld.n_dropped, ld.tokens_dropped
+           | FROM lp, lc, ld, tot
+           |UNION ALL
+           |SELECT 'delta', xpn.n_pairs - lp.n_pairs,
+           |  xc.n_dup_docs - lc.n_dup_docs,
+           |  xc.n_clusters - lc.n_clusters,
+           |  xd.n_dropped - ld.n_dropped,
+           |  ld.n_dropped - xd.n_dropped,
+           |  xd.tokens_dropped - ld.tokens_dropped
+           | FROM xpn, xc, xd, lp, lc, ld""".stripMargin
+    },
     // corpusDrift mirror: one (source, parity) rollup, the exact-
     // rational log ratios in mirrored double operand order, micro-nat
     // quantization, HUGEINT weighted sums, one division per half.

@@ -329,6 +329,68 @@ object Pipeline {
         sum(col("n_tokens")).as("sum_tokens"))
   }
 
+  /** Exact-vs-LSH near-dup funnel comparison (p26): the corpus-
+    * curation decision "exact AllPairs join or probabilistic LSH?"
+    * as one gated table instead of an argument. Both funnels run the
+    * SAME downstream machinery — candidate pairs → connected-
+    * component closure ([[Dedup.dupClusters]]) → canonical min-id
+    * selection — differing only in the pair source: the d26
+    * prefix-filtered EXACT Jaccard join (zero false negatives at
+    * τ = 4/5) versus the d03 MinHash-LSH band join (probabilistic,
+    * hot-bucket-capped, no verify). One row per method with the full
+    * attrition account (candidate pairs, docs touching any pair,
+    * clusters, dropped non-canonical members, survivors, tokens
+    * dropped), plus a signed `delta` row (exact − lsh) — the
+    * headline being how many documents the probabilistic funnel
+    * over- or under-drops against the exact-threshold truth.
+    *
+    * Scale shape: the d26 chain is the documented output-bound exact
+    * join (pairs stream into the closure here — the composition its
+    * verdict promised — rather than materializing as a gate result);
+    * the LSH chain is d03's banded join; each closure is the d08
+    * fixpoint on its pair set; every rollup after that is a 1-row
+    * broadcast. Nothing new beyond the two priced candidate
+    * generators.
+    */
+  def exactVsLshFunnel(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+        size(Canon.words(col("text"))).cast("long").as("n_tokens"))
+      .materialized // feeds the corpus totals AND both dropped joins
+    val total = broadcast(toks.agg(count(lit(1)).as("_nd")))
+    def funnel(pairs: DataFrame, method: String): DataFrame = {
+      val p = pairs.select(col("doc_a"), col("doc_b")).materialized
+      val clusters = Dedup.dupClusters(p)
+      val dropped = clusters.filter(col("doc_id") =!= col("cluster_rep"))
+        .join(toks, Seq("doc_id"))
+      broadcast(p.agg(count(lit(1)).as("n_pairs")))
+        .crossJoin(broadcast(clusters.agg(
+          count(lit(1)).as("n_dup_docs"),
+          countDistinct(col("cluster_rep")).as("n_clusters"))))
+        .crossJoin(broadcast(dropped.agg(
+          count(lit(1)).as("n_dropped"),
+          coalesce(sum(col("n_tokens")), lit(0L)).as("tokens_dropped"))))
+        .crossJoin(total)
+        .select(lit(method).as("method"), col("n_pairs"),
+          col("n_dup_docs"), col("n_clusters"), col("n_dropped"),
+          (col("_nd") - col("n_dropped")).as("n_survivors"),
+          col("tokens_dropped"))
+    }
+    val exact = funnel(Dedup.prefixJaccardJoin(documents)
+      .select(col("doc_a"), col("doc_b")), "exact").materialized
+    val lsh = funnel(Dedup.lshCandidatePairs(
+      Dedup.minhashSignature(documents)), "lsh").materialized
+    val delta = exact.as("x").crossJoin(lsh.as("y"))
+      .select(lit("delta").as("method"),
+        (col("x.n_pairs") - col("y.n_pairs")).as("n_pairs"),
+        (col("x.n_dup_docs") - col("y.n_dup_docs")).as("n_dup_docs"),
+        (col("x.n_clusters") - col("y.n_clusters")).as("n_clusters"),
+        (col("x.n_dropped") - col("y.n_dropped")).as("n_dropped"),
+        (col("x.n_survivors") - col("y.n_survivors")).as("n_survivors"),
+        (col("x.tokens_dropped") - col("y.tokens_dropped"))
+          .as("tokens_dropped"))
+    exact.union(lsh).union(delta)
+  }
+
   /** Deterministic training-EPOCH ordering: interleave the corpus
     * round-robin across languages — round r holds the r-th doc of every
     * language (content-hash order within language), so a sequential

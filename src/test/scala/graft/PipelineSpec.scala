@@ -22,6 +22,38 @@ class PipelineSpec extends SparkSpec {
     assert(out === Map("en" -> 1L, "de" -> 1L))
   }
 
+  test("exactVsLshFunnel: the delta row is exact minus lsh " +
+    "componentwise, the exact side catches the planted J=1 pair, " +
+    "and survivors + dropped partition the corpus") {
+    // docs 1/2 are identical (J = 1: exact MUST pair them; their
+    // minhash signatures are identical too, so LSH buckets them);
+    // docs 3/4 share 9 of 10 distinct words (J = 0.9 ≥ 4/5: exact
+    // MUST pair them; LSH may or may not); 5/6 are unrelated.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "one two three four five six seven eight nine eleven"),
+      (5L, "completely different words live in this document here now"),
+      (6L, "unrelated filler text occupying the corpus tail slot okay")
+    ).toDF("doc_id", "text")
+    val rows = Pipeline.exactVsLshFunnel(docs)
+      .collect().map(r => r.getString(0) ->
+        (1 to 6).map(r.getLong).toVector).toMap
+    assert(rows.keySet === Set("exact", "lsh", "delta"))
+    assert(rows("delta") ===
+      rows("exact").zip(rows("lsh")).map { case (a, b) => a - b })
+    val Vector(xPairs, _, xClusters, xDropped, xSurvivors, _) =
+      rows("exact")
+    assert(xPairs === 2L) // (1,2) exact, (3,4) at J = 0.9
+    assert(xClusters === 2L)
+    assert(xDropped === 2L) // docs 2 and 4 lose to their min-id reps
+    assert(xSurvivors === 4L)
+    assert(xDropped + xSurvivors === 6L)
+    // identical docs have identical signatures: LSH cannot miss (1,2)
+    assert(rows("lsh")(3) >= 1L)
+  }
+
   test("chunkDocuments: overlap grid, short tail, no redundant chunk") {
     val words200 = (0 until 200).map(i => s"w$i").mkString(" ")
     val words100 = (0 until 100).map(i => s"w$i").mkString(" ")
