@@ -3489,6 +3489,26 @@ object SparkEntry {
     // + the signed delta row, all exact BIGINT algebra.
     "p26_exact_vs_lsh_funnel" -> {
       val P = graft.functions.Canon.MersenneP
+      // The exact pair graph is DENSE (2.97M true pairs over 5k docs
+      // at sf0.1 — near-clique dup components), so the d08-style
+      // transitive-reach recursion is O(Σ component²) rows and
+      // measured >25 min in DuckDB at sf0.1. The closure instead
+      // mirrors the d11 Spark path: min-label PROPAGATE (one edge
+      // join + min) then POINTER-JUMP (lab := lab(lab), one node
+      // join) per unrolled round — label coverage doubles per round,
+      // so 17 rounds provably converge for any graph up to 2^17
+      // nodes (the sf1eq tier holds 50k docs). Converged labels are
+      // the component minimum — identical to dupClusters' output.
+      val ExactClosureR = 17
+      val exactClosureRounds = (1 to ExactClosureR).map { r =>
+        s"""xpr$r AS (SELECT node, min(lab) AS lab FROM (
+           |  SELECT s.b AS node, l.lab FROM xsym s
+           |    JOIN xl${r - 1} l ON l.node = s.a
+           |  UNION ALL SELECT node, lab FROM xl${r - 1}) GROUP BY node),
+           |xl$r AS MATERIALIZED (SELECT c.node, p.lab
+           |  FROM xpr$r c JOIN xpr$r p ON p.node = c.lab),"""
+          .stripMargin
+      }.mkString("\n")
       dupClustersCte +
         s""",
            |xt AS MATERIALIZED (SELECT doc_id,
@@ -3516,15 +3536,13 @@ object SparkEntry {
            | JOIN xsets sb ON sb.doc_id = c.doc_b),
            |xp AS MATERIALIZED (SELECT doc_a, doc_b FROM xv
            | WHERE 5 * inter >= 4 * (sa + sb - inter)),
-           |xsym AS (SELECT doc_a AS a, doc_b AS b FROM xp
+           |xsym AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM xp
            |  UNION SELECT doc_b, doc_a FROM xp),
-           |xnodes AS (SELECT DISTINCT a AS n FROM xsym),
-           |xreach(node, lab) AS (
-           |  SELECT n, n FROM xnodes
-           |  UNION
-           |  SELECT s.b, r.lab FROM xreach r JOIN xsym s ON s.a = r.node),
-           |xclus AS MATERIALIZED (SELECT node AS doc_id, min(lab)
-           |   AS cluster_rep FROM xreach GROUP BY node),
+           |xl0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab
+           |  FROM xsym),
+           |$exactClosureRounds
+           |xclus AS MATERIALIZED (SELECT node AS doc_id,
+           |   lab AS cluster_rep FROM xl$ExactClosureR),
            |tkn AS MATERIALIZED (SELECT doc_id,
            |  len(string_split(text, ' '))::BIGINT AS n_tokens
            | FROM documents),
