@@ -72,7 +72,13 @@ object ScaleBench {
     // phase 2 runs on the contracted graph, which is Louvain's whole
     // scalability argument — plus one extra modularity tail over the
     // original edges.
-    "g24_louvain_two_level")
+    "g24_louvain_two_level",
+    // r16: the multi-level ladder — g24's phase 1, then TWO
+    // contract-and-merge levels (mutual-argmax matching). The delta
+    // over g24 must stay community-sized per added level: each level
+    // is one edge×labels join pair + community-graph-sized argmax +
+    // one modularity tail.
+    "g25_louvain_ladder")
 
   /** Second axis (late r10): the corpus-heavy single-pass family —
     * LSH candidate generation, pair verification, the two corpus-pass
@@ -148,7 +154,12 @@ object ScaleBench {
     // r14 s6 late: source-mix JS drift — ONE (source, parity)
     // map-side aggregate over the scan + source-bounded algebra; the
     // flattest-possible curve is the claim (the s32 class, text side).
-    "p25_corpus_drift")
+    "p25_corpus_drift",
+    // r16: the exact-vs-LSH funnel composition — d26's chain plus the
+    // LSH chain plus two d08 closures. Growth must track d26's
+    // output-bound curve (the dominant term; rotated copies keep true
+    // pairs copy-local) with closure cost bounded by the pair sets.
+    "p26_exact_vs_lsh_funnel")
 
   /** Third axis (late r10): the event-time window family. Its scale
     * risk is per-key WINDOW/JOIN STATE — salted user ids grow the key
@@ -216,7 +227,12 @@ object ScaleBench {
     // only in the relevance scan; greedy steps are shortlist-sized)
     // and the centroid-drift monitor (two label×dim map-side
     // aggregates + a dimension-bounded join).
-    "s31_mmr_select", "s32_centroid_drift")
+    "s31_mmr_select", "s32_centroid_drift",
+    // r16: the s18 search answered from parquet-persisted artifacts —
+    // the row prices the round trip's write+read over s18's own
+    // curve (the index is corpus-sized but NARROW: 1 int + m codes
+    // per vector, which is the scale story the s51 gate pins).
+    "s51_ivfpq_index_roundtrip")
 
   /** Fifth axis (r13): the sketch-certification family beside their
     * exact twins, plus the z-order global rank. The claim under test
