@@ -346,6 +346,22 @@ class GraphEtlSpec extends SparkSpec {
     assert(r.getAs[Double]("modularity_l2") === 0.5)
   }
 
+  test("louvainLadder: modularity non-decreasing across BOTH levels " +
+    "on the real co-supplier graph (the constructive guarantee, " +
+    "checked on data the fixtures can't anticipate)") {
+    val edges = GraphEtl.coSupplierEdges(table("lineitem"))
+    val r = GraphEtl.louvainLadder(edges, 2, 1).head()
+    val p1 = r.getAs[Double]("modularity_p1")
+    val l1 = r.getAs[Double]("modularity_l1")
+    val l2 = r.getAs[Double]("modularity_l2")
+    assert(l1 >= p1, s"level 1 decreased modularity: $p1 -> $l1")
+    assert(l2 >= l1, s"level 2 decreased modularity: $l1 -> $l2")
+    assert(r.getAs[Long]("n_communities_l1") <=
+      r.getAs[Long]("n_communities_p1"))
+    assert(r.getAs[Long]("n_communities_l2") <=
+      r.getAs[Long]("n_communities_l1"))
+  }
+
   test("louvainTwoLevel: disjoint triangles — isolated supernodes " +
     "(no super-edges) keep their self-loop degrees and phase 2 is " +
     "a no-op at the optimum") {

@@ -87,6 +87,34 @@ class MaterializeSpec extends SparkSpec {
     assert(r("replicated") === r("local"))
   }
 
+  test("pre-pin + post-pin composition (samplePerGroup): identical " +
+    "ranks under all strategies") {
+    // r16: the corpus-scan sites now pin TWICE — the narrow base
+    // pre-pin (so the boundary-sampling job doesn't re-run the
+    // derived scan) and the post-exchange pin (the boundary draw).
+    // Both are Materialize-strategy seams, and the exact-N-per-group
+    // selection must be strategy-independent through the pair.
+    val r = underEach(graft.operators.Pipeline.samplePerGroup(
+      docs.limit(300), n = 20))
+    assert(r("local").nonEmpty)
+    assert(r("reliable") === r("local"))
+    assert(r("replicated") === r("local"))
+  }
+
+  test("hashRank two-stage ring rank (hierBeamSearch): identical " +
+    "frontier under all strategies") {
+    // r16: the md5-ring global rank (searchGraph fingers + hier
+    // pilots) moved onto the TwoStage template; the walk's output
+    // must not depend on which strategy pinned the ring rank's
+    // boundary draw.
+    val emb = table("embeddings").limit(200)
+    val r = underEach(graft.operators.Similarity.hierBeamSearch(
+      emb, k = 3, beam = 4, rounds = 2, graphK = 3, descentRounds = 2))
+    assert(r("local").nonEmpty)
+    assert(r("reliable") === r("local"))
+    assert(r("replicated") === r("local"))
+  }
+
   test("withStrategy restores the previous strategy") {
     assert(Materialize.strategy === Materialize.LocalCheckpoint)
     Materialize.withStrategy(Materialize.ReliableCheckpoint) {
