@@ -2620,11 +2620,14 @@ object SparkEntry {
          |    ORDER BY df, t.h) AS rnk,
          |  count(*) OVER (PARTITION BY t.doc_id) AS nset
          | FROM t JOIN dfq USING (h)),
-         |pfx AS (SELECT doc_id, h FROM rk
+         |pfx AS (SELECT doc_id, h, nset, rnk FROM rk
          | WHERE rnk <= nset - (4 * nset + 4) // 5 + 1),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          | FROM pfx a JOIN pfx b
-         | ON a.h = b.h AND a.doc_id < b.doc_id),
+         | ON a.h = b.h AND a.doc_id < b.doc_id
+         |  AND 5 * least(a.nset, b.nset) >= 4 * greatest(a.nset, b.nset)
+         |  AND 1 + least(a.nset - a.rnk, b.nset - b.rnk)
+         |      >= (4 * (a.nset + b.nset) + 8) // 9),
          |sets AS (SELECT doc_id,
          |  list_sort(list_distinct([${h60("x")} % $P
          |    FOR x IN string_split(text, ' ')])) AS dw FROM documents),
@@ -3520,11 +3523,14 @@ object SparkEntry {
            |    ORDER BY df, xt.h) AS rnk,
            |  count(*) OVER (PARTITION BY xt.doc_id) AS nset
            | FROM xt JOIN xdfq USING (h)),
-           |xpfx AS (SELECT doc_id, h FROM xrk
+           |xpfx AS (SELECT doc_id, h, nset, rnk FROM xrk
            | WHERE rnk <= nset - (4 * nset + 4) // 5 + 1),
            |xcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            | FROM xpfx a JOIN xpfx b
-           | ON a.h = b.h AND a.doc_id < b.doc_id),
+           | ON a.h = b.h AND a.doc_id < b.doc_id
+           |  AND 5 * least(a.nset, b.nset) >= 4 * greatest(a.nset, b.nset)
+           |  AND 1 + least(a.nset - a.rnk, b.nset - b.rnk)
+           |      >= (4 * (a.nset + b.nset) + 8) // 9),
            |xsets AS MATERIALIZED (SELECT doc_id,
            |  list_sort(list_distinct([${h60("x")} % $P
            |    FOR x IN string_split(text, ' ')])) AS dw FROM documents),
