@@ -129,7 +129,25 @@ object Bench {
         .exists(_.group(1) == sfDir)
       if (!sfOk) Map.empty
       else {
-        val sect = txt.substring(txt.indexOf("\"medians\""))
+        // Slice exactly the medians OBJECT (balanced-brace scan from
+        // its opening '{'), not medians-to-EOF: BENCH_LOCAL-format
+        // files carry host.cpu_mhz numerics and baseline_ratios keyed
+        // by the SAME query names after the medians map, and a
+        // regex-to-EOF read would let later ratio values overwrite
+        // median values (ADVICE r16). A baseline captured verbatim
+        // from a BENCH_LOCAL run now parses correctly.
+        val mk = txt.indexOf("\"medians\"")
+        if (mk < 0) throw new NoSuchElementException("no medians key")
+        val start = txt.indexOf('{', mk)
+        var depth = 0
+        var end = start
+        while (end < txt.length &&
+            (depth > 0 || end == start)) {
+          if (txt.charAt(end) == '{') depth += 1
+          else if (txt.charAt(end) == '}') depth -= 1
+          end += 1
+        }
+        val sect = txt.substring(start, end)
         """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
           .findAllMatchIn(sect)
           .map(m => m.group(1) -> m.group(2).toDouble).toMap

@@ -81,6 +81,32 @@ object Materialize {
     try body finally strategy = prev
   }
 
+  /** [[apply]] + STATS RESET, for iterative operators whose
+    * self-compounding joins defeat Catalyst's size estimation: every
+    * checkpoint inherits its child plan's `sizeInBytes`
+    * (LogicalRDD.rewriteStatsAndConstraints), joins MULTIPLY child
+    * sizes, and a round-r frame built from joins of round-(r−1)
+    * materialized frames therefore carries a BigInt whose DIGIT COUNT
+    * multiplies per generation — g26's two weighted move rounds per
+    * ladder level ground million-digit ToomCook products inside the
+    * stats rewrite of every subsequent checkpoint (measured: the spec
+    * suite ran 28+ minutes inside BigInteger.multiply before this
+    * seam existed; seconds after). The RDD[Row] round trip re-enters
+    * the plan as a fresh leaf with default (unknown) stats, resetting
+    * the compounding at the cost of (a) a per-row Row conversion —
+    * the frames this guards are COMMUNITY-sized, never corpus-sized —
+    * and (b) no auto-broadcast for the reset frame, irrelevant here
+    * because every small side in these operators is broadcast
+    * explicitly. DataFrame-only: the reset re-derives rows through
+    * the schema, which is lossless for the integral/decimal columns
+    * these frames carry.
+    */
+  def statsReset(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cp = Materialize(df)
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   implicit class MatOps[T](private val ds: Dataset[T]) extends AnyVal {
     /** Eagerly materialize under the configured [[strategy]]. */
     def materialized: Dataset[T] = Materialize(ds)

@@ -326,6 +326,15 @@ object SparkEntry {
     "g25_louvain_ladder" -> ((s, dir) =>
       GraphEtl.louvainLadder(
         GraphEtl.coSupplierEdges(t(s, dir, "lineitem")), 2, 1)),
+    // Blondel's loop proper: per level, TWO synchronous weighted
+    // local-move rounds on the contracted community graph (round 1 =
+    // g24's phase-2 closed form, round 2 the general weighted gain
+    // argmax), fold, then g25's mutual-argmax matching on the
+    // re-contracted graph. Per-phase modularity audit, all scored on
+    // the original edges.
+    "g26_louvain_ladder_moves" -> ((s, dir) =>
+      GraphEtl.louvainLadderMoves(
+        GraphEtl.coSupplierEdges(t(s, dir, "lineitem")), 2, 2, 1)),
 
     // --- LLM-pipeline extension surface (SURVEY §2.12) ---
     // Exact dedup: content-hash groupBy, one shuffle.
@@ -548,6 +557,15 @@ object SparkEntry {
     // contract a 100 TB deployment ships between build and serve.
     "s51_ivfpq_index_roundtrip" -> ((s, dir) =>
       Similarity.knnIvfPqResidualPersisted(t(s, dir, "embeddings"),
+        10, 3)),
+    // Persisted-index incremental composition (s51 ∘ s36's split):
+    // build the residual index on the OLD corpus only, persist, read
+    // back fresh, delta-encode the insert batch with the PERSISTED
+    // centroids/codebook (no retraining), append, search the merged
+    // index — the 100 TB serve path (load → ingest → search) as one
+    // hash-gated chain.
+    "s52_ivfpq_incremental" -> ((s, dir) =>
+      Similarity.knnIvfPqResidualIncremental(t(s, dir, "embeddings"),
         10, 3)),
     // Residual-path composed recall at identical parameters — what the
     // residual lever buys vs s17's raw-vector PQ.
@@ -982,6 +1000,14 @@ object SparkEntry {
     // curation decision.
     "p26_exact_vs_lsh_funnel" -> ((s, dir) =>
       Pipeline.exactVsLshFunnel(t(s, dir, "documents"))),
+    // Three-arm funnel: p26's two arms plus the PRODUCTION third —
+    // d03 candidates verified by the d26 exact word-hash Jaccard at
+    // the same τ = 4/5 (so lsh_verified ⊆ exact by construction) —
+    // with both signed deltas; delta_verified isolates pure LSH
+    // candidate-generation false negatives, the number the curation
+    // decision actually needs.
+    "p27_verified_lsh_funnel" -> ((s, dir) =>
+      Pipeline.exactVsLshVerifiedFunnel(t(s, dir, "documents"))),
     // Z-order repack planning: Morton interleave of (partkey,
     // suppkey), equal cut into 32 files, per-file min/max stats (the
     // data-skipping footers). Two-stage rank; row-local bit algebra.
@@ -1232,38 +1258,134 @@ object SparkEntry {
     * re-inlining lesson).
     */
   private def louvainLevelCtes(l: Int): String =
+    louvainContractCtes(s"$l", s"flat$l") +
+      louvainMatchTailCtes(s"$l", s"flat$l", s"flat${l + 1}")
+
+  /** DuckDB: the weighted contraction of partition `$inFlat` (v, c) —
+    * GraphEtl.contractGraph's algebra verbatim: between-community
+    * super-edges, self-loop weights, k = Σw + 2·selfw. Emits
+    * ce/bw/swt/symw/degc suffixed `$tag`. Shared by the g25 matching
+    * levels and g26's move + matching phases.
+    */
+  private def louvainContractCtes(tag: String, inFlat: String): String =
     s""",
-       |ce$l AS MATERIALIZED (SELECT x.c AS ca, y.c AS cb FROM em e
-       |  JOIN flat$l x ON x.v = e.a JOIN flat$l y ON y.v = e.b),
-       |bw$l AS MATERIALIZED (SELECT least(ca, cb) AS sa,
+       |ce$tag AS MATERIALIZED (SELECT x.c AS ca, y.c AS cb FROM em e
+       |  JOIN $inFlat x ON x.v = e.a JOIN $inFlat y ON y.v = e.b),
+       |bw$tag AS MATERIALIZED (SELECT least(ca, cb) AS sa,
        |   greatest(ca, cb) AS sb, count(*)::BIGINT AS w
-       |  FROM ce$l WHERE ca <> cb GROUP BY 1, 2),
-       |swt$l AS MATERIALIZED (SELECT ca AS node,
-       |   count(*)::BIGINT AS selfw FROM ce$l WHERE ca = cb GROUP BY 1),
-       |symw$l AS MATERIALIZED (SELECT sa AS node, sb AS nb, w FROM bw$l
-       |  UNION ALL SELECT sb, sa, w FROM bw$l),
-       |degc$l AS MATERIALIZED (SELECT c.node,
+       |  FROM ce$tag WHERE ca <> cb GROUP BY 1, 2),
+       |swt$tag AS MATERIALIZED (SELECT ca AS node,
+       |   count(*)::BIGINT AS selfw FROM ce$tag WHERE ca = cb GROUP BY 1),
+       |symw$tag AS MATERIALIZED (SELECT sa AS node, sb AS nb, w FROM bw$tag
+       |  UNION ALL SELECT sb, sa, w FROM bw$tag),
+       |degc$tag AS MATERIALIZED (SELECT c.node,
        |   coalesce(nw.nbw, 0) + 2 * coalesce(s.selfw, 0) AS k
-       |  FROM (SELECT DISTINCT c AS node FROM flat$l) c
-       |  LEFT JOIN (SELECT node, sum(w)::BIGINT AS nbw FROM symw$l
+       |  FROM (SELECT DISTINCT c AS node FROM $inFlat) c
+       |  LEFT JOIN (SELECT node, sum(w)::BIGINT AS nbw FROM symw$tag
        |    GROUP BY 1) nw ON nw.node = c.node
-       |  LEFT JOIN swt$l s ON s.node = c.node),
-       |scored$l AS (SELECT sy.node, sy.nb,
+       |  LEFT JOIN swt$tag s ON s.node = c.node)""".stripMargin
+
+  /** DuckDB: the positive-gain argmax, MUTUAL-argmax matching, and
+    * min-label merged partition over contraction `$tag` — the g25
+    * level decision (mirrors GraphEtl.matchingLevel's tail).
+    */
+  private def louvainMatchTailCtes(tag: String, inFlat: String,
+                                   outFlat: String): String =
+    s""",
+       |scored$tag AS (SELECT sy.node, sy.nb,
        |   2::HUGEINT * mm.m * sy.w - da.k::HUGEINT * db.k::HUGEINT AS s
-       |  FROM symw$l sy JOIN degc$l da ON da.node = sy.node
-       |  JOIN degc$l db ON db.node = sy.nb, mm),
-       |best$l AS MATERIALIZED (SELECT node, nb FROM (
+       |  FROM symw$tag sy JOIN degc$tag da ON da.node = sy.node
+       |  JOIN degc$tag db ON db.node = sy.nb, mm),
+       |best$tag AS MATERIALIZED (SELECT node, nb FROM (
        |  SELECT *, row_number() OVER (PARTITION BY node
-       |    ORDER BY s DESC, nb) AS rk FROM scored$l)
+       |    ORDER BY s DESC, nb) AS rk FROM scored$tag)
        |  WHERE rk = 1 AND s > 0),
-       |mt$l AS MATERIALIZED (SELECT x.node AS pa, y.node AS pb
-       |  FROM best$l x JOIN best$l y
+       |mt$tag AS MATERIALIZED (SELECT x.node AS pa, y.node AS pb
+       |  FROM best$tag x JOIN best$tag y
        |  ON x.nb = y.node AND y.nb = x.node AND x.node < y.node),
-       |mg$l AS (SELECT pa AS c, pa AS mc FROM mt$l
-       |  UNION ALL SELECT pb, pa FROM mt$l),
-       |flat${l + 1} AS MATERIALIZED (SELECT f.v,
+       |mg$tag AS (SELECT pa AS c, pa AS mc FROM mt$tag
+       |  UNION ALL SELECT pb, pa FROM mt$tag),
+       |$outFlat AS MATERIALIZED (SELECT f.v,
        |   coalesce(g.mc, f.c) AS c
-       |  FROM flat$l f LEFT JOIN mg$l g ON g.c = f.c)""".stripMargin
+       |  FROM $inFlat f LEFT JOIN mg$tag g ON g.c = f.c)""".stripMargin
+
+  /** DuckDB: one weighted synchronous local-move round on contraction
+    * `$tag` (mirrors GraphEtl.weightedMoveDecided — the g26 per-level
+    * phase 1): labels wl`$tag`_`${r-1}` → gain argmax vs the current
+    * labeling (self-degree excluded for the own community, ties
+    * (s DESC, labc)) → strict-improve decision wnl`$tag`_`$r` →
+    * labels wl`$tag`_`$r`. HUGEINT score algebra, exactly
+    * louvainPhase1Ctes' shapes with sum(w) for the edge counts and
+    * the weighted degc degrees for k.
+    */
+  private def louvainWMoveCtes(tag: String, r: Int): String =
+    s""",
+       |wnbr${tag}_$r AS MATERIALIZED (SELECT sy.node AS node,
+       |   l.lab AS labc, sum(sy.w)::BIGINT AS cnt
+       |  FROM symw$tag sy JOIN wl${tag}_${r - 1} l ON l.node = sy.nb
+       |  GROUP BY 1, 2),
+       |wdcs${tag}_$r AS MATERIALIZED (SELECT l.lab AS community,
+       |   sum(d.k::HUGEINT) AS sigma
+       |  FROM degc$tag d JOIN wl${tag}_${r - 1} l ON l.node = d.node
+       |  GROUP BY 1),
+       |wsc${tag}_$r AS (SELECT n.node, n.labc, la.lab AS laba,
+       |  2::HUGEINT * mm.m * n.cnt - d.k::HUGEINT *
+       |    (dc.sigma - CASE WHEN n.labc = la.lab THEN d.k ELSE 0 END)
+       |    AS s
+       | FROM wnbr${tag}_$r n JOIN degc$tag d ON d.node = n.node
+       | JOIN wl${tag}_${r - 1} la ON la.node = n.node
+       | JOIN wdcs${tag}_$r dc ON dc.community = n.labc, mm),
+       |wbest${tag}_$r AS (SELECT node, labc AS best_lab, s AS best_s
+       | FROM (SELECT *, row_number() OVER (PARTITION BY node
+       |    ORDER BY s DESC, labc) AS rk FROM wsc${tag}_$r) WHERE rk = 1),
+       |wstay${tag}_$r AS (SELECT la.node AS node, la.lab AS laba,
+       |  2::HUGEINT * mm.m * coalesce(nb.cnt, 0) -
+       |    d.k::HUGEINT * (dc.sigma - d.k) AS stay_s
+       | FROM wl${tag}_${r - 1} la JOIN degc$tag d ON d.node = la.node
+       | JOIN wdcs${tag}_$r dc ON dc.community = la.lab
+       | LEFT JOIN wnbr${tag}_$r nb ON nb.node = la.node
+       |   AND nb.labc = la.lab, mm),
+       |wnl${tag}_$r AS MATERIALIZED (SELECT st.node, st.laba,
+       |  CASE WHEN b.best_s > st.stay_s THEN b.best_lab
+       |       ELSE st.laba END AS lab
+       | FROM wstay${tag}_$r st LEFT JOIN wbest${tag}_$r b
+       |   ON b.node = st.node),
+       |wl${tag}_$r AS MATERIALIZED (SELECT node, lab FROM wnl${tag}_$r)"""
+      .stripMargin
+
+  /** DuckDB: one full g26 ladder level over `$inFlat` → `$outFlat` —
+    * contraction `m$l`, the singleton-restart label init, `moveRounds`
+    * weighted move rounds (per-round move-count CTEs wmvm`$l`_`$r`
+    * aliased n_moves_l`$l`_r`$r`), the min-member fold into flatv`$l`,
+    * then the g25 matching (contraction `$l` + match tail) and both
+    * modularity tails (tags l`$l`mv / l`$l`).
+    */
+  private def g26LevelCtes(l: Int, inFlat: String, outFlat: String,
+                           moveRounds: Int): String = {
+    val mt = s"m$l"
+    val init = s""",
+       |wl${mt}_0 AS (SELECT node, node AS lab FROM degc$mt)""".stripMargin
+    val rounds = (1 to moveRounds).map { r =>
+      louvainWMoveCtes(mt, r) +
+        s""",
+           |wmv${mt}_$r AS (SELECT sum(CASE WHEN lab <> laba
+           |    THEN 1 ELSE 0 END)::BIGINT AS n_moves_l${l}_r$r
+           |  FROM wnl${mt}_$r)""".stripMargin
+    }.mkString
+    val fold = s""",
+       |wcanon$mt AS (SELECT lab, min(node) AS cc
+       |  FROM wl${mt}_$moveRounds GROUP BY lab),
+       |wmap$mt AS (SELECT wl.node AS c, c2.cc AS mc
+       |  FROM wl${mt}_$moveRounds wl JOIN wcanon$mt c2
+       |  ON c2.lab = wl.lab),
+       |flatv$l AS MATERIALIZED (SELECT f.v, coalesce(g.mc, f.c) AS c
+       |  FROM $inFlat f LEFT JOIN wmap$mt g ON g.c = f.c)""".stripMargin
+    louvainContractCtes(mt, inFlat) + init + rounds + fold +
+      louvainContractCtes(s"$l", s"flatv$l") +
+      louvainMatchTailCtes(s"$l", s"flatv$l", outFlat) +
+      louvainModCtes(s"l${l}mv", s"flatv$l") +
+      louvainModCtes(s"l$l", outFlat)
+  }
 
   /** DuckDB: the g21 modularity tail over partition table `flatName`
     * (v, c) — per-community weighted-degree sums, community count +
@@ -1920,10 +2042,19 @@ object SparkEntry {
     * parameters both gated callers (s03, s11) use. Same left-fold dot
     * as the Spark side throughout.
     */
-  private val ivfCte: String = {
-    val centSim =
-      foldSum("[a.v[i] * c.cv[i] FOR i IN range(1, len(a.v)+1)]") +
-        " / (a.nrm * c.cnrm)"
+  /** Per-row centroid cosine (alias `a` × centroid table `c`). */
+  private val centSim: String =
+    foldSum("[a.v[i] * c.cv[i] FOR i IN range(1, len(a.v)+1)]") +
+      " / (a.nrm * c.cnrm)"
+
+  private val ivfCte: String = ivfCteOver("n")
+
+  /** [[ivfCte]] with the PROBE QUERIES drawn from `$qsrc` while the
+    * index build half (seeds, Lloyd round, assignment) stays on `n` —
+    * s52 builds on the OLD corpus but serves queries from the full
+    * one. `ivfCteOver("n")` is the historical ivfCte byte-for-byte.
+    */
+  private def ivfCteOver(qsrc: String): String = {
     s"""h AS (SELECT vec_id, v, nrm,
        |  ${h60("'ivfseed|' || vec_id")} AS hh FROM n),
        |c0 AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1
@@ -1955,7 +2086,7 @@ object SparkEntry {
        |  SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qnrm, c.cell,
        |   row_number() OVER (PARTITION BY a.vec_id
        |     ORDER BY $centSim DESC, c.cell) AS rk
-       |  FROM n a CROSS JOIN c WHERE a.vec_id < 10) WHERE rk <= 4)""".stripMargin
+       |  FROM $qsrc a CROSS JOIN c WHERE a.vec_id < 10) WHERE rk <= 4)""".stripMargin
   }
 
   /** Shared s40/s41 tail (appended after a generator CTE ending in
@@ -2079,7 +2210,20 @@ object SparkEntry {
     * per-(query, probed cell) centroid dot. Appended after ivfCte
     * (needs asg, c, probes).
     */
-  private lazy val ivfPqResCte: String =
+  private lazy val ivfPqResCte: String = ivfPqResCteOver("n", "asg", "codes")
+
+  /** [[ivfPqResCte]] with the query source, the scored index
+    * assignment, and the scored code table parametrized (s52 serves
+    * queries from `nall` against the MERGED masg/mcodes index while
+    * the build half stays on the old-corpus asg/codes), plus an
+    * optional `midCtes` block spliced between the build and search
+    * halves (s52's delta-encode chain — it must see `cb`/`c` and be
+    * visible to `pscored`). `ivfPqResCteOver("n", "asg", "codes")` is
+    * the historical ivfPqResCte byte-for-byte.
+    */
+  private def ivfPqResCteOver(qsrc: String, idxAsg: String,
+                              idxCodes: String,
+                              midCtes: String = ""): String =
     s"""resn AS (SELECT a.vec_id,
        |   [a.v[i] - c.cv[i] FOR i IN range(1, len(a.v)+1)] AS v
        |  FROM asg a JOIN c ON c.cell = a.cell),
@@ -2091,11 +2235,11 @@ object SparkEntry {
        |      [(va[i]-vb[i])*(va[i]-vb[i])
        |       FOR i IN range(1, len(va)+1)]),
        |      (acc, x) -> acc + x), code) AS rk FROM sub)
-       |  WHERE rk = 1),
+       |  WHERE rk = 1),$midCtes
        |subq AS (SELECT a.vec_id, t.s, cb.code,
        |   list_slice(a.v, t.s*8+1, t.s*8+8) AS va,
        |   list_slice(cb.cv, t.s*8+1, t.s*8+8) AS vb
-       |  FROM n a CROSS JOIN generate_series(0, 7) t(s)
+       |  FROM $qsrc a CROSS JOIN generate_series(0, 7) t(s)
        |  CROSS JOIN cb WHERE a.vec_id < 10),
        |qt AS (SELECT vec_id AS q_id, s, code,
        |   list_reduce(list_prepend(0.0,
@@ -2112,8 +2256,8 @@ object SparkEntry {
        |     (acc, x) -> acc + x) AS approx_dot
        |  FROM probes p
        |  JOIN cdot cd ON cd.q_id = p.q_id AND cd.cell = p.cell
-       |  JOIN asg b ON b.cell = p.cell AND b.vec_id <> p.q_id
-       |  JOIN codes c2 ON c2.vec_id = b.vec_id
+       |  JOIN $idxAsg b ON b.cell = p.cell AND b.vec_id <> p.q_id
+       |  JOIN $idxCodes c2 ON c2.vec_id = b.vec_id
        |  JOIN qt ON qt.q_id = p.q_id AND qt.s = c2.s
        |    AND qt.code = c2.code
        |  GROUP BY p.q_id, b.vec_id, cd.centdot)""".stripMargin
@@ -2285,6 +2429,127 @@ object SparkEntry {
 
   private lazy val dupClustersOracleSql: String =
     dupClustersCte + "\nSELECT doc_id, cluster_rep FROM clus"
+
+  /** The p26/p27 shared closure unroll. The exact pair graph is DENSE
+    * (2.97M true pairs over 5k docs at sf0.1 — near-clique dup
+    * components), so the d08-style transitive-reach recursion is
+    * O(Σ component²) rows and measured >25 min in DuckDB at sf0.1.
+    * The closure instead mirrors the d11 Spark path: min-label
+    * PROPAGATE (one edge join + min) then POINTER-JUMP (lab :=
+    * lab(lab), one node join) per unrolled round — label coverage
+    * doubles per round, so 17 rounds provably converge for any graph
+    * up to 2^17 nodes (the sf1eq tier holds 50k docs). Converged
+    * labels are the component minimum — identical to dupClusters'
+    * output. Reads `${pfx}sym` / `${pfx}l0`, converges in
+    * `${pfx}l$rounds`.
+    */
+  private val ExactClosureR = 17
+  private def closureUnrollCtes(pfx: String, rounds: Int): String =
+    (1 to rounds).map { r =>
+      s"""${pfx}pr$r AS (SELECT node, min(lab) AS lab FROM (
+         |  SELECT s.b AS node, l.lab FROM ${pfx}sym s
+         |    JOIN ${pfx}l${r - 1} l ON l.node = s.a
+         |  UNION ALL SELECT node, lab FROM ${pfx}l${r - 1}) GROUP BY node),
+         |${pfx}l$r AS MATERIALIZED (SELECT c.node, p.lab
+         |  FROM ${pfx}pr$r c JOIN ${pfx}pr$r p ON p.node = c.lab),"""
+        .stripMargin
+    }.mkString("\n")
+
+  /** The d26 exact prefix-join pair chain (x-prefixed: token fan-out,
+    * df ranks, prefix + length + positional filters, verify, closure)
+    * ending in the pair set `xp`, the sorted hash sets `xsets`, and
+    * the component labeling `xclus`. Shared by the p26 and p27
+    * mirrors — p27's verify tier reads `xsets` and its exact arm
+    * reads `xp`/`xclus`, so the arms share one acceptance predicate
+    * by construction.
+    */
+  private lazy val exactPairChainCtes: String = {
+    val P = graft.functions.Canon.MersenneP
+    s""",
+       |xt AS MATERIALIZED (SELECT doc_id,
+       |  unnest(list_distinct([${h60("x")} % $P
+       |    FOR x IN string_split(text, ' ')])) AS h FROM documents),
+       |xdfq AS (SELECT h, count(*) AS df FROM xt GROUP BY h),
+       |xrk AS (SELECT xt.doc_id, xt.h,
+       |  row_number() OVER (PARTITION BY xt.doc_id
+       |    ORDER BY df, xt.h) AS rnk,
+       |  count(*) OVER (PARTITION BY xt.doc_id) AS nset
+       | FROM xt JOIN xdfq USING (h)),
+       |xpfx AS (SELECT doc_id, h, nset, rnk FROM xrk
+       | WHERE rnk <= nset - (4 * nset + 4) // 5 + 1),
+       |xcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM xpfx a JOIN xpfx b
+       | ON a.h = b.h AND a.doc_id < b.doc_id
+       |  AND 5 * least(a.nset, b.nset) >= 4 * greatest(a.nset, b.nset)
+       |  AND 1 + least(a.nset - a.rnk, b.nset - b.rnk)
+       |      >= (4 * (a.nset + b.nset) + 8) // 9),
+       |xsets AS MATERIALIZED (SELECT doc_id,
+       |  list_sort(list_distinct([${h60("x")} % $P
+       |    FOR x IN string_split(text, ' ')])) AS dw FROM documents),
+       |xv AS (SELECT c.doc_a, c.doc_b,
+       |  len(list_intersect(sa.dw, sb.dw))::BIGINT AS inter,
+       |  len(sa.dw)::BIGINT AS sa, len(sb.dw)::BIGINT AS sb
+       | FROM xcand c
+       | JOIN xsets sa ON sa.doc_id = c.doc_a
+       | JOIN xsets sb ON sb.doc_id = c.doc_b),
+       |xp AS MATERIALIZED (SELECT doc_a, doc_b FROM xv
+       | WHERE 5 * inter >= 4 * (sa + sb - inter)),
+       |xsym AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM xp
+       |  UNION SELECT doc_b, doc_a FROM xp),
+       |xl0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab
+       |  FROM xsym),
+       |${closureUnrollCtes("x", ExactClosureR)}
+       |xclus AS MATERIALIZED (SELECT node AS doc_id,
+       |   lab AS cluster_rep FROM xl$ExactClosureR)""".stripMargin
+  }
+
+  /** Funnel accounting bases: per-doc token counts, the corpus total,
+    * and the LSH labeling re-wrapped MATERIALIZED (multi-consumer).
+    */
+  private lazy val funnelCommonCtes: String =
+    """,
+      |tkn AS MATERIALIZED (SELECT doc_id,
+      |  len(string_split(text, ' '))::BIGINT AS n_tokens
+      | FROM documents),
+      |tot AS (SELECT count(*)::BIGINT AS nd FROM documents),
+      |clusm AS MATERIALIZED (SELECT doc_id, cluster_rep FROM clus)"""
+      .stripMargin
+
+  /** One funnel arm's three 1-row rollups over pair table `pairs` and
+    * labeling `clus` — `${tag}np` / `${tag}nc` / `${tag}nd`.
+    */
+  private def funnelCountCtes(tag: String, pairs: String,
+                              clus: String): String =
+    s""",
+       |${tag}np AS (SELECT count(*)::BIGINT AS n_pairs FROM $pairs),
+       |${tag}nc AS (SELECT count(*)::BIGINT AS n_dup_docs,
+       |  count(DISTINCT cluster_rep)::BIGINT AS n_clusters
+       | FROM $clus),
+       |${tag}nd AS (SELECT count(*)::BIGINT AS n_dropped,
+       |  coalesce(sum(t.n_tokens), 0)::BIGINT AS tokens_dropped
+       | FROM $clus c JOIN tkn t USING (doc_id)
+       | WHERE c.doc_id <> c.cluster_rep)""".stripMargin
+
+  /** One funnel attrition row for arm `tag`. */
+  private def funnelRowSql(method: String, tag: String): String =
+    s"""SELECT '$method' AS method, ${tag}np.n_pairs,
+       |  ${tag}nc.n_dup_docs, ${tag}nc.n_clusters, ${tag}nd.n_dropped,
+       |  tot.nd - ${tag}nd.n_dropped AS n_survivors,
+       |  ${tag}nd.tokens_dropped
+       | FROM ${tag}np, ${tag}nc, ${tag}nd, tot""".stripMargin
+
+  /** The signed per-column difference row of arms `a` − `b` (the
+    * survivor delta flips sign because survivors = total − dropped).
+    */
+  private def funnelDeltaSql(method: String, a: String,
+                             b: String): String =
+    s"""SELECT '$method', ${a}np.n_pairs - ${b}np.n_pairs,
+       |  ${a}nc.n_dup_docs - ${b}nc.n_dup_docs,
+       |  ${a}nc.n_clusters - ${b}nc.n_clusters,
+       |  ${a}nd.n_dropped - ${b}nd.n_dropped,
+       |  ${b}nd.n_dropped - ${a}nd.n_dropped,
+       |  ${a}nd.tokens_dropped - ${b}nd.tokens_dropped
+       | FROM ${a}np, ${a}nc, ${a}nd, ${b}np, ${b}nc, ${b}nd""".stripMargin
 
   /** DuckDB: the 64-bit simhash as generated per-bit folds — the
     * definitional cross-check of the native SimHashBits kernel.
@@ -3405,6 +3670,56 @@ object SparkEntry {
       """
         |FROM mm, nb0, win_b, mv1, nb_p1, win_p1, mer1, nb_l1, win_l1,
         | mer2, nb_l2, win_l2""".stripMargin),
+    // louvainLadderMoves mirror (g26): the shared phase-1 chain, then
+    // per level the g26LevelCtes block — weighted contraction,
+    // singleton-restart labels, TWO weighted synchronous move rounds
+    // (louvainWMoveCtes, the HUGEINT gain algebra with sum(w) edge
+    // counts and weighted degrees), min-member fold, the g25 matching
+    // on the re-contracted graph, and modularity tails after each
+    // phase. All modularities scored on the ORIGINAL edges via the
+    // shared louvainModCtes/louvainModExpr pair.
+    "g26_louvain_ladder_moves" -> (lpaCtes(1) + louvainPhase1Ctes +
+      louvainFlat1Ctes +
+      g26LevelCtes(1, "flat1", "flat2", 2) +
+      g26LevelCtes(2, "flat2", "flat3", 2) +
+      louvainModCtes("p1", "flat1") +
+      """,
+        |mv1 AS (SELECT sum(CASE WHEN lab <> laba THEN 1 ELSE 0 END)
+        |    ::BIGINT AS n_moves_p1 FROM nl),
+        |nb0 AS (SELECT sum(sigma * sigma) AS sdq_b FROM dcs),
+        |win_b AS (SELECT count(*)::BIGINT AS e_in FROM em e
+        |  JOIN l1m x ON x.node = e.a JOIN l1m y ON y.node = e.b
+        |  WHERE x.lab = y.lab),
+        |mer1 AS (SELECT count(*)::BIGINT AS n_merges_l1 FROM mt1),
+        |mer2 AS (SELECT count(*)::BIGINT AS n_merges_l2 FROM mt2)
+        |SELECT mm.m,
+        | CASE WHEN mm.m = 0 THEN NULL ELSE
+        |   (4::HUGEINT * mm.m * win_b.e_in - nb0.sdq_b)::DOUBLE
+        |     / (4::HUGEINT * mm.m * mm.m)::DOUBLE END
+        |   AS modularity_before,
+        | mv1.n_moves_p1, nb_p1.nc_p1 AS n_communities_p1,""".stripMargin +
+      louvainModExpr("p1", "modularity_p1") + "," +
+      """
+        | wmvm1_1.n_moves_l1_r1, wmvm1_2.n_moves_l1_r2,
+        | nb_l1mv.nc_l1mv AS n_communities_l1_mv,""".stripMargin +
+      louvainModExpr("l1mv", "modularity_l1_mv") + "," +
+      """
+        | mer1.n_merges_l1, nb_l1.nc_l1 AS n_communities_l1,"""
+        .stripMargin +
+      louvainModExpr("l1", "modularity_l1") + "," +
+      """
+        | wmvm2_1.n_moves_l2_r1, wmvm2_2.n_moves_l2_r2,
+        | nb_l2mv.nc_l2mv AS n_communities_l2_mv,""".stripMargin +
+      louvainModExpr("l2mv", "modularity_l2_mv") + "," +
+      """
+        | mer2.n_merges_l2, nb_l2.nc_l2 AS n_communities_l2,"""
+        .stripMargin +
+      louvainModExpr("l2", "modularity_l2") +
+      """
+        |FROM mm, nb0, win_b, mv1, nb_p1, win_p1,
+        | wmvm1_1, wmvm1_2, nb_l1mv, win_l1mv, mer1, nb_l1, win_l1,
+        | wmvm2_1, wmvm2_2, nb_l2mv, win_l2mv, mer2, nb_l2, win_l2"""
+        .stripMargin),
     "t06_vocabulary" ->
       """SELECT word, count(*) AS n,
         | row_number() OVER (ORDER BY count(*) DESC, word ASC) AS "rank"
@@ -3490,103 +3805,45 @@ object SparkEntry {
     // mirror verbatim, names x-prefixed) and a second recursive
     // closure over the verified pairs. Per-method attrition rollups
     // + the signed delta row, all exact BIGINT algebra.
-    "p26_exact_vs_lsh_funnel" -> {
-      val P = graft.functions.Canon.MersenneP
-      // The exact pair graph is DENSE (2.97M true pairs over 5k docs
-      // at sf0.1 — near-clique dup components), so the d08-style
-      // transitive-reach recursion is O(Σ component²) rows and
-      // measured >25 min in DuckDB at sf0.1. The closure instead
-      // mirrors the d11 Spark path: min-label PROPAGATE (one edge
-      // join + min) then POINTER-JUMP (lab := lab(lab), one node
-      // join) per unrolled round — label coverage doubles per round,
-      // so 17 rounds provably converge for any graph up to 2^17
-      // nodes (the sf1eq tier holds 50k docs). Converged labels are
-      // the component minimum — identical to dupClusters' output.
-      val ExactClosureR = 17
-      val exactClosureRounds = (1 to ExactClosureR).map { r =>
-        s"""xpr$r AS (SELECT node, min(lab) AS lab FROM (
-           |  SELECT s.b AS node, l.lab FROM xsym s
-           |    JOIN xl${r - 1} l ON l.node = s.a
-           |  UNION ALL SELECT node, lab FROM xl${r - 1}) GROUP BY node),
-           |xl$r AS MATERIALIZED (SELECT c.node, p.lab
-           |  FROM xpr$r c JOIN xpr$r p ON p.node = c.lab),"""
-          .stripMargin
-      }.mkString("\n")
-      dupClustersCte +
+    "p26_exact_vs_lsh_funnel" ->
+      (dupClustersCte + exactPairChainCtes + funnelCommonCtes +
+        funnelCountCtes("l", "pairs", "clusm") +
+        funnelCountCtes("x", "xp", "xclus") + "\n" +
+        funnelRowSql("exact", "x") + "\nUNION ALL\n" +
+        funnelRowSql("lsh", "l") + "\nUNION ALL\n" +
+        funnelDeltaSql("delta", "x", "l")),
+    // exactVsLshVerifiedFunnel mirror (p27): p26's two arms plus the
+    // verified third — the d03 candidate pairs filtered by the d26
+    // exact word-hash Jaccard acceptance predicate (integer
+    // cross-multiplied τ = 4/5 against the shared xsets), closed with
+    // the same propagate+jump unroll, plus both signed delta rows.
+    // Every fragment is shared with the p26/d26 mirrors by
+    // construction, so the three arms cannot drift.
+    "p27_verified_lsh_funnel" ->
+      (dupClustersCte + exactPairChainCtes +
         s""",
-           |xt AS MATERIALIZED (SELECT doc_id,
-           |  unnest(list_distinct([${h60("x")} % $P
-           |    FOR x IN string_split(text, ' ')])) AS h FROM documents),
-           |xdfq AS (SELECT h, count(*) AS df FROM xt GROUP BY h),
-           |xrk AS (SELECT xt.doc_id, xt.h,
-           |  row_number() OVER (PARTITION BY xt.doc_id
-           |    ORDER BY df, xt.h) AS rnk,
-           |  count(*) OVER (PARTITION BY xt.doc_id) AS nset
-           | FROM xt JOIN xdfq USING (h)),
-           |xpfx AS (SELECT doc_id, h, nset, rnk FROM xrk
-           | WHERE rnk <= nset - (4 * nset + 4) // 5 + 1),
-           |xcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           | FROM xpfx a JOIN xpfx b
-           | ON a.h = b.h AND a.doc_id < b.doc_id
-           |  AND 5 * least(a.nset, b.nset) >= 4 * greatest(a.nset, b.nset)
-           |  AND 1 + least(a.nset - a.rnk, b.nset - b.rnk)
-           |      >= (4 * (a.nset + b.nset) + 8) // 9),
-           |xsets AS MATERIALIZED (SELECT doc_id,
-           |  list_sort(list_distinct([${h60("x")} % $P
-           |    FOR x IN string_split(text, ' ')])) AS dw FROM documents),
-           |xv AS (SELECT c.doc_a, c.doc_b,
-           |  len(list_intersect(sa.dw, sb.dw))::BIGINT AS inter,
-           |  len(sa.dw)::BIGINT AS sa, len(sb.dw)::BIGINT AS sb
-           | FROM xcand c
-           | JOIN xsets sa ON sa.doc_id = c.doc_a
-           | JOIN xsets sb ON sb.doc_id = c.doc_b),
-           |xp AS MATERIALIZED (SELECT doc_a, doc_b FROM xv
-           | WHERE 5 * inter >= 4 * (sa + sb - inter)),
-           |xsym AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM xp
-           |  UNION SELECT doc_b, doc_a FROM xp),
-           |xl0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab
-           |  FROM xsym),
-           |$exactClosureRounds
-           |xclus AS MATERIALIZED (SELECT node AS doc_id,
-           |   lab AS cluster_rep FROM xl$ExactClosureR),
-           |tkn AS MATERIALIZED (SELECT doc_id,
-           |  len(string_split(text, ' '))::BIGINT AS n_tokens
-           | FROM documents),
-           |tot AS (SELECT count(*)::BIGINT AS nd FROM documents),
-           |clusm AS MATERIALIZED (SELECT doc_id, cluster_rep FROM clus),
-           |lp AS (SELECT count(*)::BIGINT AS n_pairs FROM pairs),
-           |lc AS (SELECT count(*)::BIGINT AS n_dup_docs,
-           |  count(DISTINCT cluster_rep)::BIGINT AS n_clusters
-           | FROM clusm),
-           |ld AS (SELECT count(*)::BIGINT AS n_dropped,
-           |  coalesce(sum(t.n_tokens), 0)::BIGINT AS tokens_dropped
-           | FROM clusm c JOIN tkn t USING (doc_id)
-           | WHERE c.doc_id <> c.cluster_rep),
-           |xpn AS (SELECT count(*)::BIGINT AS n_pairs FROM xp),
-           |xc AS (SELECT count(*)::BIGINT AS n_dup_docs,
-           |  count(DISTINCT cluster_rep)::BIGINT AS n_clusters
-           | FROM xclus),
-           |xd AS (SELECT count(*)::BIGINT AS n_dropped,
-           |  coalesce(sum(t.n_tokens), 0)::BIGINT AS tokens_dropped
-           | FROM xclus c JOIN tkn t USING (doc_id)
-           | WHERE c.doc_id <> c.cluster_rep)
-           |SELECT 'exact' AS method, xpn.n_pairs, xc.n_dup_docs,
-           |  xc.n_clusters, xd.n_dropped,
-           |  tot.nd - xd.n_dropped AS n_survivors, xd.tokens_dropped
-           | FROM xpn, xc, xd, tot
-           |UNION ALL
-           |SELECT 'lsh', lp.n_pairs, lc.n_dup_docs, lc.n_clusters,
-           |  ld.n_dropped, tot.nd - ld.n_dropped, ld.tokens_dropped
-           | FROM lp, lc, ld, tot
-           |UNION ALL
-           |SELECT 'delta', xpn.n_pairs - lp.n_pairs,
-           |  xc.n_dup_docs - lc.n_dup_docs,
-           |  xc.n_clusters - lc.n_clusters,
-           |  xd.n_dropped - ld.n_dropped,
-           |  ld.n_dropped - xd.n_dropped,
-           |  xd.tokens_dropped - ld.tokens_dropped
-           | FROM xpn, xc, xd, lp, lc, ld""".stripMargin
-    },
+           |vp AS MATERIALIZED (SELECT p.doc_a, p.doc_b FROM pairs p
+           | JOIN xsets sa ON sa.doc_id = p.doc_a
+           | JOIN xsets sb ON sb.doc_id = p.doc_b
+           | WHERE 5 * len(list_intersect(sa.dw, sb.dw))
+           |   >= 4 * (len(sa.dw) + len(sb.dw)
+           |           - len(list_intersect(sa.dw, sb.dw)))),
+           |vsym AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM vp
+           |  UNION SELECT doc_b, doc_a FROM vp),
+           |vl0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab
+           |  FROM vsym),
+           |${closureUnrollCtes("v", ExactClosureR)}
+           |vclus AS MATERIALIZED (SELECT node AS doc_id,
+           |   lab AS cluster_rep FROM vl$ExactClosureR)""".stripMargin +
+        funnelCommonCtes +
+        funnelCountCtes("l", "pairs", "clusm") +
+        funnelCountCtes("x", "xp", "xclus") +
+        funnelCountCtes("v", "vp", "vclus") + "\n" +
+        funnelRowSql("exact", "x") + "\nUNION ALL\n" +
+        funnelRowSql("lsh_raw", "l") + "\nUNION ALL\n" +
+        funnelRowSql("lsh_verified", "v") + "\nUNION ALL\n" +
+        funnelDeltaSql("delta_raw", "x", "l") + "\nUNION ALL\n" +
+        funnelDeltaSql("delta_verified", "x", "v")),
     // corpusDrift mirror: one (source, parity) rollup, the exact-
     // rational log ratios in mirrored double operand order, micro-nat
     // quantization, HUGEINT weighted sums, one division per half.
@@ -4013,6 +4270,50 @@ object SparkEntry {
     // oracle is s18's mirror, shared by reference (zero drift
     // possible between the gate pair).
     "s51_ivfpq_index_roundtrip" -> ivfPqResSearchSql,
+    // knnIvfPqResidualIncremental mirror (s52): the s18 chain with the
+    // BUILD half (centroid seeds, Lloyd round, residual codebook,
+    // codes) on the OLD corpus only (embCteWhere), queries from nall,
+    // and the insert batch delta-encoded with the old-trained c/cb
+    // (dasg/dres/dcodes — no retraining) into the merged masg/mcodes
+    // index the search scores against.
+    "s52_ivfpq_incremental" -> {
+      val deltaCtes =
+        s"""
+           |dasg AS (SELECT vec_id, v, cell FROM (
+           |  SELECT a.vec_id, a.v, c.cell,
+           |   row_number() OVER (PARTITION BY a.vec_id
+           |     ORDER BY $centSim DESC, c.cell) AS rk
+           |  FROM nall a CROSS JOIN c WHERE a.vec_id % 10 = 9)
+           |  WHERE rk = 1),
+           |dres AS (SELECT d.vec_id, d.cell,
+           |   [d.v[i] - c.cv[i] FOR i IN range(1, len(d.v)+1)] AS rv
+           |  FROM dasg d JOIN c ON c.cell = d.cell),
+           |dsub AS (SELECT a.vec_id, t.s, cb.code,
+           |   list_slice(a.rv, t.s*8+1, t.s*8+8) AS va,
+           |   list_slice(cb.cv, t.s*8+1, t.s*8+8) AS vb
+           |  FROM dres a CROSS JOIN generate_series(0, 7) t(s)
+           |  CROSS JOIN cb),
+           |dcodes AS (SELECT vec_id, s, code FROM (
+           |  SELECT vec_id, s, code, row_number() OVER (
+           |    PARTITION BY vec_id, s ORDER BY
+           |    list_reduce(list_prepend(0.0,
+           |      [(va[i]-vb[i])*(va[i]-vb[i])
+           |       FOR i IN range(1, len(va)+1)]),
+           |      (acc, x) -> acc + x), code) AS rk FROM dsub)
+           |  WHERE rk = 1),
+           |masg AS (SELECT vec_id, cell FROM asg
+           |  UNION ALL SELECT vec_id, cell FROM dasg),
+           |mcodes AS (SELECT vec_id, s, code FROM codes
+           |  UNION ALL SELECT vec_id, s, code FROM dcodes),"""
+          .stripMargin
+      embCteWhere("vec_id % 10 <> 9") + nAllCte +
+        s""", ${ivfCteOver("nall")},
+           |${ivfPqResCteOver("nall", "masg", "mcodes", deltaCtes)}
+           |SELECT q_id, nbr_id, approx_dot, "rank" FROM (
+           | SELECT *, row_number() OVER (PARTITION BY q_id
+           |   ORDER BY approx_dot DESC, nbr_id) AS "rank" FROM pscored)
+           |WHERE "rank" <= 3""".stripMargin
+    },
     // Mirrors knnIvfPqRerank: the s18 chain cut at k' = 9, candidates
     // rescored with the EXACT cosine (the brute expression), top-3.
     "s20_knn_rerank" ->

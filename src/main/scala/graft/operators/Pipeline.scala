@@ -353,34 +353,56 @@ object Pipeline {
     * generators.
     */
   def exactVsLshFunnel(documents: DataFrame): DataFrame = {
-    val toks = documents.select(col("doc_id"),
-        size(Canon.words(col("text"))).cast("long").as("n_tokens"))
-      .materialized // feeds the corpus totals AND both dropped joins
+    val toks = funnelTokens(documents)
     val total = broadcast(toks.agg(count(lit(1)).as("_nd")))
-    def funnel(pairs: DataFrame, method: String): DataFrame = {
-      val p = pairs.select(col("doc_a"), col("doc_b")).materialized
-      val clusters = Dedup.dupClusters(p)
-      val dropped = clusters.filter(col("doc_id") =!= col("cluster_rep"))
-        .join(toks, Seq("doc_id"))
-      broadcast(p.agg(count(lit(1)).as("n_pairs")))
-        .crossJoin(broadcast(clusters.agg(
-          count(lit(1)).as("n_dup_docs"),
-          countDistinct(col("cluster_rep")).as("n_clusters"))))
-        .crossJoin(broadcast(dropped.agg(
-          count(lit(1)).as("n_dropped"),
-          coalesce(sum(col("n_tokens")), lit(0L)).as("tokens_dropped"))))
-        .crossJoin(total)
-        .select(lit(method).as("method"), col("n_pairs"),
-          col("n_dup_docs"), col("n_clusters"), col("n_dropped"),
-          (col("_nd") - col("n_dropped")).as("n_survivors"),
-          col("tokens_dropped"))
-    }
-    val exact = funnel(Dedup.prefixJaccardJoin(documents)
+    val arm = funnelArm(toks, total) _
+    val exact = arm(Dedup.prefixJaccardJoin(documents)
       .select(col("doc_a"), col("doc_b")), "exact").materialized
-    val lsh = funnel(Dedup.lshCandidatePairs(
+    val lsh = arm(Dedup.lshCandidatePairs(
       Dedup.minhashSignature(documents)), "lsh").materialized
-    val delta = exact.as("x").crossJoin(lsh.as("y"))
-      .select(lit("delta").as("method"),
+    exact.union(lsh).union(funnelDelta(exact, lsh, "delta"))
+  }
+
+  /** (doc_id, n_tokens) — feeds the funnel's corpus totals AND every
+    * arm's dropped-tokens join; materialized once per funnel.
+    */
+  private def funnelTokens(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+        size(Canon.words(col("text"))).cast("long").as("n_tokens"))
+      .materialized
+
+  /** One funnel arm — pairs → connected-component closure → canonical
+    * min-id drops → the 1-row attrition account. SHARED by p26's two
+    * arms and p27's three (VERDICT r16 #3: one helper so the arms
+    * cannot drift): the pair stream feeds the closure without
+    * materializing as a gate result, and every rollup after the
+    * closure is a 1-row broadcast.
+    */
+  private def funnelArm(toks: DataFrame, total: DataFrame)
+                       (pairs: DataFrame, method: String): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b")).materialized
+    val clusters = Dedup.dupClusters(p)
+    val dropped = clusters.filter(col("doc_id") =!= col("cluster_rep"))
+      .join(toks, Seq("doc_id"))
+    broadcast(p.agg(count(lit(1)).as("n_pairs")))
+      .crossJoin(broadcast(clusters.agg(
+        count(lit(1)).as("n_dup_docs"),
+        countDistinct(col("cluster_rep")).as("n_clusters"))))
+      .crossJoin(broadcast(dropped.agg(
+        count(lit(1)).as("n_dropped"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("tokens_dropped"))))
+      .crossJoin(total)
+      .select(lit(method).as("method"), col("n_pairs"),
+        col("n_dup_docs"), col("n_clusters"), col("n_dropped"),
+        (col("_nd") - col("n_dropped")).as("n_survivors"),
+        col("tokens_dropped"))
+  }
+
+  /** The signed per-column difference of two 1-row funnel arms. */
+  private def funnelDelta(x: DataFrame, y: DataFrame,
+                          label: String): DataFrame =
+    x.as("x").crossJoin(y.as("y"))
+      .select(lit(label).as("method"),
         (col("x.n_pairs") - col("y.n_pairs")).as("n_pairs"),
         (col("x.n_dup_docs") - col("y.n_dup_docs")).as("n_dup_docs"),
         (col("x.n_clusters") - col("y.n_clusters")).as("n_clusters"),
@@ -388,7 +410,63 @@ object Pipeline {
         (col("x.n_survivors") - col("y.n_survivors")).as("n_survivors"),
         (col("x.tokens_dropped") - col("y.tokens_dropped"))
           .as("tokens_dropped"))
-    exact.union(lsh).union(delta)
+
+  /** Three-arm near-dup funnel (p27, VERDICT r16 #3): p26 priced
+    * exact-vs-RAW-LSH, but no production pipeline ships raw LSH
+    * candidates — it ships LSH + VERIFY. This gate adds the third
+    * arm: the d03 candidates routed through the d05/d26 EXACT
+    * word-hash Jaccard verify at the same τ = 4/5 (the
+    * cross-multiplied integer compare 5·i ≥ 4·(sa + sb − i), no float
+    * in the decision), then the same closure and attrition account.
+    * Because the verify predicate is EXACTLY d26's acceptance
+    * predicate, every verified pair is an exact-arm pair by
+    * construction — lsh_verified ⊆ exact — so the `delta_verified`
+    * row isolates pure LSH candidate-generation false negatives,
+    * while `delta_raw` (p26's headline) shows how much the raw
+    * candidate stream over-merges. Five rows: exact / lsh_raw /
+    * lsh_verified / delta_raw / delta_verified (both deltas signed,
+    * exact − arm).
+    *
+    * Scale shape: the exact arm is d26's output-bound chain; the raw
+    * arm is d03's banded join; the verify tier joins the CANDIDATE
+    * pairs (not the corpus) to the once-materialized sorted hash
+    * sets and runs the zero-allocation two-pointer intersect — pair-
+    * bounded work, the production funnel's own cost. Three closures,
+    * each on its arm's pair set; every rollup is a 1-row broadcast.
+    */
+  def exactVsLshVerifiedFunnel(documents: DataFrame): DataFrame = {
+    val toks = funnelTokens(documents)
+    val total = broadcast(toks.agg(count(lit(1)).as("_nd")))
+    val arm = funnelArm(toks, total) _
+    val exact = arm(Dedup.prefixJaccardJoin(documents)
+      .select(col("doc_a"), col("doc_b")), "exact").materialized
+    // raw candidates feed the lsh_raw arm AND the verify tier
+    val rawPairs = Dedup.lshCandidatePairs(
+      Dedup.minhashSignature(documents)).materialized
+    val lshRaw = arm(rawPairs, "lsh_raw").materialized
+    // verify tier: sorted distinct word-hash sets (d26's universe),
+    // exact Jaccard at τ = 4/5 on the candidate pairs only
+    val sets = documents.select(col("doc_id"),
+        sort_array(array_distinct(transform(Canon.words(col("text")),
+          w => Canon.hashP(w)))).as("dw"))
+      .materialized
+    val verifiedPairs = rawPairs
+      .join(sets.select(col("doc_id").as("doc_a"), col("dw").as("wa")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("dw").as("wb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        Canon.sortedIntersectCount(col("wa"), col("wb")).cast("long")
+          .as("inter"),
+        size(col("wa")).cast("long").as("sa"),
+        size(col("wb")).cast("long").as("sb"))
+      .filter(lit(5L) * col("inter") >=
+        lit(4L) * (col("sa") + col("sb") - col("inter")))
+      .select(col("doc_a"), col("doc_b"))
+    val lshVerified = arm(verifiedPairs, "lsh_verified").materialized
+    exact.union(lshRaw).union(lshVerified)
+      .union(funnelDelta(exact, lshRaw, "delta_raw"))
+      .union(funnelDelta(exact, lshVerified, "delta_verified"))
   }
 
   /** Deterministic training-EPOCH ordering: interleave the corpus

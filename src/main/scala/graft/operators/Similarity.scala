@@ -940,10 +940,11 @@ object Similarity {
     * persisted code and asserts the search output flips — the gate
     * really reads the files.
     *
-    * The artifacts land under a fresh temp directory per evaluation
-    * (build-once semantics; the returned frame lazily re-reads it, so
-    * the directory is left for the JVM's lifetime — index files, not
-    * scratch, in a real deployment).
+    * The artifacts are built ONCE per (input plan, parameters) per JVM
+    * ([[persistedIndexDir]], ADVICE r16): repeated constructions —
+    * bench reps, PlanCheck/Probe sweeps — reuse the registered
+    * directory, and a shutdown hook deletes every registered dir at
+    * JVM exit (index files, not scratch, while the "deployment" runs).
     */
   def knnIvfPqResidualPersisted(embeddings: DataFrame, nQueries: Int,
                                 k: Int, nCells: Int = 16,
@@ -951,17 +952,123 @@ object Similarity {
                                 nCodes: Int = 16,
                                 dim: Int = 64): DataFrame = {
     val spark = embeddings.sparkSession
-    val (indexed, centArr, cbArr) =
-      ivfPqResidualIndex(embeddings, nCells, m, nCodes, dim)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-ivfpq-index").toString
-    indexed.write.mode("overwrite").parquet(s"$dir/index")
-    centArr.write.mode("overwrite").parquet(s"$dir/centroids")
-    cbArr.write.mode("overwrite").parquet(s"$dir/codebook")
+    val dir = persistedIndexDir(embeddings,
+      s"res|$nCells|$m|$nCodes|$dim") { dir =>
+      val (indexed, centArr, cbArr) =
+        ivfPqResidualIndex(embeddings, nCells, m, nCodes, dim)
+      indexed.write.mode("overwrite").parquet(s"$dir/index")
+      centArr.write.mode("overwrite").parquet(s"$dir/centroids")
+      cbArr.write.mode("overwrite").parquet(s"$dir/codebook")
+    }
     ivfPqResidualSearch(prepared(embeddings),
       spark.read.parquet(s"$dir/index"),
       spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/codebook"),
+      nQueries, k, nProbe, m, dim)
+  }
+
+  /** Build-once registry for the persisted-index gates (ADVICE r16):
+    * the s51/s52 artifacts are INDEX FILES, not scratch — one build per
+    * (input plan, parameters) per JVM, exactly the production contract
+    * (the serving scans of a 100 TB deployment read one published index,
+    * they don't rebuild it per query). Keyed by the canonicalized input
+    * plan (byte-exact — the sf0.01 and sf0.1 tiers read different paths
+    * and so never collide) plus the build parameters; plan-only tools
+    * that construct these gates repeatedly (PlanCheck/Probe sweeps) now
+    * trigger at most one build and leak no directories — every dir is
+    * deleted by one JVM shutdown hook.
+    */
+  private val persistedIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val persistedIndexCleanup: Unit = {
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      persistedIndexDirs.values().forEach(d => rm(new java.io.File(d)))
+    }
+    ()
+  }
+  private def persistedIndexDir(input: DataFrame, params: String)
+                               (build: String => Unit): String = {
+    persistedIndexCleanup
+    val key =
+      input.queryExecution.analyzed.canonicalized.toString + "|" + params
+    persistedIndexDirs.computeIfAbsent(key, { _ =>
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-index").toString
+      build(dir)
+      dir
+    })
+  }
+
+  /** Delta ingest against a PUBLISHED residual-IVFADC index: assign
+    * each new vector to its nearest coarse cell and PQ-encode its
+    * residual — both WITH THE GIVEN (persisted) parameters, no
+    * retraining. A production delta ingest must not shift the
+    * centroids or the codebook under the serving fleet; the batch is
+    * encoded into the existing quantization and appended. Row-local
+    * work off one batch scan (broadcast centroid/codebook rows),
+    * batch-sized — never touches the indexed corpus.
+    */
+  private def ivfPqDeltaEncode(eNew: DataFrame, centArr: DataFrame,
+                               cbArr: DataFrame, m: Int): DataFrame =
+    ivfAssigned(eNew, centArr)
+      .join(broadcast(centArr))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v"),
+          element_at(col("cents"), col("cell") + 1).getField("cv"),
+          (a, b) => a - b).as("v"))
+      .join(broadcast(cbArr))
+      .select(col("vec_id"), col("cell"),
+        Canon.pqEncode(col("v"), col("cbflat"), m).as("codes"))
+
+  /** s52: the persisted-index INCREMENTAL composition (s51 ∘ s36's
+    * batch discipline — VERDICT r16 #6). The 100 TB serve path is
+    * load-persisted-index → ingest delta → search; s51 gated the
+    * load, s36–s38 gated in-memory incremental ingest, this gates the
+    * composition end to end. The residual IVFADC index is built on
+    * the OLD corpus only (vec_id % 10 != 9 — s36's split), persisted
+    * to parquet and read back as FRESH frames ([[persistedIndexDir]],
+    * one build per JVM); the insert batch (vec_id % 10 == 9) is then
+    * [[ivfPqDeltaEncode]]d with the PERSISTED centroids and codebook
+    * and appended; the s18 search runs over the merged index with
+    * queries drawn from the FULL corpus (query 9 is itself a delta
+    * vector, so the gate proves fresh content is both findable and
+    * able to ask). Hash-gated against the DuckDB mirror of the same
+    * old-corpus build + delta encode + merged search; the spec
+    * additionally proves the STALE (pre-ingest) index scores strictly
+    * lower recall on the batch's true neighborhoods.
+    *
+    * Scale shape: the build term prices the old corpus once and is
+    * amortized behind the persisted artifact (at steady state only
+    * the read runs — s51's point); the ingest term is batch-sized
+    * row-local encoding; the search scans only (cell, codes) via the
+    * probe equi-join. No term rebuilds or rescans the indexed corpus.
+    */
+  def knnIvfPqResidualIncremental(embeddings: DataFrame, nQueries: Int,
+                                  k: Int, nCells: Int = 16,
+                                  nProbe: Int = 4, m: Int = 8,
+                                  nCodes: Int = 16,
+                                  dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    val old = embeddings.filter(col("vec_id") % 10 =!= 9)
+    val dir = persistedIndexDir(embeddings,
+      s"inc|$nCells|$m|$nCodes|$dim") { dir =>
+      val (indexed, centArr, cbArr) =
+        ivfPqResidualIndex(old, nCells, m, nCodes, dim)
+      indexed.write.mode("overwrite").parquet(s"$dir/index")
+      centArr.write.mode("overwrite").parquet(s"$dir/centroids")
+      cbArr.write.mode("overwrite").parquet(s"$dir/codebook")
+    }
+    val indexed = spark.read.parquet(s"$dir/index")
+    val centArr = spark.read.parquet(s"$dir/centroids")
+    val cbArr = spark.read.parquet(s"$dir/codebook")
+    val delta = ivfPqDeltaEncode(
+      prepared(embeddings).filter(col("vec_id") % 10 === 9),
+      centArr, cbArr, m)
+    ivfPqResidualSearch(prepared(embeddings),
+      indexed.unionByName(delta), centArr, cbArr,
       nQueries, k, nProbe, m, dim)
   }
 

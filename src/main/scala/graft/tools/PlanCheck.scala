@@ -83,6 +83,49 @@ object PlanCheck {
       Seq("range-redraw") else Seq.empty
   }
 
+  /** VERDICT r16 #2: the partition-less DATA-SIZED window class, gated
+    * structurally — the same convention→gate promotion the range-redraw
+    * class got in r16. A logical `Window` with an empty partitionSpec
+    * sorts and ranks its WHOLE input on one task; at 100 TB that is the
+    * single-task global sort the hashRank migration just removed, and
+    * nothing but convention stopped a future operator from reintroducing
+    * it. The benign class (the TwoStage offsets template and 1-row
+    * anchors) is structurally recognizable: the window's input is a
+    * bounded AGGREGATE frame — every leaf-to-window path passes through
+    * an Aggregate whose grouping keys COVER the window's sort keys
+    * (one output row per ordered key; for the counts tables that is the
+    * ≤numPartitions `_pid` domain) or whose grouping is empty (a global
+    * 1-row rollup), or through a GlobalLimit (output bounded by the
+    * literal). A covering aggregate does NOT prove small cardinality in
+    * general (groupBy(doc_id) would cover an orderBy(doc_id)) — no
+    * static rule can — but it rules out every shape that reaches the
+    * window without a key-collapsing reduction, which is the bug class:
+    * corpus rows flowing raw into a one-task sort. Anything flagged
+    * lands in the committed-artifact adjudication like every other
+    * class.
+    */
+  def unpartitionedWindowFlags(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, GlobalLimit, LogicalPlan, Window}
+    def bounded(p: LogicalPlan, sortKeys: Set[String]): Boolean = p match {
+      case a: Aggregate =>
+        a.groupingExpressions.isEmpty ||
+          sortKeys.subsetOf(
+            a.groupingExpressions.flatMap(_.references).map(_.name).toSet)
+      case _: GlobalLimit => true
+      case l if l.children.isEmpty => false
+      case o => o.children.forall(bounded(_, sortKeys))
+    }
+    val bad = plan.collect {
+      case w: Window if w.partitionSpec.isEmpty &&
+          !bounded(w.child,
+            w.orderSpec.flatMap(_.references).map(_.name).toSet) => w
+    }
+    if (bad.nonEmpty) Seq("unpartitioned-window") else Seq.empty
+  }
+
   def flagsOf(plan: String): Seq[String] = Seq(
     "BroadcastNestedLoopJoin" -> plan.contains("BroadcastNestedLoopJoin"),
     "CartesianProduct" -> plan.contains("CartesianProduct"),
@@ -105,7 +148,8 @@ object PlanCheck {
         try {
           val qe = fn(spark, sfDir).queryExecution
           val fl = flagsOf(qe.executedPlan.toString) ++
-            rangeRedrawFlags(qe.optimizedPlan)
+            rangeRedrawFlags(qe.optimizedPlan) ++
+            unpartitionedWindowFlags(qe.optimizedPlan)
           if (fl.isEmpty) None else Some(name -> fl)
         } catch {
           case e: Throwable =>

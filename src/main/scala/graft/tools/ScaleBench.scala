@@ -78,7 +78,13 @@ object ScaleBench {
     // over g24 must stay community-sized per added level: each level
     // is one edge×labels join pair + community-graph-sized argmax +
     // one modularity tail.
-    "g25_louvain_ladder")
+    "g25_louvain_ladder",
+    // r17: the ladder with per-level weighted move rounds — each level
+    // adds two community-graph-sized move passes + one extra
+    // contraction (linear in m) + two modularity tails over g25's
+    // cost; the delta must stay community-sized per level, which is
+    // the Blondel scalability claim iterated one notch deeper.
+    "g26_louvain_ladder_moves")
 
   /** Second axis (late r10): the corpus-heavy single-pass family —
     * LSH candidate generation, pair verification, the two corpus-pass
@@ -159,7 +165,12 @@ object ScaleBench {
     // LSH chain plus two d08 closures. Growth must track d26's
     // output-bound curve (the dominant term; rotated copies keep true
     // pairs copy-local) with closure cost bounded by the pair sets.
-    "p26_exact_vs_lsh_funnel")
+    "p26_exact_vs_lsh_funnel",
+    // r17: the three-arm funnel — p26's cost plus the verify tier
+    // (pair-bounded: candidate pairs × the two-pointer intersect) and
+    // one more closure. Growth must track p26's output-bound curve;
+    // the verify adds a PAIR-linear term, never a corpus² one.
+    "p27_verified_lsh_funnel")
 
   /** Third axis (late r10): the event-time window family. Its scale
     * risk is per-key WINDOW/JOIN STATE — salted user ids grow the key
@@ -232,7 +243,12 @@ object ScaleBench {
     // the row prices the round trip's write+read over s18's own
     // curve (the index is corpus-sized but NARROW: 1 int + m codes
     // per vector, which is the scale story the s51 gate pins).
-    "s51_ivfpq_index_roundtrip")
+    "s51_ivfpq_index_roundtrip",
+    // r17: the persisted-index incremental composition — s51's
+    // build+round-trip on the old corpus plus a BATCH-sized delta
+    // encode; the curve must track s51's (the ingest term is 10% of
+    // the corpus and row-local).
+    "s52_ivfpq_incremental")
 
   /** Fifth axis (r13): the sketch-certification family beside their
     * exact twins, plus the z-order global rank. The claim under test

@@ -346,6 +346,64 @@ class GraphEtlSpec extends SparkSpec {
     assert(r.getAs[Double]("modularity_l2") === 0.5)
   }
 
+  test("louvainLadderMoves: hand-traced — the synchronous swap " +
+    "oscillates across two weighted move rounds (netting identity, " +
+    "counted honestly) and the matching then realizes the merge") {
+    // Phase 1 as g24/g25: {1,3},{2},{4,5,6}, Q_p1 = 34/196. Level-1
+    // contracted graph: A=1, B=2, C=4; A-B w=2, A-C w=1; k_A=5,
+    // k_B=2, k_C=7; m=7. Weighted move round 1 from singletons is
+    // g24's phase-2 closed form: s(A→B)=28−10=18>0 and s(B→A)=18>0 —
+    // the SWAP (A takes B's label, B takes A's), C stays (−21). Round
+    // 2 evaluates against the swapped labels and swaps BACK (the
+    // synchronous oscillation, g20's LPA artifact): each round counts
+    // 2 gross moves, the net fold is the identity, and
+    // modularity_l1_mv = Q_p1 exactly. The mutual-argmax matching
+    // then realizes the A∪B union the swaps squander: Q_l1 = 70/196.
+    // Level 2: supernodes {1,4}, w=1, k=7 each → s=14−49<0: no moves
+    // (0 gross — the closed form finds no positive gain), no merge.
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val r = GraphEtl.louvainLadderMoves(twoTri, 2, 2, 1).head()
+    assert(r.getAs[Long]("m") === 7L)
+    assert(r.getAs[Double]("modularity_before") === 2.0 / 196)
+    assert(r.getAs[Long]("n_moves_p1") === 3L)
+    assert(r.getAs[Long]("n_communities_p1") === 3L)
+    assert(r.getAs[Double]("modularity_p1") === 34.0 / 196)
+    assert(r.getAs[Long]("n_moves_l1_r1") === 2L)
+    assert(r.getAs[Long]("n_moves_l1_r2") === 2L)
+    assert(r.getAs[Long]("n_communities_l1_mv") === 3L)
+    assert(r.getAs[Double]("modularity_l1_mv") === 34.0 / 196)
+    assert(r.getAs[Long]("n_merges_l1") === 1L)
+    assert(r.getAs[Long]("n_communities_l1") === 2L)
+    assert(r.getAs[Double]("modularity_l1") === 70.0 / 196)
+    assert(r.getAs[Long]("n_moves_l2_r1") === 0L)
+    assert(r.getAs[Long]("n_moves_l2_r2") === 0L)
+    assert(r.getAs[Long]("n_communities_l2_mv") === 2L)
+    assert(r.getAs[Double]("modularity_l2_mv") === 70.0 / 196)
+    assert(r.getAs[Long]("n_merges_l2") === 0L)
+    assert(r.getAs[Long]("n_communities_l2") === 2L)
+    assert(r.getAs[Double]("modularity_l2") === 70.0 / 196)
+    assert(GraphEtl.louvainLadderMoves(twoTri.repartition(5), 2, 2, 1)
+      .head() === r)
+  }
+
+  test("louvainLadderMoves: modularity non-decreasing across EVERY " +
+    "phase on the real co-supplier graph, and never below g25's " +
+    "ladder at the same level count") {
+    val edges = GraphEtl.coSupplierEdges(table("lineitem"))
+    val r = GraphEtl.louvainLadderMoves(edges, 2, 2, 1).head()
+    val phases = Seq("modularity_p1", "modularity_l1_mv", "modularity_l1",
+      "modularity_l2_mv", "modularity_l2").map(c => c -> r.getAs[Double](c))
+    phases.sliding(2).foreach { case Seq((na, a), (nb, b)) =>
+      assert(b >= a, s"$nb decreased modularity: $na=$a -> $nb=$b")
+    }
+    val g25 = GraphEtl.louvainLadder(edges, 2, 1).head()
+    assert(r.getAs[Double]("modularity_l2") >=
+      g25.getAs[Double]("modularity_l2"),
+      "the move rounds made the 2-level result WORSE than g25's " +
+        "matching-only ladder")
+  }
+
   test("louvainLadder: modularity non-decreasing across BOTH levels " +
     "on the real co-supplier graph (the constructive guarantee, " +
     "checked on data the fixtures can't anticipate)") {

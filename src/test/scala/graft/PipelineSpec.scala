@@ -54,6 +54,42 @@ class PipelineSpec extends SparkSpec {
     assert(rows("lsh")(3) >= 1L)
   }
 
+  test("exactVsLshVerifiedFunnel: lsh_verified is a subset of exact " +
+    "(shared acceptance predicate), both deltas are componentwise, " +
+    "and the verify keeps the planted J=1 pair") {
+    // same fixture as the p26 test: (1,2) identical (J=1 — LSH
+    // cannot miss, verify must keep); (3,4) at J=0.9 ≥ 4/5 (exact
+    // must pair; LSH may or may not); 5/6 unrelated.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "one two three four five six seven eight nine ten"),
+      (4L, "one two three four five six seven eight nine eleven"),
+      (5L, "completely different words live in this document here now"),
+      (6L, "unrelated filler text occupying the corpus tail slot okay")
+    ).toDF("doc_id", "text")
+    val rows = Pipeline.exactVsLshVerifiedFunnel(docs)
+      .collect().map(r => r.getString(0) ->
+        (1 to 6).map(r.getLong).toVector).toMap
+    assert(rows.keySet === Set("exact", "lsh_raw", "lsh_verified",
+      "delta_raw", "delta_verified"))
+    assert(rows("delta_raw") ===
+      rows("exact").zip(rows("lsh_raw")).map { case (a, b) => a - b })
+    assert(rows("delta_verified") ===
+      rows("exact").zip(rows("lsh_verified")).map { case (a, b) => a - b })
+    // the verify applies d26's EXACT acceptance predicate to the d03
+    // candidates, so verified ⊆ exact holds componentwise on the
+    // monotone counts (pairs, dropped) — the delta_verified row can
+    // never go negative on those columns
+    assert(rows("lsh_verified")(0) <= rows("exact")(0)) // n_pairs
+    assert(rows("lsh_verified")(3) <= rows("exact")(3)) // n_dropped
+    // ...and is a filter of the raw candidates
+    assert(rows("lsh_verified")(0) <= rows("lsh_raw")(0))
+    // identical docs: LSH buckets them, the verify keeps J=1
+    assert(rows("lsh_verified")(0) >= 1L)
+    assert(rows("exact")(0) === 2L)
+  }
+
   test("chunkDocuments: overlap grid, short tail, no redundant chunk") {
     val words200 = (0 until 200).map(i => s"w$i").mkString(" ")
     val words100 = (0 until 100).map(i => s"w$i").mkString(" ")

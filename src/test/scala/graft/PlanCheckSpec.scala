@@ -104,3 +104,53 @@ class PlanCheckRedrawSpec extends SparkSpec {
       === Seq.empty)
   }
 }
+
+/** The partition-less data-sized window gate (VERDICT r16 #2): the
+  * single-task global sort the hashRank migration removed must be
+  * structurally unreturnable, like the range-redraw class before it.
+  */
+class PlanCheckWindowSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import org.apache.spark.sql.expressions.Window
+
+  private def corpus = table("nation")
+    .select(col("n_nationkey").as("k"), col("n_name").as("p"))
+
+  test("a partition-less window over a raw corpus scan is flagged") {
+    val bad = corpus.withColumn("rn",
+      row_number().over(Window.orderBy(col("k"))))
+    assert(PlanCheck.unpartitionedWindowFlags(
+      bad.queryExecution.optimizedPlan) === Seq("unpartitioned-window"))
+  }
+
+  test("the TwoStage offsets template (counts-table window) is benign") {
+    // the exact wOff shape every two-stage call site uses: a window
+    // ordered by _pid over the per-_pid counts AGGREGATE — grouping
+    // covers the sort key, output bounded by the partition count
+    val parted = graft.operators.TwoStage.rangeParted(corpus, 4,
+      col("k").asc)
+    val counts = parted.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+    val wOff = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("_pid"),
+      coalesce(sum(col("_c")).over(wOff), lit(0L)).as("_off"))
+    assert(PlanCheck.unpartitionedWindowFlags(
+      offsets.queryExecution.optimizedPlan) === Seq.empty)
+  }
+
+  test("a non-covering aggregate under a partition-less window is flagged") {
+    // groupBy(k) bounds rows per key to 1 but the window sorts by a
+    // NON-grouping column — key-cardinality-sized input on one task
+    val agg = corpus.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("c"))))
+    assert(PlanCheck.unpartitionedWindowFlags(
+      agg.queryExecution.optimizedPlan) === Seq("unpartitioned-window"))
+  }
+
+  test("a partitioned window over the corpus stays unflagged") {
+    val ok = corpus.withColumn("rn",
+      row_number().over(Window.partitionBy(col("p")).orderBy(col("k"))))
+    assert(PlanCheck.unpartitionedWindowFlags(
+      ok.queryExecution.optimizedPlan) === Seq.empty)
+  }
+}

@@ -334,6 +334,51 @@ class SimilaritySpec extends SparkSpec {
     assert(broken !== inMem)
   }
 
+  test("knnIvfPqResidualIncremental: the merged index serves delta " +
+      "content the stale (pre-ingest) index cannot — strictly lower " +
+      "stale recall against the full-corpus truth") {
+    // the clustered generator, not the raw near-random fixture: the
+    // strict-gap assertion needs true neighborhoods the approximate
+    // path actually finds (the same sensitivity argument as the
+    // clusteredEmbeddings recall-dial test — on random vectors both
+    // paths score a recall tie and the gap is invisible)
+    val real = Similarity.clusteredEmbeddings(table("embeddings"))
+    val k = 3
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "nbr_id")
+        .as[(Long, Long)].collect().toSet
+    val merged = hits(Similarity.knnIvfPqResidualIncremental(real, 10, k))
+    // the stale serve path: the SAME old-corpus index artifacts with
+    // no delta ingest — built inline (the persisted build is
+    // memoized; this mirrors its content exactly)
+    val old = real.filter(col("vec_id") % 10 =!= 9)
+    val (indexed, centArr, cbArr) = Similarity.ivfPqResidualIndex(old)
+    val preparedAll = real.select(col("vec_id"),
+        graft.functions.Canon.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm",
+        sqrt(graft.functions.Canon.dot(col("v"), col("v"))))
+    val stale = hits(Similarity.ivfPqResidualSearch(
+      preparedAll, indexed, centArr, cbArr, 10, k))
+    // the merged index really contains the delta: no stale answer can
+    // name a delta vector, the merged path must name at least one
+    // (the fixture's 10% insert batch shares cells with the queries)
+    assert(stale.forall(_._2 % 10 != 9L))
+    assert(merged.exists(_._2 % 10 == 9L),
+      "no delta vector surfaced in any merged-index answer — the " +
+        "ingest appended nothing the search can see")
+    // recall against the exact full-corpus truth: the stale index is
+    // STRICTLY worse — every true neighbor in the insert batch is
+    // structurally unreachable for it
+    val truth = Similarity.knnBrute(real, 10, k)
+      .select("q_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val mergedRecall = (merged & truth).size.toDouble / truth.size
+    val staleRecall = (stale & truth).size.toDouble / truth.size
+    info(f"recall@$k merged $mergedRecall%.3f, stale $staleRecall%.3f")
+    assert(mergedRecall > staleRecall,
+      f"stale recall $staleRecall%.3f not strictly below merged " +
+        f"$mergedRecall%.3f — the delta ingest bought nothing")
+  }
+
   test("knnIvfPqRerank: exact cosines on the shortlist, recall not " +
       "below the un-reranked path, shortlist containment") {
     val real = table("embeddings")
