@@ -972,11 +972,19 @@ object Similarity {
     * (input plan, parameters) per JVM, exactly the production contract
     * (the serving scans of a 100 TB deployment read one published index,
     * they don't rebuild it per query). Keyed by the canonicalized input
-    * plan (byte-exact — the sf0.01 and sf0.1 tiers read different paths
-    * and so never collide) plus the build parameters; plan-only tools
-    * that construct these gates repeatedly (PlanCheck/Probe sweeps) now
-    * trigger at most one build and leak no directories — every dir is
-    * deleted by one JVM shutdown hook.
+    * plan PLUS the backing file list (`Dataset.inputFiles`) plus the
+    * build parameters. The file list is load-bearing: a canonicalized
+    * LogicalRelation renders WITHOUT its path ("Relation[...] parquet"),
+    * so a plan-only key collides across scale tiers — caught live when
+    * the first multi-tier ScaleBench JVM served every tier from the
+    * sf0.001-built index (s51 0.6 s flat across a 1000× span). File-less
+    * inputs (a materialized generator frame) fall back to the plan key
+    * alone; the callers that pass those are deterministic generators,
+    * where a same-schema collision reproduces identical data anyway.
+    * Plan-only tools that construct these gates repeatedly
+    * (PlanCheck/Probe sweeps) trigger at most one build per key and
+    * leak no directories — every dir is deleted by one JVM shutdown
+    * hook.
     */
   private val persistedIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -993,7 +1001,8 @@ object Similarity {
                                (build: String => Unit): String = {
     persistedIndexCleanup
     val key =
-      input.queryExecution.analyzed.canonicalized.toString + "|" + params
+      input.queryExecution.analyzed.canonicalized.toString + "|" +
+        input.inputFiles.sorted.mkString(",") + "|" + params
     persistedIndexDirs.computeIfAbsent(key, { _ =>
       val dir = java.nio.file.Files
         .createTempDirectory("graft-ivfpq-index").toString

@@ -334,6 +334,29 @@ class SimilaritySpec extends SparkSpec {
     assert(broken !== inMem)
   }
 
+  test("persistedIndexDir: two tiers in ONE session get tier-local " +
+      "indexes (the path-blind-key regression)") {
+    // a canonicalized LogicalRelation renders WITHOUT its path, so a
+    // plan-only cache key collides across scale tiers — caught when a
+    // multi-tier ScaleBench JVM served every tier from the first
+    // tier's index. The key now includes Dataset.inputFiles; this
+    // pins it: the persisted path must match the in-memory path on
+    // BOTH tiers inside one session.
+    def persisted(dir: String) = Similarity
+      .knnIvfPqResidualPersisted(Tables.load(spark, dir, "embeddings"),
+        10, 3)
+      .select("q_id", "nbr_id", "approx_dot")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    def inMem(dir: String) = Similarity
+      .knnIvfPqResidual(Tables.load(spark, dir, "embeddings"), 10, 3)
+      .select("q_id", "nbr_id", "approx_dot")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(persisted(sf0001) === inMem(sf0001))
+    assert(persisted("/root/testdata/sf0.01") ===
+      inMem("/root/testdata/sf0.01"),
+      "second tier in the same JVM answered from the first tier's index")
+  }
+
   test("knnIvfPqResidualIncremental: the merged index serves delta " +
       "content the stale (pre-ingest) index cannot — strictly lower " +
       "stale recall against the full-corpus truth") {
