@@ -13,6 +13,44 @@ object Bench {
     "h04_account_vertices", "h05_gateway_inventory", "h06_hotspot_density",
     "q30_null_semantics", "j01_jsonl_docs", "st07_stream_static")
 
+  /** Parse the frozen-anchor medians map out of a baseline file
+    * (writer-controlled format — flat regex read, same stance as
+    * PlanCheck.committedPairs). The anchor is an sf0.1 run, so a
+    * ratio against another SF's wall-clock is noise: off-SF files
+    * disarm the guard entirely (empty map). The medians OBJECT is
+    * sliced by a balanced-brace scan from its opening '{', NOT
+    * medians-to-EOF: BENCH_LOCAL-format files carry host.cpu_mhz
+    * numerics and baseline_ratios keyed by the SAME query names
+    * after the medians map, and a regex-to-EOF read would let later
+    * ratio values overwrite median values (ADVICE r16) — so a
+    * baseline captured verbatim from a committed closing artifact
+    * (BENCH_R17_CLOSING.json and successors) parses correctly.
+    * Throws on a missing medians key; the caller's catch maps any
+    * failure to "no anchor".
+    */
+  private[graft] def parseBaseline(txt: String,
+                                   sfDir: String): Map[String, Double] = {
+    val sfOk = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+      .exists(_.group(1) == sfDir)
+    if (!sfOk) Map.empty
+    else {
+      val mk = txt.indexOf("\"medians\"")
+      if (mk < 0) throw new NoSuchElementException("no medians key")
+      val start = txt.indexOf('{', mk)
+      var depth = 0
+      var end = start
+      while (end < txt.length && (depth > 0 || end == start)) {
+        if (txt.charAt(end) == '{') depth += 1
+        else if (txt.charAt(end) == '}') depth -= 1
+        end += 1
+      }
+      val sect = txt.substring(start, end)
+      """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
+        .findAllMatchIn(sect)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+  }
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.size % 2 == 1) s(s.size / 2)
@@ -120,38 +158,9 @@ object Bench {
     // reads only the map after the "medians" key, so the metadata
     // fields can't contaminate it).
     val baseline: Map[String, Double] = try {
-      val txt = Files.readString(Paths.get(
+      parseBaseline(Files.readString(Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_BASELINE",
-          "BENCH_BASELINE.json")))
-      // the anchor is an sf0.1 run — a ratio against another SF's
-      // wall-clock is noise, so the guard disarms off-SF entirely
-      val sfOk = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
-        .exists(_.group(1) == sfDir)
-      if (!sfOk) Map.empty
-      else {
-        // Slice exactly the medians OBJECT (balanced-brace scan from
-        // its opening '{'), not medians-to-EOF: BENCH_LOCAL-format
-        // files carry host.cpu_mhz numerics and baseline_ratios keyed
-        // by the SAME query names after the medians map, and a
-        // regex-to-EOF read would let later ratio values overwrite
-        // median values (ADVICE r16). A baseline captured verbatim
-        // from a BENCH_LOCAL run now parses correctly.
-        val mk = txt.indexOf("\"medians\"")
-        if (mk < 0) throw new NoSuchElementException("no medians key")
-        val start = txt.indexOf('{', mk)
-        var depth = 0
-        var end = start
-        while (end < txt.length &&
-            (depth > 0 || end == start)) {
-          if (txt.charAt(end) == '{') depth += 1
-          else if (txt.charAt(end) == '}') depth -= 1
-          end += 1
-        }
-        val sect = txt.substring(start, end)
-        """"([A-Za-z0-9_]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r
-          .findAllMatchIn(sect)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      }
+          "BENCH_BASELINE.json"))), sfDir)
     } catch { case _: Throwable => Map.empty }
     val ratios: Map[String, Double] = medians.flatMap { case (k, v) =>
       baseline.get(k).filter(_ > 0).map(b => k -> v / b)

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The frozen-anchor parser's pure logic (ADVICE r16): the guard's
+  * input must slice exactly the medians OBJECT, stay disarmed off-SF,
+  * and parse a committed closing artifact (which carries host numerics
+  * and baseline_ratios keyed by the SAME query names AFTER the
+  * medians) without letting later values overwrite medians.
+  */
+class BenchSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.1"
+
+  test("a plain BENCH_BASELINE-format file parses its medians map") {
+    val txt =
+      s"""{"source":"x","sf":"$sf","cpus":32,"reps":3,
+         |"median_total":1.5,"frozen_at_round":16,
+         |"medians":{"q01_agg":0.5,"g10_pagerank":1.0}}""".stripMargin
+    assert(Bench.parseBaseline(txt, sf) ===
+      Map("q01_agg" -> 0.5, "g10_pagerank" -> 1.0))
+  }
+
+  test("BENCH_LOCAL-format trailing sections cannot overwrite medians " +
+    "(the ADVICE r16 regex-to-EOF bug)") {
+    // host.cpu_mhz numerics AND baseline_ratios under the SAME query
+    // names follow the medians object — the old parser read to EOF
+    // and toMap's later-wins let the 9.99 ratio replace the median
+    val txt =
+      s"""{"metric":"total","value":2.0,"sf":"$sf",
+         |"queries":{"q01_agg":0.7},
+         |"medians":{"q01_agg":0.5,"g10_pagerank":1.0},
+         |"host":{"loadavg":"1 2 3","cpu_mhz":{"min":2100,"max":2100,
+         |"mean":2100},"captured_at":"t"},
+         |"baseline_ratios":{"q01_agg":9.99,"g10_pagerank":8.88}}"""
+        .stripMargin
+    assert(Bench.parseBaseline(txt, sf) ===
+      Map("q01_agg" -> 0.5, "g10_pagerank" -> 1.0))
+  }
+
+  test("an off-SF anchor disarms the guard entirely") {
+    val txt =
+      """{"sf":"/root/testdata/sf0.01","medians":{"q01_agg":0.5}}"""
+    assert(Bench.parseBaseline(txt, sf) === Map.empty)
+  }
+
+  test("a file with no medians key throws (caller maps it to no-anchor)") {
+    intercept[NoSuchElementException] {
+      Bench.parseBaseline(s"""{"sf":"$sf","queries":{"a":1}}""", sf)
+    }
+  }
+
+  test("the committed closing artifact parses end-to-end: all medians, " +
+    "median values (not ratios)") {
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("BENCH_R17_CLOSING.json"))
+    val parsed = Bench.parseBaseline(txt, sf)
+    assert(parsed.size === 240)
+    // the ratio section carries s51 at ~0.23; the median is ~0.82 —
+    // a to-EOF parse would have returned the ratio
+    assert(parsed("s51_ivfpq_index_roundtrip") > 0.5)
+  }
+}

@@ -115,6 +115,37 @@ class MaterializeSpec extends SparkSpec {
     assert(r("replicated") === r("local"))
   }
 
+  test("statsReset: identical rows under all strategies, and the " +
+    "result re-enters as a leaf plan") {
+    // r17: the g26 move rounds materialize through statsReset (the
+    // checkpoint stats-digit-compounding pathology, SURVEY §8.5 #4).
+    // The reset must stay a pure deployment/estimation knob: same
+    // rows under every strategy, and the returned frame's plan must
+    // be a fresh LEAF (no inherited lineage, no inherited stats).
+    val base = docs.limit(50).select(col("doc_id"), col("lang"))
+    val r = underEach(Materialize.statsReset(
+      base.groupBy(col("lang")).count()))
+    assert(r("local").nonEmpty)
+    assert(r("reliable") === r("local"))
+    assert(r("replicated") === r("local"))
+    val reset = Materialize.statsReset(base.groupBy(col("lang")).count())
+    assert(reset.queryExecution.analyzed.collectLeaves().size === 1)
+    // row identity against the un-reset seam
+    assert(snapshot(reset) ===
+      snapshot(base.groupBy(col("lang")).count()))
+  }
+
+  test("g26 ladder (statsReset consumer): identical audit row under " +
+    "all strategies") {
+    val e = orders
+      .select((col("o_custkey") % 40).as("a"), (col("o_orderkey") % 40).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val r = underEach(GraphEtl.louvainLadderMoves(e, 1, 2, 1))
+    assert(r("local").size === 1)
+    assert(r("reliable") === r("local"))
+    assert(r("replicated") === r("local"))
+  }
+
   test("withStrategy restores the previous strategy") {
     assert(Materialize.strategy === Materialize.LocalCheckpoint)
     Materialize.withStrategy(Materialize.ReliableCheckpoint) {
