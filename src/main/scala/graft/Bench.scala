@@ -34,9 +34,17 @@ object Bench {
       .exists(_.group(1) == sfDir)
     if (!sfOk) Map.empty
     else {
-      val mk = txt.indexOf("\"medians\"")
-      if (mk < 0) throw new NoSuchElementException("no medians key")
-      val start = txt.indexOf('{', mk)
+      // ADVICE r17: anchor the key with a regex through its ':' and
+      // require the value to OPEN with '{' — a bare indexOf('{', mk)
+      // would slice whatever brace follows a "medians" occurrence,
+      // so the literal word inside an earlier free-text source
+      // narrative, or a null/numeric medians value, silently armed
+      // the guard against the WRONG object. Non-object medians now
+      // throw, which the caller already maps to "no anchor".
+      val start = """"medians"\s*:\s*""".r.findAllMatchIn(txt)
+        .map(_.end).find(e => e < txt.length && txt.charAt(e) == '{')
+        .getOrElse(throw new NoSuchElementException(
+          "no medians object (missing key or non-object value)"))
       var depth = 0
       var end = start
       while (end < txt.length && (depth > 0 || end == start)) {

@@ -50,6 +50,40 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("the literal word medians inside an earlier string value cannot " +
+    "hijack the scan (ADVICE r17)") {
+    // The old indexOf-based scan found the quoted word inside the
+    // free-text source narrative and sliced the NEXT brace — the
+    // queries object — arming the guard against run-1 times.
+    val txt =
+      s"""{"source":"re-frozen from the \\"medians\\" of the closing run",
+         |"sf":"$sf",
+         |"queries":{"q01_agg":9.99},
+         |"medians":{"q01_agg":0.5}}""".stripMargin
+    assert(Bench.parseBaseline(txt, sf) === Map("q01_agg" -> 0.5))
+  }
+
+  test("a null or numeric medians value throws instead of slicing a " +
+    "later object (ADVICE r17)") {
+    intercept[NoSuchElementException] {
+      Bench.parseBaseline(
+        s"""{"sf":"$sf","medians":null,"host":{"cpu_mhz":{"min":2100}}}""",
+        sf)
+    }
+    intercept[NoSuchElementException] {
+      Bench.parseBaseline(s"""{"sf":"$sf","medians":3}""", sf)
+    }
+  }
+
+  test("the re-frozen BENCH_BASELINE.json parses: 240 medians despite " +
+    "the word medians in its own source narrative") {
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("BENCH_BASELINE.json"))
+    val parsed = Bench.parseBaseline(txt, sf)
+    assert(parsed.size === 240)
+    assert(parsed("p27_verified_lsh_funnel") > 10.0)
+  }
+
   test("the committed closing artifact parses end-to-end: all medians, " +
     "median values (not ratios)") {
     val txt = java.nio.file.Files.readString(
