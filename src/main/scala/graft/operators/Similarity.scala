@@ -951,19 +951,21 @@ object Similarity {
                                 nProbe: Int = 4, m: Int = 8,
                                 nCodes: Int = 16,
                                 dim: Int = 64): DataFrame = {
-    val spark = embeddings.sparkSession
-    val dir = persistedIndexDir(embeddings,
+    // Plan-only: constructing the index frames derives the artifact
+    // schemas and the write closure; nothing executes until an action
+    // forces the lazy relations' first file listing (VERDICT r17 #2).
+    val (indexed, centArr, cbArr) =
+      ivfPqResidualIndex(embeddings, nCells, m, nCodes, dim)
+    val h = persistedIndex(embeddings,
       s"res|$nCells|$m|$nCodes|$dim") { dir =>
-      val (indexed, centArr, cbArr) =
-        ivfPqResidualIndex(embeddings, nCells, m, nCodes, dim)
       indexed.write.mode("overwrite").parquet(s"$dir/index")
       centArr.write.mode("overwrite").parquet(s"$dir/centroids")
       cbArr.write.mode("overwrite").parquet(s"$dir/codebook")
     }
     ivfPqResidualSearch(prepared(embeddings),
-      spark.read.parquet(s"$dir/index"),
-      spark.read.parquet(s"$dir/centroids"),
-      spark.read.parquet(s"$dir/codebook"),
+      h.frame("index", indexed.schema),
+      h.frame("centroids", centArr.schema),
+      h.frame("codebook", cbArr.schema),
       nQueries, k, nProbe, m, dim)
   }
 
@@ -972,42 +974,74 @@ object Similarity {
     * (input plan, parameters) per JVM, exactly the production contract
     * (the serving scans of a 100 TB deployment read one published index,
     * they don't rebuild it per query). Keyed by the canonicalized input
-    * plan PLUS the backing file list (`Dataset.inputFiles`) plus the
-    * build parameters. The file list is load-bearing: a canonicalized
-    * LogicalRelation renders WITHOUT its path ("Relation[...] parquet"),
-    * so a plan-only key collides across scale tiers — caught live when
-    * the first multi-tier ScaleBench JVM served every tier from the
-    * sf0.001-built index (s51 0.6 s flat across a 1000× span). File-less
-    * inputs (a materialized generator frame) fall back to the plan key
-    * alone; the callers that pass those are deterministic generators,
-    * where a same-schema collision reproduces identical data anyway.
-    * Plan-only tools that construct these gates repeatedly
-    * (PlanCheck/Probe sweeps) trigger at most one build per key and
-    * leak no directories — every dir is deleted by one JVM shutdown
-    * hook.
+    * plan PLUS the backing file list (`Dataset.inputFiles`, each file
+    * stamped with its size+mtime) plus the build parameters. The file
+    * list is load-bearing: a canonicalized LogicalRelation renders
+    * WITHOUT its path ("Relation[...] parquet"), so a plan-only key
+    * collides across scale tiers — caught live when the first
+    * multi-tier ScaleBench JVM served every tier from the
+    * sf0.001-built index (s51 0.6 s flat across a 1000× span). The
+    * size+mtime stamps close the one-level-down variant (ADVICE r17):
+    * backing files OVERWRITTEN IN PLACE (same paths, new bytes) now
+    * key a fresh build instead of silently serving the stale index.
+    * File-less inputs (a materialized generator frame) fall back to
+    * the plan key alone; the callers that pass those are deterministic
+    * generators, where a same-schema collision reproduces identical
+    * data anyway — in-place mutation of a file-less frame within one
+    * JVM stays out of contract.
+    *
+    * The BUILD is deferred (VERDICT r17 #2): registration creates
+    * only the holder + temp directory; the three parquet writes run
+    * on the first file LISTING of any of the holder's lazy relations
+    * ([[graft.plans.LazyBuildParquet]]), which Spark performs when an
+    * action materializes the scan — never during analysis,
+    * optimization, physical planning, or `.explain`. A plan-only
+    * sweep (PlanCheck/Probe) therefore constructs and classifies the
+    * full search plan without executing a build. The build also no
+    * longer runs inside the ConcurrentHashMap mapping function
+    * (ADVICE r17): `computeIfAbsent` only allocates the holder, and
+    * the build runs under the holder's own lock, so unrelated keys
+    * hashing to the same bin never wait on a Spark job. Every
+    * registered dir is deleted by one JVM shutdown hook.
     */
-  private val persistedIndexDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val persistedIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, PersistedIndex]()
   private lazy val persistedIndexCleanup: Unit = {
     sys.addShutdownHook {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
       }
-      persistedIndexDirs.values().forEach(d => rm(new java.io.File(d)))
+      persistedIndexes.values().forEach(h => rm(new java.io.File(h.dir)))
     }
     ()
   }
-  private def persistedIndexDir(input: DataFrame, params: String)
-                               (build: String => Unit): String = {
+  /** Snapshot of registered holder dirs — spec hook for the
+    * zero-writes-under-plan-sweep and stale-key pins.
+    */
+  private[graft] def registeredIndexDirsForTest: Set[String] = {
+    val b = Set.newBuilder[String]
+    persistedIndexes.values().forEach(h => b += h.dir)
+    b.result()
+  }
+  private def inputFileStamps(input: DataFrame): String = {
+    val conf = input.sparkSession.sparkContext.hadoopConfiguration
+    input.inputFiles.sorted.map { f =>
+      try {
+        val p = new org.apache.hadoop.fs.Path(f)
+        val st = p.getFileSystem(conf).getFileStatus(p)
+        s"$f@${st.getLen}:${st.getModificationTime}"
+      } catch { case _: Throwable => f }
+    }.mkString(",")
+  }
+  private def persistedIndex(input: DataFrame, params: String)
+                            (build: String => Unit): PersistedIndex = {
     persistedIndexCleanup
     val key =
       input.queryExecution.analyzed.canonicalized.toString + "|" +
-        input.inputFiles.sorted.mkString(",") + "|" + params
-    persistedIndexDirs.computeIfAbsent(key, { _ =>
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-ivfpq-index").toString
-      build(dir)
-      dir
+        inputFileStamps(input) + "|" + params
+    persistedIndexes.computeIfAbsent(key, { _ =>
+      new PersistedIndex(input.sparkSession, java.nio.file.Files
+        .createTempDirectory("graft-ivfpq-index").toString, build)
     })
   }
 
@@ -1060,19 +1094,18 @@ object Similarity {
                                   nProbe: Int = 4, m: Int = 8,
                                   nCodes: Int = 16,
                                   dim: Int = 64): DataFrame = {
-    val spark = embeddings.sparkSession
     val old = embeddings.filter(col("vec_id") % 10 =!= 9)
-    val dir = persistedIndexDir(embeddings,
+    val (bIndexed, bCentArr, bCbArr) =
+      ivfPqResidualIndex(old, nCells, m, nCodes, dim)
+    val h = persistedIndex(embeddings,
       s"inc|$nCells|$m|$nCodes|$dim") { dir =>
-      val (indexed, centArr, cbArr) =
-        ivfPqResidualIndex(old, nCells, m, nCodes, dim)
-      indexed.write.mode("overwrite").parquet(s"$dir/index")
-      centArr.write.mode("overwrite").parquet(s"$dir/centroids")
-      cbArr.write.mode("overwrite").parquet(s"$dir/codebook")
+      bIndexed.write.mode("overwrite").parquet(s"$dir/index")
+      bCentArr.write.mode("overwrite").parquet(s"$dir/centroids")
+      bCbArr.write.mode("overwrite").parquet(s"$dir/codebook")
     }
-    val indexed = spark.read.parquet(s"$dir/index")
-    val centArr = spark.read.parquet(s"$dir/centroids")
-    val cbArr = spark.read.parquet(s"$dir/codebook")
+    val indexed = h.frame("index", bIndexed.schema)
+    val centArr = h.frame("centroids", bCentArr.schema)
+    val cbArr = h.frame("codebook", bCbArr.schema)
     val delta = ivfPqDeltaEncode(
       prepared(embeddings).filter(col("vec_id") % 10 === 9),
       centArr, cbArr, m)
@@ -2717,4 +2750,40 @@ object Similarity {
     hits(exTop, "beam")
       .unionByName(hits(rerankExact(fpq, e, q, k), "pq_beam"))
   }
+}
+
+/** Deferred-build holder for one persisted residual-IVFADC index
+  * (Similarity's build-once registry). Registration is cheap (a temp
+  * dir + this object); the three parquet artifact writes run at most
+  * once per JVM, on the first file listing of any of the holder's
+  * lazy relations — i.e. on the first ACTION over a query that serves
+  * from this index, never during plan construction or a plan-only
+  * sweep (VERDICT r17 #2). The build holds only this holder's own
+  * lock (ADVICE r17): unrelated registry keys that hash to the same
+  * ConcurrentHashMap bin never wait on a Spark job. The build closure
+  * writes frames constructed BEFORE the holder exists and must not
+  * reference the holder's own lazy relations — a same-thread
+  * re-entrant ensureBuilt would re-enter the (reentrant) monitor and
+  * loop on the build instead of deadlocking visibly.
+  */
+private[graft] final class PersistedIndex(
+    spark: org.apache.spark.sql.SparkSession, val dir: String,
+    build: String => Unit) {
+  @volatile private var done = false
+  private val buildLock = new Object
+  def ensureBuilt(): Unit = if (!done) buildLock.synchronized {
+    if (!done) { build(dir); done = true }
+  }
+  /** Lazy parquet relation over `$dir/$sub`. Schema comes from the
+    * build-side frame with every top-level field relaxed to nullable,
+    * because a plain `spark.read.parquet` infers every parquet column
+    * nullable and the deferred swap must not tighten what downstream
+    * plans see.
+    */
+  def frame(sub: String,
+            schema: org.apache.spark.sql.types.StructType): DataFrame =
+    graft.plans.LazyBuildParquet.frame(spark, s"$dir/$sub",
+      org.apache.spark.sql.types.StructType(
+        schema.fields.map(_.copy(nullable = true))),
+      () => ensureBuilt())
 }

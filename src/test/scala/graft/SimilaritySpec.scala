@@ -357,6 +357,84 @@ class SimilaritySpec extends SparkSpec {
       "second tier in the same JVM answered from the first tier's index")
   }
 
+  test("s51/s52 plan-only construction and sweep trigger ZERO index " +
+      "writes; the first action builds and matches in-memory " +
+      "(VERDICT r17 #2)") {
+    val real = table("embeddings")
+    val before = Similarity.registeredIndexDirsForTest
+    // fresh registry keys: nCells=7 is used nowhere else in the suite
+    val s51 = Similarity.knnIvfPqResidualPersisted(real, 10, 3, nCells = 7)
+    val s52 = Similarity.knnIvfPqResidualIncremental(real, 10, 3,
+      nCells = 7)
+    // force exactly what PlanCheck.sweep forces per query: the static
+    // executed plan string and both logical-plan flag classifiers
+    Seq(s51, s52).foreach { df =>
+      val qe = df.queryExecution
+      graft.tools.PlanCheck.flagsOf(qe.executedPlan.toString)
+      graft.tools.PlanCheck.rangeRedrawFlags(qe.optimizedPlan)
+      graft.tools.PlanCheck.unpartitionedWindowFlags(qe.optimizedPlan)
+    }
+    val fresh = (Similarity.registeredIndexDirsForTest -- before).toSeq
+    def filesUnder(d: String): Seq[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(d)).map(_.getPath)
+    }
+    assert(fresh.size === 2)
+    assert(fresh.forall(filesUnder(_).isEmpty),
+      s"plan-only sweep wrote: ${fresh.flatMap(filesUnder).mkString(",")}")
+    // the first ACTION runs the deferred build and serves correctly
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "nbr_id", "approx_dot")
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+        .toSeq
+    assert(rows(s51) ===
+      rows(Similarity.knnIvfPqResidual(real, 10, 3, nCells = 7)))
+    assert(fresh.exists(filesUnder(_).nonEmpty),
+      "the action built no index — the gate stopped reading files")
+  }
+
+  test("persistedIndex: backing files overwritten IN PLACE (same path, " +
+      "new bytes) key a FRESH build — the stale-index pin one level " +
+      "down (ADVICE r17)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val work = Files.createTempDirectory("graft-stale-pin")
+    val target = work.resolve("data.parquet")
+    Files.copy(Paths.get(s"$sf0001/embeddings.parquet"), target)
+    def corpus = spark.read.parquet(target.toString)
+    def served() = Similarity
+      .knnIvfPqResidualPersisted(corpus, 10, 3, nCells = 5)
+      .select("q_id", "nbr_id", "approx_dot")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    def inMem() = Similarity
+      .knnIvfPqResidual(corpus, 10, 3, nCells = 5)
+      .select("q_id", "nbr_id", "approx_dot")
+      .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(served() === inMem())
+    // overwrite IN PLACE: same file name, different content (reversed
+    // embedding arrays), then nudge mtime past filesystem granularity
+    val variantDir = work.resolve("variant").toString
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .withColumn("embedding", reverse(col("embedding")))
+      .coalesce(1).write.mode("overwrite").parquet(variantDir)
+    val part = new java.io.File(variantDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    Files.copy(part, target, StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(target,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() + 1234))
+    // Spark's own shared FileStatusCache must be dropped for the data
+    // read (a user mutating files in place owes Spark this refresh);
+    // the registry key does NOT rely on it — inputFileStamps stats the
+    // filesystem directly
+    spark.catalog.refreshByPath(target.toString)
+    assert(served() === inMem(),
+      "same-path overwrite was served from the stale index — the " +
+        "size+mtime key stamp is not working")
+  }
+
   test("knnIvfPqResidualIncremental: the merged index serves delta " +
       "content the stale (pre-ingest) index cannot — strictly lower " +
       "stale recall against the full-corpus truth") {
