@@ -335,6 +335,13 @@ object SparkEntry {
     "g26_louvain_ladder_moves" -> ((s, dir) =>
       GraphEtl.louvainLadderMoves(
         GraphEtl.coSupplierEdges(t(s, dir, "lineitem")), 2, 2, 1)),
+    // Phase 1 to FIXPOINT: alternating-direction weighted move rounds
+    // on the contracted community graph until two consecutive rounds
+    // move nothing (both rows included) or a loud cap; long-form
+    // per-round audit, all modularities scored on the original edges.
+    "g27_louvain_fixpoint" -> ((s, dir) =>
+      GraphEtl.louvainMovesFixpoint(
+        GraphEtl.coSupplierEdges(t(s, dir, "lineitem")), 10, 1)),
 
     // --- LLM-pipeline extension surface (SURVEY §2.12) ---
     // Exact dedup: content-hash groupBy, one shuffle.
@@ -933,6 +940,11 @@ object SparkEntry {
     "m10_smart_resize" -> ((s, dir) =>
       Multimodal.smartResize(
         Multimodal.decodeMeta(t(s, dir, "documents")))),
+    // Multimodal near-dup: decode-seam perceptual fingerprint (byte-
+    // shingle simhash) → banded hamming buckets → closure → canonical
+    // survivors per cluster.
+    "m11_media_neardup" -> ((s, dir) =>
+      Multimodal.mediaNearDupSurvivors(t(s, dir, "documents"))),
     // Exact-percentile token-length gate via value histogram.
     "p11_length_gate" -> ((s, dir) =>
       Pipeline.lengthGate(t(s, dir, "documents"))),
@@ -1317,8 +1329,12 @@ object SparkEntry {
     * labels wl`$tag`_`$r`. HUGEINT score algebra, exactly
     * louvainPhase1Ctes' shapes with sum(w) for the edge counts and
     * the weighted degc degrees for k.
+    * `dir` (g27 only; empty keeps g26's semantics byte-identical):
+    * a WHERE tail on the scored-candidates CTE mirroring
+    * weightedMoveDecided's alternating-direction damper.
     */
-  private def louvainWMoveCtes(tag: String, r: Int): String =
+  private def louvainWMoveCtes(tag: String, r: Int,
+                               dir: String = ""): String =
     s""",
        |wnbr${tag}_$r AS MATERIALIZED (SELECT sy.node AS node,
        |   l.lab AS labc, sum(sy.w)::BIGINT AS cnt
@@ -1334,7 +1350,7 @@ object SparkEntry {
        |    AS s
        | FROM wnbr${tag}_$r n JOIN degc$tag d ON d.node = n.node
        | JOIN wl${tag}_${r - 1} la ON la.node = n.node
-       | JOIN wdcs${tag}_$r dc ON dc.community = n.labc, mm),
+       | JOIN wdcs${tag}_$r dc ON dc.community = n.labc, mm$dir),
        |wbest${tag}_$r AS (SELECT node, labc AS best_lab, s AS best_s
        | FROM (SELECT *, row_number() OVER (PARTITION BY node
        |    ORDER BY s DESC, labc) AS rk FROM wsc${tag}_$r) WHERE rk = 1),
@@ -3720,6 +3736,62 @@ object SparkEntry {
         | wmvm1_1, wmvm1_2, nb_l1mv, win_l1mv, mer1, nb_l1, win_l1,
         | wmvm2_1, wmvm2_2, nb_l2mv, win_l2mv, mer2, nb_l2, win_l2"""
         .stripMargin),
+    // louvainMovesFixpoint mirror: phase 1 + contraction "f", then the
+    // capped unroll of 10 alternating-direction weighted move rounds —
+    // each with its move count, audit fold into the vertex partition,
+    // original-edge modularity tail, and (r >= 2) the same-parity
+    // label-diff count wdf_r. The recurrence labels_r = labels_{r-2}
+    // is absorbing, so rounds past it are no-ops and the final filter
+    // `round <= first recurrence round (cap if none)` emits exactly
+    // the rounds the Spark loop executed.
+    "g27_louvain_fixpoint" -> {
+      val cap = 10
+      val rounds = (1 to cap).map { r =>
+        val dir = if (r % 2 == 1) " WHERE n.labc < la.lab"
+          else " WHERE n.labc > la.lab"
+        louvainWMoveCtes("f", r, dir) +
+          s""",
+             |wmvf_$r AS (SELECT sum(CASE WHEN lab <> laba
+             |    THEN 1 ELSE 0 END)::BIGINT AS n_moves FROM wnlf_$r),
+             |wcanf_$r AS (SELECT lab, min(node) AS cc
+             |  FROM wlf_$r GROUP BY lab),
+             |wmapf_$r AS (SELECT wl.node AS c, c2.cc AS mc
+             |  FROM wlf_$r wl JOIN wcanf_$r c2 ON c2.lab = wl.lab),
+             |flatf$r AS MATERIALIZED (SELECT f.v, coalesce(g.mc, f.c) AS c
+             |  FROM flat1 f LEFT JOIN wmapf_$r g ON g.c = f.c)"""
+            .stripMargin +
+          louvainModCtes(s"f$r", s"flatf$r") +
+          (if (r < 2) ""
+           else s""",
+                |wdf_$r AS (SELECT count(*)::BIGINT AS d
+                |  FROM wlf_$r a JOIN wlf_${r - 2} b ON b.node = a.node
+                |  WHERE a.lab <> b.lab)""".stripMargin)
+      }.mkString
+      val rowSelects = (1 to cap).map { r =>
+        s"""  SELECT $r::BIGINT AS round, wmvf_$r.n_moves,
+           |   nb_f$r.nc_f$r AS n_communities,
+           |${louvainModExpr(s"f$r", "modularity")}
+           |  FROM mm, wmvf_$r, nb_f$r, win_f$r""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      lpaCtes(1) + louvainPhase1Ctes + louvainFlat1Ctes +
+        louvainContractCtes("f", "flat1") +
+        s""",
+           |wlf_0 AS (SELECT node, node AS lab FROM degcf)""".stripMargin +
+        rounds +
+        s""",
+           |g27rows AS (
+           |$rowSelects
+           |),
+           |g27diffs AS (
+           |${(2 to cap).map(r =>
+              s"  SELECT $r::BIGINT AS round, d FROM wdf_$r")
+              .mkString("\n  UNION ALL\n")}
+           |),
+           |g27stop AS (SELECT coalesce(min(round), $cap::BIGINT)
+           |  AS rstop FROM g27diffs WHERE d = 0)
+           |SELECT round, n_moves, n_communities, modularity
+           |FROM g27rows, g27stop WHERE round <= rstop""".stripMargin
+    },
     "t06_vocabulary" ->
       """SELECT word, count(*) AS n,
         | row_number() OVER (ORDER BY count(*) DESC, word ASC) AS "rank"
@@ -6318,6 +6390,53 @@ object SparkEntry {
          | (target_w // $p) * (target_h // $p) AS n_patches,
          | ((target_w // $p) * (target_h // $p)) // 4 AS n_tokens
          |FROM t""".stripMargin
+    },
+    // mediaNearDupSurvivors mirror: byte-4-gram features (char substr
+    // ≡ byte slice under the corpus's ASCII payloads — the same
+    // equivalence m01's head_hex pins), d04's 64-fold simhash, d09's
+    // band/cap/verify, d08's recursive closure, d12's survivors
+    // argmax with byte_len in place of n_tokens.
+    "m11_media_neardup" -> {
+      val bands = (0 until 4).map(i =>
+        s"'b$i:' || ((simhash >> ${16 * i}) & 65535)::VARCHAR")
+      s"""WITH RECURSIVE hs AS (SELECT doc_id,
+         |  [${h60("substr(text, i, 4)")}
+         |    FOR i IN range(1, octet_length(encode(text)) - 2)] AS hs
+         | FROM documents),
+         |sh AS (SELECT doc_id,
+         |$simhash64Sql AS simhash
+         |FROM hs),
+         |banded AS (SELECT doc_id, simhash,
+         |  unnest([${bands.mkString(",\n   ")}]) AS bk FROM sh),
+         |capped AS (SELECT doc_id, simhash, bk FROM (
+         |  SELECT doc_id, simhash, bk, count(*) OVER (PARTITION BY bk) AS bsz
+         |  FROM banded) WHERE bsz <= 1000),
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         | FROM capped a JOIN capped b
+         | ON a.bk = b.bk AND a.doc_id < b.doc_id
+         | WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |nodes AS (SELECT DISTINCT a AS n FROM sym),
+         |reach(node, lab) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node),
+         |clus AS (SELECT node AS doc_id, min(lab) AS cluster_rep
+         |  FROM reach GROUP BY node),
+         |blen AS (SELECT doc_id,
+         |  octet_length(encode(text))::BIGINT AS byte_len
+         |  FROM documents),
+         |j AS (SELECT c.cluster_rep, c.doc_id, b.byte_len
+         |  FROM clus c JOIN blen b USING (doc_id))
+         |SELECT cluster_rep, canonical_doc_id, canonical_bytes,
+         | n_docs, n_docs - 1 AS n_removed FROM (
+         | SELECT cluster_rep, doc_id AS canonical_doc_id,
+         |  byte_len AS canonical_bytes,
+         |  count(*) OVER (PARTITION BY cluster_rep) AS n_docs,
+         |  row_number() OVER (PARTITION BY cluster_rep
+         |    ORDER BY byte_len DESC, doc_id) AS rk
+         | FROM j) WHERE rk = 1""".stripMargin
     },
     "p11_length_gate" ->
       """WITH t AS (SELECT doc_id,

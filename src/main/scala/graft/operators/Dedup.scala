@@ -200,8 +200,19 @@ object Dedup {
     * computed it on both sides.
     */
   def simhashNearDups(documents: DataFrame, maxHamming: Int = 3,
-                      maxBucket: Int = 1000): DataFrame = {
-    val sh = simhash(documents)
+                      maxBucket: Int = 1000): DataFrame =
+    simhashBandedPairs(simhash(documents), maxHamming, maxBucket)
+
+  /** The band-bucket-verify core of [[simhashNearDups]] over ANY
+    * (doc_id, simhash) sketch frame — shared with the multimodal
+    * perceptual-fingerprint near-dup (m11), whose sketch comes from
+    * the decode-seam byte shingles instead of text words. Same
+    * pigeonhole guarantee (4 × 16-bit chunks ⇒ recall 1.0 at
+    * hamming ≤ 3), same hot-bucket cap, same exact
+    * bit_count(xor) verify.
+    */
+  def simhashBandedPairs(sh: DataFrame, maxHamming: Int = 3,
+                         maxBucket: Int = 1000): DataFrame = {
     val bandCols = (0 until 4).map { i =>
       concat(lit(s"b$i:"),
         shiftrightunsigned(col("simhash"), 16 * i)

@@ -1104,9 +1104,22 @@ object GraphEtl {
     * rewrite without the reset). All three frames are
     * community-graph-sized.
     */
+  /** `direction` (g27 only; `None` keeps g26's semantics verbatim):
+    * restrict candidate communities to labc < laba (`Some(true)`,
+    * "descending") or labc > laba (`Some(false)`) BEFORE the argmax —
+    * the alternating-direction damper for the synchronous swap class.
+    * A swap (A→B's community while B→A's) needs one label-decreasing
+    * and one label-increasing move; a round that admits only one
+    * direction cannot execute both sides, and the survivor's presence
+    * re-scores the other side next round. Measured reason to exist:
+    * undamped, the sf0.1 co-supplier contraction oscillates at a flat
+    * 34 moves/round through the full cap window, period 2.
+    */
   private def weightedMoveDecided(symW: DataFrame, degC: DataFrame,
                                   mRow: DataFrame,
-                                  seed: DataFrame): DataFrame = {
+                                  seed: DataFrame,
+                                  direction: Option[Boolean] = None)
+      : DataFrame = {
     val dec = "decimal(38,0)"
     val nbr = graft.Materialize.statsReset(symW
       .join(seed.select(col("node").as("nb"), col("lab").as("labc")),
@@ -1127,9 +1140,14 @@ object GraphEtl {
           col("k").cast(dec) * (col("sigma") -
             when(col("labc") === col("laba"), col("k"))
               .otherwise(lit(0L)).cast(dec))).as("s"))
+    val candidates = direction match {
+      case None => scored
+      case Some(true) => scored.filter(col("labc") < col("laba"))
+      case Some(false) => scored.filter(col("labc") > col("laba"))
+    }
     val wBest = org.apache.spark.sql.expressions.Window
       .partitionBy(col("node")).orderBy(col("s").desc, col("labc").asc)
-    val best = scored.withColumn("_rk", row_number().over(wBest))
+    val best = candidates.withColumn("_rk", row_number().over(wBest))
       .filter(col("_rk") === 1)
       .select(col("node"), col("labc").as("best_lab"),
         col("s").as("best_s"))
@@ -1254,6 +1272,98 @@ object GraphEtl {
           col("modularity").as(s"modularity_l$l"))))
     }
     audit
+  }
+
+  /** g27: Blondel phase 1 run to FIXPOINT (VERDICT r17 #5) — g26
+    * iterates a FIXED `moveRounds` per level; the algorithm proper
+    * iterates "as long as the modularity improves", i.e. until a
+    * round moves no vertex. This audit runs [[weightedMoveDecided]]
+    * on the phase-1 contracted community graph with the
+    * ALTERNATING-DIRECTION damper (odd rounds admit only
+    * label-decreasing moves, even rounds only label-increasing — see
+    * the `direction` scaladoc: the plain synchronous variant was
+    * MEASURED oscillating at a flat 34 moves/round, period 2, on the
+    * sf0.1 contraction, the known parallel-Louvain swap pathology)
+    * until the first round whose labeling REPRODUCES its same-parity
+    * predecessor (labels_r = labels_{r-2}) — the recurrence is
+    * absorbing (equal inputs under equal direction reproduce equal
+    * outputs), so it detects both the true fixpoint (two zero-move
+    * rounds, one per direction) and any period-2 limit cycle that
+    * survives the damper: measured at sf0.1, the damped rounds decay
+    * 31 -> 18 -> 13 -> 7 -> 6 -> 4 and then close a 4-move
+    * same-direction orbit, which this stop rule names instead of
+    * spinning on. A loud cap bounds longer-period cycles and a
+    * cap-hit is logged, never silent.
+    *
+    * Output is LONG-form — one row per executed round: (round,
+    * n_moves on the community graph, then n_communities / modularity
+    * with the round's labels folded into the ORIGINAL vertex
+    * partition and scored by [[modularityParts]] on the ORIGINAL edge
+    * list — the one scoring algebra g21–g27 share). The fold is
+    * audit-only: phase 1 keeps moving on the SAME contracted graph
+    * with evolving labels, exactly Blondel's inner loop.
+    *
+    * Scale shape: each round is one weighted-move pass SIZED BY THE
+    * COMMUNITY GRAPH plus one m-linear modularity tail for the audit
+    * column; rounds are data-dependent but the recurrence stop is
+    * absorbing, so the loop is bounded by min(recurrence, cap). The
+    * driver-side per-round probe is one isEmpty diff of two
+    * already-materialized community-graph-sized label frames — the
+    * d08 fixpoint discipline.
+    */
+  def louvainMovesFixpoint(edges: DataFrame, maxRounds: Int = 10,
+                           seedRounds: Int = 1): DataFrame = {
+    require(maxRounds >= 1,
+      s"louvainMovesFixpoint needs maxRounds >= 1, got $maxRounds")
+    val e = edges.select(col("a"), col("b")).distinct().materialized
+    val seed = labelPropagation(e, seedRounds).materialized
+    val p1 = moveDecided(e, seed)
+    val canon = p1.groupBy(col("newlab")).agg(min(col("a")).as("cc"))
+    val flat = p1.join(canon, "newlab")
+      .select(col("a").as("v"), col("cc").as("c"))
+      .materialized
+    val mRow = broadcast(e.agg(count(lit(1)).as("m")))
+    val (symW, degC, _) = contractGraph(e, flat)
+    var lab = degC.select(col("node"), col("node").as("lab"))
+    // label history for the same-parity recurrence probe; index r
+    // holds the labeling AFTER round r (index 0 the singleton start)
+    var labs = Vector(lab)
+    var rows = Vector.empty[DataFrame]
+    var converged = false
+    var r = 1
+    while (!converged && r <= maxRounds) {
+      val decided = weightedMoveDecided(symW, degC, mRow, lab,
+        direction = Some(r % 2 == 1))
+      lab = decided.select(col("node"), col("newlab").as("lab"))
+      labs :+= lab
+      // audit-only fold of THIS round's labels into the (constant)
+      // phase-1 vertex partition; labels canonicalized to min member
+      val canonL = lab.groupBy(col("lab")).agg(min(col("node")).as("cc"))
+      val moveMap = lab.join(canonL, "lab")
+        .select(col("node").as("c"), col("cc").as("mc"))
+      val flatR = flat.join(moveMap, Seq("c"), "left")
+        .select(col("v"), coalesce(col("mc"), col("c")).as("c"))
+      val ml = modularityParts(e,
+        flatR.select(col("v").as("vertex"), col("c").as("community")))
+      rows :+= decided
+        .agg(sum(when(col("newlab") =!= col("laba"), 1L).otherwise(0L))
+          .as("n_moves"))
+        .crossJoin(broadcast(ml.select(
+          col("n_communities"), col("modularity"))))
+        .select(lit(r.toLong).as("round"), col("n_moves"),
+          col("n_communities"), col("modularity"))
+      converged = r >= 2 && lab
+        .join(labs(r - 2).select(col("node"), col("lab").as("_l2")),
+          "node")
+        .filter(col("lab") =!= col("_l2")).isEmpty
+      r += 1
+    }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"louvainMovesFixpoint: cap of $maxRounds move rounds hit " +
+          "without a same-parity label recurrence — a period > 2 " +
+          "oscillation; audit rows cover the capped window only")
+    rows.reduce(_ unionByName _)
   }
 
   /** Per-edge triangle support of a MATERIALIZED canonical (a < b)

@@ -56,6 +56,116 @@ object Multimodal {
     }
   }
 
+  /** Batched feature-extraction seam beside [[MediaDecoder]]: one call
+    * per partition, iterator-in/iterator-out, emitting a
+    * variable-length array of 60-bit FEATURE HASHES per payload — the
+    * shape a perceptual-hash front end (pHash DCT blocks, CLIP patch
+    * embeddings quantized to codes) hands to a downstream sketcher. A
+    * production featurizer replaces only the implementation; the
+    * Spark-side plumbing (binary column in, per-partition batch,
+    * array<long> column out) is the real contract.
+    */
+  trait MediaFeaturizer extends Serializable {
+    def featurizeBatch(payloads: Iterator[(Long, Array[Byte])])
+        : Iterator[(Long, Array[Long])]
+  }
+
+  /** Deterministic stand-in featurizer: every byte 4-gram of the
+    * payload, hashed with the same md5-hex-prefix algebra as
+    * `Canon.hash60` — so the DuckDB oracle replicates the features
+    * exactly (`substr(text, i, 4)` under the corpus's ASCII payloads,
+    * the same byte↔char equivalence m01's head_hex gate already
+    * pins). Overlapping shingles make the fingerprint LOCAL: editing
+    * k bytes perturbs at most 4k of the n−3 features, which is what
+    * lets a simhash over them band at a small hamming radius.
+    */
+  object StubFeaturizer extends MediaFeaturizer {
+    def featurizeBatch(payloads: Iterator[(Long, Array[Byte])])
+        : Iterator[(Long, Array[Long])] = {
+      val md = MessageDigest.getInstance("MD5")
+      payloads.map { case (id, bytes) =>
+        val n = math.max(0, bytes.length - 3)
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          md.reset()
+          md.update(bytes, i, 4)
+          val hex = md.digest().map("%02x".format(_)).mkString
+          out(i) = java.lang.Long.parseLong(hex.take(15), 16)
+          i += 1
+        }
+        (id, out)
+      }
+    }
+  }
+
+  /** Per-partition batched feature extraction of the payload column
+    * through a [[MediaFeaturizer]] (default: the deterministic stub).
+    */
+  def mediaFeatures(documents: DataFrame,
+                    featurizer: MediaFeaturizer = StubFeaturizer)
+      : DataFrame = {
+    val spark = documents.sparkSession
+    import spark.implicits._
+    documents
+      .select(col("doc_id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(it => featurizer.featurizeBatch(it))
+      .toDF("doc_id", "features")
+  }
+
+  /** 64-bit perceptual fingerprint per payload: d04's simhash algebra
+    * (native SimHashBits kernel) over the decode-seam feature hashes.
+    * Row-local after the seam — no shuffle.
+    */
+  def mediaFingerprint(documents: DataFrame,
+                       featurizer: MediaFeaturizer = StubFeaturizer)
+      : DataFrame =
+    mediaFeatures(documents, featurizer)
+      .select(col("doc_id"),
+        graft.functions.Canon.simhashBits(col("features"), 64)
+          .as("simhash"))
+
+  /** m11: multimodal near-duplicate detection — the first operator a
+    * VLM data pipeline runs over a media corpus, composed from the
+    * machinery the text/embedding families already gate:
+    * per-item perceptual fingerprint ([[mediaFingerprint]], the
+    * decode-seam featurizer + simhash), banded hamming buckets with
+    * the exact bit_count(xor) verify (`Dedup.simhashBandedPairs` —
+    * 4 × 16-bit pigeonhole bands, recall 1.0 at hamming ≤ `maxHamming`
+    * = 3, hot buckets capped loudly), transitive closure
+    * (`Dedup.dupClusters`), and a d12-style survivors row per cluster
+    * (canonical = largest payload, then smallest doc_id).
+    *
+    * Scale shape — bucketed, NEVER all-pairs: candidate generation
+    * touches only fingerprints that agree exactly on one 16-bit band
+    * (a groupBy + bounded in-bucket expansion, capped at `maxBucket`),
+    * so the corpus is scanned once for the seam pass and once for the
+    * band shuffle; the verify, closure, and survivor stages are
+    * pair-set / cluster-membership sized, not corpus sized. At 100 TB
+    * the decode seam is the only stage that reads payload bytes, and
+    * column pruning keeps every later stage off those pages.
+    */
+  def mediaNearDupSurvivors(documents: DataFrame, maxHamming: Int = 3,
+                            maxBucket: Int = 1000): DataFrame = {
+    val pairs = Dedup.simhashBandedPairs(
+      mediaFingerprint(documents), maxHamming, maxBucket)
+    val clusters = Dedup.dupClusters(pairs)
+    val blen = documents.select(col("doc_id"),
+      length(col("text").cast("binary")).cast("long").as("byte_len"))
+    clusters.join(blen, Seq("doc_id"))
+      .groupBy(col("cluster_rep"))
+      .agg(
+        max(struct(col("byte_len"), (-col("doc_id")).as("neg_id")))
+          .as("best"),
+        count(lit(1)).as("n_docs"))
+      .select(col("cluster_rep"),
+        (-col("best.neg_id")).as("canonical_doc_id"),
+        col("best.byte_len").as("canonical_bytes"),
+        col("n_docs"),
+        (col("n_docs") - 1).as("n_removed"))
+  }
+
   /** Documents → opaque binary payload column (stand-in for real media
     * bytes) + cheap byte-level metadata, all column expressions.
     */

@@ -84,7 +84,14 @@ object ScaleBench {
     // contraction (linear in m) + two modularity tails over g25's
     // cost; the delta must stay community-sized per level, which is
     // the Blondel scalability claim iterated one notch deeper.
-    "g26_louvain_ladder_moves")
+    "g26_louvain_ladder_moves",
+    // r18: phase 1 to its recurrence stop — data-dependent round
+    // count (bounded by the cap), each round community-graph-sized
+    // plus one m-linear modularity tail. The curve must track g26's
+    // round-overhead class with the round count as the only new
+    // variable; the recurrence probe adds one label-frame diff per
+    // round, community-sized.
+    "g27_louvain_fixpoint")
 
   /** Second axis (late r10): the corpus-heavy single-pass family —
     * LSH candidate generation, pair verification, the two corpus-pass
@@ -170,7 +177,14 @@ object ScaleBench {
     // (pair-bounded: candidate pairs × the two-pointer intersect) and
     // one more closure. Growth must track p26's output-bound curve;
     // the verify adds a PAIR-linear term, never a corpus² one.
-    "p27_verified_lsh_funnel")
+    "p27_verified_lsh_funnel",
+    // r18: multimodal near-dup — one decode-seam featurize pass
+    // (corpus-linear, the dominant term: n md5s per n-byte payload),
+    // the d09-shaped band shuffle, then pair/cluster-bounded verify +
+    // closure + survivors. Rotated copies keep byte shingles
+    // copy-local, so pairs stay copy-local and the growth variable is
+    // the corpus-linear seam pass.
+    "m11_media_neardup")
 
   /** Third axis (late r10): the event-time window family. Its scale
     * risk is per-key WINDOW/JOIN STATE — salted user ids grow the key

@@ -404,6 +404,58 @@ class GraphEtlSpec extends SparkSpec {
         "matching-only ladder")
   }
 
+  test("louvainMovesFixpoint: hand-traced — the damper resolves the " +
+    "swap the undamped rounds squander, then the recurrence stop " +
+    "closes at round 3") {
+    // Same fixture as the g26 hand-trace, where the UNDAMPED rounds
+    // oscillate A<->B forever (2 gross moves per round, net identity).
+    // Damped round 1 (descending): A may not take B's larger label,
+    // so only B->A executes (s = 2·7·2 − 2·5 = 18 > 0); C stays
+    // (14 − 7·5 < 0). One move realizes the A∪B union directly:
+    // Q = 70/196, two communities. Round 2 (ascending): A's only
+    // larger-label candidate C scores 14 − 5·7 < stay's 18; nothing
+    // moves. Round 3 (descending): nothing moves, labels_3 =
+    // labels_1 -> recurrence stop, three rows.
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val rows = GraphEtl.louvainMovesFixpoint(twoTri, 10, 1)
+      .orderBy("round")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows === Seq(
+      (1L, 1L, 2L, 70.0 / 196),
+      (2L, 0L, 2L, 70.0 / 196),
+      (3L, 0L, 2L, 70.0 / 196)))
+    // partitioning-independence of the whole loop (decisions, stop
+    // rule, audit folds)
+    assert(GraphEtl.louvainMovesFixpoint(twoTri.repartition(5), 10, 1)
+      .orderBy("round")
+      .as[(Long, Long, Long, Double)].collect().toSeq === rows)
+  }
+
+  test("louvainMovesFixpoint: on the real co-supplier graph the " +
+    "rounds are contiguous, same-parity move counts never increase, " +
+    "and the audit ends at a recurrence, not the cap") {
+    val edges = GraphEtl.coSupplierEdges(table("lineitem"))
+    val rows = GraphEtl.louvainMovesFixpoint(edges, 10, 1)
+      .orderBy("round")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(rows.map(_._1) === (1L to rows.length))
+    assert(rows.length < 10, "stopped only by the cap — no recurrence")
+    // the damper's decay shape: within each direction the move count
+    // is non-increasing (the cross-parity sequence may jitter — the
+    // measured sf0.1 tail does — but a direction may never regress)
+    Seq(0, 1).foreach { parity =>
+      val par = rows.filter(r => r._1 % 2 == parity).map(_._2)
+      par.sliding(2).foreach {
+        case Seq(a, b) => assert(b <= a,
+          s"same-parity move count rose $a -> $b in ${rows.map(_._2)}")
+        case _ => ()
+      }
+    }
+    // the loop's point: modularity ends at least where it started
+    assert(rows.last._4 >= rows.head._4)
+  }
+
   test("louvainLadder: modularity non-decreasing across BOTH levels " +
     "on the real co-supplier graph (the constructive guarantee, " +
     "checked on data the fixtures can't anticipate)") {

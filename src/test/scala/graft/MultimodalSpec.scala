@@ -149,4 +149,68 @@ class MultimodalSpec extends SparkSpec {
     assert(caps.forall { case (w, h) => w * h <= 15680L })
     assert(caps.forall { case (w, h) => w % 28 == 0 && h % 28 == 0 })
   }
+
+  test("StubFeaturizer: one 60-bit hash per byte 4-gram, hash60 " +
+      "algebra, short payloads empty") {
+    val out = Multimodal.StubFeaturizer.featurizeBatch(Iterator(
+      (1L, "abcdef".getBytes("UTF-8")), (2L, "abc".getBytes("UTF-8"))))
+      .toMap
+    assert(out(2L).isEmpty) // < 4 bytes: no shingle
+    assert(out(1L).length === 3) // "abcd","bcde","cdef"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(15), 16)
+    assert(out(1L).toSeq === Seq(h60("abcd"), h60("bcde"), h60("cdef")))
+  }
+
+  /** Deterministic non-repetitive fixture text (explicit LCG — no
+    * dependence on scala.util.Random's implementation).
+    */
+  private def lcgText(n: Int, seed: Long): String = {
+    val sb = new StringBuilder
+    var x = seed
+    (0 until n).foreach { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      sb.append(('a' + ((x >>> 33) % 26)).toChar)
+    }
+    sb.toString
+  }
+
+  test("mediaNearDupSurvivors: exact copy and tail-edited copy " +
+      "cluster with the base, unrelated doc stays out, canonical = " +
+      "largest payload then smallest id; partitioning-independent") {
+    val base = lcgText(2000, 12345L)
+    val media = Seq(
+      (10L, base),              // base
+      (11L, base),              // exact duplicate: fingerprint hamming 0
+      (12L, base + "zq"),       // 2 appended chars: 2 of 1999 shingles new
+      (40L, lcgText(2000, 777L)) // unrelated payload
+    ).toDF("doc_id", "text")
+    // the fixture's premise, asserted: the tail edit stays inside the
+    // banded hamming radius, the unrelated doc far outside it
+    val fp = Multimodal.mediaFingerprint(media)
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(fp(10L) === fp(11L))
+    assert(ham(10L, 12L) <= 3, s"tail-edit hamming ${ham(10L, 12L)}")
+    assert(ham(10L, 40L) > 3)
+    val out = Multimodal.mediaNearDupSurvivors(media)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 1) // one cluster; the unrelated doc absent
+    val (rep, canon, bytes, nDocs, nRemoved) = out.head
+    assert(rep === 10L)
+    assert(canon === 12L) // largest payload (2002 bytes) wins
+    assert(bytes === 2002L)
+    assert((nDocs, nRemoved) === ((3L, 2L)))
+    // equal-length tie inside a cluster: smallest doc_id
+    val tie = Multimodal.mediaNearDupSurvivors(
+      Seq((7L, base), (3L, base)).toDF("doc_id", "text"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(tie.head._1 === 3L && tie.head._2 === 3L)
+    // partitioning-independence of the full compose
+    val repart = Multimodal.mediaNearDupSurvivors(media.repartition(7))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(repart.sorted.toSeq === out.sorted.toSeq)
+  }
 }
