@@ -53,12 +53,26 @@ object PlanCheck {
     * missed it). What survives both rewrites is the sort-key SHAPE and
     * the scan leaves, so the signature is (sort-order rendering with
     * exprIds stripped, partition count, sorted leaf-relation
-    * renderings with exprIds stripped). Collisions between two
-    * genuinely independent same-keyed repartitions over the same
-    * leaves are theoretically possible — the committed-artifact
-    * adjudication absorbs any such benign future entry, and today the
-    * registry contains ZERO surviving range exchanges (every template
-    * site is pinned), so any hit is real drift.
+    * renderings with exprIds stripped), PLUS — the r18 hardening
+    * (ADVICE r16/r17) — the sorted FILTER-predicate renderings of the
+    * repartition's subtree. Filters are the one discriminator that is
+    * pruning-insensitive in the right direction: copies of ONE
+    * exchange differ only in pruned projections (never in their
+    * filters — both copies carry the same pushed-down predicates),
+    * while two genuinely independent same-keyed repartitions in one
+    * plan typically differ precisely in the predicates their separate
+    * consumers pushed below the exchange. (The parent-side rendering
+    * would point the WRONG way: the true p24 redraw's two consumers
+    * are a Window and an Aggregate — including parents would unflag
+    * the known bug.) Identical-filter independents still collide —
+    * the committed-artifact adjudication absorbs any such benign
+    * future entry, and today the registry contains ZERO surviving
+    * range exchanges (every template site is pinned), so any hit is
+    * real drift. The residual false-NEGATIVE of the hardening — a
+    * true redraw where a predicate pushes into only one copy's branch
+    * (through a Window or Aggregate) — is covered the same way: a
+    * surviving range exchange of any signature is already
+    * registry-drift to be reviewed.
     * A TwoStage.rangeParted pin never trips this: the eager
     * post-exchange Materialize replaces the whole subtree with a
     * LogicalRDD scan, so NO RepartitionByExpression survives to the
@@ -69,7 +83,8 @@ object PlanCheck {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Seq[String] = {
     import org.apache.spark.sql.catalyst.expressions.SortOrder
-    import org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Filter, RepartitionByExpression}
     def strip(s: String): String = s.replaceAll("#\\d+", "")
     val sigs = plan.collect {
       case r: RepartitionByExpression
@@ -77,6 +92,8 @@ object PlanCheck {
         strip(r.partitionExpressions.mkString(",")) + "|" +
           r.optNumPartitions.getOrElse(0) + "|" +
           r.collectLeaves().map(l => strip(l.simpleString(10)))
+            .sorted.mkString(";") + "|" +
+          r.collect { case f: Filter => strip(f.condition.toString) }
             .sorted.mkString(";")
     }
     if (sigs.groupBy(identity).exists(_._2.size >= 2))
@@ -107,21 +124,53 @@ object PlanCheck {
   def unpartitionedWindowFlags(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Seq[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, Attribute, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.{
-      Aggregate, GlobalLimit, LogicalPlan, Window}
-    def bounded(p: LogicalPlan, sortKeys: Set[String]): Boolean = p match {
+      Aggregate, GlobalLimit, LogicalPlan, Project, Window}
+    // ADVICE r17: match sort keys to aggregate grouping keys by
+    // ATTRIBUTE (exprId), walked down through Project aliases — the
+    // name-only version both false-negatived (a self-join exposes two
+    // attributes named k; an Aggregate grouping ITS k "covered" a
+    // window sorting the OTHER one) and false-positived (a rename
+    // between the aggregate and the window broke the name match).
+    // "Covered" at an Aggregate now means: every sort-key attribute
+    // is an aggregate OUTPUT that is a grouping expression or an
+    // alias of one. At multi-child nodes each child is checked
+    // against the keys it actually produces (a child producing none
+    // still needs its own bounding reduction — raw fan-in from any
+    // branch is the bug class).
+    def bounded(p: LogicalPlan, keys: Seq[Attribute]): Boolean = p match {
       case a: Aggregate =>
-        a.groupingExpressions.isEmpty ||
-          sortKeys.subsetOf(
-            a.groupingExpressions.flatMap(_.references).map(_.name).toSet)
+        a.groupingExpressions.isEmpty || {
+          val groupOut = a.aggregateExpressions.collect {
+            case al: Alias
+                if a.groupingExpressions.exists(_.semanticEquals(al.child)) =>
+              al.toAttribute.exprId
+            case ar: AttributeReference
+                if a.groupingExpressions.exists(_.semanticEquals(ar)) =>
+              ar.exprId
+          }.toSet
+          keys.forall(k => groupOut.contains(k.exprId))
+        }
       case _: GlobalLimit => true
+      case pr: Project =>
+        val rewritten = keys.flatMap { k =>
+          pr.projectList.find(_.toAttribute.exprId == k.exprId) match {
+            case Some(al: Alias) => al.child.references.toSeq
+            case Some(other) => Seq(other.toAttribute)
+            case None => Seq(k)
+          }
+        }
+        bounded(pr.child, rewritten.distinct)
       case l if l.children.isEmpty => false
-      case o => o.children.forall(bounded(_, sortKeys))
+      case o => o.children.forall(c =>
+        bounded(c, keys.filter(c.outputSet.contains)))
     }
     val bad = plan.collect {
       case w: Window if w.partitionSpec.isEmpty &&
           !bounded(w.child,
-            w.orderSpec.flatMap(_.references).map(_.name).toSet) => w
+            w.orderSpec.flatMap(_.references).distinct) => w
     }
     if (bad.nonEmpty) Seq("unpartitioned-window") else Seq.empty
   }

@@ -103,6 +103,29 @@ class PlanCheckRedrawSpec extends SparkSpec {
     assert(PlanCheck.rangeRedrawFlags(one.queryExecution.optimizedPlan)
       === Seq.empty)
   }
+
+  test("two INDEPENDENT same-shape single-consumer range repartitions " +
+    "pass clean — the filter-predicate signature term (ADVICE r17) — " +
+    "while the true redraw still trips") {
+    // each repartition has ONE consumer; the consumers' filters push
+    // below the exchanges, so the subtree filter sets differ — the
+    // pruning-insensitive discriminator copies of one exchange can't
+    // have (both copies carry the same pushed predicates)
+    val r1 = base.repartitionByRange(4, col("k").asc)
+      .filter(col("k") > 1).select(col("k"))
+    val r2 = base.repartitionByRange(4, col("k").asc)
+      .filter(col("k") > 2).select(col("k"))
+    val independents = r1.union(r2)
+    assert(PlanCheck.rangeRedrawFlags(
+      independents.queryExecution.optimizedPlan) === Seq.empty,
+      "independent single-consumer repartitions false-positived")
+    // the known-bug shape keeps tripping under the refined signature
+    val parted = base.repartitionByRange(4, col("k").asc)
+      .withColumn("_pid", spark_partition_id())
+    assert(PlanCheck.rangeRedrawFlags(
+      twoConsumers(parted).queryExecution.optimizedPlan)
+      === Seq("range-redraw"))
+  }
 }
 
 /** The partition-less data-sized window gate (VERDICT r16 #2): the
@@ -152,5 +175,29 @@ class PlanCheckWindowSpec extends SparkSpec {
       row_number().over(Window.partitionBy(col("p")).orderBy(col("k"))))
     assert(PlanCheck.unpartitionedWindowFlags(
       ok.queryExecution.optimizedPlan) === Seq.empty)
+  }
+
+  test("a RENAME between the covering aggregate and the window is " +
+    "clean — exprId matching through Project aliases (ADVICE r17)") {
+    // the name-only version flagged this: grouping name k vs sort
+    // name k2, though k2 IS the grouping attribute renamed
+    val renamed = corpus.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .select(col("k").as("k2"), col("c"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("k2"))))
+    assert(PlanCheck.unpartitionedWindowFlags(
+      renamed.queryExecution.optimizedPlan) === Seq.empty)
+  }
+
+  test("an aggregate column wearing the grouping key's NAME does not " +
+    "cover the window — the same-name collision hole (ADVICE r17)") {
+    // sort key is max(p) renamed to "k": the name-only version let
+    // the groupBy(k) "cover" it; by attribute it is not a grouping
+    // output, so the key-cardinality-sized one-task sort is flagged
+    val collided = corpus.groupBy(col("k")).agg(max(col("p")).as("m"))
+      .select(col("m").as("k"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("k"))))
+    assert(PlanCheck.unpartitionedWindowFlags(
+      collided.queryExecution.optimizedPlan)
+      === Seq("unpartitioned-window"))
   }
 }
