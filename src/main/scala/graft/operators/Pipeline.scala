@@ -444,13 +444,31 @@ object Pipeline {
     val rawPairs = Dedup.lshCandidatePairs(
       Dedup.minhashSignature(documents)).materialized
     val lshRaw = arm(rawPairs, "lsh_raw").materialized
-    // verify tier: sorted distinct word-hash sets (d26's universe),
-    // exact Jaccard at τ = 4/5 on the candidate pairs only
+    val lshVerified = arm(verifyTier(documents, rawPairs),
+      "lsh_verified").materialized
+    exact.union(lshRaw).union(lshVerified)
+      .union(funnelDelta(exact, lshRaw, "delta_raw"))
+      .union(funnelDelta(exact, lshVerified, "delta_verified"))
+  }
+
+  /** The p27 verify TIER: candidate pairs joined to once-materialized
+    * sorted distinct word-hash sets (d26's universe), exact Jaccard
+    * at τ = 4/5 via the zero-allocation two-pointer intersect kernel
+    * and the cross-multiplied integer compare — no float in the
+    * decision. Pair-bounded by construction: the corpus is touched
+    * once to build the sets; everything after is sized by the
+    * candidate stream, which is the pair-linear claim the standalone
+    * p27v ScaleBench row prices (VERDICT r17 #6 — this is the piece
+    * a production funnel reuses independently of the certification
+    * arms around it in p27).
+    */
+  private[graft] def verifyTier(documents: DataFrame,
+                                candidatePairs: DataFrame): DataFrame = {
     val sets = documents.select(col("doc_id"),
         sort_array(array_distinct(transform(Canon.words(col("text")),
           w => Canon.hashP(w)))).as("dw"))
       .materialized
-    val verifiedPairs = rawPairs
+    candidatePairs
       .join(sets.select(col("doc_id").as("doc_a"), col("dw").as("wa")),
         "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("dw").as("wb")),
@@ -463,11 +481,15 @@ object Pipeline {
       .filter(lit(5L) * col("inter") >=
         lit(4L) * (col("sa") + col("sb") - col("inter")))
       .select(col("doc_a"), col("doc_b"))
-    val lshVerified = arm(verifiedPairs, "lsh_verified").materialized
-    exact.union(lshRaw).union(lshVerified)
-      .union(funnelDelta(exact, lshRaw, "delta_raw"))
-      .union(funnelDelta(exact, lshVerified, "delta_verified"))
   }
+
+  /** Standalone verified-LSH pair stream — d03 candidates through
+    * [[verifyTier]]; the bench-only p27v entry times exactly this.
+    */
+  def lshVerifiedPairs(documents: DataFrame): DataFrame =
+    verifyTier(documents,
+      Dedup.lshCandidatePairs(Dedup.minhashSignature(documents))
+        .materialized)
 
   /** Deterministic training-EPOCH ordering: interleave the corpus
     * round-robin across languages — round r holds the r-th doc of every

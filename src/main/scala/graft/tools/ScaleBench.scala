@@ -178,6 +178,14 @@ object ScaleBench {
     // one more closure. Growth must track p26's output-bound curve;
     // the verify adds a PAIR-linear term, never a corpus² one.
     "p27_verified_lsh_funnel",
+    // r18 (VERDICT r17 #6): the p27 verify tier ALONE — bench-only
+    // entry (p27v, not a gated query: its acceptance predicate is
+    // d26's, already hash-gated; this row isolates the tier's cost).
+    // One corpus pass for the sorted hash sets, then candidate-pair-
+    // bounded joins + the two-pointer intersect: the claim is a
+    // PAIR-linear curve, cheaper than p27's composite which also
+    // prices the exact arm and three closures.
+    "p27v_verify_tier",
     // r18: multimodal near-dup — one decode-seam featurize pass
     // (corpus-linear, the dominant term: n md5s per n-byte payload),
     // the d09-shaped band shuffle, then pair/cluster-bounded verify +
@@ -397,10 +405,16 @@ object ScaleBench {
     * this axis exists to price.
     */
   private val registry: Map[String, (SparkSession, String) => DataFrame] =
-    SparkEntry.queries + ("q20_approx_distinct" ->
-      ((s: SparkSession, dir: String) =>
-        graft.operators.Relational.approxDistinctCounts(
-          Tables.load(s, dir, "lineitem"))))
+    SparkEntry.queries +
+      ("q20_approx_distinct" ->
+        ((s: SparkSession, dir: String) =>
+          graft.operators.Relational.approxDistinctCounts(
+            Tables.load(s, dir, "lineitem")))) +
+      // the p27 verify tier alone (VERDICT r17 #6): pair-linear claim
+      ("p27v_verify_tier" ->
+        ((s: SparkSession, dir: String) =>
+          graft.operators.Pipeline.lshVerifiedPairs(
+            Tables.load(s, dir, "documents"))))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

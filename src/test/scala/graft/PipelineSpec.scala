@@ -90,6 +90,26 @@ class PipelineSpec extends SparkSpec {
     assert(rows("exact")(0) === 2L)
   }
 
+  test("lshVerifiedPairs: the standalone verify tier equals d26's " +
+    "acceptance applied to d03's candidates — subset both ways " +
+    "(VERDICT r17 #6)") {
+    val docs = table("documents")
+    val verified = Pipeline.lshVerifiedPairs(docs)
+      .as[(Long, Long)].collect().toSet
+    val raw = graft.operators.Dedup.lshCandidatePairs(
+      graft.operators.Dedup.minhashSignature(docs))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val exact = graft.operators.Dedup.prefixJaccardJoin(docs)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(verified.subsetOf(raw), "verify invented a pair")
+    assert(verified.subsetOf(exact),
+      "verify accepted a pair d26's exact predicate rejects")
+    assert(verified === (raw & exact),
+      "verify dropped a candidate that IS an exact pair — the tier " +
+        "must be exactly d26's acceptance restricted to candidates")
+    assert(verified.nonEmpty, "fixture corpus has no verified pair")
+  }
+
   test("chunkDocuments: overlap grid, short tail, no redundant chunk") {
     val words200 = (0 until 200).map(i => s"w$i").mkString(" ")
     val words100 = (0 until 100).map(i => s"w$i").mkString(" ")
