@@ -951,21 +951,28 @@ object Similarity {
                                 nProbe: Int = 4, m: Int = 8,
                                 nCodes: Int = 16,
                                 dim: Int = 64): DataFrame = {
-    // Plan-only: constructing the index frames derives the artifact
-    // schemas and the write closure; nothing executes until an action
-    // forces the lazy relations' first file listing (VERDICT r17 #2).
-    val (indexed, centArr, cbArr) =
-      ivfPqResidualIndex(embeddings, nCells, m, nCodes, dim)
-    val h = persistedIndex(embeddings,
-      s"res|$nCells|$m|$nCodes|$dim") { dir =>
-      indexed.write.mode("overwrite").parquet(s"$dir/index")
-      centArr.write.mode("overwrite").parquet(s"$dir/centroids")
-      cbArr.write.mode("overwrite").parquet(s"$dir/codebook")
+    // The index-build FRAMES (schemas + write closure) are derived
+    // lazily ONCE per registry key: constructing + analyzing the
+    // k-means plan trees costs the driver ~2 s, which the first
+    // eager-schema version of this method paid on EVERY construction
+    // — tripling the warm serve-path medians (caught by the r18
+    // closing bench's per-query guard). Nothing executes until an
+    // action forces the lazy relations' first file listing
+    // (VERDICT r17 #2).
+    val h = persistedIndex(embeddings, s"res|$nCells|$m|$nCodes|$dim") {
+      val (indexed, centArr, cbArr) =
+        ivfPqResidualIndex(embeddings, nCells, m, nCodes, dim)
+      PersistedIndexSpec(
+        Map("index" -> indexed.schema, "centroids" -> centArr.schema,
+          "codebook" -> cbArr.schema),
+        dir => {
+          indexed.write.mode("overwrite").parquet(s"$dir/index")
+          centArr.write.mode("overwrite").parquet(s"$dir/centroids")
+          cbArr.write.mode("overwrite").parquet(s"$dir/codebook")
+        })
     }
     ivfPqResidualSearch(prepared(embeddings),
-      h.frame("index", indexed.schema),
-      h.frame("centroids", centArr.schema),
-      h.frame("codebook", cbArr.schema),
+      h.frame("index"), h.frame("centroids"), h.frame("codebook"),
       nQueries, k, nProbe, m, dim)
   }
 
@@ -1034,14 +1041,15 @@ object Similarity {
     }.mkString(",")
   }
   private def persistedIndex(input: DataFrame, params: String)
-                            (build: String => Unit): PersistedIndex = {
+                            (mkSpec: => PersistedIndexSpec)
+      : PersistedIndex = {
     persistedIndexCleanup
     val key =
       input.queryExecution.analyzed.canonicalized.toString + "|" +
         inputFileStamps(input) + "|" + params
     persistedIndexes.computeIfAbsent(key, { _ =>
       new PersistedIndex(input.sparkSession, java.nio.file.Files
-        .createTempDirectory("graft-ivfpq-index").toString, build)
+        .createTempDirectory("graft-ivfpq-index").toString, () => mkSpec)
     })
   }
 
@@ -1094,18 +1102,22 @@ object Similarity {
                                   nProbe: Int = 4, m: Int = 8,
                                   nCodes: Int = 16,
                                   dim: Int = 64): DataFrame = {
-    val old = embeddings.filter(col("vec_id") % 10 =!= 9)
-    val (bIndexed, bCentArr, bCbArr) =
-      ivfPqResidualIndex(old, nCells, m, nCodes, dim)
-    val h = persistedIndex(embeddings,
-      s"inc|$nCells|$m|$nCodes|$dim") { dir =>
-      bIndexed.write.mode("overwrite").parquet(s"$dir/index")
-      bCentArr.write.mode("overwrite").parquet(s"$dir/centroids")
-      bCbArr.write.mode("overwrite").parquet(s"$dir/codebook")
+    val h = persistedIndex(embeddings, s"inc|$nCells|$m|$nCodes|$dim") {
+      val old = embeddings.filter(col("vec_id") % 10 =!= 9)
+      val (bIndexed, bCentArr, bCbArr) =
+        ivfPqResidualIndex(old, nCells, m, nCodes, dim)
+      PersistedIndexSpec(
+        Map("index" -> bIndexed.schema, "centroids" -> bCentArr.schema,
+          "codebook" -> bCbArr.schema),
+        dir => {
+          bIndexed.write.mode("overwrite").parquet(s"$dir/index")
+          bCentArr.write.mode("overwrite").parquet(s"$dir/centroids")
+          bCbArr.write.mode("overwrite").parquet(s"$dir/codebook")
+        })
     }
-    val indexed = h.frame("index", bIndexed.schema)
-    val centArr = h.frame("centroids", bCentArr.schema)
-    val cbArr = h.frame("codebook", bCbArr.schema)
+    val indexed = h.frame("index")
+    val centArr = h.frame("centroids")
+    val cbArr = h.frame("codebook")
     val delta = ivfPqDeltaEncode(
       prepared(embeddings).filter(col("vec_id") % 10 === 9),
       centArr, cbArr, m)
@@ -2752,27 +2764,39 @@ object Similarity {
   }
 }
 
+/** One persisted index's artifact schemas + write closure, derived
+  * together from the build-side frames (constructing and ANALYZING
+  * those k-means plan trees costs the driver ~2 s, so the holder
+  * evaluates this at most once per registry key).
+  */
+private[graft] final case class PersistedIndexSpec(
+    schemas: Map[String, org.apache.spark.sql.types.StructType],
+    build: String => Unit)
+
 /** Deferred-build holder for one persisted residual-IVFADC index
   * (Similarity's build-once registry). Registration is cheap (a temp
-  * dir + this object); the three parquet artifact writes run at most
-  * once per JVM, on the first file listing of any of the holder's
-  * lazy relations — i.e. on the first ACTION over a query that serves
-  * from this index, never during plan construction or a plan-only
-  * sweep (VERDICT r17 #2). The build holds only this holder's own
-  * lock (ADVICE r17): unrelated registry keys that hash to the same
-  * ConcurrentHashMap bin never wait on a Spark job. The build closure
-  * writes frames constructed BEFORE the holder exists and must not
-  * reference the holder's own lazy relations — a same-thread
+  * dir + this object); the expensive steps are both once-per-key:
+  * the SPEC (index plan construction + analysis, driver-only — see
+  * [[PersistedIndexSpec]]) on the first `frame` call, and the three
+  * parquet artifact writes on the first file listing of any of the
+  * holder's lazy relations — i.e. on the first ACTION over a query
+  * that serves from this index, never during plan construction or a
+  * plan-only sweep (VERDICT r17 #2). The build holds only this
+  * holder's own lock (ADVICE r17): unrelated registry keys that hash
+  * to the same ConcurrentHashMap bin never wait on a Spark job. The
+  * spec's build closure writes frames it constructed itself and must
+  * not reference the holder's own lazy relations — a same-thread
   * re-entrant ensureBuilt would re-enter the (reentrant) monitor and
   * loop on the build instead of deadlocking visibly.
   */
 private[graft] final class PersistedIndex(
     spark: org.apache.spark.sql.SparkSession, val dir: String,
-    build: String => Unit) {
+    mkSpec: () => PersistedIndexSpec) {
+  private lazy val spec: PersistedIndexSpec = mkSpec()
   @volatile private var done = false
   private val buildLock = new Object
   def ensureBuilt(): Unit = if (!done) buildLock.synchronized {
-    if (!done) { build(dir); done = true }
+    if (!done) { spec.build(dir); done = true }
   }
   /** Lazy parquet relation over `$dir/$sub`. Schema comes from the
     * build-side frame with every top-level field relaxed to nullable,
@@ -2780,10 +2804,9 @@ private[graft] final class PersistedIndex(
     * nullable and the deferred swap must not tighten what downstream
     * plans see.
     */
-  def frame(sub: String,
-            schema: org.apache.spark.sql.types.StructType): DataFrame =
+  def frame(sub: String): DataFrame =
     graft.plans.LazyBuildParquet.frame(spark, s"$dir/$sub",
       org.apache.spark.sql.types.StructType(
-        schema.fields.map(_.copy(nullable = true))),
+        spec.schemas(sub).fields.map(_.copy(nullable = true))),
       () => ensureBuilt())
 }
