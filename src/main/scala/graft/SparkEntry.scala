@@ -6402,7 +6402,8 @@ object SparkEntry {
       s"""WITH RECURSIVE hs AS (SELECT doc_id,
          |  [${h60("substr(text, i, 4)")}
          |    FOR i IN range(1, octet_length(encode(text)) - 2)] AS hs
-         | FROM documents),
+         | FROM documents
+         | WHERE octet_length(encode(text)) >= 4),
          |sh AS (SELECT doc_id,
          |$simhash64Sql AS simhash
          |FROM hs),

@@ -157,9 +157,21 @@ object Multimodal {
     */
   def mediaNearDupSurvivors(documents: DataFrame, maxHamming: Int = 3,
                             maxBucket: Int = 1000): DataFrame = {
+    // Payloads shorter than one 4-byte shingle have NO features, so
+    // their simhash would be the all-zero word and every tiny
+    // unrelated payload would pair at hamming 0 and merge into one
+    // giant fake cluster (ADVICE r18) — featureless docs are excluded
+    // from near-dup detection entirely (mirrored in the m11 oracle).
+    val featured = documents
+      .filter(length(col("text").cast("binary")) >= 4)
     val pairs = Dedup.simhashBandedPairs(
-      mediaFingerprint(documents), maxHamming, maxBucket)
-    val clusters = Dedup.dupClusters(pairs)
+      mediaFingerprint(featured), maxHamming, maxBucket)
+    // Pointer-jumping closure (O(log n) rounds), NOT the maxIters
+    // label propagation that silently returns unconverged labels on a
+    // diameter > maxIters chain (ADVICE r18): the oracle computes the
+    // exact recursive closure, so the Spark side must fail loudly
+    // rather than diverge on a deep chain.
+    val clusters = Dedup.dupClustersShortcut(pairs)
     val blen = documents.select(col("doc_id"),
       length(col("text").cast("binary")).cast("long").as("byte_len"))
     clusters.join(blen, Seq("doc_id"))

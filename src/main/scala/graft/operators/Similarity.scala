@@ -1037,7 +1037,18 @@ object Similarity {
         val p = new org.apache.hadoop.fs.Path(f)
         val st = p.getFileSystem(conf).getFileStatus(p)
         s"$f@${st.getLen}:${st.getModificationTime}"
-      } catch { case _: Throwable => f }
+      } catch {
+        // NonFatal ONLY (ADVICE r18): a fatal error (OOM, interrupt)
+        // must propagate, not silently degrade the r17 stale-index
+        // size+mtime pin to a path-only key. The non-fatal fallback
+        // is logged so a degraded key is never invisible.
+        case scala.util.control.NonFatal(e) =>
+          log.warn(s"inputFileStamps: stat failed for $f " +
+            s"(${e.getClass.getSimpleName}) — persisted-index key " +
+            "degrades to path-only for this file; a same-path " +
+            "rewrite would NOT invalidate the index")
+          f
+      }
     }.mkString(",")
   }
   private def persistedIndex(input: DataFrame, params: String)
@@ -2799,14 +2810,15 @@ private[graft] final class PersistedIndex(
     if (!done) { spec.build(dir); done = true }
   }
   /** Lazy parquet relation over `$dir/$sub`. Schema comes from the
-    * build-side frame with every top-level field relaxed to nullable,
-    * because a plain `spark.read.parquet` infers every parquet column
-    * nullable and the deferred swap must not tighten what downstream
-    * plans see.
+    * build-side frame relaxed RECURSIVELY to nullable (`asNullable`:
+    * nested struct fields and array/map element containment too, not
+    * just the top level — ADVICE r18), because a plain
+    * `spark.read.parquet` infers every parquet column nullable at
+    * every depth and the deferred swap must not tighten what
+    * downstream plans see.
     */
   def frame(sub: String): DataFrame =
     graft.plans.LazyBuildParquet.frame(spark, s"$dir/$sub",
-      org.apache.spark.sql.types.StructType(
-        spec.schemas(sub).fields.map(_.copy(nullable = true))),
+      org.apache.spark.sql.GraftSqlBridge.asNullable(spec.schemas(sub)),
       () => ensureBuilt())
 }

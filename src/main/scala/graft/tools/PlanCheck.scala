@@ -155,14 +155,23 @@ object PlanCheck {
         }
       case _: GlobalLimit => true
       case pr: Project =>
-        val rewritten = keys.flatMap { k =>
+        // A sort key aliased to a REFERENCE-FREE expression (a
+        // literal, a rand-free constant fold) cannot be traced to any
+        // bounding reduction below — dropping it from the key set
+        // made the branch vacuously bounded (ADVICE r18) even though
+        // the one-task sort above is still data-sized. Unresolvable
+        // ⇒ not bounded.
+        val traced = keys.map { k =>
           pr.projectList.find(_.toAttribute.exprId == k.exprId) match {
-            case Some(al: Alias) => al.child.references.toSeq
-            case Some(other) => Seq(other.toAttribute)
-            case None => Seq(k)
+            case Some(al: Alias) =>
+              val refs = al.child.references.toSeq
+              if (refs.isEmpty) None else Some(refs)
+            case Some(other) => Some(Seq(other.toAttribute))
+            case None => Some(Seq(k))
           }
         }
-        bounded(pr.child, rewritten.distinct)
+        traced.forall(_.isDefined) &&
+          bounded(pr.child, traced.flatten.flatten.distinct)
       case l if l.children.isEmpty => false
       case o => o.children.forall(c =>
         bounded(c, keys.filter(c.outputSet.contains)))

@@ -17,4 +17,11 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession,
              plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+  /** RECURSIVE nullability relaxation (nested struct fields, array
+    * containsNull, map valueContainsNull too) — what a plain
+    * `spark.read.parquet` schema inference reports at every depth, so
+    * a deferred-build relation's declared schema matches it exactly
+    * (ADVICE r18; the top-level-only copy left nested types tighter).
+    */
+  def asNullable(s: types.StructType): types.StructType = s.asNullable
 }

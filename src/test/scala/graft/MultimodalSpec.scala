@@ -213,4 +213,20 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect()
     assert(repart.sorted.toSeq === out.sorted.toSeq)
   }
+
+  test("mediaNearDupSurvivors: featureless payloads (< 4 bytes) are " +
+      "excluded, never merged as fake hamming-0 duplicates") {
+    // ADVICE r18: every < 4-byte payload has an EMPTY feature array,
+    // so all of them share simhash 0 — unfiltered, three unrelated
+    // tiny payloads would merge into one "near-dup" cluster.
+    val base = lcgText(2000, 9L)
+    val media = Seq(
+      (1L, "a"), (2L, "xy"), (3L, "pqr"), // featureless, all unrelated
+      (20L, base), (21L, base)            // one real dup pair
+    ).toDF("doc_id", "text")
+    val out = Multimodal.mediaNearDupSurvivors(media)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 1) // ONLY the real pair clusters
+    assert(out.head._1 === 20L && out.head._4 === 2L)
+  }
 }

@@ -200,4 +200,38 @@ class PlanCheckWindowSpec extends SparkSpec {
       collided.queryExecution.optimizedPlan)
       === Seq("unpartitioned-window"))
   }
+
+  test("a sort key aliased to a REFERENCE-FREE expression is " +
+    "unresolvable, not vacuously bounded (ADVICE r18)") {
+    // the key traces to a Project alias with no attribute references;
+    // the one-task sort above it is still corpus-sized, so dropping
+    // the key from the trace set must flag, not clear. The alias must
+    // survive optimization: build the Window plan MANUALLY over the
+    // analyzed Project (Catalyst would fold an ordering literal away
+    // before the sweep sees it, which is exactly why the matcher —
+    // which also runs on un-optimized shapes in other tools — must
+    // not have the hole).
+    import org.apache.spark.sql.catalyst.dsl.expressions._
+    import org.apache.spark.sql.catalyst.dsl.plans._
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, Ascending, Literal, SortOrder, WindowExpression,
+      WindowSpecDefinition, SpecifiedWindowFrame, RowFrame,
+      UnboundedPreceding, CurrentRow}
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    val base = corpus.queryExecution.analyzed
+    val lit1 = Alias(Literal(1), "c1")()
+    val proj = base.select(base.output.head, lit1)
+    val sortKey = lit1.toAttribute
+    val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding,
+      CurrentRow)
+    val spec = WindowSpecDefinition(Nil,
+      Seq(SortOrder(sortKey, Ascending)), frame)
+    val wexpr = Alias(WindowExpression(
+      org.apache.spark.sql.catalyst.expressions.RowNumber(), spec),
+      "rn")()
+    val win = Window(Seq(wexpr), Nil,
+      Seq(SortOrder(sortKey, Ascending)), proj)
+    assert(PlanCheck.unpartitionedWindowFlags(win)
+      === Seq("unpartitioned-window"))
+  }
 }
