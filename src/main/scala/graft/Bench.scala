@@ -151,14 +151,6 @@ object Bench {
     val idKey = (k: String) => k.takeWhile(_ != '_')
     val idMark = ""","keys":"id-prefix""""
     val full = line(3, strip = false, sfDir, identity)
-    val candidates = Iterator(
-      full,
-      line(2, strip = true, sfDir, identity),
-      line(1, strip = true, sfDir, identity),
-      line(1, strip = true, sfShort, identity),
-      line(3, strip = false, sfShort, idKey, idMark),
-      line(1, strip = true, sfShort, idKey, idMark))
-    val json = candidates.find(_.length <= 1990).getOrElse(full)
     // Belt and braces for the harness parse: also persist the FULL line
     // (with the complete per-query median map) to a file
     // (BENCH_LOCAL.json or args(0)).
@@ -173,6 +165,48 @@ object Bench {
     val ratios: Map[String, Double] = medians.flatMap { case (k, v) =>
       baseline.get(k).filter(_ > 0).map(b => k -> v / b)
     }
+    // The guard verdict, shared by the stdout WARN lines below and the
+    // summary-only stdout tier: >2× the frozen median AND >1 s absolute
+    // over it (the r13 #5 shape — see the guard comment below).
+    val tripped: Seq[String] = medians.toSeq.collect {
+      case (k, v) if baseline.get(k).exists(b => v > 2.0 * b && v - b > 1.0)
+        => k
+    }.sorted
+    val newQueries: Seq[String] =
+      if (baseline.isEmpty) Seq.empty
+      else (medians.keySet -- baseline.keySet).toSeq.sorted
+    // SUMMARY-ONLY stdout tier (VERDICT r18 #5): past ~240 queries no
+    // per-query map fits the harness's 2000-char stdout window (every
+    // BENCH_rNN since r14 recorded `parsed: null`). When none of the
+    // per-query tiers fit, emit the aggregate contract instead —
+    // total, median_total, the calibration medians, and the GUARD
+    // VERDICT (trip count + names, new-entrant count + names) — so
+    // the driver artifact regains an in-band parse while the full
+    // per-query map continues to live in the file artifact.
+    def names(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def summaryLine(dp: Int, strip: Boolean, sf: String): String =
+      s"""{"metric":"total","value":${fmt(total, 3, strip = false)},""" +
+        s""""unit":"sec","summary_only":true,"reps":$reps,""" +
+        s""""n_queries":${results.size},""" +
+        s""""median_total":${fmt(medianTotal, 3, strip = false)},""" +
+        s""""medians_cal":${qmap(
+          medians.view.filterKeys(calibrationSet.contains).toMap,
+          dp, strip, identity[String])},""" +
+        s""""guard_anchored":${ratios.size},""" +
+        s""""guard_trips":${tripped.size},"tripped":${names(tripped)},""" +
+        s""""new_queries":${names(newQueries)},"sf":"$sf"}"""
+    val candidates = Iterator(
+      full,
+      line(2, strip = true, sfDir, identity),
+      line(1, strip = true, sfDir, identity),
+      line(1, strip = true, sfShort, identity),
+      line(3, strip = false, sfShort, idKey, idMark),
+      line(1, strip = true, sfShort, idKey, idMark),
+      summaryLine(3, strip = false, sfDir),
+      summaryLine(1, strip = true, sfShort))
+    val json = candidates.find(_.length <= 1990).getOrElse(
+      summaryLine(1, strip = true, sfShort))
     // Host state at capture time (VERDICT r15 #7): three rounds of
     // verdicts adjudicated "host band" drift by narrative; recording
     // loadavg, the cpu MHz spread, and the wall-clock timestamp in the
@@ -228,16 +262,13 @@ object Bench {
     // sit under it). Queries with no baseline row are new entrants —
     // named in-band so a grown total is attributable, never silent.
     if (baseline.nonEmpty) {
-      medians.foreach { case (k, v) =>
-        baseline.get(k).foreach { b =>
-          if (v > 2.0 * b && v - b > 1.0)
-            println(f"WARN bench-vs-baseline: $k median ${v}%.2fs is ${v / b}%.1fx its frozen anchor median ${b}%.2fs")
-        }
+      tripped.foreach { k =>
+        val (v, b) = (medians(k), baseline(k))
+        println(f"WARN bench-vs-baseline: $k median ${v}%.2fs is ${v / b}%.1fx its frozen anchor median ${b}%.2fs")
       }
-      val newQ = medians.keySet -- baseline.keySet
-      if (newQ.nonEmpty)
+      if (newQueries.nonEmpty)
         println(s"INFO bench-new-queries (no frozen baseline): " +
-          newQ.toSeq.sorted.mkString(","))
+          newQueries.mkString(","))
     }
     if (failed.nonEmpty)
       println(s"WARN bench-failed: ${failed.mkString(",")}")
