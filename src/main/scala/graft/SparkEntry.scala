@@ -945,6 +945,12 @@ object SparkEntry {
     // survivors per cluster.
     "m11_media_neardup" -> ((s, dir) =>
       Multimodal.mediaNearDupSurvivors(t(s, dir, "documents"))),
+    // Multimodal loss-accounting funnel (the m-family's p14): raw →
+    // m06 image rules → m11 near-dup canonical survivors → m08
+    // vision-token budget, one conditional-sum pass for the stage
+    // rows with doc/byte/vision-token attrition columns.
+    "m12_multimodal_funnel" -> ((s, dir) =>
+      Multimodal.multimodalFunnel(t(s, dir, "documents"))),
     // Exact-percentile token-length gate via value histogram.
     "p11_length_gate" -> ((s, dir) =>
       Pipeline.lengthGate(t(s, dir, "documents"))),
@@ -1175,6 +1181,46 @@ object SparkEntry {
   /** DuckDB: left-fold sum matching Canon.dot / Canon.rollingHash. */
   private def foldSum(products: String): String =
     s"list_reduce(list_prepend(0.0, $products), (acc, x) -> acc + x)"
+
+  /** DuckDB: the media near-dup closure chain over source relation
+    * `$src` (doc_id, text; payloads < 4 bytes pre-filtered by the
+    * caller) — byte-4-gram feature hashes (substr ≡ byte slice under
+    * the corpus's ASCII payloads, the m01 head_hex equivalence),
+    * d04's 64-fold simhash, the 4×16-bit pigeonhole bands with the
+    * 1000-cap, the exact hamming-≤3 verify, and the recursive
+    * component closure ending in `clus` (doc_id, cluster_rep).
+    * Shared by the m11 and m12 mirrors so the chain cannot drift;
+    * the caller opens WITH RECURSIVE.
+    */
+  private def mediaClosureCtes(src: String): String = {
+    val bands = (0 until 4).map(i =>
+      s"'b$i:' || ((simhash >> ${16 * i}) & 65535)::VARCHAR")
+    s"""hs AS (SELECT doc_id,
+       |  [${h60("substr(text, i, 4)")}
+       |    FOR i IN range(1, octet_length(encode(text)) - 2)] AS hs
+       | FROM $src),
+       |sh AS (SELECT doc_id,
+       |$simhash64Sql AS simhash
+       |FROM hs),
+       |banded AS (SELECT doc_id, simhash,
+       |  unnest([${bands.mkString(",\n   ")}]) AS bk FROM sh),
+       |capped AS (SELECT doc_id, simhash, bk FROM (
+       |  SELECT doc_id, simhash, bk, count(*) OVER (PARTITION BY bk) AS bsz
+       |  FROM banded) WHERE bsz <= 1000),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       | FROM capped a JOIN capped b
+       | ON a.bk = b.bk AND a.doc_id < b.doc_id
+       | WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |nodes AS (SELECT DISTINCT a AS n FROM sym),
+       |reach(node, lab) AS (
+       |  SELECT n, n FROM nodes
+       |  UNION
+       |  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node),
+       |clus AS (SELECT node AS doc_id, min(lab) AS cluster_rep
+       |  FROM reach GROUP BY node)""".stripMargin
+  }
 
   /** DuckDB: the synchronous label-propagation chain
     * (GraphEtl.labelPropagation over the g12 co-supplier edges):
@@ -6397,34 +6443,9 @@ object SparkEntry {
     // band/cap/verify, d08's recursive closure, d12's survivors
     // argmax with byte_len in place of n_tokens.
     "m11_media_neardup" -> {
-      val bands = (0 until 4).map(i =>
-        s"'b$i:' || ((simhash >> ${16 * i}) & 65535)::VARCHAR")
-      s"""WITH RECURSIVE hs AS (SELECT doc_id,
-         |  [${h60("substr(text, i, 4)")}
-         |    FOR i IN range(1, octet_length(encode(text)) - 2)] AS hs
-         | FROM documents
+      s"""WITH RECURSIVE mdocs AS (SELECT doc_id, text FROM documents
          | WHERE octet_length(encode(text)) >= 4),
-         |sh AS (SELECT doc_id,
-         |$simhash64Sql AS simhash
-         |FROM hs),
-         |banded AS (SELECT doc_id, simhash,
-         |  unnest([${bands.mkString(",\n   ")}]) AS bk FROM sh),
-         |capped AS (SELECT doc_id, simhash, bk FROM (
-         |  SELECT doc_id, simhash, bk, count(*) OVER (PARTITION BY bk) AS bsz
-         |  FROM banded) WHERE bsz <= 1000),
-         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         | FROM capped a JOIN capped b
-         | ON a.bk = b.bk AND a.doc_id < b.doc_id
-         | WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
-         |sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |  UNION SELECT doc_b, doc_a FROM pairs),
-         |nodes AS (SELECT DISTINCT a AS n FROM sym),
-         |reach(node, lab) AS (
-         |  SELECT n, n FROM nodes
-         |  UNION
-         |  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node),
-         |clus AS (SELECT node AS doc_id, min(lab) AS cluster_rep
-         |  FROM reach GROUP BY node),
+         |${mediaClosureCtes("mdocs")},
          |blen AS (SELECT doc_id,
          |  octet_length(encode(text))::BIGINT AS byte_len
          |  FROM documents),
@@ -6438,6 +6459,57 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY cluster_rep
          |    ORDER BY byte_len DESC, doc_id) AS rk
          | FROM j) WHERE rk = 1""".stripMargin
+    },
+    // multimodalFunnel mirror: the m02 stub-dims CTE feeding m06's
+    // rule conjunction and m08's token arithmetic into per-doc flags,
+    // the shared mediaClosureCtes chain restricted to the stage-1
+    // survivors, m11's canonical argmax as a window, and the four
+    // stage rows as conditional-sum UNION ALL branches.
+    "m12_multimodal_funnel" -> {
+      val dtv = """count(*)::BIGINT,
+         |  coalesce(sum(byte_len), 0)::BIGINT,
+         |  coalesce(sum(vision_tokens), 0)::BIGINT
+         | FROM marked""".stripMargin
+      s"""WITH RECURSIVE h AS (SELECT doc_id,
+         |  octet_length(encode(text)) AS blen, ${h60("text")} AS h
+         | FROM documents),
+         |meta AS (SELECT doc_id, blen::BIGINT AS byte_len,
+         |  64 + h % 193 AS width, 64 + (h // 193) % 129 AS height
+         | FROM h),
+         |flags AS (SELECT doc_id, byte_len,
+         |  (width // 32) * (height // 32) + 1 AS vision_tokens,
+         |  width >= 96 AND height >= 96
+         |   AND greatest(width, height)::DOUBLE / least(width, height)
+         |     <= 2.0
+         |   AND byte_len >= 64 AS ok
+         | FROM meta),
+         |sdocs AS (SELECT d.doc_id, d.text FROM documents d
+         |  JOIN flags f USING (doc_id)
+         |  WHERE f.ok AND f.byte_len >= 4),
+         |${mediaClosureCtes("sdocs")},
+         |canon AS (SELECT doc_id FROM (
+         |  SELECT c.doc_id, row_number() OVER (PARTITION BY c.cluster_rep
+         |    ORDER BY f.byte_len DESC, c.doc_id) AS rk
+         |  FROM clus c JOIN flags f USING (doc_id)) WHERE rk = 1),
+         |nd AS (SELECT c.doc_id FROM clus c
+         |  LEFT JOIN canon k ON k.doc_id = c.doc_id
+         |  WHERE k.doc_id IS NULL),
+         |marked AS (SELECT f.doc_id, f.byte_len, f.vision_tokens, f.ok,
+         |  (n.doc_id IS NOT NULL) AS is_nd
+         | FROM flags f LEFT JOIN nd n ON n.doc_id = f.doc_id)
+         |SELECT 0::BIGINT AS stage, 'raw' AS stage_name,
+         |  count(*)::BIGINT AS n_docs,
+         |  coalesce(sum(byte_len), 0)::BIGINT AS n_bytes,
+         |  coalesce(sum(vision_tokens), 0)::BIGINT AS n_vision_tokens
+         | FROM marked
+         |UNION ALL
+         |SELECT 1::BIGINT, 'image_rules', $dtv WHERE ok
+         |UNION ALL
+         |SELECT 2::BIGINT, 'neardup_canonical', $dtv
+         |  WHERE ok AND NOT is_nd
+         |UNION ALL
+         |SELECT 3::BIGINT, 'token_budget', $dtv
+         |  WHERE ok AND NOT is_nd AND vision_tokens <= 24""".stripMargin
     },
     "p11_length_gate" ->
       """WITH t AS (SELECT doc_id,

@@ -2,7 +2,7 @@ package graft.operators
 
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §2.12): image/audio/video as
@@ -185,6 +185,96 @@ object Multimodal {
         col("best.byte_len").as("canonical_bytes"),
         col("n_docs"),
         (col("n_docs") - 1).as("n_removed"))
+  }
+
+  /** m12: the multimodal LOSS-ACCOUNTING FUNNEL (VERDICT r18 #2) —
+    * the m-family's p14. Text curation gates its end-to-end attrition
+    * (p01/p14/p15); this composes the multimodal stages the family
+    * already gates individually into one audited funnel:
+    *
+    *   stage 0 `raw`               — the whole corpus
+    *   stage 1 `image_rules`       — m06's LAION-style gate (min dims,
+    *                                 aspect band, min payload bytes)
+    *   stage 2 `neardup_canonical` — m11's near-dup chain run over the
+    *                                 stage-1 SURVIVORS (fingerprint
+    *                                 seam → banded hamming → closure),
+    *                                 keeping one canonical per cluster
+    *                                 (largest payload, then smallest
+    *                                 doc_id — m11's rule)
+    *   stage 3 `token_budget`      — m08's vision-token gate
+    *                                 (ViT patches + CLS ≤ `maxTokens`)
+    *
+    * One row per stage with doc / byte / vision-token attrition
+    * columns — the numbers a VLM data card reports per curation stage.
+    *
+    * `maxTokens` defaults to 24, NOT m08's 64: the stub decoder's
+    * dimension ranges (width ≤ 256, height ≤ 192) cap vision tokens
+    * at 49, so a 64-token budget would be a vacuously-passing stage —
+    * 24 sits mid-range (tokens span 5–49) and makes the gate attrit
+    * for real at every SF. A production decoder revisits the dial.
+    *
+    * Scale shape (p14's): ONE decode-seam metadata pass feeds every
+    * stage flag; the m11 pair chain runs only over the stage-1
+    * survivor subset (bucketed, capped, never all-pairs) and its
+    * verdict joins back by doc_id; the funnel itself is ONE
+    * conditional-sum aggregate over the doc-keyed flag joins — no
+    * stage re-scans the corpus. Only the two seam passes (decode
+    * metadata, fingerprint) read payload bytes; column pruning keeps
+    * every later stage off those pages.
+    */
+  def multimodalFunnel(documents: DataFrame, patch: Int = 32,
+                       maxTokens: Long = 24L, minDim: Long = 96L,
+                       maxAspect: Double = 2.0, minBytes: Long = 64L,
+                       maxHamming: Int = 3, maxBucket: Int = 1000)
+      : DataFrame = {
+    val aspect = greatest(col("width"), col("height")).cast("double") /
+      least(col("width"), col("height"))
+    // one seam pass: per-doc bytes, vision tokens, the m06 verdict
+    val flags = decodeMeta(documents)
+      .select(col("doc_id"), col("byte_len"),
+        (expr(s"width div $patch") * expr(s"height div $patch") + 1L)
+          .as("vision_tokens"),
+        (col("width") >= minDim && col("height") >= minDim &&
+          aspect <= maxAspect && col("byte_len") >= minBytes).as("_ok"))
+    // the m11 chain over the stage-1 survivors only (featureless
+    // payloads excluded exactly as mediaNearDupSurvivors does)
+    val surv = documents
+      .join(flags.filter(col("_ok")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .filter(length(col("text").cast("binary")) >= 4)
+    val clus = Dedup.dupClustersShortcut(Dedup.simhashBandedPairs(
+      mediaFingerprint(surv), maxHamming, maxBucket))
+    val canon = clus
+      .join(flags.select(col("doc_id"), col("byte_len")), Seq("doc_id"))
+      .groupBy(col("cluster_rep"))
+      .agg(max(struct(col("byte_len"), (-col("doc_id")).as("neg_id")))
+        .as("best"))
+      .select((-col("best.neg_id")).as("doc_id"))
+    // non-canonical cluster members — the docs stage 2 removes
+    val dropped = clus.select(col("doc_id"))
+      .join(canon, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(1).as("_nd"))
+    val marked = flags.join(dropped, Seq("doc_id"), "left")
+    def dtv(cond: Column, i: Int) = Seq(
+      count(when(cond, lit(1))).as(s"d$i"),
+      coalesce(sum(when(cond, col("byte_len"))), lit(0L)).as(s"b$i"),
+      coalesce(sum(when(cond, col("vision_tokens"))), lit(0L))
+        .as(s"v$i"))
+    val s2 = col("_ok") && col("_nd").isNull
+    val aggs = dtv(lit(true), 0) ++ dtv(col("_ok"), 1) ++ dtv(s2, 2) ++
+      dtv(s2 && col("vision_tokens") <= maxTokens, 3)
+    def row(i: Int, name: String) = struct(
+      lit(i).as("stage"), lit(name).as("stage_name"),
+      col(s"d$i").as("n_docs"), col(s"b$i").as("n_bytes"),
+      col(s"v$i").as("n_vision_tokens"))
+    marked.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(
+        row(0, "raw"), row(1, "image_rules"),
+        row(2, "neardup_canonical"), row(3, "token_budget"))).as("s"))
+      .select(col("s.stage").as("stage"),
+        col("s.stage_name").as("stage_name"),
+        col("s.n_docs").as("n_docs"), col("s.n_bytes").as("n_bytes"),
+        col("s.n_vision_tokens").as("n_vision_tokens"))
   }
 
   /** Documents → opaque binary payload column (stand-in for real media

@@ -192,7 +192,13 @@ object ScaleBench {
     // closure + survivors. Rotated copies keep byte shingles
     // copy-local, so pairs stay copy-local and the growth variable is
     // the corpus-linear seam pass.
-    "m11_media_neardup")
+    "m11_media_neardup",
+    // r19: the multimodal funnel — ONE decode-seam metadata pass
+    // (corpus-linear) + m11's chain over the rule-survivor subset +
+    // one conditional-sum aggregate; growth must track m11's
+    // seam-dominated curve, with the funnel tail adding only
+    // doc-keyed flag joins.
+    "m12_multimodal_funnel")
 
   /** Third axis (late r10): the event-time window family. Its scale
     * risk is per-key WINDOW/JOIN STATE — salted user ids grow the key

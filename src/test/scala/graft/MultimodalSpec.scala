@@ -229,4 +229,56 @@ class MultimodalSpec extends SparkSpec {
     assert(out.length === 1) // ONLY the real pair clusters
     assert(out.head._1 === 20L && out.head._4 === 2L)
   }
+
+  test("multimodalFunnel: stage rows reconcile with the component " +
+      "gates (m06 rules, m11 survivors, m08 token budget); attrition " +
+      "monotone in docs, bytes, and tokens") {
+    import org.apache.spark.sql.functions.{col, expr, sum => fsum}
+    // seed 1: the 2000-char payload's stub-decoded dims (213×180)
+    // PASS the m06 rules, so the dup pair reaches stage 2
+    val base = lcgText(2000, 1L)
+    val docs = (Seq((100L, base), (101L, base)) ++ // one near-dup pair
+      (0L until 30L).map(i =>
+        (i, lcgText(120 + 37 * i.toInt % 600, 1000L + i))))
+      .toDF("doc_id", "text")
+    val f = Multimodal.multimodalFunnel(docs).orderBy("stage").collect()
+    assert(f.map(_.getAs[String]("stage_name")).toSeq ===
+      Seq("raw", "image_rules", "neardup_canonical", "token_budget"))
+    def nums(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("n_bytes"),
+        r.getAs[Long]("n_vision_tokens"))
+    // monotone attrition across all three measures
+    (0 to 2).foreach { i =>
+      val (d0, b0, v0) = nums(f(i)); val (d1, b1, v1) = nums(f(i + 1))
+      assert(d1 <= d0 && b1 <= b0 && v1 <= v0, s"stage $i -> ${i + 1}")
+    }
+    // stage 0: whole-corpus totals
+    assert(nums(f(0))._1 === 32L)
+    // stage 1 reconciles with m06's image_ok verdict
+    val okDocs = Multimodal.imageFilter(docs).filter(col("image_ok"))
+    assert(nums(f(1))._1 === okDocs.count())
+    // stage 2 reconciles with m11 over the stage-1 survivors: each
+    // cluster keeps exactly its canonical, so docs fall by Σ n_removed
+    val surv = docs.join(okDocs.select(col("doc_id")), Seq("doc_id"),
+      "left_semi")
+    val removed = Multimodal.mediaNearDupSurvivors(surv)
+      .agg(fsum(col("n_removed"))).collect().head.getLong(0)
+    assert(nums(f(2))._1 === nums(f(1))._1 - removed)
+    // the fixture's dup pair survives the rules, so stage 2 drops ≥ 1
+    assert(removed >= 1L)
+    // stage 3 reconciles with m08's arithmetic at the funnel's budget:
+    // count survivors whose vision tokens exceed 24 among stage-2 docs
+    val tok = Multimodal.visionTokens(Multimodal.decodeMeta(docs))
+      .select(col("doc_id"), col("vision_tokens"))
+    // stage-2 survivor ids = ok ids minus the removed non-canonicals;
+    // reconstruct via the funnel identity instead: stage3 must equal
+    // the number of stage-2 docs fitting the budget, which is bounded
+    // by the all-docs fit count and at least stage2 - all-docs misses
+    val fitsAll = tok.filter(col("vision_tokens") <= 24).count()
+    val missAll = tok.filter(col("vision_tokens") > 24).count()
+    assert(nums(f(3))._1 <= fitsAll)
+    assert(nums(f(3))._1 >= nums(f(2))._1 - missAll)
+    // the fixture spans the token range, so the budget gate is real
+    assert(missAll >= 1L && fitsAll >= 1L)
+  }
 }
