@@ -965,6 +965,17 @@ object SparkEntry {
     // candidates, length-incompatible pairs skipped (NULL distance).
     "d31_edit_distance" -> ((s, dir) =>
       Dedup.editDistancePairs(t(s, dir, "documents"))),
+    // Semantic decontamination: the embedding-space analog of d10 —
+    // batch vectors within cosine tau of ANY benchmark vector under
+    // the shared IVF coarse quantizer (built on the batch side,
+    // benchmark probes nProbe cells) are flagged; catches the
+    // paraphrased benchmark leakage shingle gates miss.
+    "d32_semantic_decontaminate" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.semanticDecontaminate(
+        emb.filter(col("vec_id") % 7 =!= 0),
+        emb.filter(col("vec_id") % 7 === 0))
+    }),
     // Per-vertex local clustering coefficient (g11's node view).
     "g16_local_cc" -> ((s, dir) =>
       GraphEtl.localClustering(
@@ -2116,9 +2127,21 @@ object SparkEntry {
     * s52 builds on the OLD corpus but serves queries from the full
     * one. `ivfCteOver("n")` is the historical ivfCte byte-for-byte.
     */
-  private def ivfCteOver(qsrc: String): String = {
+  private def ivfCteOver(qsrc: String): String =
+    ivfChainCtes("n", qsrc, " WHERE a.vec_id < 10", 4)
+
+  /** The full deterministic-IVF chain (content-hash seeds, one
+    * fixed-point Lloyd round, refined assignment `asg`, probe list
+    * `probes`) with the INDEX side `$isrc` and the probe-query side
+    * `$qsrc` (filtered by `$qfilter`, `$nProbe` cells per query)
+    * parameterized — shared by the s03/s39/s52-family mirrors (via
+    * [[ivfCteOver]]) and the d32 decontamination mirror (index on
+    * the batch side, probes = the whole benchmark side).
+    */
+  private def ivfChainCtes(isrc: String, qsrc: String, qfilter: String,
+                           nProbe: Int): String = {
     s"""h AS (SELECT vec_id, v, nrm,
-       |  ${h60("'ivfseed|' || vec_id")} AS hh FROM n),
+       |  ${h60("'ivfseed|' || vec_id")} AS hh FROM $isrc),
        |c0 AS (SELECT row_number() OVER (ORDER BY hh, vec_id) - 1
        |    AS cell, v AS cv, nrm AS cnrm
        |  FROM h ORDER BY hh, vec_id LIMIT 16),
@@ -2126,7 +2149,7 @@ object SparkEntry {
        |  SELECT a.vec_id, a.v, c.cell,
        |   row_number() OVER (PARTITION BY a.vec_id
        |     ORDER BY $centSim DESC, c.cell) AS rk
-       |  FROM n a CROSS JOIN c0 c) WHERE rk = 1),
+       |  FROM $isrc a CROSS JOIN c0 c) WHERE rk = 1),
        |mx AS (SELECT cell,
        |  unnest([{'d': i, 'q': floor(v[i] * 1000000)::BIGINT}
        |    FOR i IN range(1, len(v)+1)]) AS s FROM asg0),
@@ -2143,12 +2166,12 @@ object SparkEntry {
        |  SELECT a.vec_id, a.v, a.nrm, c.cell,
        |   row_number() OVER (PARTITION BY a.vec_id
        |     ORDER BY $centSim DESC, c.cell) AS rk
-       |  FROM n a CROSS JOIN c) WHERE rk = 1),
+       |  FROM $isrc a CROSS JOIN c) WHERE rk = 1),
        |probes AS (SELECT q_id, qv, qnrm, cell FROM (
        |  SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qnrm, c.cell,
        |   row_number() OVER (PARTITION BY a.vec_id
        |     ORDER BY $centSim DESC, c.cell) AS rk
-       |  FROM $qsrc a CROSS JOIN c WHERE a.vec_id < 10) WHERE rk <= 4)""".stripMargin
+       |  FROM $qsrc a CROSS JOIN c$qfilter) WHERE rk <= $nProbe)""".stripMargin
   }
 
   /** Shared s40/s41 tail (appended after a generator CTE ending in
@@ -6572,6 +6595,31 @@ object SparkEntry {
            |   >= ${Dedup.EditTauPct}, false) AS is_dup
            |FROM lv""".stripMargin
     },
+    // semanticDecontaminate mirror: embCte split on vec_id % 7, the
+    // shared ivfChainCtes with the index built on the BATCH side and
+    // every benchmark vector probing its 2 nearest cells, the m11-
+    // style per-cell probe cap, then the exact cosine verify rolled
+    // up per batch doc (count + max) and the tau verdict — d10's
+    // left-join/coalesce verdict shape.
+    "d32_semantic_decontaminate" ->
+      (embCte +
+        s""", bt AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 7 <> 0),
+           |bm AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 7 = 0),
+           |${ivfChainCtes("bt", "bm", "", 2)},
+           |pcap AS (SELECT q_id, qv, qnrm, cell FROM (
+           |  SELECT *, count(*) OVER (PARTITION BY cell) AS bsz
+           |  FROM probes) WHERE bsz <= 10000),
+           |hits AS (SELECT b.vec_id, count(*)::BIGINT AS nc,
+           |  max(${foldSum(
+                "[b.v[i] * p.qv[i] FOR i IN range(1, len(b.v)+1)]")}
+           |    / (b.nrm * p.qnrm)) AS mc
+           | FROM asg b JOIN pcap p USING (cell)
+           | GROUP BY b.vec_id)
+           |SELECT d.vec_id, coalesce(nc, 0)::BIGINT AS n_bench_candidates,
+           | mc AS max_cos,
+           | coalesce(mc >= 0.8, false) AS contaminated
+           |FROM bt d LEFT JOIN hits ON hits.vec_id = d.vec_id"""
+          .stripMargin),
     // bbitMinhashPairs mirror (b=2): d17's chain with the extra low-
     // 2-bit agreement count and the (4·A − 8)/(8·3) corrected
     // estimator — same single-division IEEE discipline.

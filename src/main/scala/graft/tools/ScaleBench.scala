@@ -198,7 +198,15 @@ object ScaleBench {
     // one conditional-sum aggregate; growth must track m11's
     // seam-dominated curve, with the funnel tail adding only
     // doc-keyed flag joins.
-    "m12_multimodal_funnel")
+    "m12_multimodal_funnel",
+    // r19: semantic decontamination — one batch-corpus quantizer
+    // pass (row-local broadcast argmax, zero corpus shuffle) + the
+    // benchmark side reduced to nProbe rows per benchmark vector;
+    // the candidate join is cell-equi and the growth variable is the
+    // corpus-linear assignment pass (amplified copies grow cells
+    // uniformly 10×, so per-cell co-membership — the verify volume —
+    // grows 10× with them).
+    "d32_semantic_decontaminate")
 
   /** Third axis (late r10): the event-time window family. Its scale
     * risk is per-key WINDOW/JOIN STATE — salted user ids grow the key

@@ -63,6 +63,41 @@ class SimilaritySpec extends SparkSpec {
     assert(rep.toSet === got.toSet)
   }
 
+  test("semanticDecontaminate: planted paraphrase leak flagged, " +
+    "orthogonal batch docs clean, hot-cell cap drops guards loudly, " +
+    "partitioning-independent") {
+    // the leak: batch vec 1 is a small perturbation of the benchmark
+    // vector (cos ≈ 0.95) — the paraphrase class shingle gates miss;
+    // vecs 2/3 are orthogonal to it (cos 0)
+    val batch = Seq(
+      (1L, Array(0.95f, 0.3122499f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val bench = Seq((100L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    def run(b: org.apache.spark.sql.DataFrame, cap: Int = 10000) =
+      Similarity.semanticDecontaminate(b, bench, tau = 0.8,
+        nCells = 1, nProbe = 1, maxBenchPerCell = cap)
+        .as[(Long, Long, Option[Double], Boolean)].collect()
+        .map(r => r._1 -> r).toMap
+    val out = run(batch)
+    assert(out.keySet === Set(1L, 2L, 3L)) // one verdict per batch doc
+    // nCells = 1: everything shares the cell, so all three see the
+    // benchmark as a candidate — only the leak crosses tau
+    assert(out.values.forall(_._2 === 1L))
+    assert(out(1L)._4 && out(1L)._3.get > 0.9)
+    assert(!out(2L)._4 && !out(3L)._4)
+    assert(out(2L)._3.get < 0.8 && out(3L)._3.get < 0.8)
+    // hot-cell cap at 0: every probe dropped (loudly) — nothing is
+    // flagged and every doc reports zero candidates, never a crash
+    val capped = run(batch, cap = 0)
+    assert(capped.values.forall(r => r._2 === 0L && !r._4 &&
+      r._3.isEmpty))
+    // partitioning-independence of the full compose
+    assert(run(batch.repartition(7)) === out)
+  }
+
   test("semanticKeep: the outermost member of a dup cluster survives, " +
     "skipped cells keep everything, partitioning-independent") {
     // nCells = 1: one cell, ≥0.9 pairs form the triangle {0,1,4};
