@@ -342,6 +342,14 @@ object SparkEntry {
     "g27_louvain_fixpoint" -> ((s, dir) =>
       GraphEtl.louvainMovesFixpoint(
         GraphEtl.coSupplierEdges(t(s, dir, "lineitem")), 10, 1)),
+    // The ladder with FIXPOINT inner loops (the production Blondel
+    // shape): per level, damped alternating-direction move rounds to
+    // g27's same-parity recurrence stop, fold, then g25's monotone
+    // mutual-argmax matching. Long-form audit rows per (level, phase,
+    // round), all modularities scored on the original edges.
+    "g28_louvain_fixpoint_ladder" -> ((s, dir) =>
+      GraphEtl.louvainFixpointLadder(
+        GraphEtl.coSupplierEdges(t(s, dir, "lineitem")), 2, 10, 1)),
 
     // --- LLM-pipeline extension surface (SURVEY §2.12) ---
     // Exact dedup: content-hash groupBy, one shuffle.
@@ -1458,6 +1466,89 @@ object SparkEntry {
       louvainMatchTailCtes(s"$l", s"flatv$l", outFlat) +
       louvainModCtes(s"l${l}mv", s"flatv$l") +
       louvainModCtes(s"l$l", outFlat)
+  }
+
+  /** DuckDB: one full g28 ladder level over `$inFlat` → `$outFlat` —
+    * contraction `x$l`, the singleton-restart label init, `cap`
+    * unrolled ALTERNATING-DIRECTION weighted move rounds (g27's
+    * damper), each with its move count, audit fold into the vertex
+    * partition and original-edge modularity tail, and (r ≥ 2) the
+    * same-parity label-diff probe. The recurrence is absorbing, so
+    * rounds past the stop are no-ops: `stop$l` = first recurrence
+    * round (cap if none), `fsel$l` = the partition folded AT the stop
+    * round (selected from the per-round folds by the scalar), and the
+    * level closes with g25's matching on the re-contraction of
+    * `fsel$l` plus its modularity tail. Emits the filtered-rows CTEs
+    * `g28m$l` (move rows) / `g28t$l` (the match row).
+    */
+  private def g28LevelCtes(l: Int, inFlat: String, outFlat: String,
+                           cap: Int): String = {
+    require(cap >= 2, s"g28LevelCtes needs cap >= 2, got $cap")
+    val mt = s"x$l"
+    val init = louvainContractCtes(mt, inFlat) +
+      s""",
+         |wl${mt}_0 AS (SELECT node, node AS lab FROM degc$mt)"""
+        .stripMargin
+    val rounds = (1 to cap).map { r =>
+      val dir = if (r % 2 == 1) " WHERE n.labc < la.lab"
+        else " WHERE n.labc > la.lab"
+      louvainWMoveCtes(mt, r, dir) +
+        s""",
+           |wmv${mt}_$r AS (SELECT sum(CASE WHEN lab <> laba
+           |    THEN 1 ELSE 0 END)::BIGINT AS n_moves FROM wnl${mt}_$r),
+           |wcan${mt}_$r AS (SELECT lab, min(node) AS cc
+           |  FROM wl${mt}_$r GROUP BY lab),
+           |wmap${mt}_$r AS (SELECT wl.node AS c, c2.cc AS mc
+           |  FROM wl${mt}_$r wl JOIN wcan${mt}_$r c2 ON c2.lab = wl.lab),
+           |flat${mt}_$r AS MATERIALIZED (SELECT f.v,
+           |   coalesce(g.mc, f.c) AS c
+           |  FROM $inFlat f LEFT JOIN wmap${mt}_$r g ON g.c = f.c)"""
+          .stripMargin +
+        louvainModCtes(s"${mt}r$r", s"flat${mt}_$r") +
+        (if (r < 2) ""
+         else s""",
+              |wd${mt}_$r AS (SELECT count(*)::BIGINT AS d
+              |  FROM wl${mt}_$r a JOIN wl${mt}_${r - 2} b
+              |    ON b.node = a.node
+              |  WHERE a.lab <> b.lab)""".stripMargin)
+    }.mkString
+    val stop =
+      s""",
+         |g28d$l AS (
+         |${(2 to cap).map(r =>
+             s"  SELECT $r::BIGINT AS round, d FROM wd${mt}_$r")
+             .mkString("\n  UNION ALL\n")}
+         |),
+         |stop$l AS (SELECT coalesce(min(round), $cap::BIGINT) AS rstop
+         |  FROM g28d$l WHERE d = 0),
+         |fsel$l AS MATERIALIZED (SELECT v, c FROM (
+         |${(1 to cap).map(r =>
+             s"  SELECT $r::BIGINT AS round, v, c FROM flat${mt}_$r")
+             .mkString("\n  UNION ALL\n")}
+         |) t, stop$l WHERE t.round = stop$l.rstop)""".stripMargin
+    val moveRows =
+      s""",
+         |g28m$l AS (
+         |${(1 to cap).map(r =>
+             s"""  SELECT $l::BIGINT AS level, 'move' AS phase,
+                |   $r::BIGINT AS round, wmv${mt}_$r.n_moves,
+                |   nb_${mt}r$r.nc_${mt}r$r AS n_communities,
+                |${louvainModExpr(s"${mt}r$r", "modularity")}
+                |  FROM mm, wmv${mt}_$r, nb_${mt}r$r, win_${mt}r$r"""
+               .stripMargin)
+             .mkString("\n  UNION ALL\n")}
+         |)""".stripMargin
+    val matching = louvainContractCtes(s"y$l", s"fsel$l") +
+      louvainMatchTailCtes(s"y$l", s"fsel$l", outFlat) +
+      louvainModCtes(s"y$l", outFlat) +
+      s""",
+         |g28t$l AS (SELECT $l::BIGINT AS level, 'match' AS phase,
+         |   0::BIGINT AS round,
+         |   (SELECT count(*)::BIGINT FROM mty$l) AS n_moves,
+         |   nb_y$l.nc_y$l AS n_communities,
+         |${louvainModExpr(s"y$l", "modularity")}
+         |  FROM mm, nb_y$l, win_y$l)""".stripMargin
+    init + rounds + stop + moveRows + matching
   }
 
   /** DuckDB: the g21 modularity tail over partition table `flatName`
@@ -3860,6 +3951,27 @@ object SparkEntry {
            |  AS rstop FROM g27diffs WHERE d = 0)
            |SELECT round, n_moves, n_communities, modularity
            |FROM g27rows, g27stop WHERE round <= rstop""".stripMargin
+    },
+    // louvainFixpointLadder mirror: phase 1 + flat1, then per level
+    // the g28LevelCtes block (g27's capped damped unroll with its
+    // recurrence stop and stop-round partition select, g25's matching
+    // on the re-contraction) and the final union of move rows
+    // (filtered to the executed window) + the per-level match rows.
+    "g28_louvain_fixpoint_ladder" -> {
+      val cap = 10
+      lpaCtes(1) + louvainPhase1Ctes + louvainFlat1Ctes +
+        g28LevelCtes(1, "flat1", "flatL1", cap) +
+        g28LevelCtes(2, "flatL1", "flatL2", cap) +
+        s"""
+           |SELECT level, phase, round, n_moves, n_communities,
+           | modularity
+           |FROM (
+           | SELECT m.* FROM g28m1 m, stop1 WHERE m.round <= stop1.rstop
+           | UNION ALL SELECT * FROM g28t1
+           | UNION ALL
+           | SELECT m.* FROM g28m2 m, stop2 WHERE m.round <= stop2.rstop
+           | UNION ALL SELECT * FROM g28t2
+           |)""".stripMargin
     },
     "t06_vocabulary" ->
       """SELECT word, count(*) AS n,

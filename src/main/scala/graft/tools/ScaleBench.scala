@@ -91,7 +91,13 @@ object ScaleBench {
     // round-overhead class with the round count as the only new
     // variable; the recurrence probe adds one label-frame diff per
     // round, community-sized.
-    "g27_louvain_fixpoint")
+    "g27_louvain_fixpoint",
+    // r19: the ladder with fixpoint inner loops — g27's data-
+    // dependent round count per LEVEL (coarser levels converge
+    // faster) plus one matching contraction per level; the curve
+    // must track g27's with the level count as the only new
+    // multiplier, every added pass community-graph-sized.
+    "g28_louvain_fixpoint_ladder")
 
   /** Second axis (late r10): the corpus-heavy single-pass family —
     * LSH candidate generation, pair verification, the two corpus-pass

@@ -456,6 +456,74 @@ class GraphEtlSpec extends SparkSpec {
     assert(rows.last._4 >= rows.head._4)
   }
 
+  test("louvainFixpointLadder: hand-traced — level 1 replays the g27 " +
+    "trace (damped swap, recurrence at round 3), the matching " +
+    "declines the negative-gain cross-triangle merge, level 2 " +
+    "fixpoints immediately") {
+    // g27's fixture: two triangles joined by (3,4). Level-1 moves are
+    // the g27 hand-trace verbatim (1 move then recurrence at round 3,
+    // Q = 70/196, two communities). The match phase then scores the
+    // only super-pair at s = 2·7·1 − 7·7 = −35 < 0 — no merge. Level
+    // 2 (two supernodes): nothing can move in either direction
+    // (best s = −35 < stay 0), so labels_2 = labels_0 and the
+    // recurrence closes at round 2; its matching declines again.
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val q = 70.0 / 196
+    val rows = GraphEtl.louvainFixpointLadder(twoTri, 2, 10, 1)
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+      .sortBy(r => (r._1, if (r._2 == "match") Long.MaxValue else r._3))
+    assert(rows === Seq(
+      (1L, "move", 1L, 1L, 2L, q),
+      (1L, "move", 2L, 0L, 2L, q),
+      (1L, "move", 3L, 0L, 2L, q),
+      (1L, "match", 0L, 0L, 2L, q),
+      (2L, "move", 1L, 0L, 2L, q),
+      (2L, "move", 2L, 0L, 2L, q),
+      (2L, "match", 0L, 0L, 2L, q)))
+    // partitioning-independence of the whole compose
+    assert(GraphEtl.louvainFixpointLadder(twoTri.repartition(5), 2, 10, 1)
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+      .sortBy(r => (r._1, if (r._2 == "match") Long.MaxValue else r._3))
+      === rows)
+  }
+
+  test("louvainFixpointLadder: on the real co-supplier graph every " +
+    "level runs to a recurrence (not the cap), each match row is >= " +
+    "its level's last move row (the constructive matching guarantee " +
+    "on ORIGINAL edges), and modularity never decreases in execution " +
+    "order") {
+    val edges = GraphEtl.coSupplierEdges(table("lineitem"))
+    val rows = GraphEtl.louvainFixpointLadder(edges, 2, 10, 1)
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+      .sortBy(r => (r._1, if (r._2 == "match") Long.MaxValue else r._3))
+    Seq(1L, 2L).foreach { l =>
+      val lvl = rows.filter(_._1 == l)
+      val moves = lvl.filter(_._2 == "move")
+      assert(moves.nonEmpty && moves.map(_._3) === (1L to moves.length),
+        s"level $l rounds not contiguous")
+      assert(moves.length < 10, s"level $l stopped only by the cap")
+      assert(lvl.last._2 === "match")
+      // matching starts from the fold of the level's stop-round
+      // labels — the level's last move row — and is additive-gain
+      // disjoint pairs, so it may never score below it
+      assert(lvl.last._6 >= moves.last._6 - 1e-12,
+        s"level $l match row regressed below its move fixpoint")
+    }
+    // the full execution-order sequence is non-decreasing on this
+    // graph (empirical, the g26 discipline — synchronous rounds do
+    // not guarantee it, the damper + recurrence stop deliver it here)
+    rows.map(_._6).sliding(2).foreach {
+      case Seq(a, b) => assert(b >= a - 1e-12,
+        s"modularity fell $a -> $b in ${rows.map(_._6)}")
+      case _ => ()
+    }
+    // level 2 must start from level 1's matched partition: its first
+    // fold can only refine modularity upward from the level-1 close
+    assert(rows.filter(_._1 == 2L).head._6 >=
+      rows.filter(_._1 == 1L).last._6 - 1e-12)
+  }
+
   test("louvainLadder: modularity non-decreasing across BOTH levels " +
     "on the real co-supplier graph (the constructive guarantee, " +
     "checked on data the fixtures can't anticipate)") {
