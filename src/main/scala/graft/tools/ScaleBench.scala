@@ -460,6 +460,10 @@ object ScaleBench {
       case Seq("all") =>
         family ++ corpusFamily ++ streamFamily ++ annFamily ++
           annExtra ++ sketchFamily
+      // targeted mode for a round's new entrants: measure just them
+      // over all four tiers instead of re-running a whole axis
+      case Seq(s) if s.startsWith("only=") =>
+        s.stripPrefix("only=").split(",").toSeq
       case _ => family
     }
     val results = tiers.map { case (label, dir) =>
