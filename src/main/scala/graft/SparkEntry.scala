@@ -984,6 +984,17 @@ object SparkEntry {
         emb.filter(col("vec_id") % 7 =!= 0),
         emb.filter(col("vec_id") % 7 === 0))
     }),
+    // d32's recall dial: contamination recall at probe budgets
+    // {1,2,4} vs the exact brute truth (flagged ⊆ truth, so the row
+    // is the measured coverage of the IVF-probed guard — the number
+    // a 100 TB run re-tunes nProbe from). τ = 0.35 so the truth set
+    // is non-empty on the synthetic embeddings at every SF.
+    "d33_decontamination_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.decontaminationRecall(
+        emb.filter(col("vec_id") % 7 =!= 0),
+        emb.filter(col("vec_id") % 7 === 0))
+    }),
     // Per-vertex local clustering coefficient (g11's node view).
     "g16_local_cc" -> ((s, dir) =>
       GraphEtl.localClustering(
@@ -2258,7 +2269,7 @@ object SparkEntry {
        |   row_number() OVER (PARTITION BY a.vec_id
        |     ORDER BY $centSim DESC, c.cell) AS rk
        |  FROM $isrc a CROSS JOIN c) WHERE rk = 1),
-       |probes AS (SELECT q_id, qv, qnrm, cell FROM (
+       |probes AS (SELECT q_id, qv, qnrm, cell, rk AS pr FROM (
        |  SELECT a.vec_id AS q_id, a.v AS qv, a.nrm AS qnrm, c.cell,
        |   row_number() OVER (PARTITION BY a.vec_id
        |     ORDER BY $centSim DESC, c.cell) AS rk
@@ -6731,6 +6742,35 @@ object SparkEntry {
            | mc AS max_cos,
            | coalesce(mc >= 0.8, false) AS contaminated
            |FROM bt d LEFT JOIN hits ON hits.vec_id = d.vec_id"""
+          .stripMargin),
+    // decontaminationRecall mirror: the shared chain at maxProbe = 4
+    // with the probes CTE's rank column, per-doc cheapest catching
+    // rank, the exact brute truth pass, and the grid-complete
+    // per-budget rollup.
+    "d33_decontamination_recall" ->
+      (embCte +
+        s""", bt AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 7 <> 0),
+           |bm AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % 7 = 0),
+           |${ivfChainCtes("bt", "bm", "", 4)},
+           |flag AS (SELECT b.vec_id, min(p.pr)::BIGINT AS min_pr
+           | FROM asg b JOIN probes p USING (cell)
+           | WHERE ${foldSum(
+                "[b.v[i] * p.qv[i] FOR i IN range(1, len(b.v)+1)]")}
+           |    / (b.nrm * p.qnrm) >= 0.35
+           | GROUP BY b.vec_id),
+           |tr AS (SELECT count(DISTINCT a.vec_id)::BIGINT AS n_true
+           | FROM bt a JOIN bm q ON ${foldSum(
+                "[a.v[i] * q.v[i] FOR i IN range(1, len(a.v)+1)]")}
+           |    / (a.nrm * q.nrm) >= 0.35),
+           |g AS (SELECT unnest([1, 2, 4]) AS n_probe),
+           |fc AS (SELECT g.n_probe, count(*)::BIGINT AS n_flagged
+           | FROM g JOIN flag f ON f.min_pr <= g.n_probe
+           | GROUP BY g.n_probe)
+           |SELECT g.n_probe::INT AS n_probe, tr.n_true,
+           | coalesce(fc.n_flagged, 0)::BIGINT AS n_flagged,
+           | CASE WHEN tr.n_true > 0 THEN
+           |   coalesce(fc.n_flagged, 0)::DOUBLE / tr.n_true END AS recall
+           |FROM g CROSS JOIN tr LEFT JOIN fc ON fc.n_probe = g.n_probe"""
           .stripMargin),
     // bbitMinhashPairs mirror (b=2): d17's chain with the extra low-
     // 2-bit agreement count and the (4·A − 8)/(8·3) corrected

@@ -312,6 +312,65 @@ object Similarity {
         coalesce(col("max_cos") >= tau, lit(false)).as("contaminated"))
   }
 
+  /** d33: the d32 RECALL DIAL — contamination recall at every probe
+    * budget in `thresholds` against the exact brute-force truth, the
+    * s11/s27/s40 certification pattern pointed at the decontamination
+    * gate: an IVF-probed guard only covers the cells each benchmark
+    * vector probes, so what fraction of TRUE leaks it catches is a
+    * measured dial, not an assumption — at 100 TB nProbe/nCells are
+    * re-tuned from THIS table (and the truth pass is not run).
+    *
+    * One scored pass, not |thresholds| searches (the
+    * annRecallProbeCurve trick): each flagged (batch, benchmark) pair
+    * is admitted at the benchmark vector's probe RANK of the batch
+    * doc's cell, so a doc's cheapest catching rank `min_pr` decides
+    * every budget at once. Flagged ⊆ truth by construction (the
+    * verify is the exact cosine), so precision is 1 and the row is
+    * (n_probe, n_true, n_flagged, recall), grid-complete and monotone
+    * in the budget — spec-pinned. The truth pass is the honest
+    * certification cost: one batch × benchmark broadcast
+    * nested-loop, output-filtered (the s27/s40 class).
+    */
+  def decontaminationRecall(batch: DataFrame, benchmark: DataFrame,
+                            tau: Double = 0.35, nCells: Int = 16,
+                            thresholds: Seq[Int] = Seq(1, 2, 4))
+      : DataFrame = {
+    val maxProbe = thresholds.max
+    val b = prepared(batch)
+    val bm = prepared(benchmark)
+    val centArr = ivfRefineOnce(b, ivfCentroidArr(b, nCells))
+    val asg = ivfAssigned(b, centArr)
+    val probes = bm.join(broadcast(centArr))
+      .select(col("vec_id").as("b_id"), col("v").as("bv"),
+        col("nrm").as("bnrm"), ivfSims.as("sims"))
+      .select(col("b_id"), col("bv"), col("bnrm"),
+        posexplode(ivfProbeCells(col("sims"), maxProbe)))
+      .select(col("b_id"), col("bv"), col("bnrm"),
+        (col("pos") + 1).as("pr"), col("col").as("cell"))
+    val flagged = asg.join(broadcast(probes), Seq("cell"))
+      .filter(Canon.cosine(Canon.dot(col("v"), col("bv")),
+        col("nrm"), col("bnrm")) >= tau)
+      .groupBy(col("vec_id")).agg(min(col("pr")).as("min_pr"))
+    val truth = b.join(broadcast(bm.select(col("v").as("bv"),
+        col("nrm").as("bnrm"))))
+      .filter(Canon.cosine(Canon.dot(col("v"), col("bv")),
+        col("nrm"), col("bnrm")) >= tau)
+      .select(col("vec_id")).distinct()
+    val thArr = array(thresholds.map(lit): _*)
+    val perBudget = flagged
+      .select(explode(thArr).as("n_probe"), col("min_pr"))
+      .filter(col("min_pr") <= col("n_probe"))
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("n_flagged"))
+    truth.agg(count(lit(1)).as("n_true"))
+      .select(explode(thArr).as("n_probe"), col("n_true"))
+      .join(perBudget, Seq("n_probe"), "left")
+      .select(col("n_probe"), col("n_true"),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        when(col("n_true") > 0,
+          coalesce(col("n_flagged"), lit(0L)).cast("double") /
+            col("n_true")).as("recall"))
+  }
+
   /** ONE deterministic Lloyd refinement round over a seed centroid
     * array: assign every vector to its argmax-cosine seed cell, then
     * recompute each cell's centroid as the FIXED-POINT mean of its

@@ -290,7 +290,13 @@ object ScaleBench {
     // build+round-trip on the old corpus plus a BATCH-sized delta
     // encode; the curve must track s51's (the ingest term is 10% of
     // the corpus and row-local).
-    "s52_ivfpq_incremental")
+    "s52_ivfpq_incremental",
+    // r19: the decontamination recall dial — the d32 chain plus the
+    // brute truth pass, which is batch × benchmark and BOTH sides
+    // grow 10× per tier: the honest certification cost is the
+    // quadratic term (the s27/s40 class — at 100 TB the dial is
+    // read, the truth pass is not re-run).
+    "d33_decontamination_recall")
 
   /** Fifth axis (r13): the sketch-certification family beside their
     * exact twins, plus the z-order global rank. The claim under test

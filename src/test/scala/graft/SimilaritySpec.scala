@@ -98,6 +98,39 @@ class SimilaritySpec extends SparkSpec {
     assert(run(batch.repartition(7)) === out)
   }
 
+  test("decontaminationRecall: a leak in an unprobed cell is missed " +
+    "at budget 1 and caught at budget 2 (recall 0.5 -> 1.0, monotone); " +
+    "full-coverage budget reaches 1.0") {
+    // two orthogonal batch docs, each its own cell (nCells = 2 seeds
+    // = the batch itself); ONE benchmark vector leaking into BOTH
+    // (cos 0.89 to e2, 0.45 to e1 at tau 0.4) whose nearest centroid
+    // is e2's cell — so budget 1 probes only e2's cell and misses the
+    // e1 leak, budget 2 probes both and catches it
+    val batch = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val bench = Seq((100L, Array(0.45f, 0.9f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val rows = Similarity.decontaminationRecall(batch, bench,
+      tau = 0.4, nCells = 2, thresholds = Seq(1, 2))
+      .orderBy("n_probe")
+      .as[(Int, Long, Long, Option[Double])].collect().toSeq
+    assert(rows === Seq(
+      (1, 2L, 1L, Some(0.5)),
+      (2, 2L, 2L, Some(1.0))))
+    // full coverage: one cell means budget 1 already sees everything
+    val full = Similarity.decontaminationRecall(batch, bench,
+      tau = 0.4, nCells = 1, thresholds = Seq(1, 2))
+      .orderBy("n_probe")
+      .as[(Int, Long, Long, Option[Double])].collect().toSeq
+    assert(full.forall(r => r._2 === 2L && r._3 === 2L &&
+      r._4 === Some(1.0)))
+    // recall is monotone in the budget by construction (min_pr
+    // filter) — re-pinned on the real fixtures by the d33 gate
+    assert(rows.map(_._4.get) === rows.map(_._4.get).sorted)
+  }
+
   test("semanticKeep: the outermost member of a dup cluster survives, " +
     "skipped cells keep everything, partitioning-independent") {
     // nCells = 1: one cell, ≥0.9 pairs form the triangle {0,1,4};
