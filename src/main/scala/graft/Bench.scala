@@ -65,6 +65,18 @@ object Bench {
     else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
   }
 
+  /** JSON name-list for the summary stdout tier, CAPPED so the tier
+    * can never outgrow the 2000-char stdout window itself (a
+    * mass-trip event — say a broken Tables load tripping 200
+    * queries — would otherwise reproduce the very parsed:null
+    * failure the tier exists to end). The exact counts ride beside
+    * the lists, so a `"..."` truncation marker is visible in-band.
+    */
+  private[graft] def names(xs: Seq[String], cap: Int = 20): String =
+    (xs.take(cap).map("\"" + _ + "\"") ++
+      (if (xs.size > cap) Seq("\"...\"") else Nil))
+      .mkString("[", ",", "]")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -183,8 +195,6 @@ object Bench {
     // VERDICT (trip count + names, new-entrant count + names) — so
     // the driver artifact regains an in-band parse while the full
     // per-query map continues to live in the file artifact.
-    def names(xs: Seq[String]): String =
-      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     def summaryLine(dp: Int, strip: Boolean, sf: String): String =
       s"""{"metric":"total","value":${fmt(total, 3, strip = false)},""" +
         s""""unit":"sec","summary_only":true,"reps":$reps,""" +

@@ -99,6 +99,15 @@ class BenchSpec extends AnyFunSuite {
     assert(parsed("s51_ivfpq_index_roundtrip") > 0.5)
   }
 
+  test("summary-tier name lists cap with an in-band truncation marker") {
+    assert(Bench.names(Seq("a", "b")) === """["a","b"]""")
+    assert(Bench.names(Seq.empty) === "[]")
+    val many = (1 to 30).map(i => s"q$i")
+    val capped = Bench.names(many)
+    assert(capped.endsWith(""","..."]""") &&
+      capped.contains("\"q20\"") && !capped.contains("\"q21\""))
+  }
+
   test("the committed r18 medians artifact (the r19 freeze source) " +
     "parses: 242 medians, values not ratios") {
     val txt = java.nio.file.Files.readString(

@@ -280,5 +280,9 @@ class MultimodalSpec extends SparkSpec {
     assert(nums(f(3))._1 >= nums(f(2))._1 - missAll)
     // the fixture spans the token range, so the budget gate is real
     assert(missAll >= 1L && fitsAll >= 1L)
+    // partitioning-independence of the whole funnel compose
+    val rep = Multimodal.multimodalFunnel(docs.repartition(7))
+      .orderBy("stage").collect()
+    assert(rep.map(nums).toSeq === f.map(nums).toSeq)
   }
 }

@@ -129,6 +129,11 @@ class SimilaritySpec extends SparkSpec {
     // recall is monotone in the budget by construction (min_pr
     // filter) — re-pinned on the real fixtures by the d33 gate
     assert(rows.map(_._4.get) === rows.map(_._4.get).sorted)
+    // partitioning-independence of the dial
+    assert(Similarity.decontaminationRecall(batch.repartition(7),
+      bench, tau = 0.4, nCells = 2, thresholds = Seq(1, 2))
+      .orderBy("n_probe")
+      .as[(Int, Long, Long, Option[Double])].collect().toSeq === rows)
   }
 
   test("semanticKeep: the outermost member of a dup cluster survives, " +
