@@ -120,4 +120,16 @@ class BenchSpec extends AnyFunSuite {
     // anchored), m11 likewise — check a heavy row's magnitude instead
     assert(parsed("p26_exact_vs_lsh_funnel") > 10.0)
   }
+
+  test("the committed r19 closing artifact (the r20 freeze source) " +
+    "parses: all 246 medians including the four r19 entrants") {
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("BENCH_R19_CLOSING.json"))
+    val parsed = Bench.parseBaseline(txt, sf)
+    assert(parsed.size === 246)
+    Seq("m12_multimodal_funnel", "d32_semantic_decontaminate",
+      "d33_decontamination_recall", "g28_louvain_fixpoint_ladder")
+      .foreach(q => assert(parsed.contains(q), q))
+    assert(parsed("g28_louvain_fixpoint_ladder") > 5.0)
+  }
 }
