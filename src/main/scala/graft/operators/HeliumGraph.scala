@@ -116,6 +116,86 @@ object HeliumGraph {
         .as("processing_time_s"))
   }
 
+  /** h07 (VERDICT r19 #2): witness-graph analytics over the PARITY
+    * edges — the composition the reference exists to enable. The
+    * reference's stated purpose is storing adjacency data for graph
+    * queries (reference README.md:2; data model follower.py:81-95),
+    * so this runs the g-family's shapes over [[receiptEdges]]' output
+    * instead of a star-schema analog: per hotspot vertex, distinct
+    * out-/in-neighbor counts (g09's degree shape, per-vertex grain)
+    * plus the 3-iteration fixed-point integer PageRank (g10's
+    * operator, reused verbatim — one scoring algebra, no drift).
+    * Dangling witnesses — gateways that only ever WITNESS and are
+    * never challengees, so they appear only as `_to` — are included
+    * with out_degree 0, per the g03 semantics (the reference inserts
+    * edges without requiring both endpoint vertices,
+    * follower.py:199,208).
+    *
+    * Scale shape: two map-side-combinable degree aggregates + g10's
+    * per-round join+aggregate over a once-materialized distinct edge
+    * list; the final assembly is two vertex-keyed left joins. At
+    * 100 TB the edge list is the already-materialized receipt-edge
+    * collection — this plan never re-reads the envelopes.
+    */
+  def witnessGraph(receiptEdges: DataFrame): DataFrame = {
+    import graft.Materialize.MatOps
+    val e = receiptEdges.select(col("_from"), col("_to"))
+      .distinct().materialized
+    val out = e.groupBy(col("_from").as("vertex"))
+      .agg(count(lit(1)).as("out_degree"))
+    val in = e.groupBy(col("_to").as("vertex"))
+      .agg(count(lit(1)).as("in_degree"))
+    GraphEtl.pageRankFixedPoint(e)
+      .join(out, Seq("vertex"), "left")
+      .join(in, Seq("vertex"), "left")
+      .select(col("vertex"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"),
+        col("rank"))
+  }
+
+  /** h08 (VERDICT r19 #2): per-account payment-flow rollup over the
+    * UNION of both payment families' parity edges (h01 ∪ h02) —
+    * in/out totals and edge counts, plus the top counterparty by
+    * summed outflow via the g08 max_by shape (an aggregate, not a
+    * window: partial map-side combines, shuffles at most |account
+    * pairs| rows, no sort). Ties break lexicographically inside the
+    * max struct — highest total first, then highest counterparty id
+    * — so the winner is deterministic and oracle-mirrorable.
+    * Accounts that only RECEIVE (dangling payees, the g03 class)
+    * are included with zero outflow and a null top counterparty.
+    *
+    * Scale shape: one accounts distinct + three map-side-combinable
+    * aggregates over the edge list + three account-keyed left joins
+    * — everything keyed by account, nothing pairwise.
+    */
+  def accountFlow(paymentEdges: DataFrame): DataFrame = {
+    import graft.Materialize.MatOps
+    val e = paymentEdges.select(col("_from"), col("_to"), col("amount"))
+      .materialized
+    val accounts = e.select(col("_from").as("account"))
+      .union(e.select(col("_to").as("account"))).distinct()
+    val out = e.groupBy(col("_from").as("account"))
+      .agg(sum(col("amount")).as("total_out"), count(lit(1)).as("n_out"))
+    val in = e.groupBy(col("_to").as("account"))
+      .agg(sum(col("amount")).as("total_in"), count(lit(1)).as("n_in"))
+    val top = e.groupBy(col("_from").as("account"), col("_to").as("cp"))
+      .agg(sum(col("amount")).as("cp_total"))
+      .groupBy(col("account"))
+      .agg(max(struct(col("cp_total"), col("cp"))).as("t"))
+    accounts
+      .join(out, Seq("account"), "left")
+      .join(in, Seq("account"), "left")
+      .join(top, Seq("account"), "left")
+      .select(col("account"),
+        coalesce(col("total_out"), lit(0L)).as("total_out"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"),
+        coalesce(col("total_in"), lit(0L)).as("total_in"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        col("t.cp").as("top_counterparty"),
+        col("t.cp_total").as("top_total"))
+  }
+
   /** P4/U1/A3: bare account vertices from both payment families —
     * payer ∪ payee, sink-side insert-ignore becomes distinct.
     */

@@ -80,4 +80,56 @@ class HeliumGraphSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(keys === Set("alice", "bob", "carol", "dave"))
   }
+
+  test("h07 witnessGraph: dangling witnesses (g03 semantics) enter " +
+    "with out_degree 0; path[1] vertices never appear") {
+    val g = HeliumGraph.witnessGraph(HeliumGraph.receiptEdges(env))
+    val rows = g.collect().map(r => r.getAs[String]("vertex") ->
+      (r.getAs[Long]("out_degree"), r.getAs[Long]("in_degree"),
+        r.getAs[Long]("rank"))).toMap
+    // witness graph = hs1→{hs2,hs3}, hs4→hs5 (path[0] only — F7)
+    assert(rows.keySet === Set("hotspots/hs1", "hotspots/hs2",
+      "hotspots/hs3", "hotspots/hs4", "hotspots/hs5"))
+    assert(!rows.contains("hotspots/hs9") && !rows.contains("hotspots/hsX"))
+    // dangling witnesses: in-only vertices kept, out_degree 0 — the
+    // reference inserts edges without requiring endpoint vertices
+    // (follower.py:199,208)
+    assert(rows("hotspots/hs2") === ((0L, 1L, rows("hotspots/hs2")._3)))
+    assert(rows("hotspots/hs3")._1 === 0L)
+    assert(rows("hotspots/hs5")._1 === 0L)
+    assert(rows("hotspots/hs1") === ((2L, 0L, rows("hotspots/hs1")._3)))
+    // integer-PageRank sanity: challengee-only vertices get no inbound
+    // mass → the bare teleport constant; witnesses rank above it
+    assert(rows("hotspots/hs1")._3 === 150000L)
+    assert(rows("hotspots/hs2")._3 > 150000L)
+  }
+
+  test("h08 accountFlow: dangling payees kept with zero outflow and " +
+    "null top counterparty; self-edges count on both sides") {
+    val flow = HeliumGraph.accountFlow(
+      HeliumGraph.paymentV1Edges(env).dropDuplicates("_key")
+        .unionByName(HeliumGraph.paymentV2Edges(env)))
+    val byAcct = flow.collect()
+      .map(r => r.getAs[String]("account") -> r).toMap
+    assert(byAcct.keySet === Set("accounts/alice", "accounts/bob",
+      "accounts/carol", "accounts/dave"))
+    val alice = byAcct("accounts/alice")
+    assert(alice.getAs[Long]("total_out") === 5357L) // 5000+100+250+7
+    assert(alice.getAs[Long]("n_out") === 4L)
+    assert(alice.getAs[Long]("total_in") === 7L) // the self-payment
+    assert(alice.getAs[String]("top_counterparty") === "accounts/bob")
+    assert(alice.getAs[Long]("top_total") === 5100L) // 5000 + 100
+    // dangling payee (receives only): zero outflow, null top
+    val bob = byAcct("accounts/bob")
+    assert(bob.getAs[Long]("total_out") === 0L &&
+      bob.getAs[Long]("n_out") === 0L)
+    assert(bob.getAs[Long]("total_in") === 5100L)
+    assert(bob.isNullAt(bob.fieldIndex("top_counterparty")))
+    assert(bob.isNullAt(bob.fieldIndex("top_total")))
+    // self-edge: dave→dave rides both totals
+    val dave = byAcct("accounts/dave")
+    assert(dave.getAs[Long]("total_out") === 42L &&
+      dave.getAs[Long]("total_in") === 42L)
+    assert(dave.getAs[String]("top_counterparty") === "accounts/dave")
+  }
 }
