@@ -350,6 +350,14 @@ object SparkEntry {
     "g28_louvain_fixpoint_ladder" -> ((s, dir) =>
       GraphEtl.louvainFixpointLadder(
         GraphEtl.coSupplierEdges(t(s, dir, "lineitem")), 2, 10, 1)),
+    // Leiden refinement (Traag et al. 2019): g28's fixpoint ladder
+    // with a connectivity-refinement phase per level — communities
+    // split into their connected components over intra-community
+    // edges BEFORE contraction, so aggregation never freezes a
+    // disconnected community; `refine` audit rows count the splits.
+    "g29_leiden_ladder" -> ((s, dir) =>
+      GraphEtl.louvainLeidenLadder(
+        GraphEtl.coSupplierEdges(t(s, dir, "lineitem")), 2, 10, 1)),
 
     // --- LLM-pipeline extension surface (SURVEY §2.12) ---
     // Exact dedup: content-hash groupBy, one shuffle.
@@ -1179,6 +1187,23 @@ object SparkEntry {
         .withColumn("location_lat",
           element_at(col("location_geo.coordinates"), 2))
         .drop("location_geo")
+    }),
+    // Composition gates (VERDICT r19 #2): the g-family's graph shapes
+    // over the PARITY tables — the adjacency-for-graph-queries purpose
+    // the reference states (reference README.md:2). h07: witness-graph
+    // degrees + integer PageRank over h03's receipt edges (dangling
+    // witnesses included, out_degree 0). h08: per-account payment
+    // flow over h01∪h02 (v1 side deduped by _key like h01) with the
+    // g08 max_by top-counterparty.
+    "h07_witness_graph" -> ((s, _) =>
+      HeliumGraph.witnessGraph(
+        HeliumGraph.receiptEdges(
+          graft.sources.HeliumFixtures.txnEnvelopes(s)))),
+    "h08_account_flow" -> ((s, _) => {
+      val env = graft.sources.HeliumFixtures.txnEnvelopes(s)
+      HeliumGraph.accountFlow(
+        HeliumGraph.paymentV1Edges(env).dropDuplicates("_key")
+          .unionByName(HeliumGraph.paymentV2Edges(env)))
     })
   )
 
@@ -1490,10 +1515,23 @@ object SparkEntry {
     * round (selected from the per-round folds by the scalar), and the
     * level closes with g25's matching on the re-contraction of
     * `fsel$l` plus its modularity tail. Emits the filtered-rows CTEs
-    * `g28m$l` (move rows) / `g28t$l` (the match row).
+    * `${p}m$l` (move rows) / `${p}t$l` (the match row) for rows
+    * prefix `p` (g28 / g29 — ONE builder for both gates, so the
+    * ladder mirrors cannot drift).
+    *
+    * `refine = true` (the g29 Leiden gate) inserts the connectivity
+    * refinement between the stop-round fold and the matching: the
+    * intra-community edge subgraph of `fsel$l`, its connected
+    * components via the same recursive min-label closure as the g12
+    * mirror (the query must open WITH RECURSIVE), component labels →
+    * `refined$l` (unlabeled vertices keep themselves — Spark's
+    * coalesce(component, v)), a `refine` audit row (`${p}r$l`)
+    * counting the extra communities the splits created, and the
+    * matching then contracts `refined$l` instead of `fsel$l`.
     */
   private def g28LevelCtes(l: Int, inFlat: String, outFlat: String,
-                           cap: Int): String = {
+                           cap: Int, p: String = "g28",
+                           refine: Boolean = false): String = {
     require(cap >= 2, s"g28LevelCtes needs cap >= 2, got $cap")
     val mt = s"x$l"
     val init = louvainContractCtes(mt, inFlat) +
@@ -1539,7 +1577,7 @@ object SparkEntry {
          |) t, stop$l WHERE t.round = stop$l.rstop)""".stripMargin
     val moveRows =
       s""",
-         |g28m$l AS (
+         |${p}m$l AS (
          |${(1 to cap).map(r =>
              s"""  SELECT $l::BIGINT AS level, 'move' AS phase,
                 |   $r::BIGINT AS round, wmv${mt}_$r.n_moves,
@@ -1549,17 +1587,48 @@ object SparkEntry {
                .stripMargin)
              .mkString("\n  UNION ALL\n")}
          |)""".stripMargin
-    val matching = louvainContractCtes(s"y$l", s"fsel$l") +
-      louvainMatchTailCtes(s"y$l", s"fsel$l", outFlat) +
+    // g29 only: the Leiden connectivity refinement of the stop-round
+    // partition — intra-community edges, recursive min-label
+    // components (the g12 closure scoped by the community equi-join),
+    // refined partition + its audit row
+    val refinement = if (!refine) "" else
+      s""",
+         |rfe$l AS MATERIALIZED (SELECT e.a, e.b FROM em e
+         |  JOIN fsel$l x ON x.v = e.a JOIN fsel$l y ON y.v = e.b
+         |  WHERE x.c = y.c),
+         |rfs$l AS (SELECT a, b FROM rfe$l UNION SELECT b, a FROM rfe$l),
+         |rfr$l(node, lab) AS (
+         |  SELECT DISTINCT a, a FROM rfs$l
+         |  UNION
+         |  SELECT s.b, r.lab FROM rfr$l r JOIN rfs$l s ON s.a = r.node),
+         |rfc$l AS (SELECT node, min(lab) AS component
+         |  FROM rfr$l GROUP BY node),
+         |refined$l AS MATERIALIZED (SELECT f.v,
+         |   coalesce(r.component, f.v) AS c
+         |  FROM fsel$l f LEFT JOIN rfc$l r ON r.node = f.v)"""
+        .stripMargin +
+        louvainModCtes(s"rf$l", s"refined$l") +
+        s""",
+           |${p}r$l AS (SELECT $l::BIGINT AS level, 'refine' AS phase,
+           |   0::BIGINT AS round,
+           |   ((SELECT count(DISTINCT c) FROM refined$l) -
+           |    (SELECT count(DISTINCT c) FROM fsel$l))::BIGINT
+           |     AS n_moves,
+           |   nb_rf$l.nc_rf$l AS n_communities,
+           |${louvainModExpr(s"rf$l", "modularity")}
+           |  FROM mm, nb_rf$l, win_rf$l)""".stripMargin
+    val matchIn = if (refine) s"refined$l" else s"fsel$l"
+    val matching = louvainContractCtes(s"y$l", matchIn) +
+      louvainMatchTailCtes(s"y$l", matchIn, outFlat) +
       louvainModCtes(s"y$l", outFlat) +
       s""",
-         |g28t$l AS (SELECT $l::BIGINT AS level, 'match' AS phase,
+         |${p}t$l AS (SELECT $l::BIGINT AS level, 'match' AS phase,
          |   0::BIGINT AS round,
          |   (SELECT count(*)::BIGINT FROM mty$l) AS n_moves,
          |   nb_y$l.nc_y$l AS n_communities,
          |${louvainModExpr(s"y$l", "modularity")}
          |  FROM mm, nb_y$l, win_y$l)""".stripMargin
-    init + rounds + stop + moveRows + matching
+    init + rounds + stop + moveRows + refinement + matching
   }
 
   /** DuckDB: the g21 modularity tail over partition table `flatName`
@@ -2227,7 +2296,10 @@ object SparkEntry {
   /** [[ivfCte]] with the PROBE QUERIES drawn from `$qsrc` while the
     * index build half (seeds, Lloyd round, assignment) stays on `n` —
     * s52 builds on the OLD corpus but serves queries from the full
-    * one. `ivfCteOver("n")` is the historical ivfCte byte-for-byte.
+    * one. `ivfCteOver("n")` is semantically identical to the
+    * historical ivfCte (the shared probes CTE gained an `rk AS pr`
+    * rank column for d33 that the s03/s39/s52-family consumers never
+    * select — ADVICE r19).
     */
   private def ivfCteOver(qsrc: String): String =
     ivfChainCtes("n", qsrc, " WHERE a.vec_id < 10", 4)
@@ -3983,6 +4055,31 @@ object SparkEntry {
            | SELECT m.* FROM g28m2 m, stop2 WHERE m.round <= stop2.rstop
            | UNION ALL SELECT * FROM g28t2
            |)""".stripMargin
+    },
+    // louvainLeidenLadder mirror: the g28 level builder with
+    // refine = true — the recursive intra-community min-label closure
+    // (the g12 mirror's shape scoped by the community equi-join)
+    // between each level's stop-round fold and its matching, plus the
+    // per-level refine audit row. WITH RECURSIVE via replaceFirst:
+    // the shared lpaCtes opens the chain.
+    "g29_leiden_ladder" -> {
+      val cap = 10
+      (lpaCtes(1) + louvainPhase1Ctes + louvainFlat1Ctes +
+        g28LevelCtes(1, "flat1", "flatL1", cap, "g29", refine = true) +
+        g28LevelCtes(2, "flatL1", "flatL2", cap, "g29", refine = true) +
+        s"""
+           |SELECT level, phase, round, n_moves, n_communities,
+           | modularity
+           |FROM (
+           | SELECT m.* FROM g29m1 m, stop1 WHERE m.round <= stop1.rstop
+           | UNION ALL SELECT * FROM g29r1
+           | UNION ALL SELECT * FROM g29t1
+           | UNION ALL
+           | SELECT m.* FROM g29m2 m, stop2 WHERE m.round <= stop2.rstop
+           | UNION ALL SELECT * FROM g29r2
+           | UNION ALL SELECT * FROM g29t2
+           |)""".stripMargin)
+        .replaceFirst("WITH ", "WITH RECURSIVE ")
     },
     "t06_vocabulary" ->
       """SELECT word, count(*) AS n,
@@ -6894,6 +6991,83 @@ object SparkEntry {
          | ((v // 180000) % 360000) / 1000.0 - 180.0 AS location_lng,
          | (v % 180000) / 1000.0 - 90.0 AS location_lat
          |FROM d""".stripMargin,
+    // h07: the h03 witness-edge derivation (path[1] = path[0]-only, F7)
+    // reduced to distinct (challengee, gateway) pairs, then g10's
+    // unrolled integer-PageRank rounds + per-endpoint distinct-neighbor
+    // degree counts, dangling witnesses entering via the vertex union.
+    "h07_witness_graph" -> {
+      val rounds = (1 to 3).map { i =>
+        s"""r$i AS (SELECT v.v,
+           | CAST(150000 + (850000 * coalesce(c.s, 0)) // 1000000
+           |   AS BIGINT) AS rank
+           | FROM v LEFT JOIN (
+           |  SELECT dst, sum(rank // outdeg) AS s FROM ed
+           |  JOIN r${i - 1} ON ed.src = r${i - 1}.v GROUP BY dst) c
+           | ON v.v = c.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ${graft.sources.HeliumFixtures.envelopeValuesSql},
+         |p0 AS (SELECT json_transform(payload, '{"path":[
+         |   {"challengee":"VARCHAR","witnesses":[{"gateway":"VARCHAR"}]}
+         |  ]}').path[1] AS p0
+         | FROM env WHERE type IN ('poc_receipts_v1', 'poc_receipts_v2')),
+         |w AS (SELECT 'hotspots/' || p0.challengee AS src,
+         |  'hotspots/' || unnest(p0.witnesses).gateway AS dst FROM p0),
+         |e AS (SELECT DISTINCT src, dst FROM w),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |ed AS (SELECT e.src, e.dst, od.outdeg FROM e JOIN od USING (src)),
+         |v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+         |r0 AS (SELECT v, CAST(1000000 AS BIGINT) AS rank FROM v),
+         |$rounds
+         |SELECT v.v AS vertex,
+         | coalesce(od.outdeg, 0) AS out_degree,
+         | coalesce(ind.indeg, 0) AS in_degree, r3.rank
+         |FROM v JOIN r3 ON v.v = r3.v
+         |LEFT JOIN od ON v.v = od.src
+         |LEFT JOIN (SELECT dst, count(*) AS indeg FROM e GROUP BY 1) ind
+         | ON v.v = ind.dst""".stripMargin
+    },
+    // h08: h01's DISTINCT v1 rows (the _key md5 is a function of
+    // exactly these six fields, so field-distinct = key-dedup) union
+    // h02's exploded v2 payments, rolled up per account; the top
+    // counterparty mirrors Spark's lexicographic max(struct(total,
+    // cp)) — max total first, ties to the MAX counterparty id.
+    "h08_account_flow" ->
+      s"""WITH ${graft.sources.HeliumFixtures.envelopeValuesSql},
+         |t1 AS (SELECT DISTINCT block, block_time,
+         |  json_extract_string(payload,'$$.hash') AS hash,
+         |  CAST(json_extract(payload,'$$.amount') AS BIGINT) AS amount,
+         |  json_extract_string(payload,'$$.payer') AS payer,
+         |  json_extract_string(payload,'$$.payee') AS payee
+         | FROM env WHERE type = 'payment_v1'),
+         |t2 AS (SELECT json_extract_string(payload,'$$.payer') AS payer,
+         |  unnest(json_transform(payload,
+         |    '{"payments":[{"amount":"BIGINT","payee":"VARCHAR"}]}').payments) AS p
+         | FROM env WHERE type = 'payment_v2'),
+         |e AS (SELECT 'accounts/' || payer AS f, 'accounts/' || payee AS t,
+         |   amount FROM t1
+         | UNION ALL
+         | SELECT 'accounts/' || payer, 'accounts/' || p.payee, p.amount
+         | FROM t2),
+         |acct AS (SELECT f AS account FROM e UNION SELECT t FROM e),
+         |o AS (SELECT f AS account, CAST(sum(amount) AS BIGINT)
+         |   AS total_out, count(*) AS n_out FROM e GROUP BY 1),
+         |i AS (SELECT t AS account, CAST(sum(amount) AS BIGINT)
+         |   AS total_in, count(*) AS n_in FROM e GROUP BY 1),
+         |fl AS (SELECT f AS account, t AS cp,
+         |   CAST(sum(amount) AS BIGINT) AS cp_total FROM e GROUP BY 1, 2),
+         |mx AS (SELECT account, max(cp_total) AS mt FROM fl GROUP BY 1),
+         |tp AS (SELECT fl.account, max(fl.cp) AS top_counterparty,
+         |   max(fl.cp_total) AS top_total
+         | FROM fl JOIN mx ON fl.account = mx.account
+         |   AND fl.cp_total = mx.mt GROUP BY 1)
+         |SELECT acct.account,
+         | coalesce(total_out, 0) AS total_out,
+         | coalesce(n_out, 0) AS n_out,
+         | coalesce(total_in, 0) AS total_in,
+         | coalesce(n_in, 0) AS n_in,
+         | top_counterparty, top_total
+         |FROM acct LEFT JOIN o USING (account)
+         |LEFT JOIN i USING (account) LEFT JOIN tp USING (account)""".stripMargin,
     // H3Cell.parent mirrored as literal bit arithmetic: clear the res
     // nibble, set res 5, fill digits 6..15 with 7s.
     "h06_hotspot_density" ->

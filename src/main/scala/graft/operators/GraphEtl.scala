@@ -1399,14 +1399,108 @@ object GraphEtl {
     * matching adds one contraction (linear in m) per level. Rounds
     * are data-dependent but bounded by min(recurrence, cap) per
     * level, and coarser levels converge faster.
+    *
+    * CAP SEMANTICS (VERDICT r19 #5): a level that exhausts
+    * `maxRounds` without a same-parity recurrence (a period > 2
+    * orbit) folds the CAPPED labeling and, by default, only WARNs —
+    * consistent with g27's documented recurrence-stop contract, but
+    * a caller reading the returned frame alone can miss it, so
+    * converged-ness MUST be read from the audit rows: a level whose
+    * highest-round `move` row still has `n_moves > 0` may be capped
+    * (a truly recurred level's final rounds repeat a 2-cycle, which
+    * on an absorbing fixpoint means trailing `n_moves = 0` rows).
+    * Callers that need the guarantee opt in with
+    * `requireConvergence = true`, which THROWS on cap exhaustion —
+    * the d11 precedent that known-incomplete iteration is an error,
+    * not a warning. Gates keep the default so the audit semantics
+    * (capped window still scored exactly) stay observable.
     */
   def louvainFixpointLadder(edges: DataFrame, levels: Int = 2,
                             maxRounds: Int = 10,
-                            seedRounds: Int = 1): DataFrame = {
+                            seedRounds: Int = 1,
+                            requireConvergence: Boolean = false)
+      : DataFrame =
+    fixpointLadderRows(edges, levels, maxRounds, seedRounds,
+      requireConvergence, refine = false, opName = "louvainFixpointLadder")
+
+  /** g29: the fixpoint ladder with LEIDEN-STYLE REFINEMENT (VERDICT
+    * r19 #3; Traag, Waltman & van Eck 2019, "From Louvain to Leiden")
+    * — plain Louvain provably produces badly-connected (even
+    * internally DISCONNECTED) communities: a move can pull a bridge
+    * vertex out of a community whose remaining members were only
+    * connected THROUGH it, and contraction then freezes the broken
+    * community into a single supernode forever. Leiden's fix is a
+    * refinement phase between the local moves and the aggregation:
+    * here, after each level's fixpoint moves fold into the vertex
+    * partition, every community is split into its connected
+    * components over the INTRA-community edge subgraph
+    * ([[refineConnectivity]] — one community-scoped
+    * connected-components pass), so the contraction only ever
+    * aggregates internally-connected communities. Audit rows gain a
+    * `refine` phase per level: `n_moves` = the number of extra
+    * communities the splits created (0 ⇒ every community was already
+    * connected — Leiden's guarantee holding vacuously), with
+    * n_communities/modularity scored on the refined partition by the
+    * same [[modularityParts]] algebra as every other phase.
+    *
+    * Everything else is [[louvainFixpointLadder]] VERBATIM (one
+    * shared implementation — the phases cannot drift): damped
+    * alternating-direction weighted moves to the same-parity
+    * recurrence stop per level, min-member fold, then g25's monotone
+    * mutual-argmax matching contraction — now running on the REFINED
+    * partition.
+    *
+    * Scale shape: g28's, plus per level one edge×labels join pair
+    * (the intra-community filter, linear in m) and one
+    * connected-components pass over the intra-community subgraph
+    * (the O(log n)-round pointer-jumping labeler, edges ⊆ m). The
+    * refinement never goes pairwise — it only ever SPLITS existing
+    * groups along existing edges.
+    */
+  def louvainLeidenLadder(edges: DataFrame, levels: Int = 2,
+                          maxRounds: Int = 10,
+                          seedRounds: Int = 1,
+                          requireConvergence: Boolean = false)
+      : DataFrame =
+    fixpointLadderRows(edges, levels, maxRounds, seedRounds,
+      requireConvergence, refine = true, opName = "louvainLeidenLadder")
+
+  /** Leiden's connectivity refinement as a standalone operator: split
+    * every community of partition `flat` (v, c) into its connected
+    * components over the intra-community edge subgraph of `edges`
+    * (a, b). Component labels are min member ids — identical to the
+    * ladder's min-member canonicalization, so a community that IS
+    * internally connected comes back with its label unchanged and the
+    * refinement is a no-op on it; vertices with no intra-community
+    * edge (including singletons) become their own singleton
+    * community. Disjoint member sets have distinct min members, so
+    * refined labels never collide across communities.
+    *
+    * Shape: one edge×labels join pair + the pointer-jumping
+    * components labeler ([[connectedComponents]], with its loud
+    * non-convergence guard) + one vertex-keyed left join.
+    */
+  def refineConnectivity(edges: DataFrame, flat: DataFrame): DataFrame = {
+    val intra = edges
+      .join(flat.select(col("v").as("a"), col("c").as("ca")), "a")
+      .join(flat.select(col("v").as("b"), col("c").as("cb")), "b")
+      .filter(col("ca") === col("cb"))
+      .select(col("a"), col("b"))
+    val cc = connectedComponents(intra)
+    flat.join(cc.select(col("vertex").as("v"), col("component")),
+        Seq("v"), "left")
+      .select(col("v"), coalesce(col("component"), col("v")).as("c"))
+  }
+
+  private def fixpointLadderRows(edges: DataFrame, levels: Int,
+                                 maxRounds: Int, seedRounds: Int,
+                                 requireConvergence: Boolean,
+                                 refine: Boolean,
+                                 opName: String): DataFrame = {
     require(levels >= 1,
-      s"louvainFixpointLadder needs levels >= 1, got $levels")
+      s"$opName needs levels >= 1, got $levels")
     require(maxRounds >= 2,
-      s"louvainFixpointLadder needs maxRounds >= 2 (the same-parity " +
+      s"$opName needs maxRounds >= 2 (the same-parity " +
         s"recurrence probe compares labels two rounds apart), got " +
         s"$maxRounds")
     val e = edges.select(col("a"), col("b")).distinct().materialized
@@ -1453,11 +1547,19 @@ object GraphEtl {
           .filter(col("lab") =!= col("_l2")).isEmpty
         r += 1
       }
-      if (!converged)
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"louvainFixpointLadder: level $l hit the $maxRounds-round " +
-            "cap without a same-parity label recurrence — a period " +
-            "> 2 oscillation; this level folds the capped labeling")
+      if (!converged) {
+        val what = s"$opName: level $l hit the " +
+          s"$maxRounds-round cap without a same-parity label " +
+          "recurrence — a period > 2 oscillation"
+        if (requireConvergence)
+          throw new IllegalStateException(what +
+            "; requireConvergence=true, so the known-incomplete " +
+            "labeling is an error (the d11 contract) — raise " +
+            "maxRounds or read the capped audit via the default mode")
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(what +
+          "; this level folds the capped labeling — converged-ness " +
+          "must be read from the audit rows (scaladoc)")
+      }
       // fold the stop-round labeling into the vertex partition
       // (statsReset: the fold joins frames derived from materialized
       // frames — the compounding-stats shape)
@@ -1467,6 +1569,24 @@ object GraphEtl {
       flat = graft.Materialize.statsReset(
         flat.join(moveMapF, Seq("c"), "left")
           .select(col("v"), coalesce(col("mc"), col("c")).as("c")))
+      if (refine) {
+        // Leiden refinement (g29 only): split disconnected
+        // communities along intra-community connectivity BEFORE the
+        // contraction can freeze them; audit row counts the extra
+        // communities the splits created
+        val refined = refineConnectivity(e, flat).materialized
+        val mlRef = modularityParts(e, refined
+          .select(col("v").as("vertex"), col("c").as("community")))
+        rows :+= refined.agg(countDistinct(col("c")).as("_na"))
+          .crossJoin(broadcast(
+            flat.agg(countDistinct(col("c")).as("_nb"))))
+          .crossJoin(broadcast(mlRef.select(
+            col("n_communities"), col("modularity"))))
+          .select(lit(l.toLong).as("level"), lit("refine").as("phase"),
+            lit(0L).as("round"), (col("_na") - col("_nb")).as("n_moves"),
+            col("n_communities"), col("modularity"))
+        flat = refined
+      }
       // the level's monotone contraction (g25's matching, shared)
       val (merged, pairs) = matchingLevel(e, flat, mRow)
       flat = merged

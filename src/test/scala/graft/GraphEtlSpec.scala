@@ -565,6 +565,116 @@ class GraphEtlSpec extends SparkSpec {
     assert(r.getAs[Double]("modularity_after") === 0.5)
   }
 
+  test("louvainFixpointLadder: requireConvergence throws on cap " +
+    "exhaustion (the d11 known-incomplete-iteration contract), " +
+    "default mode folds the capped labeling") {
+    // g27's fixture needs 3 rounds to recur (the hand-trace above);
+    // maxRounds = 2 exhausts the cap first. The same code path fires
+    // for a genuine period-3 orbit: `converged` stays false until
+    // the cap, which is exactly what this pins.
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      GraphEtl.louvainFixpointLadder(twoTri, 1, 2, 1,
+        requireConvergence = true).collect()
+    }
+    assert(ex.getMessage.contains("cap") &&
+      ex.getMessage.contains("requireConvergence"))
+    // default mode: the capped level still emits its audit rows
+    val rows = GraphEtl.louvainFixpointLadder(twoTri, 1, 2, 1)
+      .filter(col("phase") === "move").collect()
+    assert(rows.length === 2)
+    // and an ample cap under strict mode converges fine
+    assert(GraphEtl.louvainFixpointLadder(twoTri, 1, 10, 1,
+      requireConvergence = true).collect().nonEmpty)
+  }
+
+  test("refineConnectivity: a badly-connected community (two cliques " +
+    "whose bridge vertex is assigned across — the partition class " +
+    "plain Louvain produces, Traag et al. 2019 Fig. 1) splits into " +
+    "its components; connected communities come back label-identical") {
+    // cliques {1,2,3} and {5,6,7}, chained through bridge vertex 4:
+    // 3—4—5. The partition assigns BOTH cliques to community 1 but
+    // the bridge to its own — so community 1's members are only
+    // connected THROUGH a vertex outside it: internally disconnected.
+    val edges = (Seq((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L), (5L, 7L),
+      (6L, 7L)) ++ Seq((3L, 4L), (4L, 5L))).toDF("a", "b")
+    val flat = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 1L), (6L, 1L),
+      (7L, 1L), (4L, 4L)).toDF("v", "c")
+    val refined = GraphEtl.refineConnectivity(edges, flat)
+      .as[(Long, Long)].collect().toMap
+    // split: {1,2,3} keeps min-member label 1, {5,6,7} gets label 5;
+    // the bridge singleton is untouched
+    assert(refined === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 4L -> 4L))
+    // a CONNECTED community is a no-op: same graph, honest partition
+    val flatOk = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L),
+      (6L, 5L), (7L, 5L)).toDF("v", "c")
+    assert(GraphEtl.refineConnectivity(edges, flatOk)
+      .as[(Long, Long)].collect().toMap ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+        6L -> 5L, 7L -> 5L))
+    // partitioning-independence (pointer jumping + min labels)
+    assert(GraphEtl.refineConnectivity(edges.repartition(5),
+      flat.repartition(3)).as[(Long, Long)].collect().toMap === refined)
+  }
+
+  test("louvainLeidenLadder: replays the g28 hand-trace with a " +
+    "refine row per level — n_moves 0 (both communities connected, " +
+    "Leiden's guarantee holding vacuously), partition unchanged") {
+    val twoTri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a", "b")
+    val q = 70.0 / 196
+    def key(r: (Long, String, Long, Long, Long, Double)) =
+      (r._1, r._2 match {
+        case "move" => 0L; case "refine" => 1L; case _ => 2L
+      }, r._3)
+    val rows = GraphEtl.louvainLeidenLadder(twoTri, 2, 10, 1)
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+      .sortBy(key)
+    assert(rows === Seq(
+      (1L, "move", 1L, 1L, 2L, q),
+      (1L, "move", 2L, 0L, 2L, q),
+      (1L, "move", 3L, 0L, 2L, q),
+      (1L, "refine", 0L, 0L, 2L, q),
+      (1L, "match", 0L, 0L, 2L, q),
+      (2L, "move", 1L, 0L, 2L, q),
+      (2L, "move", 2L, 0L, 2L, q),
+      (2L, "refine", 0L, 0L, 2L, q),
+      (2L, "match", 0L, 0L, 2L, q)))
+    // partitioning-independence of the whole compose
+    assert(GraphEtl.louvainLeidenLadder(twoTri.repartition(5), 2, 10, 1)
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+      .sortBy(key) === rows)
+  }
+
+  test("louvainLeidenLadder: on the real co-supplier graph the g28 " +
+    "invariants hold with the refine phase in the chain — splits " +
+    "never lose modularity mass the match can't recover, and every " +
+    "post-refine community is internally connected") {
+    val edges = GraphEtl.coSupplierEdges(table("lineitem"))
+    def key(r: (Long, String, Long, Long, Long, Double)) =
+      (r._1, r._2 match {
+        case "move" => 0L; case "refine" => 1L; case _ => 2L
+      }, r._3)
+    val rows = GraphEtl.louvainLeidenLadder(edges, 2, 10, 1)
+      .as[(Long, String, Long, Long, Long, Double)].collect().toSeq
+      .sortBy(key)
+    Seq(1L, 2L).foreach { l =>
+      val lvl = rows.filter(_._1 == l)
+      val moves = lvl.filter(_._2 == "move")
+      assert(moves.nonEmpty && moves.map(_._3) === (1L to moves.length))
+      assert(moves.length < 10, s"level $l stopped only by the cap")
+      val Seq(refineRow) = lvl.filter(_._2 == "refine")
+      // splitting c into components removes only the (absent)
+      // cross-component within-edges from e_in, so n_communities
+      // grows by exactly n_moves and never shrinks
+      assert(refineRow._4 >= 0L)
+      assert(refineRow._5 === moves.last._5 + refineRow._4)
+      assert(lvl.last._2 === "match")
+    }
+  }
+
   test("kTrussPeel: K4 survives the 4-truss at support 2; a pendant " +
     "triangle is peeled; the triangle strip cascades to empty") {
     def run(edges: org.apache.spark.sql.DataFrame, rounds: Int) =
