@@ -97,7 +97,13 @@ object ScaleBench {
     // faster) plus one matching contraction per level; the curve
     // must track g27's with the level count as the only new
     // multiplier, every added pass community-graph-sized.
-    "g28_louvain_fixpoint_ladder")
+    "g28_louvain_fixpoint_ladder",
+    // r20: Leiden refinement — g28's curve plus, per level, one
+    // intra-community edge filter (linear in m) and one
+    // connected-components pass over that subgraph (pointer jumping,
+    // O(log n) rounds over ≤ m edges); the delta over g28 must stay
+    // m-linear per level, never pairwise.
+    "g29_leiden_ladder")
 
   /** Second axis (late r10): the corpus-heavy single-pass family —
     * LSH candidate generation, pair verification, the two corpus-pass
@@ -265,10 +271,13 @@ object ScaleBench {
     * — so the claim under test is LINEAR-at-worst growth in corpus
     * size at fixed query load, with the sub-second tiers dominated by
     * fixed job overhead (the amortization shape the iterative family
-    * showed). Amplified embeddings are identical vectors ×10 under
-    * salted ids: cell membership and shortlist candidate counts grow
-    * uniformly 10× — the cost variable — while recall semantics are
-    * irrelevant to a timing probe.
+    * showed). Amplified embeddings are ~identical vectors ×10 under
+    * salted ids (copies ≥ 1 carry the [[PerturbEps]] hash-seeded
+    * noise — cos ~0.6 to their original, a rounding error to the
+    * cost curves): cell membership and shortlist candidate counts
+    * grow ~uniformly 10× — the cost variable — while the perturbation
+    * makes the RECALL probes (d33) measure coverage instead of
+    * identity.
     */
   val annFamily: Seq[String] = Seq(
     "s16_knn_ivfpq", "s18_knn_ivfpq_res", "s20_knn_rerank",
@@ -364,6 +373,25 @@ object ScaleBench {
   private val Copies = 10
   private val KeyOffset = 10000000L // > any sf0.1 key; multiple of 10
 
+  /** Embedding-copy perturbation amplitude (VERDICT r19 #4 / DR-6
+    * applied to the probe tier): verbatim vector copies made the d33
+    * sf1eq recall dial read 1.0 at every budget BY CONSTRUCTION —
+    * each batch vector's exact benchmark twin landed in the batch
+    * vector's OWN cell, so the rank-1 probe always caught it, and
+    * the 10× certification certified nothing. Copies c ≥ 1 now get
+    * deterministic per-component noise (hash-seeded from the salted
+    * vec_id × dimension × copy — reproducible on any cluster, no
+    * RNG): uniform ±0.3 per component ≈ planted cosine ~0.6 to the
+    * copy-0 original on the unit-norm dim-64 fixtures — well above
+    * d33's τ = 0.35 (the planted similarity structure survives) and
+    * well below exact-dup, so twin cell assignment is no longer
+    * identity and the recall curve has to EARN its value. Copy 0
+    * stays verbatim: the sub-KeyOffset id space (every nQueries
+    * filter, the d32/d33 %7 splits' copy-0 slice) remains the
+    * driver's own sf0.1 data.
+    */
+  private val PerturbEps = 0.3f
+
   private def rotated(c: Int): String = {
     val az = ('a' to 'z').mkString
     val rot = az.drop(c % 26) + az.take(c % 26)
@@ -399,10 +427,26 @@ object ScaleBench {
     amp("orders", Seq("o_orderkey", "o_custkey"), Nil)
     amp("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"), Nil)
     amp("documents", Seq("doc_id"), Seq("text"))
-    // identical vectors ×10 under salted ids: IVF cell membership and
-    // LSH buckets grow uniformly 10× — the cost-scaling variable —
-    // while recall semantics are irrelevant to the timing probe
-    amp("embeddings", Seq("vec_id"), Nil)
+    // vectors ×10 under salted ids, copies ≥ 1 perturbed (see
+    // [[PerturbEps]]): cell membership and LSH buckets still grow
+    // ~uniformly 10× — the cost-scaling variable — while the planted
+    // near-duplicate structure (cos ~0.6, above d33's τ, below
+    // exact-dup) makes the recall probes certify cell-assignment
+    // robustness instead of identity
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    (0 until Copies).map { c =>
+      val salted = emb.withColumn("vec_id",
+        col("vec_id") + lit(c * KeyOffset))
+      if (c == 0) salted
+      else salted.withColumn("embedding",
+        zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => (x + lit(PerturbEps) *
+            ((pmod(hash(col("vec_id"), i, lit(c)), lit(2001)) -
+              lit(1000)).cast("float") / lit(1000.0f))).cast("float")))
+    }.reduce(_ unionByName _)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(s"$outDir/embeddings.parquet")
     // timestamps unchanged, user/event ids salted: event density per
     // time bucket and the user-key space both grow 10× — more users,
     // not longer per-user histories (the cluster growth direction)
@@ -440,7 +484,25 @@ object ScaleBench {
       ("p27v_verify_tier" ->
         ((s: SparkSession, dir: String) =>
           graft.operators.Pipeline.lshVerifiedPairs(
-            Tables.load(s, dir, "documents"))))
+            Tables.load(s, dir, "documents")))) +
+      // r20 bench-only scale rows for the h07/h08 OPERATORS: the
+      // gates run on the in-code parity fixtures (no sf axis), so the
+      // operators' scale curves are priced here over the sf-scaled
+      // payment-edge projection instead — same shapes (degrees +
+      // integer PageRank; account-keyed flow rollups), data-sized
+      // input.
+      ("h07s_witness_rank" ->
+        ((s: SparkSession, dir: String) =>
+          graft.operators.HeliumGraph.witnessGraph(
+            graft.operators.GraphEtl.paymentEdges(
+              Tables.load(s, dir, "orders"),
+              Tables.load(s, dir, "lineitem"))))) +
+      ("h08s_account_flow" ->
+        ((s: SparkSession, dir: String) =>
+          graft.operators.HeliumGraph.accountFlow(
+            graft.operators.GraphEtl.paymentEdges(
+              Tables.load(s, dir, "orders"),
+              Tables.load(s, dir, "lineitem")))))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
