@@ -11,6 +11,7 @@ object Bench {
   private val calibrationSet = Seq(
     "h01_payment_v1_edges", "h02_payment_v2_edges", "h03_receipt_edges",
     "h04_account_vertices", "h05_gateway_inventory", "h06_hotspot_density",
+    "h07_witness_graph", "h08_account_flow",
     "q30_null_semantics", "j01_jsonl_docs", "st07_stream_static")
 
   /** Parse the frozen-anchor medians map out of a baseline file
@@ -69,13 +70,16 @@ object Bench {
     * can never outgrow the 2000-char stdout window itself (a
     * mass-trip event — say a broken Tables load tripping 200
     * queries — would otherwise reproduce the very parsed:null
-    * failure the tier exists to end). The exact counts ride beside
-    * the lists, so a `"..."` truncation marker is visible in-band.
+    * failure the tier exists to end). Truncation is signalled by a
+    * SEPARATE `<key>_truncated:true` field (ADVICE r19: an in-band
+    * "..." element broke "array length == count" for consumers
+    * iterating entries as query names), so the arrays stay pure
+    * name lists; the exact counts ride beside them.
     */
-  private[graft] def names(xs: Seq[String], cap: Int = 20): String =
-    (xs.take(cap).map("\"" + _ + "\"") ++
-      (if (xs.size > cap) Seq("\"...\"") else Nil))
-      .mkString("[", ",", "]")
+  private[graft] def names(xs: Seq[String], key: String,
+                           cap: Int = 20): String =
+    xs.take(cap).map("\"" + _ + "\"").mkString("[", ",", "]") +
+      (if (xs.size > cap) s""","${key}_truncated":true""" else "")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -90,6 +94,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Bench session only: the two-stage rank template's ~32-row _pid
+    // windows are bounded by construction (PlanCheck traces them), and
+    // their per-run WindowExec WARN spam buried the guard verdict in
+    // the driver's 2000-char stdout tail (VERDICT r19 #6).
+    Sessions.quietBoundedWindowWarns()
     // Warm up the JVM/codegen/scheduler and the parquet footers once so
     // whichever query the Map iterates first doesn't absorb session
     // startup (~5s) into its measurement.
@@ -204,8 +213,10 @@ object Bench {
           medians.view.filterKeys(calibrationSet.contains).toMap,
           dp, strip, identity[String])},""" +
         s""""guard_anchored":${ratios.size},""" +
-        s""""guard_trips":${tripped.size},"tripped":${names(tripped)},""" +
-        s""""new_queries":${names(newQueries)},"sf":"$sf"}"""
+        s""""guard_trips":${tripped.size},""" +
+        s""""tripped":${names(tripped, "tripped")},""" +
+        s""""new_queries":${names(newQueries, "new_queries")},""" +
+        s""""sf":"$sf"}"""
     val candidates = Iterator(
       full,
       line(2, strip = true, sfDir, identity),
@@ -261,10 +272,12 @@ object Bench {
         println(f"WARN bench-budget: $k median ${v}%.1fs is ${v / medianTotal * 100}%.0f%% of the ${medianTotal}%.1fs suite")
       }
     // Per-query regression guard vs the FROZEN anchor
-    // (BENCH_BASELINE.json = the r14 closing medians, re-frozen per
-    // VERDICT r14 #1 so the r14 entrant tail is guarded too; the r13
-    // map stays in-repo as BENCH_BASELINE_r13.json for cross-era
-    // comparison. VERDICT r13 #5 set the per-query shape: a scalar
+    // (BENCH_BASELINE.json = the r19 freeze: all 246 medians
+    // transformed verbatim from the committed BENCH_R19_CLOSING.json,
+    // per the freeze-from-committed-artifact ritual VERDICT r18 #1
+    // established; prior-era maps stay in-repo as
+    // BENCH_BASELINE_r13..r18.json for the cross-anchor ratchet.
+    // VERDICT r13 #5 set the per-query shape: a scalar
     // "2× of total" bound degrades as the suite grows). A query >2×
     // its frozen median AND >1 s
     // absolute over it is flagged loudly; the absolute floor keeps

@@ -66,6 +66,25 @@ object Sessions {
       .config("spark.ui.enabled", "false")
   }
 
+  /** Bench-session-only (VERDICT r19 #6): silence WindowExec's
+    * "No Partition Defined for Window" WARN. The suite's only
+    * unpartitioned windows are the ~32-row `_pid` prefix-offset
+    * windows of the two-stage global-rank template (stage 2 runs over
+    * ONE row per shuffle partition — TwoStage.rangeParted's whole
+    * point), and PlanCheck's unpartitioned-window class already
+    * traces every one of them as bounded-by-partition-count, so the
+    * warning is benign here by construction — yet it fired hundreds
+    * of times per bench run and buried the guard-verdict INFO lines
+    * in the driver's 2000-char stdout tail (BENCH_r19.json). NOT set
+    * in [[tuned]]: Verify, tests, and ad-hoc sessions keep the
+    * warning, so a genuinely data-sized unpartitioned window
+    * introduced by a future operator still announces itself there.
+    */
+  def quietBoundedWindowWarns(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
   /** Local session for tests and ad-hoc runs. */
   def local(cpus: Int = 4): SparkSession = {
     val s = tuned(SparkSession.builder()

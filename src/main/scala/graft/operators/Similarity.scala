@@ -270,6 +270,17 @@ object Similarity {
     * only guards the cells it probes — contamination in an unprobed
     * cell is missed; raise nProbe (or nCells resolution) to trade
     * cost for recall, measured by the s11/s14 dials.
+    *
+    * CONSTRUCTION IS EAGER (ADVICE r19, kept deliberately): building
+    * the returned frame runs the quantizer pass (benchProbes
+    * materialization — the iterative-family materialized-seam
+    * discipline, shared with every louvain/pagerank operator) plus
+    * one cell-sized count for the hot-cell audit. The audit stays a
+    * driver-side count rather than a lazy flags column because the
+    * unverified-cell WARNING is a safety contract: it must fire even
+    * when a caller composes the frame and then drops or filters it —
+    * a lazy audit that never runs is exactly the silent-cap class
+    * DR-6 exists to prevent.
     */
   def semanticDecontaminate(batch: DataFrame, benchmark: DataFrame,
                             tau: Double = 0.8, nCells: Int = 16,

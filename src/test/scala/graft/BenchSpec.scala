@@ -75,17 +75,30 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
-  test("the re-frozen BENCH_BASELINE.json parses: 242 medians (r18 " +
+  test("the re-frozen BENCH_BASELINE.json parses: 246 medians (r19 " +
     "freeze, pretty-printed JSON) despite the word medians in its own " +
     "source narrative") {
     val txt = java.nio.file.Files.readString(
       java.nio.file.Paths.get("BENCH_BASELINE.json"))
     val parsed = Bench.parseBaseline(txt, sf)
-    assert(parsed.size === 242)
+    assert(parsed.size === 246)
     assert(parsed("p27_verified_lsh_funnel") > 10.0)
-    // the r18 entrants are anchored for the first time
-    assert(parsed.contains("m11_media_neardup"))
-    assert(parsed("g27_louvain_fixpoint") > 10.0)
+    // the r19 entrants are anchored for the first time
+    assert(parsed.contains("m12_multimodal_funnel"))
+    assert(parsed.contains("d32_semantic_decontaminate"))
+    assert(parsed.contains("d33_decontamination_recall"))
+    assert(parsed("g28_louvain_fixpoint_ladder") > 10.0)
+  }
+
+  test("the r19 freeze is a pure transform of the committed closing " +
+    "artifact: every anchor median byte-equal to " +
+    "BENCH_R19_CLOSING.json's") {
+    val anchor = Bench.parseBaseline(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("BENCH_BASELINE.json")), sf)
+    val closing = Bench.parseBaseline(java.nio.file.Files.readString(
+      java.nio.file.Paths.get("BENCH_R19_CLOSING.json")), sf)
+    assert(anchor.size === 246 && closing.size === 246)
+    assert(anchor === closing)
   }
 
   test("the committed closing artifact parses end-to-end: all medians, " +
@@ -99,13 +112,15 @@ class BenchSpec extends AnyFunSuite {
     assert(parsed("s51_ivfpq_index_roundtrip") > 0.5)
   }
 
-  test("summary-tier name lists cap with an in-band truncation marker") {
-    assert(Bench.names(Seq("a", "b")) === """["a","b"]""")
-    assert(Bench.names(Seq.empty) === "[]")
+  test("summary-tier name lists cap with a SEPARATE truncated flag " +
+    "(ADVICE r19: arrays stay pure name lists)") {
+    assert(Bench.names(Seq("a", "b"), "tripped") === """["a","b"]""")
+    assert(Bench.names(Seq.empty, "tripped") === "[]")
     val many = (1 to 30).map(i => s"q$i")
-    val capped = Bench.names(many)
-    assert(capped.endsWith(""","..."]""") &&
-      capped.contains("\"q20\"") && !capped.contains("\"q21\""))
+    val capped = Bench.names(many, "tripped")
+    assert(capped.endsWith("""],"tripped_truncated":true""") &&
+      capped.contains("\"q20\"") && !capped.contains("\"q21\"") &&
+      !capped.contains("..."))
   }
 
   test("the committed r18 medians artifact (the r19 freeze source) " +
