@@ -1204,7 +1204,14 @@ object SparkEntry {
       HeliumGraph.accountFlow(
         HeliumGraph.paymentV1Edges(env).dropDuplicates("_key")
           .unionByName(HeliumGraph.paymentV2Edges(env)))
-    })
+    }),
+    // h09: the k-hop half of the composition — multi-source BFS hop
+    // distances over the witness graph from the challengee seed set
+    // (g14's frontier loop via bfsHopsFrom, shared verbatim).
+    "h09_witness_reach" -> ((s, _) =>
+      HeliumGraph.witnessReach(
+        HeliumGraph.receiptEdges(
+          graft.sources.HeliumFixtures.txnEnvelopes(s))))
   )
 
   /** Shared oracle CTE: the payment-edge collection (mirrors
@@ -7068,6 +7075,26 @@ object SparkEntry {
          | top_counterparty, top_total
          |FROM acct LEFT JOIN o USING (account)
          |LEFT JOIN i USING (account) LEFT JOIN tp USING (account)""".stripMargin,
+    // h09: the h07 witness-pair derivation, then g14's recursive
+    // bounded walk from the challengee seed set with min-hop rollup.
+    "h09_witness_reach" ->
+      s"""WITH RECURSIVE ${graft.sources.HeliumFixtures.envelopeValuesSql},
+         |p0 AS (SELECT json_transform(payload, '{"path":[
+         |   {"challengee":"VARCHAR","witnesses":[{"gateway":"VARCHAR"}]}
+         |  ]}').path[1] AS p0
+         | FROM env WHERE type IN ('poc_receipts_v1', 'poc_receipts_v2')),
+         |w AS (SELECT 'hotspots/' || p0.challengee AS src,
+         |  'hotspots/' || unnest(p0.witnesses).gateway AS dst FROM p0),
+         |e AS (SELECT DISTINCT src, dst FROM w),
+         |sym AS (SELECT src AS a, dst AS b FROM e
+         |  UNION SELECT dst, src FROM e),
+         |walk(v, hops) AS (
+         |  SELECT DISTINCT src, 0::BIGINT FROM e
+         |  UNION
+         |  SELECT s.b, w.hops + 1 FROM walk w JOIN sym s ON s.a = w.v
+         |  WHERE w.hops < 3)
+         |SELECT v AS vertex, min(hops) AS hops FROM walk
+         |GROUP BY v""".stripMargin,
     // H3Cell.parent mirrored as literal bit arithmetic: clear the res
     // nibble, set res 5, fill digits 6..15 with 7s.
     "h06_hotspot_density" ->

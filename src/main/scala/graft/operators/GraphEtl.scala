@@ -505,10 +505,44 @@ object GraphEtl {
     val adj = e.select(col("a").as("src"), col("b").as("dst"))
       .union(e.select(col("b").as("src"), col("a").as("dst")))
       .materialized
+    // an inline filter, NOT the semi-join path below: g14's seed rule
+    // is a pure predicate on the vertex id, and routing it through a
+    // seed-frame join cost a measured 1.67× on the g14 row
     val seeds = adj.select(col("src").as("v")).distinct()
       .filter(col("v") % seedMod === 0)
       .select(col("v"), lit(0L).as("hops"))
       .materialized
+    bfsFrontierLoop(adj, seeds, maxHops)
+  }
+
+  /** [[bfsHops]] with the seed set as an arbitrary single-column
+    * frame `seedSet` — deduped and intersected with the graph's
+    * vertex set here (one semi-join), so callers may pass any
+    * superset. The general multi-source form the h09 witness-reach
+    * composition needs, where seeds are "vertices that issue
+    * challenges", not an id residue; the frontier loop is shared
+    * verbatim with g14 ([[bfsFrontierLoop]]).
+    */
+  def bfsHopsFrom(edges: DataFrame, seedSet: DataFrame,
+                  maxHops: Int = 3): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct().materialized
+    val adj = e.select(col("a").as("src"), col("b").as("dst"))
+      .union(e.select(col("b").as("src"), col("a").as("dst")))
+      .materialized
+    val seeds = adj.select(col("src").as("v")).distinct()
+      .join(seedSet.select(col(seedSet.columns.head).as("v")).distinct(),
+        Seq("v"), "left_semi")
+      .select(col("v"), lit(0L).as("hops"))
+      .materialized
+    bfsFrontierLoop(adj, seeds, maxHops)
+  }
+
+  /** The shared frontier-parallel BFS loop over a materialized
+    * symmetric adjacency and a materialized hop-0 seed frame — see
+    * [[bfsHops]]' scaladoc for the cost argument.
+    */
+  private def bfsFrontierLoop(adj: DataFrame, seeds: DataFrame,
+                              maxHops: Int): DataFrame = {
     // settled = the running union of per-round CHECKPOINTED frontiers:
     // the anti-join probe reads ≤ maxHops tiny materialized frames, so
     // no round re-materializes the whole settled set (halves the

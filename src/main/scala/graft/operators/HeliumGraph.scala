@@ -154,6 +154,26 @@ object HeliumGraph {
         col("rank"))
   }
 
+  /** h09: multi-source BFS reach over the witness graph — the k-hop
+    * half of the "PageRank/k-hop over the witness graph" composition
+    * (the query class the reference's adjacency model exists to
+    * serve). Seeds are the CHALLENGEE side — hotspots that issue
+    * challenges — and every hotspot within `maxHops` undirected hops
+    * gets its exact hop distance: the blast-radius / neighborhood
+    * query over PoC connectivity ("which hotspots are within k
+    * witness links of an active challenger"). Delegates to
+    * [[GraphEtl.bfsHopsFrom]] (g14's frontier-parallel loop, shared
+    * verbatim — anti-joined settled set, per-round materialized
+    * frontiers, empty-frontier short-circuit).
+    */
+  def witnessReach(receiptEdges: DataFrame, maxHops: Int = 3)
+      : DataFrame = {
+    import graft.Materialize.MatOps
+    val e = receiptEdges.select(col("_from").as("a"), col("_to").as("b"))
+      .distinct().materialized
+    GraphEtl.bfsHopsFrom(e, e.select(col("a").as("v")), maxHops)
+  }
+
   /** h08 (VERDICT r19 #2): per-account payment-flow rollup over the
     * UNION of both payment families' parity edges (h01 ∪ h02) —
     * in/out totals and edge counts, plus the top counterparty by

@@ -104,6 +104,20 @@ class HeliumGraphSpec extends SparkSpec {
     assert(rows("hotspots/hs2")._3 > 150000L)
   }
 
+  test("h09 witnessReach: challengee seeds at hop 0, witnesses at " +
+    "their first-discovery distance; path[1] vertices unreachable") {
+    val reach = HeliumGraph.witnessReach(
+      HeliumGraph.receiptEdges(env))
+      .as[(String, Long)].collect().toMap
+    // seeds: the two path[0] challengees; their witnesses are 1 hop
+    assert(reach === Map(
+      "hotspots/hs1" -> 0L, "hotspots/hs4" -> 0L,
+      "hotspots/hs2" -> 1L, "hotspots/hs3" -> 1L,
+      "hotspots/hs5" -> 1L))
+    assert(!reach.contains("hotspots/hs9") &&
+      !reach.contains("hotspots/hsX"))
+  }
+
   test("h08 accountFlow: dangling payees kept with zero outflow and " +
     "null top counterparty; self-edges count on both sides") {
     val flow = HeliumGraph.accountFlow(
