@@ -90,6 +90,20 @@ class BenchSpec extends AnyFunSuite {
     assert(parsed("g28_louvain_fixpoint_ladder") > 10.0)
   }
 
+  test("the r20 closing artifact (the r21 freeze source) parses: " +
+    "250 medians, values not ratios") {
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("BENCH_R20_CLOSING.json"))
+    val parsed = Bench.parseBaseline(txt, sf)
+    assert(parsed.size === 250)
+    assert(parsed.contains("h09_witness_reach"))
+    // baseline_ratios follows medians in this format: g29 has no
+    // ratio (new entrant) and p26's median is >10 s while its ratio
+    // is ~1 — a to-EOF parse would have returned the ratio
+    assert(parsed("g29_leiden_ladder") > 10.0)
+    assert(parsed("p26_exact_vs_lsh_funnel") > 10.0)
+  }
+
   test("the r19 freeze is a pure transform of the committed closing " +
     "artifact: every anchor median byte-equal to " +
     "BENCH_R19_CLOSING.json's") {
