@@ -203,18 +203,27 @@ object GraphEtl {
     */
   def coSupplierEdges(lineitem: DataFrame, minSupport: Int = 5,
                       maxPerOrder: Int = 100): DataFrame = {
-    val os = lineitem
+    // One set aggregate instead of distinct + per-order count + semi
+    // join + self-join (r20 optimization, guide §2.4: the old shape
+    // paid 4 exchanges — distinct on (o, s), the size count, and the
+    // pair self-join each reshuffled the order×supplier pairs; the
+    // sorted set per order carries the same information through ONE
+    // exchange, and the a < b pair fan-out becomes a row-local array
+    // expansion with the same C(k,2) bound). collect_set = the old
+    // distinct; the size filter = the old maxPerOrder semi-join (drop
+    // the whole order BEFORE expansion); sorted ascending, so x pairs
+    // only with its strictly-later elements — exactly the x.s < y.s
+    // join condition.
+    val sets = lineitem
       .select(col("l_orderkey").as("o"), col("l_suppkey").as("s"))
-      .distinct()
-    val small = os.groupBy(col("o"))
-      .agg(count(lit(1)).as("k"))
-      .filter(col("k") <= maxPerOrder)
-      .select(col("o"))
-    val osOk = os.join(small, Seq("o"), "left_semi")
-    osOk.as("x")
-      .join(osOk.as("y"),
-        col("x.o") === col("y.o") && col("x.s") < col("y.s"))
-      .groupBy(col("x.s").as("a"), col("y.s").as("b"))
+      .groupBy(col("o"))
+      .agg(sort_array(collect_set(col("s"))).as("ss"))
+      .filter(size(col("ss")) <= maxPerOrder)
+    sets
+      .select(explode(flatten(transform(col("ss"), (x, i) =>
+        transform(slice(col("ss"), i + 2, size(col("ss"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= minSupport)
       .select(col("a"), col("b"))
@@ -677,11 +686,15 @@ object GraphEtl {
         .join(labels.select(col("node").as("b"), col("lab")), "b")
         .groupBy(col("a"), col("lab"))
         .agg(count(lit(1)).as("n"))
-      val win = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("a")).orderBy(col("n").desc, col("lab").asc)
-      labels = votes.withColumn("_rk", row_number().over(win))
-        .filter(col("_rk") === 1)
-        .select(col("a").as("node"), col("lab"))
+      // argmax by (n DESC, lab ASC) as ONE map-side-combinable
+      // aggregate instead of a row_number window (r20, guide §2.3/2.4:
+      // the window paid a full sort of the vote table per round; the
+      // struct max is the same total order — max n first, then max
+      // -lab = min lab — with partial aggregation and no sort).
+      labels = votes
+        .groupBy(col("a"))
+        .agg(max(struct(col("n"), (-col("lab")).as("_nl"))).as("_mx"))
+        .select(col("a").as("node"), (-col("_mx._nl")).as("lab"))
       if (r < rounds) labels = labels.materialized
     }
     labels.select(col("node").as("vertex"), col("lab").as("community"))
@@ -740,6 +753,67 @@ object GraphEtl {
         when(col("m") === 0L, lit(null).cast("double"))
           .otherwise(num / den).as("modularity"))
   }
+
+  /** The (n_communities, modularity) audit pair of a supernode
+    * labeling, computed on the CONTRACTED representation instead of
+    * folding the labels into the vertex partition and re-scoring the
+    * original edge list (r20, guide §1.2: the fixpoint ladders paid
+    * one m-linear [[modularityParts]] pass — two edge×labels joins
+    * plus a degree re-aggregate — per move round, for numbers that
+    * are an exact function of the community graph).
+    *
+    * Exactness argument (all integer algebra, so the emitted doubles
+    * are bit-identical to the folded path's):
+    *  - e_in(folded) counts original edges whose endpoints get equal
+    *    folded labels. An edge's endpoints map to its super-edge's
+    *    endpoints; the min-member canonicalization is injective on
+    *    label values; so e_in = Σ selfw + Σ_{bw: lab(sa)=lab(sb)} w,
+    *    and Σ selfw = m − Σ_{bw} w (every distinct edge is a self-loop
+    *    or a between-pair instance).
+    *  - d_C(folded) = Σ_{v: label C} deg(v) = Σ_{supernode n: lab(n)=C}
+    *    k_n, since k_n is exactly the sum of member degrees
+    *    ([[contractGraph]]). So Σ d_C² = Σ_C (Σ_{lab=C} k_n)².
+    *  - n_communities(folded) = #distinct folded vertex labels =
+    *    #distinct lab values (labels are nonempty, canon injective).
+    * The modularity expression reproduces [[modularityParts]]'
+    * decimal(38,0) shapes term for term, ONE final double division,
+    * NULL on m = 0 — identical values in, identical doubles out.
+    *
+    * `lab` is the round's supernode labeling (node, lab); `degC`/`bw`
+    * the level's contraction; `mRow`/`bwTot` 1-row broadcasts of the
+    * original edge count and Σ_{bw} w. Cost: two community-graph-sized
+    * joins + three tiny aggregates — nothing m-linear.
+    */
+  private def contractedModularity(lab: DataFrame, degC: DataFrame,
+                                   bw: DataFrame, mRow: DataFrame,
+                                   bwTot: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    val sig = degC.join(lab, "node")
+      .groupBy(col("lab")).agg(sum(col("k").cast(dec)).as("d_c"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("d_c") * col("d_c")).as("sum_dsq"))
+    val win = bw
+      .join(lab.select(col("node").as("sa"), col("lab").as("la")), "sa")
+      .join(lab.select(col("node").as("sb"), col("lab").as("lb")), "sb")
+      .agg(coalesce(sum(when(col("la") === col("lb"), col("w"))),
+        lit(0L)).as("w_in"))
+    val num = (lit(4).cast(dec) * col("m") *
+      (col("m") - col("bw_tot") + col("w_in")) - col("sum_dsq"))
+      .cast("double")
+    val den = (lit(4).cast(dec) * col("m") * col("m")).cast("double")
+    mRow.crossJoin(broadcast(bwTot))
+      .crossJoin(broadcast(win))
+      .crossJoin(broadcast(sig))
+      .select(col("n_communities"),
+        when(col("m") === 0L, lit(null).cast("double"))
+          .otherwise(num / den).as("modularity"))
+  }
+
+  /** Σ_{bw} w as a 1-row broadcast (feeds [[contractedModularity]]'s
+    * Σ selfw = m − Σ bw reconstruction); 0 on an empty between set.
+    */
+  private def bwTotal(bw: DataFrame): DataFrame =
+    broadcast(bw.agg(coalesce(sum(col("w")), lit(0L)).as("bw_tot")))
 
   /** One synchronous Louvain local-move round (g23, Blondel et al.
     * 2008 phase 1) seeded by `seedRounds` of [[labelPropagation]]:
@@ -803,11 +877,14 @@ object GraphEtl {
       .groupBy(col("community")).agg(sum(col("k").cast(dec)).as("sigma"))
       .materialized
     val mRow = broadcast(e.agg(count(lit(1)).as("m")))
+    // nbr is consumed ONCE now (the merged per-node aggregate below
+    // replaced the separate stay chain that was its second reader), so
+    // the eager pin it used to carry is gone — one fewer job per call
+    // (r20, guide §1.2/2.4).
     val nbr = sym
       .join(seed.select(col("vertex").as("b"), col("community").as("labc")),
         "b")
       .groupBy(col("a"), col("labc")).agg(count(lit(1)).as("cnt"))
-      .materialized
     val scored = nbr
       .join(deg, "a")
       .join(seed.select(col("vertex").as("a"), col("community").as("laba")),
@@ -819,27 +896,33 @@ object GraphEtl {
           col("k").cast(dec) * (col("sigma") -
             when(col("labc") === col("laba"), col("k"))
               .otherwise(lit(0L)).cast(dec))).as("s"))
-    val wBest = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("a")).orderBy(col("s").desc, col("labc").asc)
-    val best = scored.withColumn("_rk", row_number().over(wBest))
-      .filter(col("_rk") === 1)
-      .select(col("a"), col("labc").as("best_lab"), col("s").as("best_s"))
-    val stay = seed
-      .select(col("vertex").as("a"), col("community").as("laba"))
+    // Argmax + stay score in ONE per-node aggregate (r20, guide
+    // §2.3/2.4): the old shape paid a row_number window (shuffle +
+    // sort) for the argmax, then rebuilt the stay score through a
+    // separate seed⋈deg⋈dcs⋈nbr chain and joined the two. The struct
+    // max IS the (s DESC, labc ASC) order (max s, then max -labc =
+    // min labc); the own-community row of `scored` IS the stay score
+    // when the node has a same-community neighbor (identical formula —
+    // sigma(laba) with the k exclusion), and the no-own-row fallback
+    // 2m·0 − k·(σ_a − k) is reconstructed from deg⋈dcs on the
+    // node-sized aggregate output. Nodes whose community has no
+    // candidate rows keep laba via the left join + null compare, as
+    // before.
+    val perNode = scored.groupBy(col("a"), col("laba"))
+      .agg(max(struct(col("s"), (-col("labc")).as("_nl"))).as("_mx"),
+        max(when(col("labc") === col("laba"), col("s"))).as("_own"))
+    seed.select(col("vertex").as("a"), col("community").as("laba"))
+      .join(perNode, Seq("a", "laba"), "left")
       .join(deg, "a")
       .join(dcs.select(col("community").as("laba"), col("sigma").as("sga")),
         "laba")
-      .join(nbr.withColumnRenamed("labc", "laba")
-          .withColumnRenamed("cnt", "stay_cnt"),
-        Seq("a", "laba"), "left")
       .crossJoin(mRow)
       .select(col("a"), col("laba"),
-        (lit(2).cast(dec) * col("m") * coalesce(col("stay_cnt"), lit(0L)) -
-          col("k").cast(dec) * (col("sga") - col("k").cast(dec)))
-          .as("stay_s"))
-    stay.join(best, Seq("a"), "left")
-      .select(col("a"), col("laba"),
-        when(col("best_s") > col("stay_s"), col("best_lab"))
+        when(col("_mx.s") >
+            coalesce(col("_own"),
+              lit(2).cast(dec) * col("m") * lit(0L) -
+                col("k").cast(dec) * (col("sga") - col("k").cast(dec))),
+          -col("_mx._nl"))
           .otherwise(col("laba")).as("newlab"))
       .materialized
   }
@@ -860,18 +943,23 @@ object GraphEtl {
     */
   private def contractGraph(e: DataFrame, flat: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val ce = e
+    // ONE canonical-pair aggregate over the labeled edges instead of
+    // two (the old bw/sw split aggregated the labeled edge list twice
+    // through two exchanges, and pinned the labeled list so the two
+    // passes shared it — r20, guide §2.3/2.4: self-loops are just the
+    // sa = sb rows of the same canonical-pair count, so one shuffle +
+    // one pin carries both; bw/sw become filters over the pinned
+    // aggregate, whose size is the community-pair count).
+    val pw = e
       .join(flat.select(col("v").as("a"), col("c").as("ca")), "a")
       .join(flat.select(col("v").as("b"), col("c").as("cb")), "b")
-      .select(col("ca"), col("cb"))
-      .materialized
-    val bw = ce.filter(col("ca") =!= col("cb"))
       .select(least(col("ca"), col("cb")).as("sa"),
         greatest(col("ca"), col("cb")).as("sb"))
       .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("w"))
       .materialized
-    val sw = ce.filter(col("ca") === col("cb"))
-      .groupBy(col("ca").as("node")).agg(count(lit(1)).as("selfw"))
+    val bw = pw.filter(col("sa") =!= col("sb"))
+    val sw = pw.filter(col("sa") === col("sb"))
+      .select(col("sa").as("node"), col("w").as("selfw"))
     val symW = bw.select(col("sa").as("node"), col("sb").as("nb"), col("w"))
       .union(bw.select(col("sb").as("node"), col("sa").as("nb"), col("w")))
     val degC = flat.select(col("c").as("node")).distinct()
@@ -960,11 +1048,13 @@ object GraphEtl {
       .select(col("node"), col("nb"),
         (lit(2).cast(dec) * col("m") * col("w") -
           col("ka").cast(dec) * col("kb").cast(dec)).as("s"))
-    val wBest2 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node")).orderBy(col("s").desc, col("nb").asc)
-    val dec2 = scored2.withColumn("_rk", row_number().over(wBest2))
-      .filter(col("_rk") === 1 && col("s") > 0)
-      .select(col("node").as("c"), col("nb").as("mergeto"))
+    // argmax by (s DESC, nb ASC) as a struct-max aggregate instead of
+    // a row_number window (r20, guide §2.3/2.4 — no sort, map-side
+    // partial aggregation; same total order, same s > 0 gate)
+    val dec2 = scored2.groupBy(col("node"))
+      .agg(max(struct(col("s"), (-col("nb")).as("_nn"))).as("_mx"))
+      .filter(col("_mx.s") > 0)
+      .select(col("node").as("c"), (-col("_mx._nn")).as("mergeto"))
     val flat2 = flat1.join(dec2, Seq("c"), "left")
       .select(col("v").as("vertex"),
         coalesce(col("mergeto"), col("c")).as("community"))
@@ -1088,13 +1178,14 @@ object GraphEtl {
       .select(col("node"), col("nb"),
         (lit(2).cast(dec) * col("m") * col("w") -
           col("ka").cast(dec) * col("kb").cast(dec)).as("s"))
-    val wBest = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node")).orderBy(col("s").desc, col("nb").asc)
-    // positive-gain argmax per supernode; materialized because the
-    // mutuality self-join consumes it twice
-    val best = scored.withColumn("_rk", row_number().over(wBest))
-      .filter(col("_rk") === 1 && col("s") > 0)
-      .select(col("node"), col("nb"))
+    // positive-gain argmax per supernode — struct-max aggregate, not a
+    // row_number window (r20, guide §2.3/2.4: same (s DESC, nb ASC)
+    // order without the sort); materialized because the mutuality
+    // self-join consumes it twice
+    val best = scored.groupBy(col("node"))
+      .agg(max(struct(col("s"), (-col("nb")).as("_nn"))).as("_mx"))
+      .filter(col("_mx.s") > 0)
+      .select(col("node"), (-col("_mx._nn")).as("nb"))
       .materialized
     val pairs = best.as("x")
       .join(best.as("y"),
@@ -1155,14 +1246,21 @@ object GraphEtl {
                                   direction: Option[Boolean] = None)
       : DataFrame = {
     val dec = "decimal(38,0)"
-    val nbr = graft.Materialize.statsReset(symW
+    // nbr and dcs are LAZY now (r20, guide §1.2/2.4): the merged
+    // per-node aggregate below replaced the separate stay chain, so
+    // nbr has one consumer and dcs two (exchange reuse dedups the
+    // second); dropping their per-round statsReset pins removes two
+    // eager jobs per move round. Stats compounding stays bounded
+    // because the ROUND OUTPUT keeps its statsReset — each round's
+    // plan starts from fresh leaf stats.
+    val nbr = symW
       .join(seed.select(col("node").as("nb"), col("lab").as("labc")),
         "nb")
-      .groupBy(col("node"), col("labc")).agg(sum(col("w")).as("cnt")))
-    val dcs = graft.Materialize.statsReset(degC
+      .groupBy(col("node"), col("labc")).agg(sum(col("w")).as("cnt"))
+    val dcs = degC
       .join(seed, "node")
       .groupBy(col("lab").as("community"))
-      .agg(sum(col("k").cast(dec)).as("sigma")))
+      .agg(sum(col("k").cast(dec)).as("sigma"))
     val scored = nbr
       .join(degC, "node")
       .join(seed.select(col("node"), col("lab").as("laba")), "node")
@@ -1174,34 +1272,36 @@ object GraphEtl {
           col("k").cast(dec) * (col("sigma") -
             when(col("labc") === col("laba"), col("k"))
               .otherwise(lit(0L)).cast(dec))).as("s"))
-    val candidates = direction match {
-      case None => scored
-      case Some(true) => scored.filter(col("labc") < col("laba"))
-      case Some(false) => scored.filter(col("labc") > col("laba"))
+    // Argmax + stay score in ONE per-node aggregate — the moveDecided
+    // r20 rewrite applied to the weighted graph (guide §2.3/2.4): the
+    // direction damper becomes the aggregate's filter predicate, the
+    // struct max is the (s DESC, labc ASC) order, the own-community
+    // row IS the stay score when present, and the no-own-row fallback
+    // 2m·0 − k·(σ_a − k) is rebuilt from degC⋈dcs on the node-sized
+    // output. Replaces the row_number window + the separate stay
+    // chain + their join.
+    val dirFilter: Column = direction match {
+      case None => lit(true)
+      case Some(true) => col("labc") < col("laba")
+      case Some(false) => col("labc") > col("laba")
     }
-    val wBest = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("node")).orderBy(col("s").desc, col("labc").asc)
-    val best = candidates.withColumn("_rk", row_number().over(wBest))
-      .filter(col("_rk") === 1)
-      .select(col("node"), col("labc").as("best_lab"),
-        col("s").as("best_s"))
-    val stay = seed
-      .select(col("node"), col("lab").as("laba"))
-      .join(degC, "node")
-      .join(dcs.select(col("community").as("laba"),
-          col("sigma").as("sga")), "laba")
-      .join(nbr.withColumnRenamed("labc", "laba")
-          .withColumnRenamed("cnt", "stay_cnt"),
-        Seq("node", "laba"), "left")
-      .crossJoin(mRow)
-      .select(col("node"), col("laba"),
-        (lit(2).cast(dec) * col("m") * coalesce(col("stay_cnt"), lit(0L)) -
-          col("k").cast(dec) * (col("sga") - col("k").cast(dec)))
-          .as("stay_s"))
+    val perNode = scored.groupBy(col("node"), col("laba"))
+      .agg(max(when(dirFilter,
+          struct(col("s"), (-col("labc")).as("_nl")))).as("_mx"),
+        max(when(col("labc") === col("laba"), col("s"))).as("_own"))
     graft.Materialize.statsReset(
-      stay.join(best, Seq("node"), "left")
+      seed.select(col("node"), col("lab").as("laba"))
+        .join(perNode, Seq("node", "laba"), "left")
+        .join(degC, "node")
+        .join(dcs.select(col("community").as("laba"),
+            col("sigma").as("sga")), "laba")
+        .crossJoin(mRow)
         .select(col("node"), col("laba"),
-          when(col("best_s") > col("stay_s"), col("best_lab"))
+          when(col("_mx.s") >
+              coalesce(col("_own"),
+                lit(2).cast(dec) * col("m") * lit(0L) -
+                  col("k").cast(dec) * (col("sga") - col("k").cast(dec))),
+            -col("_mx._nl"))
             .otherwise(col("laba")).as("newlab")))
   }
 
@@ -1267,7 +1367,7 @@ object GraphEtl {
     (1 to levels).foreach { l =>
       // phase 1 on the contracted graph: `moveRounds` weighted
       // synchronous move rounds from the singleton restart
-      val (symW, degC, _) = contractGraph(e, flat)
+      val (symW, degC, bw) = contractGraph(e, flat)
       var lab = degC.select(col("node"), col("node").as("lab"))
       (1 to moveRounds).foreach { r =>
         val decided = weightedMoveDecided(symW, degC, mRow, lab)
@@ -1287,8 +1387,10 @@ object GraphEtl {
       flat = graft.Materialize.statsReset(
         flat.join(moveMap, Seq("c"), "left")
           .select(col("v"), coalesce(col("mc"), col("c")).as("c")))
-      val mlMv = modularityParts(e,
-        flat.select(col("v").as("vertex"), col("c").as("community")))
+      // post-move audit via the CONTRACTED representation (r20) —
+      // identical integers to scoring the folded vertex partition
+      // with modularityParts; see [[contractedModularity]]
+      val mlMv = contractedModularity(lab, degC, bw, mRow, bwTotal(bw))
       audit = audit.crossJoin(broadcast(mlMv.select(
         col("n_communities").as(s"n_communities_l${l}_mv"),
         col("modularity").as(s"modularity_l${l}_mv"))))
@@ -1357,7 +1459,8 @@ object GraphEtl {
       .select(col("a").as("v"), col("cc").as("c"))
       .materialized
     val mRow = broadcast(e.agg(count(lit(1)).as("m")))
-    val (symW, degC, _) = contractGraph(e, flat)
+    val (symW, degC, bw) = contractGraph(e, flat)
+    val bwTot = bwTotal(bw)
     var lab = degC.select(col("node"), col("node").as("lab"))
     // label history for the same-parity recurrence probe; index r
     // holds the labeling AFTER round r (index 0 the singleton start)
@@ -1370,15 +1473,11 @@ object GraphEtl {
         direction = Some(r % 2 == 1))
       lab = decided.select(col("node"), col("newlab").as("lab"))
       labs :+= lab
-      // audit-only fold of THIS round's labels into the (constant)
-      // phase-1 vertex partition; labels canonicalized to min member
-      val canonL = lab.groupBy(col("lab")).agg(min(col("node")).as("cc"))
-      val moveMap = lab.join(canonL, "lab")
-        .select(col("node").as("c"), col("cc").as("mc"))
-      val flatR = flat.join(moveMap, Seq("c"), "left")
-        .select(col("v"), coalesce(col("mc"), col("c")).as("c"))
-      val ml = modularityParts(e,
-        flatR.select(col("v").as("vertex"), col("c").as("community")))
+      // audit via the CONTRACTED representation (r20): same
+      // n_communities/modularity integers the old per-round fold +
+      // m-linear modularityParts pass produced, at community-graph
+      // cost — see [[contractedModularity]]'s exactness argument
+      val ml = contractedModularity(lab, degC, bw, mRow, bwTot)
       rows :+= decided
         .agg(sum(when(col("newlab") =!= col("laba"), 1L).otherwise(0L))
           .as("n_moves"))
@@ -1547,7 +1646,8 @@ object GraphEtl {
     val mRow = broadcast(e.agg(count(lit(1)).as("m")))
     var rows = Vector.empty[DataFrame]
     (1 to levels).foreach { l =>
-      val (symW, degC, _) = contractGraph(e, flat)
+      val (symW, degC, bw) = contractGraph(e, flat)
+      val bwTot = bwTotal(bw)
       var lab = degC.select(col("node"), col("node").as("lab"))
       var labs = Vector(lab)
       var converged = false
@@ -1557,16 +1657,12 @@ object GraphEtl {
           direction = Some(r % 2 == 1))
         lab = decided.select(col("node"), col("newlab").as("lab"))
         labs :+= lab
-        // audit-only fold of THIS round's labels into the level's
-        // (constant) vertex partition, min-member canonical labels
-        val canonL = lab.groupBy(col("lab"))
-          .agg(min(col("node")).as("cc"))
-        val moveMap = lab.join(canonL, "lab")
-          .select(col("node").as("c"), col("cc").as("mc"))
-        val flatR = flat.join(moveMap, Seq("c"), "left")
-          .select(col("v"), coalesce(col("mc"), col("c")).as("c"))
-        val ml = modularityParts(e,
-          flatR.select(col("v").as("vertex"), col("c").as("community")))
+        // audit via the CONTRACTED representation (r20): the old
+        // per-round fold (canonicalize + two vertex-keyed joins) +
+        // m-linear modularityParts pass is replaced by the
+        // community-graph-sized algebra of [[contractedModularity]] —
+        // identical integers, identical doubles, see its scaladoc
+        val ml = contractedModularity(lab, degC, bw, mRow, bwTot)
         rows :+= decided
           .agg(sum(when(col("newlab") =!= col("laba"), 1L)
             .otherwise(0L)).as("n_moves"))
