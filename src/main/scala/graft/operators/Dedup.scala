@@ -366,17 +366,25 @@ object Dedup {
     * τ-band tuning, no missed pairs).
     */
   def prefixJaccardJoin(documents: DataFrame): DataFrame = {
-    val toks = documents.select(col("doc_id"),
-        explode(array_distinct(transform(Canon.words(col("text")),
-          w => Canon.hashP(w)))).as("h"))
-      .materialized // feeds the df aggregate AND the rank join
+    // Materialize the per-doc SORTED distinct hash array once (r20,
+    // guide §1.2/2.4): it IS the verify-side set, so the old shape's
+    // second corpus-shaped shuffle — groupBy(doc_id) + collect_list +
+    // sort_array to rebuild `sets` from the exploded tokens — is
+    // gone, and the set size rides the explode as a plain column
+    // instead of a count-over-window (one WindowExec fewer). One
+    // corpus scan + one md5-per-word pass total, as before.
+    val sets = documents.select(col("doc_id"),
+        sort_array(array_distinct(transform(Canon.words(col("text")),
+          w => Canon.hashP(w)))).as("dw"))
+      .materialized // feeds the df aggregate, the rank join, AND verify
+    val toks = sets.select(col("doc_id"), size(col("dw")).as("nsz"),
+      explode(col("dw")).as("h"))
     val dfreq = toks.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val wRank = Window.partitionBy(col("doc_id"))
       .orderBy(col("df"), col("h"))
-    val wSize = Window.partitionBy(col("doc_id"))
     val prefix = toks.join(dfreq, "h")
       .withColumn("rnk", row_number().over(wRank))
-      .withColumn("nset", count(lit(1)).over(wSize))
+      .withColumn("nset", col("nsz").cast("long"))
       .filter(col("rnk") <=
         col("nset") - expr("(4 * nset + 4) div 5") + 1L)
       .select(col("doc_id"), col("h"), col("nset"), col("rnk"))
@@ -401,13 +409,6 @@ object Dedup {
             "(4 * (a.nset + b.nset) + 8) div 9"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // sorted sets rebuilt from the already-materialized toks (which
-    // are per-doc distinct by construction) — no second corpus scan,
-    // no second md5-per-word pass (review fix: d26 is the suite's
-    // heaviest query; re-tokenizing doubled its scan cost)
-    val sets = toks.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("h"))).as("dw"))
-      .materialized
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("dw").as("wa")),
         "doc_a")
