@@ -1145,10 +1145,8 @@ object GraphEtl {
         col("n_communities").as("n_communities_p1"),
         col("modularity").as("modularity_p1"))))
     (1 to levels).foreach { l =>
-      val (merged, pairs) = matchingLevel(e, flat, mRow)
+      val (merged, pairs, ml) = matchingLevel(e, flat, mRow)
       flat = merged
-      val ml = modularityParts(e,
-        flat.select(col("v").as("vertex"), col("c").as("community")))
       audit = audit
         .crossJoin(broadcast(pairs.agg(
           count(lit(1)).as(s"n_merges_l$l"))))
@@ -1168,9 +1166,10 @@ object GraphEtl {
     * between them. Returns (merged flat, accepted pairs).
     */
   private def matchingLevel(e: DataFrame, flat: DataFrame,
-                            mRow: DataFrame): (DataFrame, DataFrame) = {
+                            mRow: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
     val dec = "decimal(38,0)"
-    val (symW, degC, _) = contractGraph(e, flat)
+    val (symW, degC, bw) = contractGraph(e, flat)
     val scored = symW
       .join(degC.select(col("node"), col("k").as("ka")), "node")
       .join(degC.select(col("node").as("nb"), col("k").as("kb")), "nb")
@@ -1198,7 +1197,19 @@ object GraphEtl {
     val merged = flat.join(mergeMap, Seq("c"), "left")
       .select(col("v"), coalesce(col("mc"), col("c")).as("c"))
       .materialized
-    (merged, pairs)
+    // the level's (n_communities, modularity) audit pair, scored on
+    // the CONTRACTED representation (r20): the merged partition is
+    // exactly the fold of this supernode labeling into `flat`, so
+    // [[contractedModularity]] reproduces modularityParts(e, merged)
+    // bit for bit at community-graph cost — labels are min supernode
+    // ids (pa < pb), injective across disjoint matched pairs
+    val labM = degC.select(col("node"))
+      .join(mergeMap.select(col("c").as("node"), col("mc")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("mc"), col("node")).as("lab"))
+    val matchAudit = contractedModularity(labM, degC, bw, mRow,
+      bwTotal(bw))
+    (merged, pairs, matchAudit)
   }
 
   /** The synchronous local-move decision on a WEIGHTED community
@@ -1396,10 +1407,8 @@ object GraphEtl {
         col("modularity").as(s"modularity_l${l}_mv"))))
       // phase 2 of the level: g25's mutual-argmax matching on the
       // re-contracted graph (shared helper — cannot drift from g25)
-      val (merged, pairs) = matchingLevel(e, flat, mRow)
+      val (merged, pairs, ml) = matchingLevel(e, flat, mRow)
       flat = merged
-      val ml = modularityParts(e,
-        flat.select(col("v").as("vertex"), col("c").as("community")))
       audit = audit
         .crossJoin(broadcast(pairs.agg(
           count(lit(1)).as(s"n_merges_l$l"))))
@@ -1718,10 +1727,8 @@ object GraphEtl {
         flat = refined
       }
       // the level's monotone contraction (g25's matching, shared)
-      val (merged, pairs) = matchingLevel(e, flat, mRow)
+      val (merged, pairs, ml2) = matchingLevel(e, flat, mRow)
       flat = merged
-      val ml2 = modularityParts(e,
-        flat.select(col("v").as("vertex"), col("c").as("community")))
       rows :+= pairs.agg(count(lit(1)).as("n_moves"))
         .crossJoin(broadcast(ml2.select(
           col("n_communities"), col("modularity"))))
