@@ -1842,11 +1842,31 @@ object Similarity {
     // transitive closure; the hash ring's pseudo-random long-range
     // links are what let the local join escape locality, exactly the
     // role random initial neighbors play in the published algorithm.
-    val byHash = embeddings.select(col("vec_id"), lit(0L).as("bk"),
-      Canon.hashP(col("vec_id").cast("string")).as("ord"))
+    //
+    // Ranked with [[hashRank]]'s two-stage template, NOT ringPairs'
+    // per-block window (r20, guide §2.5): the global ring's block key
+    // is the constant 0, so the window form hashed the ENTIRE corpus
+    // into one partition — a corpus-sized single-task sort at 100 TB
+    // that the unpartitioned-window plan check cannot see (the window
+    // IS partitioned, by a constant). hashRank ranks by the same
+    // (hashP(id), id) total order, so the fan produces the identical
+    // pair set. Pinned because the fan and the rank-target join both
+    // read it (the searchGraph hrank discipline).
+    val hr = hashRank(embeddings.select(col("vec_id")))
+      .crossJoin(broadcast(embeddings.agg(count(lit(1)).as("_b"))))
+      .filter(col("_b") > 1)
+      .materialized
+    val hashRing = hr
+      .withColumn("j",
+        explode(sequence(lit(1L), least(lit((2 * k).toLong),
+          col("_b") - 1L))))
+      .withColumn("trn", (col("rn") - 1L + col("j")) % col("_b") + 1L)
+      .join(hr.select(col("rn").as("trn"), col("vec_id").as("nbr_id")),
+        Seq("trn"))
+      .select(col("vec_id"), col("nbr_id"))
     val seedCand = ringPairs(byLabel, 2 * k)
       .union(ringPairs(byCell, 2 * k))
-      .union(ringPairs(byHash, 2 * k)).distinct()
+      .union(hashRing).distinct()
     var g = topK(scorePairs(seedCand))
       .select(col("vec_id"), col("nbr_id"), col("sim")).materialized
     (1 to rounds).foreach { _ =>
@@ -2059,9 +2079,14 @@ object Similarity {
     fs.result()
   }
 
+  /** Returns (frontier₀, frontier_R, pinned corpus frame) — the pinned
+    * `e` rides along so recall callers reuse it for their truth pass
+    * instead of pinning a second copy of the same frame (r20, guide
+    * §1.2: one corpus pin per query, not two).
+    */
   private def beamChain(embeddings: DataFrame, beam: Int, rounds: Int,
                         graphK: Int, descentRounds: Int)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = prepared(embeddings).materialized
     val gsym = searchGraph(e,
       nnDescent(embeddings, graphK, descentRounds)
@@ -2069,7 +2094,8 @@ object Similarity {
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm")).materialized
-    beamWalk(e, gsym, q, beam, rounds)
+    val (f0, f) = beamWalk(e, gsym, q, beam, rounds)
+    (f0, f, e)
   }
 
   /** Graph-ANN beam search (s33) — the missing rung above the s28
@@ -2091,7 +2117,7 @@ object Similarity {
   def graphBeamSearch(embeddings: DataFrame, k: Int = 5, beam: Int = 16,
                       rounds: Int = 4, graphK: Int = 5,
                       descentRounds: Int = 4): DataFrame = {
-    val (_, f) = beamChain(embeddings, beam, rounds, graphK, descentRounds)
+    val (_, f, _) = beamChain(embeddings, beam, rounds, graphK, descentRounds)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
     f.withColumn("rank", row_number().over(w))
@@ -2111,8 +2137,8 @@ object Similarity {
   def graphBeamRecall(embeddings: DataFrame, k: Int = 5, beam: Int = 16,
                       rounds: Int = 4, graphK: Int = 5,
                       descentRounds: Int = 4): DataFrame = {
-    val (f0, f) = beamChain(embeddings, beam, rounds, graphK, descentRounds)
-    val e = prepared(embeddings).materialized
+    val (f0, f, e) = beamChain(embeddings, beam, rounds, graphK,
+      descentRounds)
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id"), col("v"), col("nrm"))
     val wT = Window.partitionBy(col("vec_id"))
@@ -2168,7 +2194,7 @@ object Similarity {
     */
   private def hierChain(embeddings: DataFrame, beam: Int, rounds: Int,
                         graphK: Int, descentRounds: Int)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = prepared(embeddings).materialized
     val gsym = searchGraph(e,
       nnDescent(embeddings, graphK, descentRounds)
@@ -2190,7 +2216,11 @@ object Similarity {
           col("qnrm"), col("nrm")).as("sim"))
       .withColumn("_rk", row_number().over(wB))
       .filter(col("_rk") <= beam).drop("_rk")
-    beamWalk(e, gsym, q, beam, rounds, Some(f1))
+    val (f0, f) = beamWalk(e, gsym, q, beam, rounds, Some(f1))
+    // the pinned corpus rides along for the recall caller's truth
+    // pass — one corpus pin per query, not two (r20, the beamChain
+    // convention)
+    (f0, f, e)
   }
 
   /** Hierarchical beam search (s47): [[hierChain]]'s final frontier,
@@ -2200,7 +2230,8 @@ object Similarity {
   def hierBeamSearch(embeddings: DataFrame, k: Int = 5, beam: Int = 16,
                      rounds: Int = 4, graphK: Int = 5,
                      descentRounds: Int = 4): DataFrame = {
-    val (_, f) = hierChain(embeddings, beam, rounds, graphK, descentRounds)
+    val (_, f, _) = hierChain(embeddings, beam, rounds, graphK,
+      descentRounds)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
     f.withColumn("rank", row_number().over(w))
@@ -2218,8 +2249,8 @@ object Similarity {
   def hierBeamRecall(embeddings: DataFrame, k: Int = 5, beam: Int = 16,
                      rounds: Int = 4, graphK: Int = 5,
                      descentRounds: Int = 4): DataFrame = {
-    val (f0, f) = hierChain(embeddings, beam, rounds, graphK, descentRounds)
-    val e = prepared(embeddings).materialized
+    val (f0, f, e) = hierChain(embeddings, beam, rounds, graphK,
+      descentRounds)
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id"), col("v"), col("nrm"))
     val wT = Window.partitionBy(col("vec_id"))
@@ -2339,7 +2370,7 @@ object Similarity {
   private def incrementalParts(embeddings: DataFrame, k: Int,
                                beam: Int, rounds: Int,
                                descentRounds: Int)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     val eAll = prepared(embeddings).materialized
     val eOld = eAll.filter(col("vec_id") % 10 =!= 9).materialized
     val gOld = nnDescent(embeddings.filter(col("vec_id") % 10 =!= 9),
@@ -2364,7 +2395,8 @@ object Similarity {
     val patched = gOld.unionByName(rev)
       .withColumn("_rk", row_number().over(wN))
       .filter(col("_rk") <= k).drop("_rk")
-    (patched, newFwd)
+    // eAll rides along so the recall caller reuses the pin (r20)
+    (patched, newFwd, eAll)
   }
 
   /** Incremental graph insert (s36): the maintained graph itself —
@@ -2374,7 +2406,7 @@ object Similarity {
   def incrementalGraphInsert(embeddings: DataFrame, k: Int = 5,
                              beam: Int = 16, rounds: Int = 4,
                              descentRounds: Int = 4): DataFrame = {
-    val (patched, newFwd) =
+    val (patched, newFwd, _) =
       incrementalParts(embeddings, k, beam, rounds, descentRounds)
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("nbr_id").asc)
@@ -2396,11 +2428,10 @@ object Similarity {
   def incrementalGraphRecall(embeddings: DataFrame, k: Int = 5,
                              beam: Int = 16, rounds: Int = 4,
                              descentRounds: Int = 4): DataFrame = {
-    val (patched, newFwd) =
+    val (patched, newFwd, eAll) =
       incrementalParts(embeddings, k, beam, rounds, descentRounds)
     val graph = patched.unionByName(newFwd)
       .select(col("vec_id"), col("nbr_id"))
-    val eAll = prepared(embeddings).materialized
     val q = eAll.filter(col("vec_id") % 50 === 0 ||
         col("vec_id") % 50 === 49)
       .select(col("vec_id"), col("v"), col("nrm")).materialized
