@@ -457,7 +457,7 @@ object Dedup {
     * fixpoint loop shape is identical. Each round's shuffle is one
     * hash join on node id + one aggregate.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame =
     // Materialize the DIRECTED pair list once, BEFORE the symmetric
     // union: the union reads it from both branches, so an unchecked-
     // pointed `pairs` runs the full candidate-generation plan (minhash
@@ -465,8 +465,18 @@ object Dedup {
     // cached copy also keeps every fixpoint iteration off that plan.
     // The union itself stays lazy — two scans of the small cached pair
     // list per round beat a second materialization.
-    val p = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .materialized
+    dupClustersPrePinned(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .materialized, maxIters)
+
+  /** [[dupClusters]] over an ALREADY-materialized directed (a, b) pair
+    * frame — callers that hold a pinned pair list (the p26/p27 funnel
+    * arms pin it for their n_pairs audit anyway) skip the redundant
+    * second checkpoint of the same rows (r20, guide §1.2).
+    */
+  private[operators] def dupClustersPrePinned(p: DataFrame,
+                                              maxIters: Int = 20)
+      : DataFrame = {
     val sym = p.union(p.select(col("b").as("a"), col("a").as("b")))
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("lab", col("node"))

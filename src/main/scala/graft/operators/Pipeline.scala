@@ -380,8 +380,9 @@ object Pipeline {
     */
   private def funnelArm(toks: DataFrame, total: DataFrame)
                        (pairs: DataFrame, method: String): DataFrame = {
-    val p = pairs.select(col("doc_a"), col("doc_b")).materialized
-    val clusters = Dedup.dupClusters(p)
+    val p = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .materialized
+    val clusters = Dedup.dupClustersPrePinned(p)
     val dropped = clusters.filter(col("doc_id") =!= col("cluster_rep"))
       .join(toks, Seq("doc_id"))
     broadcast(p.agg(count(lit(1)).as("n_pairs")))
