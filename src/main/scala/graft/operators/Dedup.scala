@@ -365,18 +365,28 @@ object Dedup {
     * LSH this trades ~2.4× more candidate keys for exactness (no
     * τ-band tuning, no missed pairs).
     */
-  def prefixJaccardJoin(documents: DataFrame): DataFrame = {
-    // Materialize the per-doc SORTED distinct hash array once (r20,
-    // guide §1.2/2.4): it IS the verify-side set, so the old shape's
-    // second corpus-shaped shuffle — groupBy(doc_id) + collect_list +
-    // sort_array to rebuild `sets` from the exploded tokens — is
-    // gone, and the set size rides the explode as a plain column
-    // instead of a count-over-window (one WindowExec fewer). One
-    // corpus scan + one md5-per-word pass total, as before.
-    val sets = documents.select(col("doc_id"),
-        sort_array(array_distinct(transform(Canon.words(col("text")),
-          w => Canon.hashP(w)))).as("dw"))
-      .materialized // feeds the df aggregate, the rank join, AND verify
+  def prefixJaccardJoin(documents: DataFrame): DataFrame =
+    prefixJaccardJoinFromSets(tokenHashSets(documents).materialized)
+
+  /** (doc_id, dw = sorted distinct hashP token array) — d26's token
+    * universe, UNPINNED; callers pin once and share (the p27 funnel
+    * feeds the same frame to the exact arm AND the verify tier).
+    */
+  private[operators] def tokenHashSets(documents: DataFrame): DataFrame =
+    documents.select(col("doc_id"),
+      sort_array(array_distinct(transform(Canon.words(col("text")),
+        w => Canon.hashP(w)))).as("dw"))
+
+  /** [[prefixJaccardJoin]] over an ALREADY-pinned [[tokenHashSets]]
+    * frame. The pinned array column is the verify-side set (r20,
+    * guide §1.2/2.4): the pre-r20 shape paid a second corpus-shaped
+    * shuffle — groupBy(doc_id) + collect_list + sort_array — to
+    * rebuild the sets from the exploded tokens, plus a
+    * count-over-window for the set size; both now ride the pinned
+    * arrays. One corpus scan + one md5-per-word pass total.
+    */
+  private[operators] def prefixJaccardJoinFromSets(sets: DataFrame)
+      : DataFrame = {
     val toks = sets.select(col("doc_id"), size(col("dw")).as("nsz"),
       explode(col("dw")).as("h"))
     val dfreq = toks.groupBy(col("h")).agg(count(lit(1)).as("df"))

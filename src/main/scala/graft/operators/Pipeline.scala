@@ -439,13 +439,17 @@ object Pipeline {
     val toks = funnelTokens(documents)
     val total = broadcast(toks.agg(count(lit(1)).as("_nd")))
     val arm = funnelArm(toks, total) _
-    val exact = arm(Dedup.prefixJaccardJoin(documents)
+    // ONE pinned token-hash set table feeds both the exact arm's
+    // prefix join and the verify tier (r20, guide §1.2 — the tier
+    // previously re-tokenized and re-pinned the same corpus)
+    val sets = Dedup.tokenHashSets(documents).materialized
+    val exact = arm(Dedup.prefixJaccardJoinFromSets(sets)
       .select(col("doc_a"), col("doc_b")), "exact").materialized
     // raw candidates feed the lsh_raw arm AND the verify tier
     val rawPairs = Dedup.lshCandidatePairs(
       Dedup.minhashSignature(documents)).materialized
     val lshRaw = arm(rawPairs, "lsh_raw").materialized
-    val lshVerified = arm(verifyTier(documents, rawPairs),
+    val lshVerified = arm(verifyTierFromSets(sets, rawPairs),
       "lsh_verified").materialized
     exact.union(lshRaw).union(lshVerified)
       .union(funnelDelta(exact, lshRaw, "delta_raw"))
@@ -464,11 +468,17 @@ object Pipeline {
     * arms around it in p27).
     */
   private[graft] def verifyTier(documents: DataFrame,
-                                candidatePairs: DataFrame): DataFrame = {
-    val sets = documents.select(col("doc_id"),
-        sort_array(array_distinct(transform(Canon.words(col("text")),
-          w => Canon.hashP(w)))).as("dw"))
-      .materialized
+                                candidatePairs: DataFrame): DataFrame =
+    verifyTierFromSets(Dedup.tokenHashSets(documents).materialized,
+      candidatePairs)
+
+  /** [[verifyTier]] over an already-pinned [[Dedup.tokenHashSets]]
+    * frame — p27 shares ONE pinned set table between its exact arm
+    * and this tier instead of tokenizing + pinning the corpus twice
+    * (r20, guide §1.2).
+    */
+  private def verifyTierFromSets(sets: DataFrame,
+                                 candidatePairs: DataFrame): DataFrame = {
     candidatePairs
       .join(sets.select(col("doc_id").as("doc_a"), col("dw").as("wa")),
         "doc_a")
