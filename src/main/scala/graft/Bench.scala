@@ -204,19 +204,46 @@ object Bench {
     // VERDICT (trip count + names, new-entrant count + names) — so
     // the driver artifact regains an in-band parse while the full
     // per-query map continues to live in the file artifact.
-    def summaryLine(dp: Int, strip: Boolean, sf: String): String =
+    //
+    // r21 (VERDICT r20 #3): the summary tier starved the driver's
+    // per-query ground truth (`PERF_r20.per_query: {}`, empty scaling
+    // block) even though the data existed in the file artifact. The
+    // tier now carries a `queries` map again — the top-`topN` queries
+    // by MEDIAN (the suite's cost lives in its heavy tail: at r20 the
+    // 60 slowest of 250 queries held ~80% of median_total) plus every
+    // guard-tripped query, values = the 3-rep medians (marked
+    // `queries_are_medians:true`; rep-1 single-shot values stay in
+    // the file artifact — nothing about the measurement changed, only
+    // which numbers ride the stdout window). `topN` cascades down
+    // with the usual precision/key tiers until the line fits.
+    def summaryLine(dp: Int, strip: Boolean, sf: String, topN: Int,
+                    key: String => String, marker: String): String = {
+      val topQ: Map[String, Double] =
+        if (topN == 0) Map.empty
+        else {
+          val top = medians.toSeq.sortBy { case (n, v) => (-v, n) }
+            .take(topN).map(_._1).toSet ++ tripped
+          medians.view.filterKeys(top).toMap
+        }
+      val truncated = topQ.size < medians.size
       s"""{"metric":"total","value":${fmt(total, 3, strip = false)},""" +
         s""""unit":"sec","summary_only":true,"reps":$reps,""" +
         s""""n_queries":${results.size},""" +
         s""""median_total":${fmt(medianTotal, 3, strip = false)},""" +
+        (if (topQ.isEmpty) ""
+         else s""""queries":${qmap(topQ, dp, strip, key)},""" +
+           s""""queries_are_medians":true,""" +
+           (if (truncated) s""""queries_top":${topQ.size},""" else "")) +
+        marker +
         s""""medians_cal":${qmap(
           medians.view.filterKeys(calibrationSet.contains).toMap,
-          dp, strip, identity[String])},""" +
+          dp, strip, key)},""" +
         s""""guard_anchored":${ratios.size},""" +
         s""""guard_trips":${tripped.size},""" +
         s""""tripped":${names(tripped, "tripped")},""" +
         s""""new_queries":${names(newQueries, "new_queries")},""" +
         s""""sf":"$sf"}"""
+    }
     val candidates = Iterator(
       full,
       line(2, strip = true, sfDir, identity),
@@ -224,10 +251,18 @@ object Bench {
       line(1, strip = true, sfShort, identity),
       line(3, strip = false, sfShort, idKey, idMark),
       line(1, strip = true, sfShort, idKey, idMark),
-      summaryLine(3, strip = false, sfDir),
-      summaryLine(1, strip = true, sfShort))
+      summaryLine(2, strip = true, sfShort, 250, identity, ""),
+      summaryLine(2, strip = true, sfShort, 80, identity, ""),
+      summaryLine(1, strip = true, sfShort, 60, identity, ""),
+      summaryLine(1, strip = true, sfShort, 40, identity, ""),
+      summaryLine(1, strip = true, sfShort, 80, idKey, idMark.drop(1) + ","),
+      summaryLine(1, strip = true, sfShort, 60, idKey, idMark.drop(1) + ","),
+      summaryLine(1, strip = true, sfShort, 40, idKey, idMark.drop(1) + ","),
+      summaryLine(1, strip = true, sfShort, 25, idKey, idMark.drop(1) + ","),
+      summaryLine(3, strip = false, sfDir, 0, identity, ""),
+      summaryLine(1, strip = true, sfShort, 0, identity, ""))
     val json = candidates.find(_.length <= 1990).getOrElse(
-      summaryLine(1, strip = true, sfShort))
+      summaryLine(1, strip = true, sfShort, 0, identity, ""))
     // Host state at capture time (VERDICT r15 #7): three rounds of
     // verdicts adjudicated "host band" drift by narrative; recording
     // loadavg, the cpu MHz spread, and the wall-clock timestamp in the
