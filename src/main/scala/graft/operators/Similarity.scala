@@ -1760,6 +1760,56 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Row-local per-key top-`k` — the fused "dedup + rank + cut" the
+    * iterative chain rounds used to spell as `.distinct()` +
+    * `row_number().over(key, score DESC, id ASC)` + `filter ≤ k`
+    * (guide §2.3/§2.4, r21: TWO exchanges per round — the pair
+    * distinct and the window — become ONE aggregate exchange, and the
+    * window's full per-partition sort becomes k/beam-sized array
+    * sorts inside codegen'd collection expressions).
+    *
+    * Bit-identity argument (the oracle hash-checks every consumer):
+    *  - duplicate (key, id) rows always carry bit-identical scores —
+    *    every producer scores a pair with the same deterministic
+    *    expression over the same operands (a re-scored frontier row
+    *    equals its carried `sim` for the same reason), so
+    *    `array_distinct` on the sorted structs removes exactly the
+    *    rows the old pair-`distinct()` removed;
+    *  - ids are non-negative longs (vec_ids; stated precondition —
+    *    ADVICE r20: negation of an id wraps at Long.MinValue, which
+    *    cannot occur here), so sorting struct(score, −id) DESCENDING
+    *    is the (score DESC, id ASC) total order with the window's
+    *    exact double semantics (NaN greatest, −0.0 < 0.0 — both
+    *    sides compare through the same SQL double ordering);
+    *  - `slice(·, 1, k)` of the sorted-distinct array IS
+    *    `row_number ≤ k` of that total order.
+    * Emits exactly (key, id, score), the rounds' frontier shape.
+    */
+  private[graft] def topKAgg(scored: DataFrame, keyCol: String,
+                             idCol: String,
+                             scoreCol: String, k: Int): DataFrame =
+    scored.groupBy(col(keyCol))
+      .agg(slice(array_distinct(sort_array(
+          collect_list(struct(col(scoreCol).as("_s"),
+            (-col(idCol)).as("_ni"))), asc = false)), 1, k).as("_top"))
+      .select(col(keyCol), explode(col("_top")).as("_t"))
+      .select(col(keyCol), (-col("_t._ni")).as(idCol),
+        col("_t._s").as(scoreCol))
+
+  /** Run two INDEPENDENT eager builds concurrently (r21, guide §2.6
+    * "overlap independent jobs"): a recall dial's brute-force truth
+    * pass shares no lineage with the chain build beside it — both
+    * read only the already-pinned corpus frame — so submitting the
+    * two job streams from two driver threads lets the scheduler
+    * back-fill one stream's stragglers with the other's tasks.
+    * Purely a scheduling overlap: each branch is deterministic on its
+    * own, and neither reads anything the other writes, so evaluation
+    * order cannot change a row. The by-name second branch runs on a
+    * pool thread; its failure is rethrown unwrapped.
+    */
+  private def concurrently[A, B](a: => A, b: => B): (A, B) =
+    Par.concurrently(a, b)
+
   /** NN-descent KNN-graph construction (Dong et al. 2011, WWW — the
     * standard distributed KNN-graph builder): [[knnGraph]] can only
     * ever link vectors sharing a label block, so true neighbors split
@@ -1790,20 +1840,122 @@ object Similarity {
     */
   def nnDescent(embeddings: DataFrame, k: Int = 5,
                 rounds: Int = 4): DataFrame = {
-    val e = prepared(embeddings)
-    def topK(scored: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("nbr_id").asc)
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-    }
-    def scorePairs(cand: DataFrame): DataFrame = cand
+    // pin the prepared corpus (r21): the per-round vector-fetch joins
+    // read it ~2× per round, and un-pinned each read re-derived the
+    // scan + norm — the same one-corpus-pin discipline as the chains
+    val g = nnDescentGraph(embeddings, prepared(embeddings).materialized,
+      hashRankCounted(embeddings), k, rounds)
+    // the graph is already top-k per node; this final window only
+    // re-derives the rank column for the s28 output shape (chain
+    // callers read the pinned graph directly and skip it — r21)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id").asc)
+    g.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** [[nnDescent]]'s pinned graph build over a caller-supplied
+    * prepared corpus `e` and shared ring rank `hr` (r21, guide
+    * §1.2/§2.3/§2.4): the chain operators already hold both pinned,
+    * so the build stops pinning its own copies, and each descent
+    * round is FUSED — the old round paid a reverse-cap window, a
+    * pair-list distinct, a corpus-keyed self-join and a top-k window
+    * (≈6 exchanges + 2 full per-partition sorts); now ONE
+    * neighbor-set aggregate (forward set ∪ row-local top-k of the
+    * collected reverse edges — the same (sim DESC, id ASC) cap order,
+    * computed inside the aggregate instead of a window), a row-local
+    * pair fan, the two vector-fetch joins, and ONE [[topKAgg]]
+    * (which owns the dedup the pair-list distinct used to do — see
+    * its bit-identity argument; carried `g` rows are unioned in with
+    * their existing sims instead of being re-scored, which is exact
+    * because re-scoring a pair is the identical expression over the
+    * identical operands). Returns the materialized (vec_id, nbr_id,
+    * sim) graph, top-k per node, WITHOUT the rank column.
+    */
+  /** The exact pair scorer shared by the descent seed and every
+    * [[nnDescentRoundFrame]] — one definition, one bit-identical
+    * expression (the topKAgg dedup argument).
+    */
+  private def scorePairsOn(e: DataFrame)(cand: DataFrame): DataFrame =
+    cand
       .join(e.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
       .join(e.select(col("vec_id").as("nbr_id"), col("v").as("w"),
         col("nrm").as("wnrm")), Seq("nbr_id"))
       .select(col("vec_id"), col("nbr_id"),
         Canon.cosine(Canon.dot(col("v"), col("w")),
           col("nrm"), col("wnrm")).as("sim"))
+
+  /** ONE fused NN-descent round as a LAZY frame over the pinned
+    * round-input graph `g` (r21, guide §2.3/§2.4): one neighbor-set
+    * aggregate builds each pivot's candidate neighborhood — forward
+    * edges as a set, reverse edges capped to the deterministic top-k
+    * by the SAME (sim DESC, id ASC) order the old reverse window used
+    * (ids are non-negative longs, so sorting struct(sim, −id) DESC is
+    * that order exactly — topKAgg scaladoc) — then the local join's
+    * pair fan row-local (all ordered pairs among the pivot's ≤2k
+    * candidate neighbors; the pivot id itself drops out, exactly like
+    * the old u⋈u self-join), the two vector-fetch joins score only
+    * the fan (carried `g` rows ride with their existing bit-identical
+    * sims), and ONE [[topKAgg]] owns the dedup + rank + cut the old
+    * round spelled as a reverse-cap window + pair distinct +
+    * corpus-keyed self-join + top-k window (≈6 exchanges and 2 full
+    * per-partition sorts → 3 exchanges + the two fetch joins, no
+    * sort). Extracted as a named builder so the descent loop and the
+    * plans/rNN round-plan evidence (tools/RoundPlan) compose the
+    * identical frame.
+    */
+  private[graft] def nnDescentRoundFrame(e: DataFrame, g: DataFrame,
+                                         k: Int): DataFrame = {
+    val revTopK = slice(sort_array(collect_list(
+      when(!col("_fwd"), struct(col("sim").as("_s"),
+        (-col("nbr_id")).as("_ni")))), asc = false), 1, k)
+    val nbrs = g.select(col("vec_id"), col("nbr_id"),
+        lit(true).as("_fwd"), col("sim"))
+      .union(g.select(col("nbr_id"), col("vec_id"),
+        lit(false).as("_fwd"), col("sim")))
+      .groupBy(col("vec_id"))
+      .agg(array_union(
+        collect_set(when(col("_fwd"), col("nbr_id"))),
+        transform(revTopK, t => -t.getField("_ni"))).as("ns"))
+    val fan = nbrs
+      .select(explode(col("ns")).as("vec_id"), col("ns"))
+      .select(col("vec_id"), explode(col("ns")).as("nbr_id"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+    topKAgg(scorePairsOn(e)(fan)
+        .unionByName(g.select(col("vec_id"), col("nbr_id"), col("sim"))),
+      "vec_id", "nbr_id", "sim", k)
+  }
+
+  /** Dev-only (tools/RoundPlan, r21): the two fused round frames,
+    * LAZY, over a minimal eagerly-built chain prefix — the committed
+    * per-round plan evidence for the exchange counts the static query
+    * plans cannot show (the rounds materialize eagerly). Composes the
+    * EXACT builders the loops call. Not a query path.
+    */
+  private[graft] def debugRoundFrames(embeddings: DataFrame)
+      : Seq[(String, DataFrame)] = {
+    val e = prepared(embeddings).materialized
+    val hr = hashRankCounted(e)
+    val g = nnDescentGraph(embeddings, e, hr, 5, 1)
+    val gsym = searchGraphOn(hr, g.select(col("vec_id"), col("nbr_id")))
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qnrm")).materialized
+    val entries = e.select(col("vec_id").as("cand_id"),
+        Canon.hashP(col("vec_id").cast("string")).as("_h"))
+      .orderBy(col("_h"), col("cand_id")).limit(16)
+      .select(col("cand_id"))
+    val f0 = scoreCand(e, q)(q.select(col("q_id"))
+      .crossJoin(broadcast(entries))
+      .filter(col("cand_id") =!= col("q_id"))).materialized
+    Seq("beam_round" -> beamRoundFrame(e, gsym, q, f0, 16),
+      "nn_descent_round" -> nnDescentRoundFrame(e, g, 5))
+  }
+
+  private def nnDescentGraph(embeddings: DataFrame, e: DataFrame,
+                             hr: DataFrame, k: Int,
+                             rounds: Int): DataFrame = {
+    def scorePairs(cand: DataFrame): DataFrame = scorePairsOn(e)(cand)
     // Two-block RING seed: label blocks ∪ nearest-label-centroid
     // cells. A single blocking key yields a component-confined graph
     // the local join can NEVER escape (candidates are always pairs of
@@ -1850,44 +2002,31 @@ object Similarity {
     // that the unpartitioned-window plan check cannot see (the window
     // IS partitioned, by a constant). hashRank ranks by the same
     // (hashP(id), id) total order, so the fan produces the identical
-    // pair set. Pinned because the fan and the rank-target join both
-    // read it (the searchGraph hrank discipline).
-    val hr = hashRank(embeddings.select(col("vec_id")))
-      .crossJoin(broadcast(embeddings.agg(count(lit(1)).as("_b"))))
-      .filter(col("_b") > 1)
-      .materialized
-    val hashRing = hr
+    // pair set. `hr` arrives pinned from the caller (r21: the chains
+    // share ONE ring-rank pin between this seed ring, searchGraph's
+    // finger table and hierChain's pilots); the _b > 1 filter on the
+    // broadcast count is row-identical pre- or post-pin.
+    val hrF = hr.filter(col("_b") > 1)
+    val hashRing = hrF
       .withColumn("j",
         explode(sequence(lit(1L), least(lit((2 * k).toLong),
           col("_b") - 1L))))
       .withColumn("trn", (col("rn") - 1L + col("j")) % col("_b") + 1L)
-      .join(hr.select(col("rn").as("trn"), col("vec_id").as("nbr_id")),
+      .join(hrF.select(col("rn").as("trn"), col("vec_id").as("nbr_id")),
         Seq("trn"))
       .select(col("vec_id"), col("nbr_id"))
+    // no pair distinct before scoring (r21): cross-ring duplicates
+    // score bit-identically and topKAgg's array_distinct removes them
+    // — one exchange fewer, same selected set (topKAgg scaladoc)
     val seedCand = ringPairs(byLabel, 2 * k)
       .union(ringPairs(byCell, 2 * k))
-      .union(hashRing).distinct()
-    var g = topK(scorePairs(seedCand))
-      .select(col("vec_id"), col("nbr_id"), col("sim")).materialized
+      .union(hashRing)
+    var g = topKAgg(scorePairs(seedCand),
+      "vec_id", "nbr_id", "sim", k).materialized
     (1 to rounds).foreach { _ =>
-      val wRev = Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("nbr_id").asc)
-      val rev = g.select(col("nbr_id").as("vec_id"),
-          col("vec_id").as("nbr_id"), col("sim"))
-        .withColumn("_rr", row_number().over(wRev))
-        .filter(col("_rr") <= k).drop("_rr")
-      val u = g.select(col("vec_id"), col("nbr_id"))
-        .union(rev.select(col("vec_id"), col("nbr_id"))).distinct()
-      val cand = u.as("p").join(u.as("q"),
-          col("p.vec_id") === col("q.vec_id") &&
-            col("p.nbr_id") =!= col("q.nbr_id"))
-        .select(col("p.nbr_id").as("vec_id"), col("q.nbr_id").as("nbr_id"))
-        .union(g.select(col("vec_id"), col("nbr_id")))
-        .distinct()
-      g = topK(scorePairs(cand))
-        .select(col("vec_id"), col("nbr_id"), col("sim")).materialized
+      g = nnDescentRoundFrame(e, g, k).materialized
     }
-    topK(g.select(col("vec_id"), col("nbr_id"), col("sim")))
+    g
   }
 
   /** s29 — [[nnDescent]]'s recall dial (the s11/s17 discipline): for
@@ -1905,14 +2044,19 @@ object Similarity {
       .select(col("vec_id"), col("v"), col("nrm"))
     val wT = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("nbr_id").asc)
-    val truth = q.as("a").join(e.as("b"),
-        col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
-        Canon.cosine(Canon.dot(col("a.v"), col("b.v")),
-          col("a.nrm"), col("b.nrm")).as("sim"))
-      .withColumn("rank", row_number().over(wT))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("nbr_id")).materialized
+    // truth pass built CONCURRENTLY with the descended graph (r21,
+    // guide §2.6): both branches read only the pinned `e`
+    val (descended, truth) = concurrently(
+      nnDescentGraph(embeddings, e, hashRankCounted(e), k, rounds),
+      q.as("a").join(e.as("b"),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"),
+          col("b.vec_id").as("nbr_id"),
+          Canon.cosine(Canon.dot(col("a.v"), col("b.v")),
+            col("a.nrm"), col("b.nrm")).as("sim"))
+        .withColumn("rank", row_number().over(wT))
+        .filter(col("rank") <= k)
+        .select(col("vec_id"), col("nbr_id")).materialized)
     val nQ = q.select(countDistinct(col("vec_id")).as("n_queries"))
     def hits(graph: DataFrame, variant: String): DataFrame =
       truth.join(graph.select(col("vec_id"), col("nbr_id")),
@@ -1923,8 +2067,14 @@ object Similarity {
           col("n_hits"),
           (col("n_hits").cast("double") /
             (col("n_queries") * k).cast("double")).as("recall"))
+    // the descended arm reads the pinned graph directly (r21): its
+    // pair set IS nnDescent's output pair set (the public wrapper's
+    // final window only re-derives the rank column, a no-op filter on
+    // an already-top-k graph), and the graph build shares this dial's
+    // pinned corpus frame instead of re-deriving prepared(embeddings)
+    // at every per-round vector fetch
     hits(knnGraph(embeddings, k), "seed")
-      .unionByName(hits(nnDescent(embeddings, k, rounds), "descended"))
+      .unionByName(hits(descended, "descended"))
   }
 
   /** The beam-search chain shared by s33/s34: the [[nnDescent]] graph
@@ -1984,6 +2134,24 @@ object Similarity {
       .drop("_h", "_pid", "_lrk", "_off")
   }
 
+  /** Pinned (vec_id, rn, _b) global md5-ring rank + corpus count —
+    * THE shared ring frame of the chain operators (r21, guide §1.2):
+    * nnDescent's seed ring, searchGraph's finger table and
+    * hierChain's pilot set all rank the SAME id set by the SAME
+    * (hashP(id), id) total order, and before this seam each built and
+    * pinned its own copy — up to three two-stage ranks per chain
+    * query (and hierChain's ranked the WIDE (id, v, nrm) corpus
+    * through the range exchange; now only ids ride the rank and the
+    * pilot payload is fetched back by one id join). One pin, shared
+    * by every consumer; deterministic because hashRank's internal
+    * TwoStage pin already fixes the one boundary draw.
+    */
+  private def hashRankCounted(ids: DataFrame): DataFrame =
+    hashRank(ids.select(col("vec_id")))
+      .crossJoin(broadcast(ids.select(col("vec_id"))
+        .agg(count(lit(1)).as("_b"))))
+      .materialized
+
   /** The SEARCH graph over corpus `e` for kNN edge list `g`: g
     * symmetrized, plus long-range links. A pure kNN graph is
     * CLUSTER-CONFINED (its symmetric closure rarely leaves a tight
@@ -1998,16 +2166,16 @@ object Similarity {
     * two-stage global rank (r16 — previously a one-partition window
     * with a "at 100 TB" disclaimer; now the template it promised).
     */
-  private def searchGraph(e: DataFrame, g: DataFrame): DataFrame = {
-    val hrank = hashRank(e.select(col("vec_id")))
-      .crossJoin(broadcast(e.agg(count(lit(1)).as("_b"))))
-      .materialized // referenced by the fan AND the rank-target join
-    val skip = hrank
+  private def searchGraphOn(hr: DataFrame, g: DataFrame): DataFrame = {
+    // `hr` = the caller's shared [[hashRankCounted]] pin (r21): the
+    // fan and the rank-target join both read it, and nnDescent's seed
+    // ring + hierChain's pilots read the SAME frame
+    val skip = hr
       .withColumn("j", explode(sequence(lit(0L), lit(62L))))
       .withColumn("off", pow(lit(2.0d), col("j")).cast("long"))
       .filter(col("off") <= col("_b") - 1L)
       .withColumn("trn", (col("rn") - 1L + col("off")) % col("_b") + 1L)
-      .join(hrank.select(col("rn").as("trn"),
+      .join(hr.select(col("rn").as("trn"),
         col("vec_id").as("nbr_id")), Seq("trn"))
       .select(col("vec_id"), col("nbr_id"))
     g.union(skip)
@@ -2038,6 +2206,45 @@ object Similarity {
     * return — each round's frontier is already pinned by the walk —
     * and what the s50 rounds-curve dial cuts at its sample points.
     */
+  /** The exact-cosine scorer shared by the walk's entry frontier and
+    * every [[beamRoundFrame]] — ONE definition so the bit-identity
+    * argument (carried sim ≡ re-scored sim) is true by construction.
+    */
+  private def scoreCand(e: DataFrame, q: DataFrame)(cand: DataFrame)
+      : DataFrame = cand
+    .join(e.select(col("vec_id").as("cand_id"), col("v"), col("nrm")),
+      "cand_id")
+    .join(q, "q_id")
+    .select(col("q_id"), col("cand_id"),
+      Canon.cosine(Canon.dot(col("qv"), col("v")),
+        col("qnrm"), col("nrm")).as("sim"))
+
+  /** ONE fused beam-walk round as a LAZY frame (r21, guide
+    * §2.3/§2.4): hop the frontier one edge, score only the hop
+    * candidates — the frontier's own rows already carry the
+    * bit-identical sim from the round that ranked them (re-scoring a
+    * (q, cand) pair is the identical expression over identical
+    * operands) — and let ONE [[topKAgg]] own the dedup + rank + beam
+    * cut the old round spelled as a pair distinct + a row_number
+    * window (two exchanges and a full per-partition sort, now one
+    * aggregate exchange; the hop⋈frontier duplicates are
+    * bit-identical rows that array_distinct removes). Extracted as a
+    * named builder so the walk loop and the plans/rNN round-plan
+    * evidence (tools/RoundPlan) compose the identical frame.
+    */
+  private[graft] def beamRoundFrame(e: DataFrame, gsym: DataFrame,
+                                    q: DataFrame, frontier: DataFrame,
+                                    beam: Int): DataFrame = {
+    val hops = frontier.select(col("q_id"), col("cand_id"))
+      .join(gsym.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+      .select(col("q_id"), col("nbr_id").as("cand_id"))
+      .filter(col("cand_id") =!= col("q_id"))
+    topKAgg(scoreCand(e, q)(hops)
+        .unionByName(frontier.select(col("q_id"), col("cand_id"),
+          col("sim"))),
+      "q_id", "cand_id", "sim", beam)
+  }
+
   private def beamWalkAll(e: DataFrame, gsym: DataFrame, q: DataFrame,
                           beam: Int, rounds: Int,
                           f0Override: Option[DataFrame] = None)
@@ -2047,33 +2254,15 @@ object Similarity {
         Canon.hashP(col("vec_id").cast("string")).as("_h"))
       .orderBy(col("_h"), col("cand_id")).limit(beam)
       .select(col("cand_id"))
-    def score(cand: DataFrame): DataFrame = cand
-      .join(e.select(col("vec_id").as("cand_id"), col("v"), col("nrm")),
-        "cand_id")
-      .join(q, "q_id")
-      .select(col("q_id"), col("cand_id"),
-        Canon.cosine(Canon.dot(col("qv"), col("v")),
-          col("qnrm"), col("nrm")).as("sim"))
-    val wB = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("cand_id").asc)
-    def topB(scored: DataFrame): DataFrame = scored
-      .withColumn("_rk", row_number().over(wB))
-      .filter(col("_rk") <= beam).drop("_rk")
     val f0 = f0Override.getOrElse(
-      score(q.select(col("q_id")).crossJoin(broadcast(entries))
+      scoreCand(e, q)(q.select(col("q_id")).crossJoin(broadcast(entries))
         .filter(col("cand_id") =!= col("q_id"))))
       .materialized
     val fs = Vector.newBuilder[DataFrame]
     var frontier = f0
     fs += f0
     (1 to rounds).foreach { _ =>
-      val hops = frontier.select(col("q_id"), col("cand_id"))
-        .join(gsym.withColumnRenamed("vec_id", "cand_id"), "cand_id")
-        .select(col("q_id"), col("nbr_id").as("cand_id"))
-      val cand = frontier.select(col("q_id"), col("cand_id"))
-        .union(hops).distinct()
-        .filter(col("cand_id") =!= col("q_id"))
-      frontier = topB(score(cand)).materialized
+      frontier = beamRoundFrame(e, gsym, q, frontier, beam).materialized
       fs += frontier
     }
     fs.result()
@@ -2088,14 +2277,27 @@ object Similarity {
                         graphK: Int, descentRounds: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     val e = prepared(embeddings).materialized
-    val gsym = searchGraph(e,
-      nnDescent(embeddings, graphK, descentRounds)
+    val (f0, f) = beamChainOn(embeddings, e, beam, rounds, graphK,
+      descentRounds)
+    (f0, f, e)
+  }
+
+  /** [[beamChain]] over an already-pinned prepared corpus `e` — the
+    * seam that lets the recall dials run the chain build CONCURRENTLY
+    * with their truth pass (r21, guide §2.6: both read only `e`).
+    */
+  private def beamChainOn(embeddings: DataFrame, e: DataFrame,
+                          beam: Int, rounds: Int,
+                          graphK: Int, descentRounds: Int)
+      : (DataFrame, DataFrame) = {
+    val hr = hashRankCounted(e)
+    val gsym = searchGraphOn(hr,
+      nnDescentGraph(embeddings, e, hr, graphK, descentRounds)
         .select(col("vec_id"), col("nbr_id")))
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm")).materialized
-    val (f0, f) = beamWalk(e, gsym, q, beam, rounds)
-    (f0, f, e)
+    beamWalk(e, gsym, q, beam, rounds)
   }
 
   /** Graph-ANN beam search (s33) — the missing rung above the s28
@@ -2137,20 +2339,24 @@ object Similarity {
   def graphBeamRecall(embeddings: DataFrame, k: Int = 5, beam: Int = 16,
                       rounds: Int = 4, graphK: Int = 5,
                       descentRounds: Int = 4): DataFrame = {
-    val (f0, f, e) = beamChain(embeddings, beam, rounds, graphK,
-      descentRounds)
+    val e = prepared(embeddings).materialized
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id"), col("v"), col("nrm"))
     val wT = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("nbr_id").asc)
-    val truth = q.as("a").join(e.as("b"),
-        col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
-        Canon.cosine(Canon.dot(col("a.v"), col("b.v")),
-          col("a.nrm"), col("b.nrm")).as("sim"))
-      .withColumn("rank", row_number().over(wT))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("nbr_id")).materialized
+    // chain build and truth pass overlapped (r21, guide §2.6): both
+    // branches read only the pinned `e`
+    val ((f0, f), truth) = concurrently(
+      beamChainOn(embeddings, e, beam, rounds, graphK, descentRounds),
+      q.as("a").join(e.as("b"),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"),
+          col("b.vec_id").as("nbr_id"),
+          Canon.cosine(Canon.dot(col("a.v"), col("b.v")),
+            col("a.nrm"), col("b.nrm")).as("sim"))
+        .withColumn("rank", row_number().over(wT))
+        .filter(col("rank") <= k)
+        .select(col("vec_id"), col("nbr_id")).materialized)
     val nQ = q.select(countDistinct(col("vec_id")).as("n_queries"))
     val wK = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
@@ -2196,15 +2402,37 @@ object Similarity {
                         graphK: Int, descentRounds: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     val e = prepared(embeddings).materialized
-    val gsym = searchGraph(e,
-      nnDescent(embeddings, graphK, descentRounds)
+    val (f0, f) = hierChainOn(embeddings, e, beam, rounds, graphK,
+      descentRounds)
+    // the pinned corpus rides along for the recall caller's truth
+    // pass — one corpus pin per query, not two (r20, the beamChain
+    // convention)
+    (f0, f, e)
+  }
+
+  /** [[hierChain]] over an already-pinned prepared corpus `e` (r21,
+    * guide §2.6 — the beamChainOn seam).
+    */
+  private def hierChainOn(embeddings: DataFrame, e: DataFrame,
+                          beam: Int, rounds: Int,
+                          graphK: Int, descentRounds: Int)
+      : (DataFrame, DataFrame) = {
+    val hr = hashRankCounted(e)
+    val gsym = searchGraphOn(hr,
+      nnDescentGraph(embeddings, e, hr, graphK, descentRounds)
         .select(col("vec_id"), col("nbr_id")))
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm")).materialized
-    val pilots = hashRank(e.select(col("vec_id"), col("v"), col("nrm")))
-      .crossJoin(broadcast(e.agg(count(lit(1)).as("_b"))))
-      .filter(col("rn") * col("rn") <= col("_b"))
+    // pilots = the √n lowest ring ranks, payload fetched back from
+    // the pinned corpus by ONE id join (r21): the old shape ranked
+    // the WIDE (id, v, nrm) rows — the range exchange and the
+    // two-stage pin both carried every pilot-candidate vector; now
+    // the shared id-only `hr` decides membership and only √n rows
+    // ever carry vectors
+    val pilots = hr.filter(col("rn") * col("rn") <= col("_b"))
+      .select(col("vec_id"))
+      .join(e.select(col("vec_id"), col("v"), col("nrm")), Seq("vec_id"))
       .select(col("vec_id").as("cand_id"), col("v"), col("nrm"))
       .materialized
     val wB = Window.partitionBy(col("q_id"))
@@ -2216,11 +2444,7 @@ object Similarity {
           col("qnrm"), col("nrm")).as("sim"))
       .withColumn("_rk", row_number().over(wB))
       .filter(col("_rk") <= beam).drop("_rk")
-    val (f0, f) = beamWalk(e, gsym, q, beam, rounds, Some(f1))
-    // the pinned corpus rides along for the recall caller's truth
-    // pass — one corpus pin per query, not two (r20, the beamChain
-    // convention)
-    (f0, f, e)
+    beamWalk(e, gsym, q, beam, rounds, Some(f1))
   }
 
   /** Hierarchical beam search (s47): [[hierChain]]'s final frontier,
@@ -2249,20 +2473,23 @@ object Similarity {
   def hierBeamRecall(embeddings: DataFrame, k: Int = 5, beam: Int = 16,
                      rounds: Int = 4, graphK: Int = 5,
                      descentRounds: Int = 4): DataFrame = {
-    val (f0, f, e) = hierChain(embeddings, beam, rounds, graphK,
-      descentRounds)
+    val e = prepared(embeddings).materialized
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id"), col("v"), col("nrm"))
     val wT = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("nbr_id").asc)
-    val truth = q.as("a").join(e.as("b"),
-        col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
-        Canon.cosine(Canon.dot(col("a.v"), col("b.v")),
-          col("a.nrm"), col("b.nrm")).as("sim"))
-      .withColumn("rank", row_number().over(wT))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("nbr_id")).materialized
+    // chain and truth overlapped (r21, guide §2.6)
+    val ((f0, f), truth) = concurrently(
+      hierChainOn(embeddings, e, beam, rounds, graphK, descentRounds),
+      q.as("a").join(e.as("b"),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"),
+          col("b.vec_id").as("nbr_id"),
+          Canon.cosine(Canon.dot(col("a.v"), col("b.v")),
+            col("a.nrm"), col("b.nrm")).as("sim"))
+        .withColumn("rank", row_number().over(wT))
+        .filter(col("rank") <= k)
+        .select(col("vec_id"), col("nbr_id")).materialized)
     val nQ = q.select(countDistinct(col("vec_id")).as("n_queries"))
     val wK = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
@@ -2303,25 +2530,31 @@ object Similarity {
     require(cuts.nonEmpty && cuts.forall(_ >= 1),
       s"cuts must be >= 1, got $cuts")
     val e = prepared(embeddings).materialized
-    val gsym = searchGraph(e,
-      nnDescent(embeddings, graphK, descentRounds)
-        .select(col("vec_id"), col("nbr_id")))
-    val q = e.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("nrm").as("qnrm")).materialized
-    val fs = beamWalkAll(e, gsym, q, beam, cuts.max)
     val qv = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id"), col("v"), col("nrm"))
     val wT = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("nbr_id").asc)
-    val truth = qv.as("a").join(e.as("b"),
-        col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
-        Canon.cosine(Canon.dot(col("a.v"), col("b.v")),
-          col("a.nrm"), col("b.nrm")).as("sim"))
-      .withColumn("rank", row_number().over(wT))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("nbr_id")).materialized
+    // chain + walk and the truth pass overlapped (r21, guide §2.6)
+    val (fs, truth) = concurrently(
+      {
+        val hr = hashRankCounted(e)
+        val gsym = searchGraphOn(hr,
+          nnDescentGraph(embeddings, e, hr, graphK, descentRounds)
+            .select(col("vec_id"), col("nbr_id")))
+        val q = e.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"),
+            col("nrm").as("qnrm")).materialized
+        beamWalkAll(e, gsym, q, beam, cuts.max)
+      },
+      qv.as("a").join(e.as("b"),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"),
+          col("b.vec_id").as("nbr_id"),
+          Canon.cosine(Canon.dot(col("a.v"), col("b.v")),
+            col("a.nrm"), col("b.nrm")).as("sim"))
+        .withColumn("rank", row_number().over(wT))
+        .filter(col("rank") <= k)
+        .select(col("vec_id"), col("nbr_id")).materialized)
     val nQ = qv.select(countDistinct(col("vec_id")).as("n_queries"))
     val wK = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("cand_id").asc)
@@ -2372,31 +2605,40 @@ object Similarity {
                                descentRounds: Int)
       : (DataFrame, DataFrame, DataFrame) = {
     val eAll = prepared(embeddings).materialized
+    val (patched, newFwd) =
+      incrementalPartsOn(embeddings, eAll, k, beam, rounds, descentRounds)
+    // eAll rides along so the recall caller reuses the pin (r20)
+    (patched, newFwd, eAll)
+  }
+
+  /** [[incrementalParts]] over an already-pinned prepared corpus
+    * `eAll` (r21, guide §2.6 — the beamChainOn seam).
+    */
+  private def incrementalPartsOn(embeddings: DataFrame, eAll: DataFrame,
+                                 k: Int, beam: Int, rounds: Int,
+                                 descentRounds: Int)
+      : (DataFrame, DataFrame) = {
     val eOld = eAll.filter(col("vec_id") % 10 =!= 9).materialized
-    val gOld = nnDescent(embeddings.filter(col("vec_id") % 10 =!= 9),
-        k, descentRounds)
-      .select(col("vec_id"), col("nbr_id"), col("sim")).materialized
-    val gsym = searchGraph(eOld,
+    val hrOld = hashRankCounted(eOld)
+    // nnDescentGraph returns the pinned top-k graph directly (r21):
+    // the old path re-ranked the already-ranked graph through
+    // nnDescent's output window and pinned the same rows a second time
+    val gOld = nnDescentGraph(embeddings.filter(col("vec_id") % 10 =!= 9),
+      eOld, hrOld, k, descentRounds)
+    val gsym = searchGraphOn(hrOld,
       gOld.select(col("vec_id"), col("nbr_id")))
     val qNew = eAll.filter(col("vec_id") % 10 === 9)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qnrm")).materialized
     val (_, fr) = beamWalk(eOld, gsym, qNew, beam, rounds)
-    val wQ = Window.partitionBy(col("q_id"))
-      .orderBy(col("sim").desc, col("cand_id").asc)
-    val newFwd = fr.withColumn("_rk", row_number().over(wQ))
-      .filter(col("_rk") <= k)
+    val newFwd = topKAgg(fr, "q_id", "cand_id", "sim", k)
       .select(col("q_id").as("vec_id"), col("cand_id").as("nbr_id"),
         col("sim")).materialized // feeds the output AND the reverse patch
     val rev = newFwd.select(col("nbr_id").as("vec_id"),
       col("vec_id").as("nbr_id"), col("sim"))
-    val wN = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("nbr_id").asc)
-    val patched = gOld.unionByName(rev)
-      .withColumn("_rk", row_number().over(wN))
-      .filter(col("_rk") <= k).drop("_rk")
-    // eAll rides along so the recall caller reuses the pin (r20)
-    (patched, newFwd, eAll)
+    val patched = topKAgg(gOld.unionByName(rev),
+      "vec_id", "nbr_id", "sim", k)
+    (patched, newFwd)
   }
 
   /** Incremental graph insert (s36): the maintained graph itself —
@@ -2428,23 +2670,30 @@ object Similarity {
   def incrementalGraphRecall(embeddings: DataFrame, k: Int = 5,
                              beam: Int = 16, rounds: Int = 4,
                              descentRounds: Int = 4): DataFrame = {
-    val (patched, newFwd, eAll) =
-      incrementalParts(embeddings, k, beam, rounds, descentRounds)
-    val graph = patched.unionByName(newFwd)
-      .select(col("vec_id"), col("nbr_id"))
-    val q = eAll.filter(col("vec_id") % 50 === 0 ||
-        col("vec_id") % 50 === 49)
-      .select(col("vec_id"), col("v"), col("nrm")).materialized
+    val eAll = prepared(embeddings).materialized
     val wT = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("nbr_id").asc)
-    val truth = q.as("a").join(eAll.as("b"),
-        col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
-        Canon.cosine(Canon.dot(col("a.v"), col("b.v")),
-          col("a.nrm"), col("b.nrm")).as("sim"))
-      .withColumn("rank", row_number().over(wT))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("nbr_id")).materialized
+    // insert chain and truth pass overlapped (r21, guide §2.6); the
+    // truth branch pins its own query frame from the shared `eAll`
+    val ((patched, newFwd), (q, truth)) = concurrently(
+      incrementalPartsOn(embeddings, eAll, k, beam, rounds,
+        descentRounds),
+      {
+        val qb = eAll.filter(col("vec_id") % 50 === 0 ||
+            col("vec_id") % 50 === 49)
+          .select(col("vec_id"), col("v"), col("nrm")).materialized
+        (qb, qb.as("a").join(eAll.as("b"),
+            col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("vec_id"),
+            col("b.vec_id").as("nbr_id"),
+            Canon.cosine(Canon.dot(col("a.v"), col("b.v")),
+              col("a.nrm"), col("b.nrm")).as("sim"))
+          .withColumn("rank", row_number().over(wT))
+          .filter(col("rank") <= k)
+          .select(col("vec_id"), col("nbr_id")).materialized)
+      })
+    val graph = patched.unionByName(newFwd)
+      .select(col("vec_id"), col("nbr_id"))
     def side(newNodes: Boolean, variant: String): DataFrame = {
       val pred =
         if (newNodes) col("vec_id") % 50 === 49
@@ -2823,8 +3072,22 @@ object Similarity {
                           nCodes: Int, dim: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = prepared(embeddings).materialized
-    val gsym = searchGraph(e,
-      nnDescent(embeddings, graphK, descentRounds)
+    val (f, gsym, q) = pqBeamChainOn(embeddings, e, beam, rounds,
+      graphK, descentRounds, m, nCodes, dim)
+    (f, e, gsym, q)
+  }
+
+  /** [[pqBeamChain]] over an already-pinned prepared corpus `e` (r21,
+    * guide §2.6 — the beamChainOn seam).
+    */
+  private def pqBeamChainOn(embeddings: DataFrame, e: DataFrame,
+                            beam: Int, rounds: Int,
+                            graphK: Int, descentRounds: Int, m: Int,
+                            nCodes: Int, dim: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val hr = hashRankCounted(e)
+    val gsym = searchGraphOn(hr,
+      nnDescentGraph(embeddings, e, hr, graphK, descentRounds)
         .select(col("vec_id"), col("nbr_id")))
     val q = e.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
@@ -2854,24 +3117,26 @@ object Similarity {
         Canon.hashP(col("vec_id").cast("string")).as("_h"))
       .orderBy(col("_h"), col("cand_id")).limit(beam)
       .select(col("cand_id"))
-    val wB = Window.partitionBy(col("q_id"))
-      .orderBy(col("approx_dot").desc, col("cand_id").asc)
-    def topB(scored: DataFrame): DataFrame = scored
-      .withColumn("_rk", row_number().over(wB))
-      .filter(col("_rk") <= beam).drop("_rk")
-    var frontier = topB(scoreAdc(
+    // the entry frontier is ≤ beam rows per query by construction
+    // (|entries| = beam), so no cut is needed before the pin
+    var frontier = scoreAdc(
       q.select(col("q_id")).crossJoin(broadcast(entries))
-        .filter(col("cand_id") =!= col("q_id")))).materialized
+        .filter(col("cand_id") =!= col("q_id"))).materialized
     (1 to rounds).foreach { _ =>
+      // FUSED round — the beamWalkAll shape (r21): score only the hop
+      // candidates (carried frontier rows keep their bit-identical
+      // approx_dot — the ADC expression over the same pinned codes
+      // and qtab), one topKAgg instead of distinct + window
       val hops = frontier.select(col("q_id"), col("cand_id"))
         .join(gsym.withColumnRenamed("vec_id", "cand_id"), "cand_id")
         .select(col("q_id"), col("nbr_id").as("cand_id"))
-      val cand = frontier.select(col("q_id"), col("cand_id"))
-        .union(hops).distinct()
         .filter(col("cand_id") =!= col("q_id"))
-      frontier = topB(scoreAdc(cand)).materialized
+      frontier = topKAgg(scoreAdc(hops)
+          .unionByName(frontier.select(col("q_id"), col("cand_id"),
+            col("approx_dot"))),
+        "q_id", "cand_id", "approx_dot", beam).materialized
     }
-    (frontier, e, gsym, q)
+    (frontier, gsym, q)
   }
 
   /** Exact re-rank of a (q_id, cand_id) frontier: full-precision
@@ -2918,19 +3183,27 @@ object Similarity {
                         rounds: Int = 4, graphK: Int = 5,
                         descentRounds: Int = 4, m: Int = 8,
                         nCodes: Int = 16, dim: Int = 64): DataFrame = {
-    val (fpq, e, gsym, q) = pqBeamChain(embeddings, beam, rounds, graphK,
-      descentRounds, m, nCodes, dim)
-    val (_, fex) = beamWalk(e, gsym, q, beam, rounds)
+    val e = prepared(embeddings).materialized
     val wT = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("nbr_id").asc)
-    val truth = q.as("a").join(e.as("b"),
-        col("a.q_id") =!= col("b.vec_id"))
-      .select(col("a.q_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
-        Canon.cosine(Canon.dot(col("a.qv"), col("b.v")),
-          col("a.qnrm"), col("b.nrm")).as("sim"))
-      .withColumn("rank", row_number().over(wT))
-      .filter(col("rank") <= k)
-      .select(col("vec_id"), col("nbr_id")).materialized
+    // PQ chain and truth pass overlapped (r21, guide §2.6); the truth
+    // branch derives the query rows from the shared pinned `e` with
+    // the same % 50 filter — identical rows to the chain's q, the
+    // same (qv ≡ v, qnrm ≡ nrm) operands, so identical sims
+    val ((fpq, gsym, q), truth) = concurrently(
+      pqBeamChainOn(embeddings, e, beam, rounds, graphK,
+        descentRounds, m, nCodes, dim),
+      e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("v"), col("nrm")).as("a")
+        .join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"),
+          col("b.vec_id").as("nbr_id"),
+          Canon.cosine(Canon.dot(col("a.v"), col("b.v")),
+            col("a.nrm"), col("b.nrm")).as("sim"))
+        .withColumn("rank", row_number().over(wT))
+        .filter(col("rank") <= k)
+        .select(col("vec_id"), col("nbr_id")).materialized)
+    val (_, fex) = beamWalk(e, gsym, q, beam, rounds)
     val nQ = q.select(countDistinct(col("q_id")).as("n_queries"))
     def hits(topk: DataFrame, variant: String): DataFrame =
       truth.join(topk

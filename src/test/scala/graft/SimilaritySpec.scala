@@ -1080,4 +1080,28 @@ class SimilaritySpec extends SparkSpec {
     for (s <- Seq(1L, 2L))
       assert(rows((s, "postfilter"))._3 <= rows((s, "prefilter"))._3)
   }
+
+  test("topKAgg: fused dedup+rank+cut equals distinct + row_number " +
+    "window on duplicated scored pairs with score ties (the r21 " +
+    "round-fusion equivalence)") {
+    import org.apache.spark.sql.expressions.Window
+    // duplicates carry bit-identical scores (the producers' invariant);
+    // ties across DIFFERENT ids exercise the (score DESC, id ASC) order
+    val scored = Seq(
+      (1L, 10L, 0.9), (1L, 10L, 0.9), (1L, 11L, 0.9), (1L, 12L, 0.5),
+      (1L, 13L, 0.5), (1L, 14L, 0.1),
+      (2L, 20L, 0.0), (2L, 21L, -0.5), (2L, 21L, -0.5), (2L, 22L, 0.7)
+    ).toDF("q_id", "cand_id", "sim")
+    val got = Similarity.topKAgg(scored, "q_id", "cand_id", "sim", 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("cand_id").asc)
+    val want = scored.distinct()
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= 3).drop("_rk")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+    assert(got === Set((1L, 10L, 0.9), (1L, 11L, 0.9), (1L, 12L, 0.5),
+      (2L, 22L, 0.7), (2L, 20L, 0.0), (2L, 21L, -0.5)))
+  }
 }
