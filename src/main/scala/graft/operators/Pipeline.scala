@@ -356,10 +356,14 @@ object Pipeline {
     val toks = funnelTokens(documents)
     val total = broadcast(toks.agg(count(lit(1)).as("_nd")))
     val arm = funnelArm(toks, total) _
-    val exact = arm(Dedup.prefixJaccardJoin(documents)
-      .select(col("doc_a"), col("doc_b")), "exact").materialized
-    val lsh = arm(Dedup.lshCandidatePairs(
-      Dedup.minhashSignature(documents)), "lsh").materialized
+    // the two arms are independent build chains over the shared
+    // pinned `toks` — each is a pair pin + a driver-paced closure
+    // fixpoint, so they overlap (r21, guide §2.6)
+    val (exact, lsh) = Par.concurrently(
+      arm(Dedup.prefixJaccardJoin(documents)
+        .select(col("doc_a"), col("doc_b")), "exact").materialized,
+      arm(Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(documents)), "lsh").materialized)
     exact.union(lsh).union(funnelDelta(exact, lsh, "delta"))
   }
 
@@ -441,16 +445,22 @@ object Pipeline {
     val arm = funnelArm(toks, total) _
     // ONE pinned token-hash set table feeds both the exact arm's
     // prefix join and the verify tier (r20, guide §1.2 — the tier
-    // previously re-tokenized and re-pinned the same corpus)
-    val sets = Dedup.tokenHashSets(documents).materialized
-    val exact = arm(Dedup.prefixJaccardJoinFromSets(sets)
-      .select(col("doc_a"), col("doc_b")), "exact").materialized
-    // raw candidates feed the lsh_raw arm AND the verify tier
-    val rawPairs = Dedup.lshCandidatePairs(
-      Dedup.minhashSignature(documents)).materialized
-    val lshRaw = arm(rawPairs, "lsh_raw").materialized
-    val lshVerified = arm(verifyTierFromSets(sets, rawPairs),
-      "lsh_verified").materialized
+    // previously re-tokenized and re-pinned the same corpus); its pin
+    // overlaps the raw-candidate pin (independent builds, r21 §2.6)
+    val (sets, rawPairs) = Par.concurrently(
+      Dedup.tokenHashSets(documents).materialized,
+      // raw candidates feed the lsh_raw arm AND the verify tier
+      Dedup.lshCandidatePairs(
+        Dedup.minhashSignature(documents)).materialized)
+    // the three arms are independent chains over the two pins above —
+    // each a pair pin + a driver-paced closure fixpoint; overlapped
+    // so one arm's small convergence jobs back-fill another's tail
+    val (exact, lshRaw, lshVerified) = Par.concurrently3(
+      arm(Dedup.prefixJaccardJoinFromSets(sets)
+        .select(col("doc_a"), col("doc_b")), "exact").materialized,
+      arm(rawPairs, "lsh_raw").materialized,
+      arm(verifyTierFromSets(sets, rawPairs),
+        "lsh_verified").materialized)
     exact.union(lshRaw).union(lshVerified)
       .union(funnelDelta(exact, lshRaw, "delta_raw"))
       .union(funnelDelta(exact, lshVerified, "delta_verified"))
