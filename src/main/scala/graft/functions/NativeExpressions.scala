@@ -158,11 +158,15 @@ case class SimHashBits(child: Expression, bits: Int)
       newChild: Expression): SimHashBits = copy(child = newChild)
 }
 
-/** Intersection cardinality of two SORTED array<long> columns (e.g.
-  * sort_array(array_distinct(...)) token-hash sets): a two-pointer
-  * merge — O(n+m) with zero allocation, vs array_intersect's per-call
-  * hash set. Elements are assumed non-null (the dedup pipeline builds
-  * them from non-null hashes); a null ARRAY yields null.
+/** Intersection cardinality of two SORTED array<long> — or, since r21,
+  * array<int> — columns (e.g. sort_array(array_distinct(...))
+  * token-hash sets): a two-pointer merge — O(n+m) with zero
+  * allocation, vs array_intersect's per-call hash set. Elements are
+  * assumed non-null (the dedup pipeline builds them from non-null
+  * hashes); a null ARRAY yields null. Both sides must share one
+  * element type; the int form exists so the narrowed (guide §2.3)
+  * hashP sets — every value < 2³¹−1 by construction — compare without
+  * a per-row widening copy back to long.
   */
 case class SortedIntersectCountL(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -171,11 +175,19 @@ case class SortedIntersectCountL(left: Expression, right: Expression)
     (left.dataType, right.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (array<bigint>, array<bigint>), got ($l, $r)")
+        s"$prettyName requires (array<bigint>, array<bigint>) or " +
+          s"(array<int>, array<int>), got ($l, $r)")
     }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_sorted_intersect"
+
+  private def intElems: Boolean = left.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _ => false
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
@@ -183,12 +195,22 @@ case class SortedIntersectCountL(left: Expression, right: Expression)
     val n = x.numElements()
     val m = y.numElements()
     var i = 0; var j = 0; var c = 0
-    while (i < n && j < m) {
-      val u = x.getLong(i)
-      val v = y.getLong(j)
-      if (u == v) { c += 1; i += 1; j += 1 }
-      else if (u < v) i += 1
-      else j += 1
+    if (intElems) {
+      while (i < n && j < m) {
+        val u = x.getInt(i)
+        val v = y.getInt(j)
+        if (u == v) { c += 1; i += 1; j += 1 }
+        else if (u < v) i += 1
+        else j += 1
+      }
+    } else {
+      while (i < n && j < m) {
+        val u = x.getLong(i)
+        val v = y.getLong(j)
+        if (u == v) { c += 1; i += 1; j += 1 }
+        else if (u < v) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -200,13 +222,14 @@ case class SortedIntersectCountL(left: Expression, right: Expression)
       val i = ctx.freshName("i"); val j = ctx.freshName("j")
       val c = ctx.freshName("c")
       val u = ctx.freshName("u"); val v = ctx.freshName("v")
+      val (jt, get) = if (intElems) ("int", "getInt") else ("long", "getLong")
       s"""
          |final int $n = $a.numElements();
          |final int $m = $b.numElements();
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $n && $j < $m) {
-         |  final long $u = $a.getLong($i);
-         |  final long $v = $b.getLong($j);
+         |  final $jt $u = $a.$get($i);
+         |  final $jt $v = $b.$get($j);
          |  if ($u == $v) { $c++; $i++; $j++; }
          |  else if ($u < $v) { $i++; } else { $j++; }
          |}

@@ -371,11 +371,19 @@ object Dedup {
   /** (doc_id, dw = sorted distinct hashP token array) — d26's token
     * universe, UNPINNED; callers pin once and share (the p27 funnel
     * feeds the same frame to the exact arm AND the verify tier).
+    *
+    * The array is INT32 (r21, guide §2.3 "narrower types"): every
+    * hashP value is < 2³¹−1 by construction (hash60 mod the Mersenne
+    * prime), so the narrowing is exact and value-order-preserving —
+    * the sorted set, the per-token document frequencies, the prefix
+    * ranks and the two-pointer intersect counts are all identical —
+    * while the verify-side set arrays and the exploded token keys
+    * carry half the bytes through every exchange and the pin.
     */
   private[operators] def tokenHashSets(documents: DataFrame): DataFrame =
     documents.select(col("doc_id"),
       sort_array(array_distinct(transform(Canon.words(col("text")),
-        w => Canon.hashP(w)))).as("dw"))
+        w => Canon.hashP(w).cast("int")))).as("dw"))
 
   /** [[prefixJaccardJoin]] over an ALREADY-pinned [[tokenHashSets]]
     * frame. The pinned array column is the verify-side set (r20,

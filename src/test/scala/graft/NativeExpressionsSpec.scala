@@ -54,6 +54,26 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(df.as[Int].collect().toSeq === Seq(2, 0, 2))
   }
 
+  test("sortedIntersectCount: int-array form (the r21 narrowed hashP " +
+    "sets) matches the long form") {
+    // the d26/p27 token sets are array<int> since r21 (every hashP
+    // value < 2^31-1); the kernel must count identically on both types
+    val df = Seq(
+      (Seq(1, 3, 5, 7), Seq(3, 4, 5, 9)),            // {3,5}
+      (Seq.empty[Int], Seq(1, 2)),                   // 0
+      (Seq(2, 4), Seq(2, 4)),                        // 2
+      (Seq(0, 2147483646), Seq(0, 2147483646))       // hashP extremes
+    ).toDF("a", "b")
+    val ints = df
+      .select(Canon.sortedIntersectCount(col("a"), col("b")).as("c"))
+    assert(ints.as[Int].collect().toSeq === Seq(2, 0, 2, 2))
+    val longs = df
+      .select(Canon.sortedIntersectCount(
+        col("a").cast("array<bigint>"), col("b").cast("array<bigint>"))
+        .as("c"))
+    assert(longs.as[Int].collect().toSeq === Seq(2, 0, 2, 2))
+  }
+
   test("native pqEncode matches the declarative HOF argmin on real vectors") {
     val m = 8
     val sub = 64 / m
