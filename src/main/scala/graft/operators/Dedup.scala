@@ -538,11 +538,21 @@ object Dedup {
     * Output is identical to dupClusters (component min labels) — the
     * d11 gate runs the same recursive-CTE oracle as d08.
     */
-  def dupClustersShortcut(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def dupClustersShortcut(pairs: DataFrame, maxIters: Int = 20): DataFrame =
     // same directed-pairs-first materialization as dupClusters: the
     // symmetric union would otherwise run candidate generation twice
-    val p = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .materialized
+    dupClustersShortcutPrePinned(
+      pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .materialized, maxIters)
+
+  /** [[dupClustersShortcut]] over an ALREADY-materialized directed
+    * (a, b) pair frame — callers that hold a pinned pair list (the
+    * g29 refine path pins its intra-community edges for the audit's
+    * e_in count anyway, r21) skip the redundant second checkpoint of
+    * the same rows (the dupClustersPrePinned seam, shortcut variant).
+    */
+  private[operators] def dupClustersShortcutPrePinned(
+      p: DataFrame, maxIters: Int = 20): DataFrame = {
     val sym = p.union(p.select(col("b").as("a"), col("a").as("b")))
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("lab", col("node"))

@@ -1622,16 +1622,40 @@ object GraphEtl {
     * components labeler ([[connectedComponents]], with its loud
     * non-convergence guard) + one vertex-keyed left join.
     */
-  def refineConnectivity(edges: DataFrame, flat: DataFrame): DataFrame = {
+  def refineConnectivity(edges: DataFrame, flat: DataFrame): DataFrame =
+    refineParts(edges, flat)._1
+
+  /** [[refineConnectivity]] exposing the intra-community edge list it
+    * built on the way (r21): the ladder's refine AUDIT needs
+    * e_in(refined), and every intra edge's endpoints share a refined
+    * label BY CONSTRUCTION (they are in one connected component of
+    * the intra subgraph), while a non-intra edge's endpoints never do
+    * (refined labels are member ids of disjoint old-community member
+    * sets — the no-collision argument in [[refineConnectivity]]'s
+    * scaladoc). So e_in(refined) = count(intra) EXACTLY, and the
+    * audit can skip [[modularityParts]]' two m-linear edge×labels
+    * joins.
+    */
+  private[graft] def refineParts(edges: DataFrame, flat: DataFrame)
+      : (DataFrame, DataFrame) = {
+    // pinned HERE, not inside the components labeler (r21): the
+    // labeler pinned exactly these rows as its own first step, and
+    // the ladder's audit additionally counts them — one checkpoint,
+    // two consumers, and the audit's e_in is a count of checkpoint
+    // blocks instead of a re-run of the two edge×labels joins
     val intra = edges
       .join(flat.select(col("v").as("a"), col("c").as("ca")), "a")
       .join(flat.select(col("v").as("b"), col("c").as("cb")), "b")
       .filter(col("ca") === col("cb"))
       .select(col("a"), col("b"))
-    val cc = connectedComponents(intra)
-    flat.join(cc.select(col("vertex").as("v"), col("component")),
+      .materialized
+    val cc = Dedup.dupClustersShortcutPrePinned(intra)
+      .select(col("doc_id").as("vertex"), col("cluster_rep").as("component"))
+    val refined = flat
+      .join(cc.select(col("vertex").as("v"), col("component")),
         Seq("v"), "left")
       .select(col("v"), coalesce(col("component"), col("v")).as("c"))
+    (refined, intra)
   }
 
   private def fixpointLadderRows(edges: DataFrame, levels: Int,
@@ -1653,6 +1677,15 @@ object GraphEtl {
       .select(col("a").as("v"), col("cc").as("c"))
       .materialized
     val mRow = broadcast(e.agg(count(lit(1)).as("m")))
+    // vertex degree table for the refine audits (g29 only) —
+    // level-independent, so ONE pinned copy serves every level's
+    // audit where modularityParts re-derived it m-linearly per call
+    // (r21; exact same count-of-incidences construction)
+    val degV =
+      if (refine)
+        e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+          .groupBy(col("v")).agg(count(lit(1)).as("deg")).materialized
+      else null
     var rows = Vector.empty[DataFrame]
     (1 to levels).foreach { l =>
       val (symW, degC, bw) = contractGraph(e, flat)
@@ -1712,15 +1745,42 @@ object GraphEtl {
         // Leiden refinement (g29 only): split disconnected
         // communities along intra-community connectivity BEFORE the
         // contraction can freeze them; audit row counts the extra
-        // communities the splits created
-        val refined = refineConnectivity(e, flat).materialized
-        val mlRef = modularityParts(e, refined
-          .select(col("v").as("vertex"), col("c").as("community")))
+        // communities the splits created.
+        //
+        // Audit (r21, guide §1.2): the refine row's
+        // (n_communities, modularity) used to re-run the m-linear
+        // [[modularityParts]] fold (two edge×labels joins + a degree
+        // re-aggregate) against the refined labels. But
+        // e_in(refined) = count(intra) EXACTLY ([[refineParts]]
+        // scaladoc: an intra edge's endpoints always share a refined
+        // label, a non-intra edge's never do), and the degree table
+        // is level-independent, computed once per query (degV below)
+        // — so the audit is one count of a frame the refinement built
+        // anyway + one vertex-sized join, with term-for-term the same
+        // decimal(38,0) algebra and ONE final double division
+        // (identical doubles; the oracle hash-checks them).
+        val (refined0, intra) = refineParts(e, flat)
+        val refined = refined0.materialized
+        val dec = "decimal(38,0)"
+        val eIn = intra.agg(count(lit(1)).as("e_in"))
+        val sig = degV.join(refined.select(col("v"),
+            col("c").as("community")), "v")
+          .groupBy(col("community"))
+          .agg(sum(col("deg").cast(dec)).as("d_c"))
+          .agg(count(lit(1)).as("n_communities"),
+            sum(col("d_c") * col("d_c")).as("sum_dsq"))
+        val num = (lit(4).cast(dec) * col("m") * col("e_in") -
+          col("sum_dsq")).cast("double")
+        val den = (lit(4).cast(dec) * col("m") * col("m")).cast("double")
+        val mlRef = mRow.crossJoin(broadcast(eIn))
+          .crossJoin(broadcast(sig))
+          .select(col("n_communities"),
+            when(col("m") === 0L, lit(null).cast("double"))
+              .otherwise(num / den).as("modularity"))
         rows :+= refined.agg(countDistinct(col("c")).as("_na"))
           .crossJoin(broadcast(
             flat.agg(countDistinct(col("c")).as("_nb"))))
-          .crossJoin(broadcast(mlRef.select(
-            col("n_communities"), col("modularity"))))
+          .crossJoin(broadcast(mlRef))
           .select(lit(l.toLong).as("level"), lit("refine").as("phase"),
             lit(0L).as("round"), (col("_na") - col("_nb")).as("n_moves"),
             col("n_communities"), col("modularity"))

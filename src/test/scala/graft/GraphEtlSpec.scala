@@ -619,6 +619,26 @@ class GraphEtlSpec extends SparkSpec {
       flat.repartition(3)).as[(Long, Long)].collect().toMap === refined)
   }
 
+  test("refineParts: e_in(refined) = count(intra) — the r21 refine-" +
+    "audit identity (an intra edge's endpoints always share a refined " +
+    "label; a non-intra edge's never do)") {
+    val edges = (Seq((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L), (5L, 7L),
+      (6L, 7L)) ++ Seq((3L, 4L), (4L, 5L))).toDF("a", "b")
+    // the badly-connected partition from the refineConnectivity test:
+    // community 1 = both cliques, bridge 4 on its own
+    val flat = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 1L), (6L, 1L),
+      (7L, 1L), (4L, 4L)).toDF("v", "c")
+    val (refined, intra) = GraphEtl.refineParts(edges, flat)
+    // independent spelling of e_in(refined): edges whose endpoints get
+    // equal REFINED labels (the modularityParts `within` count)
+    val within = edges
+      .join(refined.select(col("v").as("a"), col("c").as("ra")), "a")
+      .join(refined.select(col("v").as("b"), col("c").as("rb")), "b")
+      .filter(col("ra") === col("rb")).count()
+    assert(intra.count() === within)
+    assert(within === 6L) // the two cliques' edges; both bridge edges cross
+  }
+
   test("louvainLeidenLadder: replays the g28 hand-trace with a " +
     "refine row per level — n_moves 0 (both communities connected, " +
     "Leiden's guarantee holding vacuously), partition unchanged") {
