@@ -163,8 +163,14 @@ object GraphEtl {
   def latestEdgePerPair(edges: DataFrame): DataFrame =
     edges
       .groupBy(col("_from"), col("_to"))
-      .agg(max_by(
-        struct(col("block"), col("seq"), col("amount"), col("timestamp")),
+      // max over the ordering tuple itself, not max_by(payload,
+      // ordering) (r21): the payload IS the ordering tuple reordered,
+      // so max_by buffered BOTH structs per group — max(struct) halves
+      // the aggregation buffer and the per-row comparisons for the
+      // same lexicographic winner (ties in the tuple are identical
+      // rows). Still a SortAggregate (struct buffers are not
+      // hash-aggregable) with map-side partial aggregation.
+      .agg(max(
         struct(col("timestamp"), col("block"), col("seq"), col("amount")))
         .as("e"))
       .select(col("_from"), col("_to"), col("e.block").as("block"),
@@ -429,7 +435,13 @@ object GraphEtl {
     val e = edges.select(col("_from").as("src"), col("_to").as("dst"))
       .distinct().materialized
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(outDeg, "src").materialized
+    // pinned HASH-PARTITIONED by src (r21, guide §2.4): the
+    // checkpoint preserves the physical partitioning, so each
+    // iteration's ranks⋈eDeg join re-exchanges only the vertex-sized
+    // ranks side — the edge-sized eDeg side (the big one) shuffles
+    // once here instead of once per iteration
+    val eDeg = e.join(outDeg, "src")
+      .repartition(col("src")).materialized
     val vertices = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct().materialized
     var ranks = vertices.withColumn("rank", lit(1000000L))
@@ -470,7 +482,9 @@ object GraphEtl {
     val e = edges.select(col("_from").as("src"), col("_to").as("dst"))
       .distinct().materialized
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val eDeg = e.join(outDeg, "src").materialized
+    // hash-partitioned pin, same reasoning as pageRankFixedPoint (r21)
+    val eDeg = e.join(outDeg, "src")
+      .repartition(col("src")).materialized
     val vertices = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct()
       .withColumn("_seed", isSeed)
