@@ -206,6 +206,12 @@ object GraphEtl {
     * the pair join (the same hot-block discipline as Dedup's maxBucket
     * caps), so one degenerate mega-order can never go quadratic. The
     * support filter is a map-side-combinable count aggregate.
+    *
+    * Input assumption (ADVICE r20): `l_suppkey` is NOT NULL (it is in
+    * TPC-H-shaped data). collect_set silently drops NULLs where the
+    * pre-r20 distinct counted a NULL row toward the maxPerOrder cap —
+    * on a nullable key the two shapes would disagree about an order
+    * with exactly maxPerOrder non-null suppliers plus a NULL row.
     */
   def coSupplierEdges(lineitem: DataFrame, minSupport: Int = 5,
                       maxPerOrder: Int = 100): DataFrame = {
@@ -702,9 +708,16 @@ object GraphEtl {
         .agg(count(lit(1)).as("n"))
       // argmax by (n DESC, lab ASC) as ONE map-side-combinable
       // aggregate instead of a row_number window (r20, guide §2.3/2.4:
-      // the window paid a full sort of the vote table per round; the
-      // struct max is the same total order — max n first, then max
-      // -lab = min lab — with partial aggregation and no sort).
+      // the window paid a full windowed sort of the vote table per
+      // round; the struct max is the same total order — max n first,
+      // then max -lab = min lab. It surfaces as SortAggregate — a
+      // struct buffer is not hash-aggregable — i.e. the PLANCHECK
+      // sort-agg benign class; the win is that the map-side partial
+      // aggregate reduces rows BEFORE the exchange, which the window
+      // never did. Precondition shared by every struct-max argmax
+      // site in this file (ADVICE r20): labels / community / neighbor
+      // ids are NON-NEGATIVE longs, so the -id negation cannot wrap
+      // at Long.MinValue and DESC on -id is exactly ASC on id.
       labels = votes
         .groupBy(col("a"))
         .agg(max(struct(col("n"), (-col("lab")).as("_nl"))).as("_mx"))
@@ -1063,8 +1076,11 @@ object GraphEtl {
         (lit(2).cast(dec) * col("m") * col("w") -
           col("ka").cast(dec) * col("kb").cast(dec)).as("s"))
     // argmax by (s DESC, nb ASC) as a struct-max aggregate instead of
-    // a row_number window (r20, guide §2.3/2.4 — no sort, map-side
-    // partial aggregation; same total order, same s > 0 gate)
+    // a row_number window (r20, guide §2.3/2.4 — no windowed full-row
+    // sort; surfaces as SortAggregate with map-side partial
+    // aggregation, the PLANCHECK sort-agg benign class; same total
+    // order, same s > 0 gate; non-negative-id precondition at the
+    // labelPropagation argmax)
     val dec2 = scored2.groupBy(col("node"))
       .agg(max(struct(col("s"), (-col("nb")).as("_nn"))).as("_mx"))
       .filter(col("_mx.s") > 0)
@@ -1193,7 +1209,9 @@ object GraphEtl {
           col("ka").cast(dec) * col("kb").cast(dec)).as("s"))
     // positive-gain argmax per supernode — struct-max aggregate, not a
     // row_number window (r20, guide §2.3/2.4: same (s DESC, nb ASC)
-    // order without the sort); materialized because the mutuality
+    // order without the windowed full-row sort; surfaces as
+    // SortAggregate with map-side partial aggregation — the PLANCHECK
+    // sort-agg benign class); materialized because the mutuality
     // self-join consumes it twice
     val best = scored.groupBy(col("node"))
       .agg(max(struct(col("s"), (-col("nb")).as("_nn"))).as("_mx"))
